@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (changelog-normalize the events
+binlog, aggregate the materialized state — the reference's flagship ITCase
+shape, MySqlConnectorITCase.java:215-241) at sf0.001.
+
+``queries()`` / ``oracle_sql()`` expose one entry per implemented
+SURVEY.md §2 query key from the engine's registry
+(``flink_cdc_connectors_spark.registry``).
 """
 
 from __future__ import annotations
@@ -12,27 +14,40 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cdc_connectors_spark.operators.cdc import changelog_normalize
+from flink_cdc_connectors_spark.registry import all_queries
+from flink_cdc_connectors_spark.sources.envelope import changelog_view
+from flink_cdc_connectors_spark.sources.loaders import load_table
+
+FLAGSHIP_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: materialize latest state per key from the changelog, then
+    aggregate it (normalize-then-aggregate — retract-correct by
+    construction)."""
+    events = load_table(spark, FLAGSHIP_SF_DIR, "events")
+    state = changelog_normalize(changelog_view(events))
+    return (
+        state.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("cohort")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {key: spec.builder for key, spec in sorted(all_queries().items())}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        key: spec.oracle
+        for key, spec in sorted(all_queries().items())
+        if spec.oracle is not None
+    }

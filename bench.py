@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {key: sec, ...}, "sf": ...}.
+
+Each query executes to completion through the noop sink (full computation,
+no driver collect, no result materialization cost) — the same way a cluster
+job would be measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_cdc_connectors_spark.registry import all_queries
+from flink_cdc_connectors_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_one(spark, builder, sf_dir: str) -> float:
+    t0 = time.monotonic()
+    df = builder(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    queries = all_queries()
+    # Warm the JVM/session on the smallest fixture so q1 doesn't pay startup.
+    warm = next(iter(sorted(queries)))
+    try:
+        run_one(spark, queries[warm].builder, "/root/testdata/sf0.001")
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for key in sorted(queries):
+        try:
+            timings[key] = round(run_one(spark, queries[key].builder, SF_DIR), 3)
+        except Exception as exc:  # keep benching; a failed query is reported
+            failures[key] = f"{type(exc).__name__}: {exc}"[:200]
+    out = {
+        "metric": "full_query_suite_wall_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,355 @@
+"""Tier A — CDC ingestion/semantics operators as checkable queries
+(SURVEY.md §2.A).
+
+The ``events`` fixture plays the binlog role (op convention in
+``sources/envelope.py``): ``(ts, event_id)`` is the total offset order,
+``user_id`` the primary key. Each query exercises one algorithm of the
+reference's incremental-snapshot framework and is paired with DuckDB oracle
+SQL stating the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from flink_cdc_connectors_spark.operators.cdc import (
+    changelog_normalize,
+    chunk_reconcile,
+    even_chunks,
+    offset_filter,
+    uneven_chunks,
+)
+from flink_cdc_connectors_spark.registry import query
+from flink_cdc_connectors_spark.sources.envelope import (
+    changelog_view,
+    events_to_debezium_json,
+    op_sql,
+    parse_debezium_json,
+)
+from flink_cdc_connectors_spark.sources.loaders import load_table
+
+# SQL fragment: latest event per user_id in offset order (shared by oracles).
+_LATEST_SQL = """
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+"""
+
+# Snapshot/stream boundary for reconcile-style queries: first 60% of offsets.
+_SPLIT_FRACTION = 0.6
+
+
+def _split_offset(spark: SparkSession, sf_dir: str) -> int:
+    e = load_table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    return int(lo + (hi - lo) * _SPLIT_FRACTION)
+
+
+_SPLIT_SQL = (
+    "(SELECT CAST(min(event_id) + (max(event_id) - min(event_id)) * 0.6 AS BIGINT) FROM events)"
+)
+
+
+@query(
+    "cdc_snapshot_scan",
+    tier="A",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey > (SELECT min(l_orderkey) FROM lineitem)
+      AND l_orderkey <= (SELECT min(l_orderkey)
+                              + (max(l_orderkey) - min(l_orderkey)) // 4
+                         FROM lineitem)
+    """,
+)
+def cdc_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked snapshot scan: ``SELECT * FROM T WHERE key > lo AND key <= hi``
+    per split (reference StatementUtils.buildSplitScanQuery:132-225,
+    MySqlSnapshotSplitReadTask). The key-range predicate pushes down to the
+    parquet scan (PushedFilters), exactly like the reference's per-split
+    WHERE clause hits the B-tree."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    split_hi = lo + (hi - lo) // 4
+    return li.filter((F.col("l_orderkey") > lo) & (F.col("l_orderkey") <= split_hi)).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "cdc_chunk_split_even",
+    tier="A",
+    oracle="""
+    WITH stats AS (
+      SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi,
+             count(*) AS cnt FROM lineitem
+    ),
+    step AS (
+      SELECT greatest(CAST(floor(1000.0 * (hi - lo + 1) / cnt) AS BIGINT), 1) AS s,
+             lo FROM stats
+    )
+    SELECT CAST((l_orderkey - step.lo) // step.s AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_orderkey)          AS key_lo,
+           max(l_orderkey)          AS key_hi
+    FROM lineitem, step
+    GROUP BY 1
+    """,
+)
+def cdc_chunk_split_even(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evenly-sized chunk split (the fast path): chunk width derived from
+    one MIN/MAX/COUNT aggregate when the distribution factor is in
+    [0.05, 1000] (reference MySqlChunkSplitter.trySplitAllEvenlySizedChunks
+    :201-302, calculateDistributionFactor :354-422). Chunk id is a pure
+    projection — zero per-chunk queries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        even_chunks(li, "l_orderkey", chunk_size=1000)
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("key_lo"),
+            F.max("l_orderkey").alias("key_hi"),
+        )
+    )
+
+
+@query(
+    "cdc_chunk_split_uneven",
+    tier="A",
+    oracle="""
+    SELECT CAST(ntile(8) OVER (ORDER BY user_id, event_id) - 1 AS INT) AS chunk_id,
+           user_id, event_id
+    FROM events
+    """,
+)
+def cdc_chunk_split_uneven(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count chunks for skewed keys — the lazy boundary-walk
+    (MySqlChunkSplitter.splitOneUnevenlySizedChunk:159-199,
+    StatementUtils.queryNextChunkMax:99-130) becomes NTILE over the key
+    order: same equal-row-count guarantee, one range shuffle instead of N
+    probe queries."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.orderBy("user_id", "event_id")
+    return e.select((F.ntile(8).over(w) - 1).alias("chunk_id"), "user_id", "event_id")
+
+
+@query(
+    "cdc_chunk_reconcile",
+    tier="A",
+    oracle=f"""
+    SELECT user_id, round(value, 2) AS value_r, event_id
+    FROM ({_LATEST_SQL})
+    WHERE rn = 1 AND ({op_sql("event_type")}) <> 'delete'
+    """,
+)
+def cdc_chunk_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBLog offset-signal reconciliation (``upsertBinlog``): snapshot state
+    at offset S upserted with the change window after S — insert/update
+    replace by PK, delete removes (reference RecordUtils.upsertBinlog:77-114,
+    SnapshotSplitReader.pollSplitRecords:240-296; arXiv:2010.12597). The
+    oracle states the algebraic invariant the reference's tests rely on:
+    reconcile(normalize(prefix), suffix) == normalize(whole log)."""
+    cl = changelog_view(load_table(spark, sf_dir, "events"))
+    split = _split_offset(spark, sf_dir)
+    snapshot = changelog_normalize(cl.filter(F.col("event_id") <= split)).select(
+        "user_id", "value", "props", "ts", "event_id"
+    )
+    changes = cl.filter(F.col("event_id") > split)
+    merged = chunk_reconcile(snapshot, changes, key_cols=["user_id"])
+    return merged.select("user_id", F.round("value", 2).alias("value_r"), "event_id")
+
+
+@query(
+    "cdc_changelog_normalize",
+    tier="A",
+    oracle=f"""
+    SELECT user_id, {op_sql("event_type")} AS op,
+           round(value, 2) AS value_r, event_id
+    FROM ({_LATEST_SQL})
+    WHERE rn = 1 AND ({op_sql("event_type")}) <> 'delete'
+    """,
+)
+def cdc_changelog_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize latest state per key from a changelog: last event per PK
+    in offset order, dropped if it is a delete — Flink's ChangelogNormalize /
+    upsert-sink contract (RowDataDebeziumDeserializeSchema.java:118-146;
+    upsert modes PostgreSQLTableSource.java:107-114,
+    MongoDBTableSource.java:133-138)."""
+    cl = changelog_view(load_table(spark, sf_dir, "events"))
+    return changelog_normalize(cl).select(
+        "user_id", "op", F.round("value", 2).alias("value_r"), "event_id"
+    )
+
+
+@query(
+    "cdc_offset_filter",
+    tier="A",
+    oracle="""
+    SELECT e.event_id, e.user_id
+    FROM events e
+    JOIN (VALUES (0, 50, 300), (50, 100, 600), (100, 1000000, 900))
+         AS c(chunk_lo, chunk_hi, hw)
+      ON e.user_id >= c.chunk_lo AND e.user_id < c.chunk_hi
+         AND e.event_id > c.hw
+    """,
+)
+def cdc_offset_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binlog-phase emit filter (``shouldEmit``): emit a change iff its
+    offset is past the high watermark of the chunk whose key range contains
+    the row's key (BinlogSplitReader.java:210-254,
+    RecordUtils.splitKeyRangeContains). The chunk-watermark table is tiny ->
+    broadcast nested-loop join, no shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    chunks = spark.createDataFrame(
+        [(0, 50, 300), (50, 100, 600), (100, 1000000, 900)],
+        "chunk_lo long, chunk_hi long, hw long",
+    )
+    return offset_filter(e, chunks, key="user_id", offset="event_id").select(
+        "event_id", "user_id"
+    )
+
+
+@query(
+    "cdc_startup_modes",
+    tier="A",
+    oracle=f"""
+    SELECT 'initial' AS mode, CAST(count(*) AS BIGINT) AS n FROM events
+    UNION ALL
+    SELECT 'earliest-offset', CAST(count(*) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'latest-offset', CAST(count(*) AS BIGINT)
+    FROM events WHERE event_id > (SELECT max(event_id) FROM events)
+    UNION ALL
+    SELECT 'specific-offset', CAST(count(*) AS BIGINT)
+    FROM events WHERE event_id > {_SPLIT_SQL}
+    UNION ALL
+    SELECT 'timestamp', CAST(count(*) AS BIGINT)
+    FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def cdc_startup_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five startup positions (StartupMode.java:24-33,
+    MySqlSourceOptions.java:137-185): initial / earliest-offset /
+    latest-offset / specific-offset / timestamp, each a predicate on the
+    offset columns — how a declarative source expresses 'where to start'."""
+    e = load_table(spark, sf_dir, "events")
+    max_off = e.agg(F.max("event_id")).first()[0]
+    split = _split_offset(spark, sf_dir)
+
+    def mode(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(name).alias("mode"), "n")
+
+    return (
+        mode("initial", e)
+        .unionByName(mode("earliest-offset", e))
+        .unionByName(mode("latest-offset", e.filter(F.col("event_id") > max_off)))
+        .unionByName(mode("specific-offset", e.filter(F.col("event_id") > split)))
+        .unionByName(mode("timestamp", e.filter(F.col("ts") >= "2024-01-15 00:00:00")))
+    )
+
+
+@query(
+    "cdc_deserialize_envelope",
+    tier="A",
+    oracle=f"""
+    SELECT {op_sql("event_type")} AS op,
+           user_id, round(value, 2) AS value_r, event_id,
+           epoch_ms(ts) AS op_ts_ms
+    FROM events
+    """,
+)
+def cdc_deserialize_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelope round-trip: events -> envelope JSON (the exact
+    JsonDebeziumDeserializationSchema wire shape) -> from_json -> typed
+    changelog rows, op mapped per RowDataDebeziumDeserializeSchema:118-158
+    (READ/CREATE from after, DELETE from before, UPDATE from after). The
+    oracle states the net transformation directly over events."""
+    e = load_table(spark, sf_dir, "events")
+    raw = events_to_debezium_json(e)
+    rows = parse_debezium_json(raw)
+    return rows.select(
+        "op",
+        "user_id",
+        F.round("value", 2).alias("value_r"),
+        "event_id",
+        F.unix_millis("op_ts").alias("op_ts_ms"),
+    )
+
+
+@query(
+    "cdc_metadata_columns",
+    tier="A",
+    oracle="""
+    SELECT event_id, user_id,
+           'app'    AS database_name,
+           'events' AS table_name,
+           epoch_ms(ts) AS op_ts_ms
+    FROM events
+    """,
+)
+def cdc_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Virtual metadata columns appended after physical ones:
+    database_name / table_name / op_ts from the source struct
+    (MySqlReadableMetadata.java:33-70, AppendMetadataCollector.java)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lit("app").alias("database_name"),
+        F.lit("events").alias("table_name"),
+        F.unix_millis("ts").alias("op_ts_ms"),
+    )
+
+
+@query(
+    "cdc_table_discovery",
+    tier="A",
+    oracle="""
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_rows
+    FROM (SELECT 'customer_' || CAST(c_custkey % 4 AS VARCHAR) AS shard FROM customer)
+    WHERE regexp_matches(shard, '^customer_[0-2]$')
+    GROUP BY shard
+    """,
+)
+def cdc_table_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Captured-table discovery by regex (DataSourceDialect.java:44-52,
+    TableDiscoveryUtils.java; sharding regex ITCase:1294-1336): physical
+    shards matching the pattern merge into one logical stream."""
+    c = load_table(spark, sf_dir, "customer")
+    sharded = c.select(
+        F.concat(F.lit("customer_"), (F.col("c_custkey") % 4).cast("string")).alias("shard")
+    )
+    return (
+        sharded.filter(F.col("shard").rlike("^customer_[0-2]$"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query(
+    "cdc_dedup_exact",
+    tier="A",
+    oracle=f"""
+    SELECT DISTINCT event_id, user_id, event_type, round(value, 2) AS value_r
+    FROM (
+      SELECT event_id, user_id, event_type, value FROM events
+      UNION ALL
+      SELECT event_id, user_id, event_type, value FROM events
+      WHERE event_id > {_SPLIT_SQL}
+    )
+    """,
+)
+def cdc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once dedup after replay: on recovery Debezium can re-emit a
+    suffix of the log; the framework drops already-seen offsets
+    (DebeziumOffset/DebeziumChangeFetcher; BinlogOffset.compareTo:173-255).
+    Simulated by replaying the post-checkpoint suffix and deduplicating on
+    the offset."""
+    e = load_table(spark, sf_dir, "events")
+    split = _split_offset(spark, sf_dir)
+    base = e.select("event_id", "user_id", "event_type", "value")
+    replayed = base.unionByName(base.filter(F.col("event_id") > split))
+    return replayed.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value_r")
+    )

@@ -1,0 +1,633 @@
+"""Tier C — LLM-data-pipeline extensions (SURVEY.md §2.C).
+
+Dedup (exact / n-gram Jaccard / MinHash-LSH), similarity search over
+embeddings, text analysis (tokens, quality, language-ID, fingerprints), and
+multimodal (binary payload) plumbing — designed Spark-first for 100 TB:
+no driver-side loops, dedup joins keyed on bounded-cardinality
+shingles/buckets, the brute-force kNN kept as the small-side-broadcast
+baseline with an LSH-bucketed scale path.
+
+The fixture corpus has no duplicate texts, so dedup queries union the
+corpus with deterministically perturbed copies (case-flipped / truncated)
+— the operator must collapse exactly those planted pairs, which makes the
+checks self-validating rather than vacuous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from flink_cdc_connectors_spark.registry import query
+from flink_cdc_connectors_spark.sources.loaders import load_table
+
+# Offset added to doc_id for planted duplicate copies.
+_COPY_OFFSET = 1_000_000
+
+# Normalization shared by dedup queries: lowercase, collapse whitespace, trim.
+_NORM_SQL = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
+
+
+def _norm_col(c):
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def _with_copies(docs: DataFrame) -> DataFrame:
+    """documents ∪ perturbed copies (uppercased + padded, same normalized text)."""
+    copies = docs.select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(copies)
+
+
+_WITH_COPIES_SQL = f"""
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET}, upper(text) || '  ', lang, source, n_chars FROM documents
+"""
+
+
+@query(
+    "ext_dedup_exact_text",
+    tier="C",
+    oracle=f"""
+    SELECT min(doc_id)              AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_dupes,
+           md5({_NORM_SQL.format(c="text")}) AS text_hash
+    FROM ({_WITH_COPIES_SQL})
+    GROUP BY 3
+    """,
+)
+def ext_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: hash-groupBy, keep the smallest
+    doc_id per content hash. One shuffle on the hash; at 100 TB the hash
+    (not the text) is the shuffle key, so record width stays small."""
+    corpus = _with_copies(load_table(spark, sf_dir, "documents"))
+    return (
+        corpus.withColumn("text_hash", F.md5(_norm_col(F.col("text"))))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_dupes"))
+        .select("keeper_id", "n_dupes", "text_hash")
+    )
+
+
+# --- n-gram Jaccard near-dup ------------------------------------------------
+
+_SHINGLE_SQL = f"""
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(words) - 2, 0)),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+  FROM (
+    SELECT doc_id, string_split_regex({_NORM_SQL.format(c="text")}, '\\s+') AS words
+    FROM corpus)
+"""
+
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs: distinct word n-grams of normalized text."""
+    words = docs.select(
+        "doc_id", F.split(_norm_col(F.col("text")), r"\s+").alias("words")
+    )
+    grams = words.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("words") - n, F.lit(-1)),
+                ),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("words", i + k + 1) for k in range(n)]
+                ),
+            )
+        ).alias("shingles"),
+    )
+    return grams.select("doc_id", F.explode("shingles").alias("shingle"))
+
+
+@query(
+    "ext_dedup_ngram_jaccard",
+    tier="C",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + {_COPY_OFFSET},
+             array_to_string(string_split_regex(trim(text), '\\s+')[1:-2], ' ')
+      FROM documents WHERE doc_id < 200 AND len(string_split_regex(trim(text), '\\s+')) > 12
+    ),
+    shingled AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingled GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM shingled a JOIN shingled b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    """,
+)
+def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.6: explode distinct
+    shingles, self-join on shingle, |A∩B| / (|A|+|B|-|A∩B|). Scale notes:
+    the join key is the shingle (bounded fan-out per shingle in real
+    corpora); at 100 TB the MinHash-LSH variant (``ext_dedup_minhash``)
+    replaces the exact self-join, and this exact form remains the verifier
+    for candidate pairs. Planted near-copies (last word dropped) guarantee
+    non-vacuous matches."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    near = (
+        docs.filter(F.size(words) > 12)
+        .select(
+            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+            F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias("text"),
+        )
+    )
+    corpus = docs.select("doc_id", "text").unionByName(near)
+    sh = _shingles(corpus).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.6)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query("ext_dedup_minhash", tier="C", oracle=None)
+def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (rows-only check): 16 md5-derived
+    min-hashes per doc over 3-gram shingles, banded 4x4; docs sharing a band
+    signature become candidate pairs, verified by exact Jaccard >= 0.6.
+
+    This is the 100 TB path for ``ext_dedup_ngram_jaccard``: the only wide
+    join is on (band_id, band_signature) — bounded bucket sizes — instead of
+    a raw shingle self-join. All hashing is md5-based and deterministic
+    (no RNG), so the result is stable across runs."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    near = docs.filter(F.size(words) > 12).select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.size(words) - 2), " ").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(near)
+    sh = _shingles(corpus)
+    # 16 deterministic hash family members: md5(i || '|' || shingle)
+    hashed = sh.select(
+        "doc_id",
+        *[F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h{i}") for i in range(16)],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(16)]
+    )
+    # LSH: 4 bands of 4 rows; band signature = md5 of the concatenated minhashes
+    bands = sig.select(
+        "doc_id",
+        F.array(
+            *[
+                F.md5(F.concat_ws(",", *[F.col(f"mh{b * 4 + r}") for r in range(4)])).alias(
+                    f"b{b}"
+                )
+                for b in range(4)
+            ]
+        ).alias("band_sigs"),
+    ).select("doc_id", F.posexplode("band_sigs").alias("band_id", "band_sig"))
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_sig") == F.col("y.band_sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (small candidate set -> cheap)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        cand.join(a, cand.id_a == F.col("a.doc_id"))
+        .join(b, (cand.id_b == F.col("b.doc_id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.6)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --- similarity search ------------------------------------------------------
+
+
+@query(
+    "ext_sim_search_cosine",
+    tier="C",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             round(list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))), 6) AS sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, sim, CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+)
+def ext_sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 per query vector (queries = vec_id % 100 = 0).
+
+    The query side is tiny and explicitly broadcast, so the 'cross join' is
+    a broadcast nested loop over the big side — embarrassingly parallel, no
+    shuffle of the corpus; the per-query top-k is a windowed rank over
+    (query, corpus-partition) partial results. Dot products run JVM-side via
+    higher-order array functions (zip_with/aggregate) in double precision.
+    The LSH-bucketed scale path is ``ext_sim_search_lsh``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("v"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+    queries = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        F.round(
+            dot(F.col("qv"), F.col("v"))
+            / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v")))),
+            6,
+        ).alias("sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+
+@query("ext_sim_search_lsh", tier="C", oracle=None)
+def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN (rows-only): sign-random-projection LSH. Each vector is
+    bucketed by the sign pattern of 8 deterministic pseudo-random
+    hyperplanes (hash-derived coefficients, no RNG state); candidates are
+    same-bucket pairs, exact cosine re-ranks within the bucket.
+
+    At 100 TB this replaces the brute-force scan: the corpus shuffles once
+    on the bucket key, each bucket is small, and the exact re-rank touches
+    only same-bucket candidates. Recall tunes with #planes/#tables."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("v"))
+
+    # Deterministic hyperplane coefficient for (plane p, dim i):
+    # centered hash of (p, i) in [-0.5, 0.5] — stable across runs/executors.
+    def plane_coef(p):
+        return F.transform(
+            F.sequence(F.lit(0), F.size("v") - 1),
+            lambda i: (
+                F.pmod(F.xxhash64(F.concat_ws(":", F.lit(str(p)), i.cast("string"))), F.lit(10000))
+                / 10000.0
+                - 0.5
+            ),
+        )
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+    sig = base.select(
+        "vec_id",
+        "v",
+        F.concat_ws(
+            "", *[F.when(dot(F.col("v"), plane_coef(p)) >= 0, "1").otherwise("0") for p in range(8)]
+        ).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(
+            dot(F.col("a.v"), F.col("b.v"))
+            / (F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))),
+            6,
+        ).alias("sim"),
+    )
+    w = W.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
+    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+@query(
+    "ext_text_stats",
+    tier="C",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                                    AS n_docs,
+           round(avg(len(string_split_regex(trim(text), '\\s+'))), 4)  AS avg_tokens,
+           round(avg(n_chars), 4)                                      AS avg_chars,
+           CAST(max(len(string_split_regex(trim(text), '\\s+'))) AS INT) AS max_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-corpus statistics per language: doc counts, token/char averages.
+    Whitespace tokenization stays JVM-side (split + size) — no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max(ntok).alias("max_tokens"),
+    )
+
+
+@query(
+    "ext_token_count",
+    tier="C",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT)
+             AS n_tokens,
+           CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS INT)
+             AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: regex pre-tokenizer (letter runs / digit runs
+    / single punctuation), total + distinct per document — the token-budget
+    accounting a training-data pipeline runs over every shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+_STOPWORDS_PAT = r"\b(the|a|an|of|to|and|in|is|it|for)\b"
+
+
+@query(
+    "ext_quality_score",
+    tier="C",
+    oracle=f"""
+    SELECT doc_id,
+           round(
+             0.4 * least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
+           + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                          / length(text))
+           + 0.3 * least(CAST(len(regexp_extract_all(lower(text), '{_STOPWORDS_PAT}')) AS DOUBLE)
+                         / len(string_split_regex(trim(text), '\\s+')) * 5.0, 1.0)
+           , 4) AS quality
+    FROM documents
+    """,
+)
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score: length saturation + low punctuation
+    density + stopword-rate band — the C4/Gopher-style filter family, all in
+    JVM expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    npunct = F.length(F.regexp_replace("text", r"[^.,!?;:]", ""))
+    nstop = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_STOPWORDS_PAT), 0))
+    score = (
+        0.4 * F.least(ntok / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - npunct.cast("double") / F.length("text"))
+        + 0.3 * F.least(nstop.cast("double") / ntok * 5.0, F.lit(1.0))
+    )
+    return docs.select("doc_id", F.round(score, 4).alias("quality"))
+
+
+@query(
+    "ext_lang_id",
+    tier="C",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN len(regexp_extract_all(lower(text), '\\b(the|and|of|is)\\b')) >= 2 THEN 'en'
+                WHEN len(regexp_extract_all(lower(text), '\\b(le|la|et|les)\\b')) >= 2 THEN 'fr'
+                WHEN len(regexp_extract_all(lower(text), '\\b(der|die|und|das)\\b')) >= 2 THEN 'de'
+                WHEN len(regexp_extract_all(lower(text), '\\b(el|los|y|las)\\b')) >= 2 THEN 'es'
+                WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                ELSE 'und' END AS lang_pred
+    FROM documents
+    """,
+)
+def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword-heuristic language ID: marker-word counts per
+    language family, CJK by codepoint range — deterministic and
+    SQL-expressible (real model scoring would slot in as a Pandas UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def marks(pat: str):
+        return F.size(F.regexp_extract_all(F.lower("text"), F.lit(pat), 0))
+
+    pred = (
+        F.when(marks(r"\b(the|and|of|is)\b") >= 2, "en")
+        .when(marks(r"\b(le|la|et|les)\b") >= 2, "fr")
+        .when(marks(r"\b(der|die|und|das)\b") >= 2, "de")
+        .when(marks(r"\b(el|los|y|las)\b") >= 2, "es")
+        .when(F.col("text").rlike(r"[一-鿿]"), "zh")
+        .otherwise("und")
+    )
+    return docs.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+@query(
+    "ext_fingerprint",
+    tier="C",
+    oracle=f"""
+    WITH corpus AS ({_WITH_COPIES_SQL}),
+    words AS (
+      SELECT doc_id, string_split_regex({_NORM_SQL.format(c="text")}, '\\s+') AS w
+      FROM corpus)
+    SELECT doc_id,
+           CASE WHEN len(w) >= 4 THEN
+             list_aggregate(list_transform(
+               generate_series(1, len(w) - 3),
+               i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])), 'min')
+           ELSE md5(array_to_string(w, ' ')) END AS fingerprint
+    FROM words
+    """,
+)
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum md5 over rolling word 4-grams (a
+    one-permutation MinHash). Identical for the planted perturbed copies,
+    so fingerprint-equality is a cheap near-dup key at scale. All hashing
+    JVM-side; no Python in the row path."""
+    corpus = _with_copies(load_table(spark, sf_dir, "documents"))
+    words = corpus.select("doc_id", F.split(_norm_col(F.col("text")), r"\s+").alias("w"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 4),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at("w", i + 1),
+                F.element_at("w", i + 2),
+                F.element_at("w", i + 3),
+                F.element_at("w", i + 4),
+            )
+        ),
+    )
+    fp = F.when(F.size("w") >= 4, F.array_min(grams)).otherwise(
+        F.md5(F.array_join("w", " "))
+    )
+    return words.select("doc_id", fp.alias("fingerprint"))
+
+
+# --- multimodal columns -----------------------------------------------------
+
+
+@query(
+    "ext_multimodal_cols",
+    tier="C",
+    oracle="""
+    SELECT d.doc_id, d.lang, e.label,
+           CAST(len(e.embedding) AS INT) AS dim,
+           round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))), 4) AS l2_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+               CAST(e.embedding AS DOUBLE[]))) > 4.0
+    """,
+)
+def ext_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed multimodal columns: scalar metadata joined with an
+    array<float> embedding column, filtered on a vector property (L2 norm)
+    computed JVM-side with higher-order functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    joined = docs.join(emb.withColumn("l2", norm), docs.doc_id == emb.vec_id)
+    return joined.filter(F.col("l2") > 4.0).select(
+        "doc_id",
+        "lang",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round("l2", 4).alias("l2_norm"),
+    )
+
+
+@query(
+    "ext_multimodal_decode",
+    tier="C",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substring(text, 1, 8)                      AS header,
+           CAST(octet_length(encode(text)) % 256 AS BIGINT) AS checksum
+    FROM documents
+    """,
+)
+def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary decode plumbing: payloads as a ``binary`` column,
+    decoded with an Arrow-batched ``mapInPandas`` (the real image/audio
+    decoder would replace the body; libs absent in this container, so the
+    'decode' extracts deterministic byte-level features). The Spark-side
+    shape — binary column in, typed metadata out, batch iterator — is the
+    production path."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def decode(batches):
+        # STUB for image/audio decode (PIL/ffmpeg not in container):
+        # deterministic byte-level features keep the plumbing testable.
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["n_bytes"] = pdf["payload"].map(len).astype("int64")
+            out["header"] = pdf["payload"].map(lambda b: b[:8].decode("utf-8", "replace"))
+            out["checksum"] = (out["n_bytes"] % 256).astype("int64")
+            yield out
+
+    return payloads.mapInPandas(
+        decode, schema="doc_id long, n_bytes long, header string, checksum long"
+    )
+
+
+@query(
+    "ext_dedup_embedding",
+    tier="C",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+               WHERE vec_id < 300),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+               AS cos_sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.5
+    """,
+)
+def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.5) over a bounded slice —
+    the semantic-dedup primitive. The exact all-pairs form is the verifier;
+    at scale the LSH bucketing of ``ext_sim_search_lsh`` generates the
+    candidate pairs first."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("e"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(
+            dot(F.col("a.e"), F.col("b.e"))
+            / (
+                F.sqrt(dot(F.col("a.e"), F.col("a.e")))
+                * F.sqrt(dot(F.col("b.e"), F.col("b.e")))
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= 0.5)

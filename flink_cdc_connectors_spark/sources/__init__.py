@@ -1,0 +1,7 @@
+from .loaders import load_table, load_tables, register_views  # noqa: F401
+from .envelope import (  # noqa: F401
+    DEBEZIUM_ENVELOPE_SCHEMA,
+    changelog_view,
+    events_to_debezium_json,
+    parse_debezium_json,
+)

@@ -1,0 +1,45 @@
+"""Typed loaders for the synthetic fixture tables.
+
+Plain ``spark.read.parquet`` — schemas travel with the files, Catalyst gets
+full pushdown (PushedFilters / ReadSchema pruning) because nothing wraps the
+scan. At 100 TB the same call works against a partitioned table directory;
+nothing here assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cdc_connectors_spark import TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Parquet columns written as TIMESTAMP(NANOS) — Spark has no nanosecond
+# timestamp, so these are read as long (spark.sql.legacy.parquet.nanosAsLong)
+# and truncated to microseconds, matching DuckDB's ns->us cast semantics.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table (``region nation customer supplier part orders
+    lineitem events documents embeddings``)."""
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables as temp views so queries can use spark.sql."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)

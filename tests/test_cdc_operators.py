@@ -1,0 +1,100 @@
+"""Unit tests on the CDC-semantics algorithms (the reference's test shape:
+replay synthetic insert/update/delete sequences, assert materialized state).
+
+Mirrors MySqlConnectorITCase.java:215-275 (flagship GROUP BY over a live
+changelog) and RecordUtilsTest / MySqlChunkSplitterTest unit coverage.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_connectors_spark.operators.cdc import (
+    changelog_normalize,
+    chunk_reconcile,
+    even_chunks,
+    uneven_chunks,
+)
+
+def _ts(minute: int) -> datetime:
+    return datetime(2024, 1, 1, 0, minute, 0)
+
+
+ROWS = [
+    # (op, user_id, value, props, ts, event_id)
+    ("insert", 1, 10.0, "{}", _ts(0), 1),
+    ("insert", 2, 20.0, "{}", _ts(1), 2),
+    ("update", 1, 11.0, "{}", _ts(2), 3),
+    ("insert", 3, 30.0, "{}", _ts(3), 4),
+    ("delete", 2, 20.0, "{}", _ts(4), 5),
+    ("update", 3, 33.0, "{}", _ts(5), 6),
+    ("update", 1, 12.0, "{}", _ts(6), 7),
+]
+SCHEMA = "op string, user_id long, value double, props string, ts timestamp, event_id long"
+
+
+@pytest.fixture(scope="module")
+def changelog(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def test_changelog_normalize_latest_state(changelog):
+    got = {
+        r["user_id"]: r["value"]
+        for r in changelog_normalize(changelog).collect()
+    }
+    # user 2 deleted; users 1 and 3 at their last update
+    assert got == {1: 12.0, 3: 33.0}
+
+
+def test_changelog_normalize_keeps_deletes_when_asked(changelog):
+    got = changelog_normalize(changelog, drop_deletes=False)
+    by_key = {r["user_id"]: r["op"] for r in got.collect()}
+    assert by_key == {1: "update", 2: "delete", 3: "update"}
+
+
+def test_chunk_reconcile_equals_full_normalize(changelog, spark):
+    """The DBLog invariant: reconcile(normalize(prefix), suffix) ==
+    normalize(whole log) — for every split point."""
+    full = {
+        (r["user_id"], r["value"])
+        for r in changelog_normalize(changelog).collect()
+    }
+    for split in [0, 2, 4, 6, 7]:
+        snapshot = changelog_normalize(
+            changelog.filter(F.col("event_id") <= split)
+        ).select("user_id", "value", "props", "ts", "event_id")
+        changes = changelog.filter(F.col("event_id") > split)
+        merged = chunk_reconcile(snapshot, changes)
+        got = {(r["user_id"], r["value"]) for r in merged.collect()}
+        assert got == full, f"split={split}"
+
+
+def test_even_chunks_covers_all_rows(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    out = even_chunks(df, "k", chunk_size=100)
+    assert out.count() == 1000
+    n_chunks = out.select("chunk_id").distinct().count()
+    assert n_chunks == 10
+    # chunk ids contiguous from 0
+    ids = sorted(r["chunk_id"] for r in out.select("chunk_id").distinct().collect())
+    assert ids == list(range(10))
+
+
+def test_even_chunks_rejects_skew(spark):
+    # sparse keys: factor = (max-min+1)/count >> 1000
+    df = spark.createDataFrame([(i * 10_000_000,) for i in range(10)], "k long")
+    with pytest.raises(ValueError):
+        even_chunks(df, "k", chunk_size=2)
+
+
+def test_uneven_chunks_equal_counts(spark):
+    # heavily skewed keys still land in equal-count chunks
+    rows = [(1,)] * 50 + [(2,)] * 5 + [(1000,)] * 45
+    df = spark.createDataFrame(rows, "k long")
+    out = uneven_chunks(df, "k", num_chunks=4)
+    counts = [r["n"] for r in out.groupBy("chunk_id").agg(F.count("*").alias("n")).collect()]
+    assert sorted(counts) == [25, 25, 25, 25]

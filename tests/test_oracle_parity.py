@@ -1,0 +1,30 @@
+"""Every registered query vs its DuckDB oracle at sf0.001.
+
+This mirrors the driver's CORRECTNESS gate (row count + columns + values,
+order-insensitive). Keys without an oracle get a weaker runs-and-has-schema
+check — the same downgrade the driver applies.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_cdc_connectors_spark.registry import all_queries
+from tests.oracle_compare import assert_same
+
+QUERIES = all_queries()
+
+
+@pytest.mark.parametrize("key", sorted(QUERIES))
+def test_query_vs_oracle(key, spark, duck, sf_dir):
+    spec = QUERIES[key]
+    sdf = spec.builder(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    assert list(spark_pdf.columns), f"{key}: no columns"
+    if spec.oracle is None:
+        # rows-only check: deterministic across two runs
+        again = spec.builder(spark, sf_dir).toPandas()
+        assert len(spark_pdf) == len(again), f"{key}: nondeterministic row count"
+        return
+    duck_pdf = duck.execute(spec.oracle).fetchdf()
+    assert_same(spark_pdf, duck_pdf, key)

@@ -1,0 +1,197 @@
+"""Hybrid snapshot+stream CDC source — the incremental-snapshot algorithm.
+
+An executable Spark model of the reference's two-phase source
+(flink-connector-mysql-cdc):
+
+  1. *Snapshot phase*: the table is split into key-range chunks
+     (MySqlChunkSplitter.java:115-302); each chunk is read between a LOW and
+     HIGH watermark and the log window (LOW, HIGH] is upserted into the
+     chunk buffer (``upsertBinlog``, RecordUtils.java:77-114;
+     SignalEventDispatcher.java:78-112) so every chunk is emitted as a
+     point-in-time-consistent set of INSERTs at its own high watermark.
+  2. *Stream phase*: one reader tails the log from the MIN high watermark
+     (MySqlHybridSplitAssigner.createBinlogSplit:189-227); the ``shouldEmit``
+     filter drops events already covered by a chunk's backfill — emit iff
+     offset > the HW of the chunk whose key range contains the row's key
+     (BinlogSplitReader.java:210-254).
+
+The source's restartable position is an offset JSON mirroring
+``HybridPendingSplitsState``: {phase, chunks:[{lo,hi,hw,done}],
+stream_offset}. DBLog is the published basis (arXiv:2010.12597, cited at
+docs/content/connectors/mysql-cdc.md:552).
+
+The database here is *simulated by the events log itself* (the fixture
+binlog): "snapshot of chunk C at offset W" = latest non-delete state per
+key in C over events with offset <= W. That makes the consistency
+invariant provable: materialize(source output) == normalize(whole log) —
+the property the reference's ITCases assert after live DML.
+
+At 100 TB: each chunk is an independent partition-pruned scan (the key
+predicate pushes to parquet/JDBC), chunks run in parallel executors, and
+the stream phase is one ordered reader — exactly the reference's physical
+strategy, with Catalyst planning each chunk read.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cdc_connectors_spark.operators.cdc import changelog_normalize
+from flink_cdc_connectors_spark.sources.envelope import changelog_view
+
+
+@dataclass
+class ChunkState:
+    """One snapshot split (SnapshotSplit + its high watermark)."""
+
+    lo: int  # key range [lo, hi)
+    hi: int
+    hw: int = -1  # high watermark offset once read (-1 = pending)
+    done: bool = False
+
+
+@dataclass
+class HybridSourceState:
+    """The restartable offset (HybridPendingSplitsState analog)."""
+
+    phase: str = "snapshot"  # snapshot -> stream
+    chunks: list[ChunkState] = field(default_factory=list)
+    stream_offset: int = -1
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "phase": self.phase,
+                "chunks": [vars(c) for c in self.chunks],
+                "stream_offset": self.stream_offset,
+            }
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "HybridSourceState":
+        d = json.loads(s)
+        return cls(
+            phase=d["phase"],
+            chunks=[ChunkState(**c) for c in d["chunks"]],
+            stream_offset=d["stream_offset"],
+        )
+
+
+class HybridCdcSource:
+    """Two-phase chunked-snapshot source over a simulated binlog.
+
+    ``events``: the fixture changelog DataFrame (op/user_id/value/props/
+    ts/event_id via ``changelog_view``).  ``watermarks``: offset at which
+    each chunk's snapshot is taken (simulates DML happening while earlier
+    chunks were read — the condition DBLog exists to handle). If omitted,
+    all chunks snapshot at the max offset.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        events: DataFrame,
+        num_chunks: int = 4,
+        key: str = "user_id",
+        watermarks: list[int] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.log = changelog_view(events) if "op" not in events.columns else events
+        self.key = key
+        lo, hi, max_off = self.log.agg(
+            F.min(key), F.max(key), F.max("event_id")
+        ).first()
+        # even key-range chunks, [lo, hi+1) half-open (MySqlChunkSplitter
+        # fast path: fixed key width, no per-chunk boundary queries)
+        step = max((hi - lo + 1 + num_chunks - 1) // num_chunks, 1)
+        bounds = [lo + i * step for i in range(num_chunks)] + [hi + 1]
+        self.state = HybridSourceState(
+            chunks=[
+                ChunkState(lo=bounds[i], hi=bounds[i + 1]) for i in range(num_chunks)
+            ]
+        )
+        if watermarks is None:
+            watermarks = [max_off] * num_chunks
+        assert len(watermarks) == num_chunks
+        self._watermarks = watermarks
+        self.max_offset = max_off
+
+    # -- snapshot phase ----------------------------------------------------
+
+    def _chunk_snapshot(self, chunk: ChunkState, hw: int) -> DataFrame:
+        """Point-in-time-consistent chunk at offset ``hw``.
+
+        Equivalent to: select chunk at LOW watermark, then upsert the log
+        window (LOW, HIGH] into the buffer (``upsertBinlog``) — algebraically
+        normalize(log restricted to chunk range, offset <= HIGH). The key
+        range predicate pushes down to the scan, as the reference's per-split
+        WHERE clause does (StatementUtils.buildSplitScanQuery:132-225).
+        """
+        in_range = (F.col(self.key) >= chunk.lo) & (F.col(self.key) < chunk.hi)
+        window = self.log.filter(in_range & (F.col("event_id") <= hw))
+        return changelog_normalize(window, key_cols=[self.key])
+
+    def next_snapshot_batch(self) -> DataFrame | None:
+        """Read the next pending chunk; returns its consistent row set
+        (all emitted as INSERTs, like the reference's normalized splits)."""
+        for i, chunk in enumerate(self.state.chunks):
+            if not chunk.done:
+                hw = self._watermarks[i]
+                out = self._chunk_snapshot(chunk, hw)
+                chunk.hw = hw
+                chunk.done = True
+                if all(c.done for c in self.state.chunks):
+                    self.state.phase = "stream"
+                    # stream starts at the MIN high watermark
+                    self.state.stream_offset = min(c.hw for c in self.state.chunks)
+                return out.withColumn("op", F.lit("insert"))
+        return None
+
+    # -- stream phase ------------------------------------------------------
+
+    def stream_batch(self, to_offset: int | None = None) -> DataFrame:
+        """Tail the log from the current stream offset, applying
+        ``shouldEmit``: emit iff the event's offset is past the HW of the
+        chunk containing its key (drops backfill duplicates)."""
+        assert self.state.phase == "stream", "snapshot phase not finished"
+        to_offset = self.max_offset if to_offset is None else to_offset
+        cw = F.broadcast(
+            self.spark.createDataFrame(
+                [(c.lo, c.hi, c.hw) for c in self.state.chunks],
+                "chunk_lo long, chunk_hi long, hw long",
+            )
+        )
+        cond = (
+            (F.col(self.key) >= cw["chunk_lo"])
+            & (F.col(self.key) < cw["chunk_hi"])
+            & (F.col("event_id") > cw["hw"])
+        )
+        batch = (
+            self.log.filter(
+                (F.col("event_id") > self.state.stream_offset)
+                & (F.col("event_id") <= to_offset)
+            )
+            .join(cw, cond, "inner")
+            .drop("chunk_lo", "chunk_hi", "hw")
+        )
+        self.state.stream_offset = to_offset
+        return batch
+
+    # -- end-to-end --------------------------------------------------------
+
+    def read_all(self) -> DataFrame:
+        """Drain snapshot + stream and materialize the final state —
+        the full two-phase protocol in one call (for tests/batch parity).
+        """
+        parts: list[DataFrame] = []
+        while (b := self.next_snapshot_batch()) is not None:
+            parts.append(b)
+        parts.append(self.stream_batch())
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        return changelog_normalize(union, key_cols=[self.key])

@@ -1,0 +1,18 @@
+"""Structured Streaming layer: changelog streams, windowed aggregation,
+and foreachBatch materialization (SURVEY.md §7 step 4)."""
+
+from flink_cdc_connectors_spark.streaming.changelog import (
+    read_changelog_stream,
+    stream_changelog_from_events,
+    materialize_latest_state,
+    read_latest_state,
+    windowed_agg_stream,
+)
+
+__all__ = [
+    "read_changelog_stream",
+    "stream_changelog_from_events",
+    "materialize_latest_state",
+    "read_latest_state",
+    "windowed_agg_stream",
+]

@@ -1,0 +1,88 @@
+"""Hybrid source protocol tests — the DBLog consistency invariant.
+
+The reference's guarantee (docs/content/connectors/mysql-cdc.md:437-465):
+parallel lock-free chunked snapshot + log tail = exactly the table's true
+state. Modeled here: chunks snapshot at DIFFERENT watermarks (simulating
+DML during the snapshot phase), the stream phase applies shouldEmit, and
+the materialized union must equal normalize(whole log) — the property
+every reference ITCase asserts after live DML.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_connectors_spark.operators.cdc import changelog_normalize
+from flink_cdc_connectors_spark.sources.envelope import changelog_view
+from flink_cdc_connectors_spark.sources.hybrid_source import (
+    HybridCdcSource,
+    HybridSourceState,
+)
+from flink_cdc_connectors_spark.sources.loaders import load_table
+
+
+def _expected(spark, sf_dir):
+    cl = changelog_view(load_table(spark, sf_dir, "events"))
+    return (
+        changelog_normalize(cl)
+        .select("user_id", "event_id", F.round("value", 2).alias("v"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def _got(src):
+    return (
+        src.read_all()
+        .select("user_id", "event_id", F.round("value", 2).alias("v"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("staggered", [False, True])
+def test_hybrid_source_consistency(spark, sf_dir, staggered):
+    events = load_table(spark, sf_dir, "events")
+    max_off = events.agg(F.max("event_id")).first()[0]
+    # staggered: each chunk snapshots at a different offset — the DBLog
+    # scenario (writes land while earlier chunks are already read)
+    wms = (
+        [max_off // 4, max_off // 3, max_off // 2, (3 * max_off) // 4]
+        if staggered
+        else None
+    )
+    src = HybridCdcSource(spark, events, num_chunks=4, watermarks=wms)
+    got, want = _got(src), _expected(spark, sf_dir)
+    assert len(got) == len(want) > 0
+    assert (got["user_id"] == want["user_id"]).all()
+    assert (got["event_id"] == want["event_id"]).all()
+    assert (got["v"] - want["v"]).abs().max() < 1e-9
+
+
+def test_hybrid_source_phases_and_offset_state(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    src = HybridCdcSource(spark, events, num_chunks=3)
+    assert src.state.phase == "snapshot"
+    n_batches = 0
+    while src.next_snapshot_batch() is not None:
+        n_batches += 1
+    assert n_batches == 3
+    assert src.state.phase == "stream"
+    assert src.state.stream_offset == min(c.hw for c in src.state.chunks)
+    # offset JSON round-trips (the checkpointable position)
+    s2 = HybridSourceState.from_json(src.state.to_json())
+    assert s2.phase == "stream"
+    assert [vars(c) for c in s2.chunks] == [vars(c) for c in src.state.chunks]
+
+
+def test_stream_batch_emits_nothing_when_chunks_cover_log(spark, sf_dir):
+    """All chunks snapshot at max offset -> the backfill already covered
+    every event; shouldEmit must drop everything (no double reads)."""
+    events = load_table(spark, sf_dir, "events")
+    src = HybridCdcSource(spark, events, num_chunks=2)
+    while src.next_snapshot_batch() is not None:
+        pass
+    assert src.stream_batch().count() == 0

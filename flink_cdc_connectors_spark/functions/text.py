@@ -1,0 +1,173 @@
+"""Text-analysis functions (Tier C building blocks).
+
+All pure Column expressions — they compile into whole-stage codegen and
+never leave the JVM. Deterministic by construction (hash-derived, no RNG),
+so results are stable across runs, executors, and retries — the property
+the reference's exactly-once contract demands of any derived column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(c: Column) -> Column:
+    """Lowercase, collapse whitespace, trim — the canonical dedup key."""
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def words(c: Column) -> Column:
+    """Whitespace tokenization of normalized text."""
+    return F.split(normalize_text(c), r"\s+")
+
+
+def shingles(words_col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (array<string>) — MinHash/Jaccard input."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words_col) - n, F.lit(-1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words_col, i + k + 1) for k in range(n)]
+            ),
+        )
+    )
+
+
+def minhash_signature(shingles_col: Column, num_hashes: int = 16) -> list[Column]:
+    """MinHash signature: min over shingles of hash_i(shingle) for each of
+    ``num_hashes`` deterministic hash-family members (xxhash64 salted by i).
+
+    xxhash64 is JVM-native and ~10x cheaper than md5 while keeping the
+    collision behavior MinHash needs."""
+    return [
+        F.array_min(
+            F.transform(shingles_col, lambda s, i=i: F.xxhash64(F.lit(i), s))
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def simhash(words_col: Column, bits: int = 64) -> Column:
+    """SimHash fingerprint (Charikar, STOC'02): per-token 64-bit hash; each
+    bit position votes +1/-1 across tokens; the sign pattern of the vote
+    sums is the fingerprint. Near-duplicate texts differ in few bits (small
+    Hamming distance). Returns BIGINT.
+
+    Pure array algebra — ONE pass over the token array accumulating a
+    64-long vote vector (zip_with), then a fold of the signs into the
+    64-bit word. No UDF, stays in codegen."""
+
+    def bit_votes_of(h: Column) -> Column:
+        return F.array(
+            *[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+                for b in range(bits)
+            ]
+        )
+
+    hashes = F.transform(words_col, lambda w: F.xxhash64(w))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, bit_votes_of(h), lambda a, v: a + v),
+    )
+    # Signed-long bit values (1<<63 wraps to Long.MIN); a literal array so
+    # the vote vector is referenced exactly once in the final fold.
+    powers = F.array(
+        *[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(bits)]
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count of normalized text."""
+    return F.size(words(c))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """BPE-flavored token estimate: word-boundary pieces + punctuation +
+    digit runs counted separately (a deterministic stand-in for a real
+    tokenizer's token count)."""
+    pieces = F.split(
+        F.regexp_replace(normalize_text(c), r"([^\w\s]|\d+)", " $1 "), r"\s+"
+    )
+    return F.size(F.filter(pieces, lambda p: p != ""))
+
+
+# Tiny per-language stopword anchors for the n-gram language heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " de la "],
+}
+
+
+def _occurrences(haystack: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count via length arithmetic (JVM-side)."""
+    return (
+        (F.length(haystack) - F.length(F.replace(haystack, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def lang_id_scores(c: Column) -> Column:
+    """map<lang,int>: marker-hit counts over the padded lowercase text."""
+    padded = F.concat(F.lit(" "), normalize_text(c), F.lit(" "))
+    return F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in LANG_MARKERS]),
+        F.array(
+            *[
+                sum((_occurrences(padded, m) for m in markers), start=F.lit(0))
+                for markers in LANG_MARKERS.values()
+            ]
+        ),
+    )
+
+
+def quality_score(c: Column) -> Column:
+    """Heuristic document quality in [0,1]: length band, punctuation ratio,
+    stopword presence — the usual pretraining-corpus filters."""
+    n = F.length(c)
+    n_punct = n - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    punct_ratio = n_punct / F.greatest(n, F.lit(1))
+    has_stop = (
+        F.size(F.array_intersect(words(c), F.array(F.lit("the"), F.lit("and"), F.lit("of"), F.lit("a"), F.lit("to")))) > 0
+    )
+    len_ok = (n >= 100) & (n <= 20_000)
+    return F.round(
+        (
+            F.when(len_ok, 0.4).otherwise(0.0)
+            + F.when(punct_ratio < 0.2, 0.3).otherwise(0.0)
+            + F.when(has_stop, 0.3).otherwise(0.0)
+        ),
+        2,
+    )
+
+
+def rolling_fingerprint(c: Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min xxhash64 over each
+    ``window`` of tokens, distinct-collected — a compact set identifying
+    the document under local edits (Schleimer et al., SIGMOD'03)."""
+    w = words(c)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - window, F.lit(-1))),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(window)])
+        ),
+    )
+    return F.array_distinct(grams)

@@ -126,12 +126,14 @@ def cdc_chunk_split_even(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_chunk_split_uneven(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-count chunks for skewed keys — the lazy boundary-walk
     (MySqlChunkSplitter.splitOneUnevenlySizedChunk:159-199,
-    StatementUtils.queryNextChunkMax:99-130) becomes NTILE over the key
-    order: same equal-row-count guarantee, one range shuffle instead of N
-    probe queries."""
+    StatementUtils.queryNextChunkMax:99-130) becomes exact NTILE over the
+    key order, computed with the distributed bucketed-ranking operator
+    (operators/cdc.py::global_row_number) — equal-row-count chunks with no
+    single-partition global sort."""
     e = load_table(spark, sf_dir, "events")
-    w = W.orderBy("user_id", "event_id")
-    return e.select((F.ntile(8).over(w) - 1).alias("chunk_id"), "user_id", "event_id")
+    return uneven_chunks(e, "user_id", 8, order_cols=["event_id"]).select(
+        "chunk_id", "user_id", "event_id"
+    )
 
 
 @query(

@@ -175,14 +175,15 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ext_dedup_minhash", tier="C", oracle=None)
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (rows-only check): 16 md5-derived
+    """MinHash-LSH near-dup candidates (rows-only check): 16 xxhash64-derived
     min-hashes per doc over 3-gram shingles, banded 4x4; docs sharing a band
     signature become candidate pairs, verified by exact Jaccard >= 0.6.
 
     This is the 100 TB path for ``ext_dedup_ngram_jaccard``: the only wide
     join is on (band_id, band_signature) — bounded bucket sizes — instead of
-    a raw shingle self-join. All hashing is md5-based and deterministic
-    (no RNG), so the result is stable across runs."""
+    a raw shingle self-join. All hashing is xxhash64 (JVM-native, ~10x
+    cheaper than md5) and deterministic (no RNG), so the result is stable
+    across runs, executors, and retries."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     words = F.split(F.trim(F.col("text")), r"\s+")
     near = docs.filter(F.size(words) > 12).select(
@@ -191,22 +192,20 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.select("doc_id", "text").unionByName(near)
     sh = _shingles(corpus)
-    # 16 deterministic hash family members: md5(i || '|' || shingle)
+    # 16 deterministic hash family members: xxhash64(i, shingle)
     hashed = sh.select(
         "doc_id",
-        *[F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h{i}") for i in range(16)],
+        *[F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}") for i in range(16)],
     )
     sig = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"mh{i}") for i in range(16)]
     )
-    # LSH: 4 bands of 4 rows; band signature = md5 of the concatenated minhashes
+    # LSH: 4 bands of 4 rows; band signature = xxhash64 of the band minhashes
     bands = sig.select(
         "doc_id",
         F.array(
             *[
-                F.md5(F.concat_ws(",", *[F.col(f"mh{b * 4 + r}") for r in range(4)])).alias(
-                    f"b{b}"
-                )
+                F.xxhash64(*[F.col(f"mh{b * 4 + r}") for r in range(4)]).alias(f"b{b}")
                 for b in range(4)
             ]
         ).alias("band_sigs"),
@@ -239,6 +238,66 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "id_b")
         .filter(jac >= 0.6)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query("ext_dedup_simhash", tier="C", oracle=None)
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection (rows-only; hash functions are not
+    SQL-oracle-expressible): 64-bit Charikar fingerprint per document
+    (functions/text.py::simhash — one JVM-side pass over the token array),
+    candidate pairs via 4x16-bit band collisions, confirmed by Hamming
+    distance <= 3 (Manku et al., WWW'07). The band structure makes recall
+    EXACT at this threshold: 3 flipped bits cannot touch all 4 bands, so
+    every qualifying pair collides in at least one band (pigeonhole).
+
+    Scale: the only join is on (band_id, band_value) — each doc appears in
+    exactly 4 buckets, bucket sizes are bounded in real corpora, and the
+    fingerprint (8 bytes) is the shuffle payload, not the text. Planted
+    near-copies (last word dropped) make the check self-validating."""
+    from flink_cdc_connectors_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    near = docs.filter(F.size(words) > 12).select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(near)
+    fp = corpus.select("doc_id", T.simhash(T.words(F.col("text"))).alias("sig"))
+    # 4 bands of 16 bits each: band_value = bits [16b, 16b+16)
+    bands = fp.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", T.hamming64(F.col("sig_a"), F.col("sig_b")).cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
     )
 
 

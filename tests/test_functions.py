@@ -1,0 +1,99 @@
+"""Unit tests for the engine function library (functions/text, functions/vectors)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from flink_cdc_connectors_spark.functions import text as T
+from flink_cdc_connectors_spark.functions import vectors as V
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_normalize_and_tokens(spark):
+    df = spark.createDataFrame([("  Hello   WORLD  foo ",)], "t string")
+    row = df.select(
+        T.normalize_text(F.col("t")).alias("n"),
+        T.token_count(F.col("t")).alias("tc"),
+        T.shingles(T.words(F.col("t")), 2).alias("sh"),
+    ).first()
+    assert row["n"] == "hello world foo"
+    assert row["tc"] == 3
+    assert row["sh"] == ["hello world", "world foo"]
+
+
+def test_simhash_near_vs_far(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base + " extra"
+    far = "completely different words about spark catalyst tungsten shuffles exchange"
+    df = spark.createDataFrame([(base, near, far)], "a string, b string, c string")
+    row = df.select(
+        T.hamming64(
+            T.simhash(T.words(F.col("a"))), T.simhash(T.words(F.col("b")))
+        ).alias("near_d"),
+        T.hamming64(
+            T.simhash(T.words(F.col("a"))), T.simhash(T.words(F.col("c")))
+        ).alias("far_d"),
+        T.simhash(T.words(F.col("a"))).alias("sig"),
+    ).first()
+    assert row["near_d"] < row["far_d"]
+    assert row["near_d"] <= 12
+    assert row["far_d"] >= 16
+    # determinism across evaluations
+    again = df.select(T.simhash(T.words(F.col("a"))).alias("sig")).first()["sig"]
+    assert row["sig"] == again
+
+
+def test_bpe_ish_token_count_counts_punct_and_digits(spark):
+    df = spark.createDataFrame([("hello, world! 42 times",)], "t string")
+    plain = df.select(T.token_count(F.col("t")).alias("n")).first()["n"]
+    bpe = df.select(T.bpe_ish_token_count(F.col("t")).alias("n")).first()["n"]
+    assert bpe > plain  # punctuation and digit runs become their own pieces
+
+
+def test_lang_id_scores_prefers_right_language(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog of the house",), ("der Hund und die Katze und der Vogel",)],
+        "t string",
+    )
+    rows = df.select(T.lang_id_scores(F.col("t")).alias("m")).collect()
+    en, de = rows[0]["m"], rows[1]["m"]
+    assert en["en"] > en["de"]
+    assert de["de"] > de["en"]
+
+
+def test_vector_ops(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 2.0], [2.0, 4.0, 4.0], [-2.0, 1.0, 0.0])], "a array<double>, b array<double>, c array<double>")
+    row = df.select(
+        V.dot(F.col("a"), F.col("b")).alias("dot"),
+        V.l2_norm(F.col("a")).alias("norm"),
+        V.cosine_sim(F.col("a"), F.col("b")).alias("cos_ab"),
+        V.cosine_sim(F.col("a"), F.col("c")).alias("cos_ac"),
+        V.srp_bucket(F.col("a")).alias("bucket_a"),
+        V.srp_bucket(F.col("b")).alias("bucket_b"),
+        V.ivf_centroid_id(F.col("a")).alias("cid"),
+    ).first()
+    assert math.isclose(row["dot"], 18.0)
+    assert math.isclose(row["norm"], 3.0)
+    assert math.isclose(row["cos_ab"], 1.0, abs_tol=1e-12)
+    assert abs(row["cos_ac"]) < 0.01  # orthogonal
+    # parallel vectors land in the same SRP bucket by construction
+    assert row["bucket_a"] == row["bucket_b"]
+    assert len(row["bucket_a"]) == 8 and set(row["bucket_a"]) <= {"0", "1"}
+    assert 0 <= row["cid"] < 16
+
+
+def test_rolling_fingerprint_stable_under_suffix_edit(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    edited = base + " tail"
+    df = spark.createDataFrame([(base, edited)], "a string, b string")
+    row = df.select(
+        T.rolling_fingerprint(F.col("a")).alias("fa"),
+        T.rolling_fingerprint(F.col("b")).alias("fb"),
+    ).first()
+    overlap = len(set(row["fa"]) & set(row["fb"])) / len(set(row["fa"]))
+    assert overlap > 0.9  # local edit perturbs few windows

@@ -1,0 +1,88 @@
+"""Physical-plan assertions — scale contracts, enforced in CI.
+
+At 100 TB the plan IS the performance: a dropped pushdown or a join that
+stops broadcasting is a silent 100x regression that sf0.001 correctness
+tests cannot catch. These tests pin the plan shapes SURVEY.md §4 promises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_cdc_connectors_spark.plans import (
+    explain_str,
+    has_broadcast_join,
+    has_pushed_filters,
+    has_single_partition_exchange,
+    read_schema_columns,
+    shuffle_count,
+)
+from flink_cdc_connectors_spark.registry import all_queries
+
+Q = all_queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = Q["filter_pred"].builder(spark, sf_dir)
+    assert has_pushed_filters(df, "l_quantity", "l_discount")
+
+
+def test_snapshot_chunk_predicate_pushdown(spark, sf_dir):
+    """The chunked snapshot scan's key-range predicate must reach parquet —
+    the Spark analog of the reference's per-split WHERE hitting the B-tree
+    (StatementUtils.buildSplitScanQuery)."""
+    df = Q["cdc_snapshot_scan"].builder(spark, sf_dir)
+    assert has_pushed_filters(df, "l_orderkey")
+
+
+def test_scan_projection_prunes_columns(spark, sf_dir):
+    df = Q["scan_project"].builder(spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert "p_partkey" in cols and "p_name" in cols
+    assert "p_retailprice" in cols
+    # the unreferenced wide columns must NOT be read
+    assert "p_brand" not in cols and "p_size" not in cols
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    assert has_broadcast_join(Q["join_broadcast"].builder(spark, sf_dir))
+
+
+def test_offset_filter_is_broadcast_not_shuffle(spark, sf_dir):
+    """The chunk-watermark range join must broadcast the tiny watermark
+    table (BNLJ), never shuffle the changelog."""
+    df = Q["cdc_offset_filter"].builder(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) == 0
+
+
+def test_uneven_chunks_has_no_global_sort(spark, sf_dir):
+    """The distributed NTILE must not collapse to a single partition (the
+    WindowExec 'No Partition Defined' anti-pattern)."""
+    df = Q["cdc_chunk_split_uneven"].builder(spark, sf_dir)
+    assert not has_single_partition_exchange(df)
+
+
+def test_changelog_normalize_single_shuffle(spark, sf_dir):
+    """Normalize = exactly one hash shuffle on the key; the downstream
+    filter must not add exchanges."""
+    df = Q["cdc_changelog_normalize"].builder(spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+
+def test_flagship_reuses_normalize_shuffle(spark, sf_dir):
+    """entry(): normalize (1 hash shuffle on pk) + groupBy(cohort) (1 hash
+    shuffle) + the final orderBy's range exchange over the 10 result rows —
+    and the normalize shows WindowGroupLimit Partial (pre-shuffle top-1)."""
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert shuffle_count(df) <= 3
+    assert "WindowGroupLimit" in explain_str(df, "simple")
+
+
+def test_sim_search_broadcasts_queries(spark, sf_dir):
+    """Brute-force kNN: the query side broadcasts; the corpus must not
+    shuffle for the join itself."""
+    df = Q["ext_sim_search_cosine"].builder(spark, sf_dir)
+    assert has_broadcast_join(df)

@@ -1,0 +1,145 @@
+"""Declarative CDC source configuration — the connector options surface.
+
+Mirrors the reference's option set (MySqlSourceOptions.java:30-247 and the
+generic SourceOptions.java:40-113): connection, table regex lists, startup
+mode, chunk sizing, fetch size. ``SourceConfig`` validates once and
+compiles into the Spark-side physical artifacts:
+
+  - ``snapshot_predicates()``: per-chunk WHERE clauses for
+    ``spark.read.jdbc(url, table, predicates=[...])`` — the exact split
+    scan queries of StatementUtils.buildSplitScanQuery:132-225, one
+    partition per chunk, executed in parallel by executors;
+  - ``startup_predicate()``: the offset predicate of the five startup
+    modes (StartupMode.java:24-33);
+  - ``jdbc_options()``: fetchsize etc. for the DataFrameReader.
+
+No database is required to *plan*; tests assert the generated SQL. At
+runtime the same config drives either a real JDBC read or the parquet
+fixtures (the engine consumes whatever source produces the envelope).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# StartupMode.java:24-33
+STARTUP_MODES = ("initial", "earliest-offset", "latest-offset", "specific-offset", "timestamp")
+
+
+@dataclass(frozen=True)
+class SourceConfig:
+    """Validated source options (MySqlSourceConfig analog)."""
+
+    hostname: str = "localhost"
+    port: int = 3306
+    username: str = "cdc"
+    password: str = ""
+    database_pattern: str = ".*"  # database-name regex (MySqlSourceOptions.java:56-60)
+    table_pattern: str = ".*"  # table-name regex (:62-66) — shard merging
+    startup_mode: str = "initial"  # :137-185
+    startup_offset: int | None = None  # specific-offset value
+    startup_timestamp_ms: int | None = None  # timestamp mode
+    snapshot_chunk_size: int = 8096  # scan.incremental.snapshot.chunk.size (SourceOptions.java:92-98)
+    fetch_size: int = 1024  # scan.snapshot.fetch.size (:110-115)
+    distribution_factor_upper: float = 1000.0  # chunk-key-even-distribution.factor.upper-bound (:99-113)
+    distribution_factor_lower: float = 0.05
+    server_time_zone: str = "UTC"  # MySqlSourceOptions.java:68-74
+
+    def __post_init__(self) -> None:
+        if self.startup_mode not in STARTUP_MODES:
+            raise ValueError(
+                f"startup mode must be one of {STARTUP_MODES}, got {self.startup_mode!r}"
+            )
+        if self.startup_mode == "specific-offset" and self.startup_offset is None:
+            raise ValueError("specific-offset mode requires startup_offset")
+        if self.startup_mode == "timestamp" and self.startup_timestamp_ms is None:
+            raise ValueError("timestamp mode requires startup_timestamp_ms")
+        if self.snapshot_chunk_size <= 0:
+            raise ValueError("snapshot_chunk_size must be positive")
+        re.compile(self.database_pattern)
+        re.compile(self.table_pattern)
+
+    # -- discovery ---------------------------------------------------------
+
+    def discover(self, catalog: dict[str, list[str]]) -> list[tuple[str, str]]:
+        """Filter a {database: [tables]} catalog by the regex pair — the
+        captured-table discovery of TableDiscoveryUtils/DataSourceDialect
+        (:44-52). Sharded physical tables matching one pattern merge into
+        one logical stream downstream (set_union_all)."""
+        db_re = re.compile(f"^(?:{self.database_pattern})$")
+        tb_re = re.compile(f"^(?:{self.table_pattern})$")
+        return [
+            (db, tb)
+            for db, tables in sorted(catalog.items())
+            if db_re.match(db)
+            for tb in sorted(tables)
+            if tb_re.match(tb)
+        ]
+
+    # -- snapshot planning -------------------------------------------------
+
+    def chunk_bounds(self, key_min: int, key_max: int, row_count: int) -> list[tuple[int | None, int | None]]:
+        """Evenly-sized chunk boundaries [(lo, hi], ...] with the
+        distribution-factor guard (MySqlChunkSplitter.java:201-302,
+        354-422): step = chunk_size * (max-min+1)/count, first chunk
+        (-inf, min+step], last (x, +inf)."""
+        factor = (key_max - key_min + 1) / max(row_count, 1)
+        if not (self.distribution_factor_lower <= factor <= self.distribution_factor_upper):
+            raise ValueError(
+                f"distribution factor {factor:.4f} outside "
+                f"[{self.distribution_factor_lower}, {self.distribution_factor_upper}]"
+                " — use uneven chunking"
+            )
+        step = max(int(self.snapshot_chunk_size * factor), 1)
+        bounds: list[tuple[int | None, int | None]] = []
+        lo = key_min + step
+        bounds.append((None, lo))
+        while lo + step <= key_max:
+            bounds.append((lo, lo + step))
+            lo += step
+        bounds.append((lo, None))
+        return bounds
+
+    def snapshot_predicates(self, key: str, key_min: int, key_max: int, row_count: int) -> list[str]:
+        """Per-chunk WHERE clauses for spark.read.jdbc(predicates=...) —
+        buildSplitScanQuery:132-225: ``key > lo AND key <= hi`` with
+        open-ended first/last chunks."""
+        preds = []
+        for lo, hi in self.chunk_bounds(key_min, key_max, row_count):
+            if lo is None:
+                preds.append(f"{key} <= {hi}")
+            elif hi is None:
+                preds.append(f"{key} > {lo}")
+            else:
+                preds.append(f"{key} > {lo} AND {key} <= {hi}")
+        return preds
+
+    # -- startup -----------------------------------------------------------
+
+    def startup_predicate(self, offset_col: str = "event_id", ts_col: str = "ts") -> str:
+        """Offset predicate of the five startup positions
+        (StartupMode.java:24-33; seek filter SeekBinlogToTimestampFilter).
+        'initial' reads everything (snapshot + log); 'latest-offset' is
+        resolved by the caller against the current max offset."""
+        if self.startup_mode in ("initial", "earliest-offset"):
+            return "1=1"
+        if self.startup_mode == "latest-offset":
+            return f"{offset_col} > __CURRENT_MAX_OFFSET__"
+        if self.startup_mode == "specific-offset":
+            return f"{offset_col} > {self.startup_offset}"
+        return f"{ts_col} >= to_timestamp({self.startup_timestamp_ms} / 1000.0)"
+
+    # -- reader options ----------------------------------------------------
+
+    def jdbc_options(self) -> dict[str, str]:
+        """DataFrameReader options (fetch batching = scan.snapshot.fetch.size;
+        connection pooling is per-executor in Spark, JdbcConnectionPools
+        analog not needed)."""
+        return {
+            "url": f"jdbc:mysql://{self.hostname}:{self.port}/?serverTimezone={self.server_time_zone}",
+            "user": self.username,
+            "password": self.password,
+            "fetchsize": str(self.fetch_size),
+            "sessionInitStatement": "SET TIME_ZONE = '+00:00'",
+        }

@@ -1,0 +1,120 @@
+"""Type-lattice mapping (SURVEY §1.2) and source-config planning tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_cdc_connectors_spark.sources.source_config import SourceConfig
+from flink_cdc_connectors_spark.sources.types import (
+    map_source_type,
+    set_to_array,
+    table_schema,
+    to_boolean,
+    to_time_millis,
+    to_timestamp_from_epoch,
+)
+
+
+@pytest.mark.parametrize(
+    "decl,expected",
+    [
+        ("TINYINT(1)", T.BooleanType()),
+        ("BIT(1)", T.BooleanType()),
+        ("TINYINT", T.ByteType()),
+        ("TINYINT UNSIGNED", T.ShortType()),
+        ("SMALLINT", T.ShortType()),
+        ("SMALLINT UNSIGNED", T.IntegerType()),
+        ("INT", T.IntegerType()),
+        ("INT UNSIGNED", T.LongType()),
+        ("MEDIUMINT", T.IntegerType()),
+        ("BIGINT", T.LongType()),
+        ("BIGINT UNSIGNED", T.DecimalType(20, 0)),
+        ("DECIMAL(12,2)", T.DecimalType(12, 2)),
+        ("NUMERIC(40,2)", T.StringType()),  # p>38 -> string
+        ("FLOAT", T.FloatType()),
+        ("DOUBLE PRECISION", T.DoubleType()),
+        ("VARCHAR(255)", T.StringType()),
+        ("ENUM('a','b')", T.StringType()),
+        ("JSON", T.StringType()),
+        ("SET('x','y')", T.ArrayType(T.StringType())),
+        ("VARBINARY(16)", T.BinaryType()),
+        ("DATE", T.DateType()),
+        ("TIME(3)", T.IntegerType()),
+        ("DATETIME(6)", T.TimestampNTZType()),
+        ("TIMESTAMP WITH TIME ZONE", T.TimestampType()),
+        ("GEOMETRY", T.StringType()),
+    ],
+)
+def test_type_lattice(decl, expected):
+    assert map_source_type(decl) == expected
+
+
+def test_table_schema_builder():
+    st = table_schema([("id", "BIGINT"), ("name", "VARCHAR(64)"), ("w", "DECIMAL(10,3)")])
+    assert [f.dataType for f in st.fields] == [
+        T.LongType(),
+        T.StringType(),
+        T.DecimalType(10, 3),
+    ]
+
+
+def test_defensive_converters(spark):
+    df = spark.createDataFrame(
+        [("true", "1", 86_399_999, 86_399_999_000, 1_700_000_000_000, "a,b,c")],
+        "b1 string, b2 string, t_ms long, t_us long, ts_ms long, s string",
+    )
+    row = df.select(
+        to_boolean(F.col("b1")).alias("b1"),
+        to_boolean(F.col("b2")).alias("b2"),
+        to_time_millis(F.col("t_ms")).alias("t1"),
+        to_time_millis(F.col("t_us")).alias("t2"),
+        to_timestamp_from_epoch(F.col("ts_ms")).cast("string").alias("ts"),
+        set_to_array(F.col("s")).alias("arr"),
+    ).first()
+    assert row["b1"] is True and row["b2"] is True
+    assert row["t1"] == 86_399_999 and row["t2"] == 86_399_999
+    assert row["ts"].startswith("2023-11-14")
+    assert row["arr"] == ["a", "b", "c"]
+
+
+def test_chunk_predicates_match_reference_shape():
+    cfg = SourceConfig(snapshot_chunk_size=100)
+    preds = cfg.snapshot_predicates("id", key_min=0, key_max=1000, row_count=1001)
+    # distributionFactor = 1001/1001 = 1 -> step = 100
+    assert preds[0] == "id <= 100"
+    assert preds[1] == "id > 100 AND id <= 200"
+    assert preds[-1].startswith("id > ")
+    assert len(preds) == 11
+
+
+def test_chunk_distribution_guard():
+    cfg = SourceConfig()
+    with pytest.raises(ValueError, match="distribution factor"):
+        # sparse keys: factor = 10^9 range / 100 rows >> upper bound
+        cfg.chunk_bounds(0, 1_000_000_000, 100)
+
+
+def test_startup_modes_and_validation():
+    assert SourceConfig(startup_mode="initial").startup_predicate() == "1=1"
+    assert (
+        SourceConfig(startup_mode="specific-offset", startup_offset=42).startup_predicate()
+        == "event_id > 42"
+    )
+    assert "to_timestamp" in SourceConfig(
+        startup_mode="timestamp", startup_timestamp_ms=1_700_000_000_000
+    ).startup_predicate()
+    with pytest.raises(ValueError):
+        SourceConfig(startup_mode="bogus")
+    with pytest.raises(ValueError):
+        SourceConfig(startup_mode="specific-offset")
+
+
+def test_discovery_regex_sharding():
+    cfg = SourceConfig(database_pattern="app_db", table_pattern="user_[0-9]+")
+    catalog = {
+        "app_db": ["user_1", "user_2", "users", "orders"],
+        "other": ["user_3"],
+    }
+    assert cfg.discover(catalog) == [("app_db", "user_1"), ("app_db", "user_2")]

@@ -102,6 +102,19 @@ def global_row_number(
     Deterministic (no sampling, unlike repartitionByRange) and exact when
     the order columns are unique. Adds ``__rn`` (1-based).
     """
+    ranked, _total = _global_row_number_with_total(df, key, order_cols, target_buckets)
+    return ranked
+
+
+def _global_row_number_with_total(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str] | None,
+    target_buckets: int,
+) -> tuple[DataFrame, int]:
+    """Implementation of :func:`global_row_number`; also returns the total
+    row count (free: it is the sum of the collected bucket counts — no
+    separate COUNT(*) scan)."""
     order_cols = list(order_cols or [])
     lo, hi = df.agg(F.min(key), F.max(key)).first()
     width = max((int(hi) - int(lo) + 1) // target_buckets, 1)
@@ -120,11 +133,12 @@ def global_row_number(
         spark.createDataFrame(offsets, "__bucket long, __boff long")
     )
     w = Window.partitionBy("__bucket").orderBy(F.col(key), *[F.col(c) for c in order_cols])
-    return (
+    ranked = (
         with_b.join(off_df, "__bucket")
         .withColumn("__rn", F.col("__boff") + F.row_number().over(w))
         .drop("__bucket", "__boff")
     )
+    return ranked, acc
 
 
 def uneven_chunks(
@@ -144,8 +158,7 @@ def uneven_chunks(
     NTILE tiling formula, so it matches ``ntile(n) OVER (ORDER BY ...)``
     bit-for-bit while staying parallel at any scale.
     """
-    total = df.count()
-    ranked = global_row_number(df, key, order_cols)
+    ranked, total = _global_row_number_with_total(df, key, order_cols, 10_000)
     q, m = divmod(total, num_chunks)
     # NTILE: first m tiles get q+1 rows, the rest q (SQL-standard tiling).
     r0 = F.col("__rn") - 1  # 0-based rank

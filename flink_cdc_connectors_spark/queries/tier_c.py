@@ -413,6 +413,39 @@ def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
 
 
+@query("ext_sim_search_ivf", tier="C", oracle=None)
+def ext_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (rows-only): vectors are coarse-quantized to the
+    hash-derived pseudo-centroid with max dot product
+    (functions/vectors.py::ivf_centroid_id); each query probes ONLY its own
+    cell and exact cosine re-ranks within it — the inverted-file pruning
+    structure of FAISS-IVF without a training pass.
+
+    Scale: the corpus shuffles once on cell id (16 cells here; thousands at
+    real scale), queries broadcast to their cells, and the exact re-rank
+    touches |corpus|/num_cells candidates per query instead of |corpus|.
+    Recall is tuned by probing the top-P closest cells; P=1 here keeps the
+    oracle-free check deterministic."""
+    from flink_cdc_connectors_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    cells = base.withColumn("cell", V.ivf_centroid_id(F.col("v")))
+    queries = cells.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell"
+    )
+    pairs = cells.join(F.broadcast(queries), "cell").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        F.round(V.cosine_sim(F.col("qv"), F.col("v")), 6).alias("sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+
 # --- text analysis ----------------------------------------------------------
 
 

@@ -98,13 +98,19 @@ class HybridCdcSource:
         num_chunks: int = 4,
         key: str = "user_id",
         watermarks: list[int] | None = None,
+        key_range: tuple[int, int] | None = None,
     ) -> None:
+        """``key_range``: half-open [lo, hi) captured initially — a subset
+        models 'only some tables captured'; ``add_key_range`` extends the
+        capture mid-stream (newly-added-tables flow)."""
         self.spark = spark
         self.log = changelog_view(events) if "op" not in events.columns else events
         self.key = key
         lo, hi, max_off = self.log.agg(
             F.min(key), F.max(key), F.max("event_id")
         ).first()
+        if key_range is not None:
+            lo, hi = key_range[0], key_range[1] - 1
         # even key-range chunks, [lo, hi+1) half-open (MySqlChunkSplitter
         # fast path: fixed key width, no per-chunk boundary queries)
         step = max((hi - lo + 1 + num_chunks - 1) // num_chunks, 1)
@@ -180,6 +186,42 @@ class HybridCdcSource:
         )
         self.state.stream_offset = to_offset
         return batch
+
+    # -- newly-added tables (key spaces) ----------------------------------
+
+    def add_key_range(self, lo: int, hi: int, num_chunks: int = 2) -> list[DataFrame]:
+        """Capture a newly-added key range mid-stream — the reference's
+        newly-added-tables flow (MySqlSourceReader.java:84,147-240,
+        BinlogSplitUpdateRequest/Ack protocol, NewlyAddedTableITCase):
+        the stream reader *suspends*, the new range gets snapshot splits
+        read at the current offset, and the stream resumes with the updated
+        split/watermark metadata so shouldEmit covers the new chunks.
+
+        Here the "new table" is a key range not previously captured (the
+        simulation is single-table; a multi-table deployment keys chunks by
+        (table, range) — same state machine). Returns the backfill batches.
+        """
+        assert self.state.phase == "stream", "add ranges during stream phase"
+        # stream suspends at its current offset; new chunks snapshot there
+        suspend_at = self.state.stream_offset
+        step = max((hi - lo + num_chunks - 1) // num_chunks, 1)
+        new_chunks = [
+            ChunkState(lo=lo + i * step, hi=min(lo + (i + 1) * step, hi))
+            for i in range(num_chunks)
+            if lo + i * step < hi
+        ]
+        batches = []
+        for chunk in new_chunks:
+            batches.append(
+                self._chunk_snapshot(chunk, suspend_at).withColumn(
+                    "op", F.lit("insert")
+                )
+            )
+            chunk.hw = suspend_at
+            chunk.done = True
+        # resume: the stream's emit filter now includes the new chunks
+        self.state.chunks.extend(new_chunks)
+        return batches
 
     # -- end-to-end --------------------------------------------------------
 

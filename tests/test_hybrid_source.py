@@ -86,3 +86,43 @@ def test_stream_batch_emits_nothing_when_chunks_cover_log(spark, sf_dir):
     while src.next_snapshot_batch() is not None:
         pass
     assert src.stream_batch().count() == 0
+
+
+def test_newly_added_key_range_mid_stream(spark, sf_dir):
+    """The newly-added-tables flow (NewlyAddedTableITCase analog): capture
+    half the key space, enter the stream phase, tail part of the log, then
+    add the other half mid-stream (suspend -> snapshot backfill -> resume).
+    Final materialized state must equal normalize(whole log) over BOTH
+    ranges — no gaps, no double reads."""
+    events = load_table(spark, sf_dir, "events")
+    key_mid = events.agg(F.max("user_id")).first()[0] // 2 + 1
+    key_max = events.agg(F.max("user_id")).first()[0] + 1
+    max_off = events.agg(F.max("event_id")).first()[0]
+
+    src = HybridCdcSource(
+        spark, events, num_chunks=2,
+        watermarks=[max_off // 3, max_off // 2],
+        key_range=(0, key_mid),
+    )
+    parts = []
+    while (b := src.next_snapshot_batch()) is not None:
+        parts.append(b)
+    # tail some of the log for the initial range...
+    parts.append(src.stream_batch(to_offset=(2 * max_off) // 3))
+    # ...then the "new table" (rest of the key space) is added mid-stream
+    parts.extend(src.add_key_range(key_mid, key_max, num_chunks=2))
+    # ...and the stream resumes, now covering both ranges
+    parts.append(src.stream_batch())
+
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    got = (
+        changelog_normalize(union)
+        .select("user_id", "event_id")
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    want = _expected(spark, sf_dir)[["user_id", "event_id"]]
+    assert len(got) == len(want) > 0
+    assert (got["user_id"] == want["user_id"]).all()
+    assert (got["event_id"] == want["event_id"]).all()

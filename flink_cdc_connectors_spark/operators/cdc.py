@@ -206,6 +206,96 @@ def chunk_reconcile(
     return untouched.unionByName(latest_changes)
 
 
+def to_retract_stream(
+    changelog: DataFrame,
+    key_cols: list[str] = ("user_id",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Changelog -> retract stream: RowKind-tagged rows, ChangelogMode.all.
+
+    The reference's relational connectors emit retract streams — every
+    UPDATE becomes an UPDATE_BEFORE/UPDATE_AFTER pair so downstream
+    aggregates can subtract the old value (DebeziumChangelogMode 'all';
+    MySqlTableSource.java:149 declares ChangelogMode.all;
+    RowDataDebeziumDeserializeSchema.java:118-146 emits -U from ``before``
+    and +U from ``after``).
+
+    The live value before event i is fully determined by event i-1 for the
+    key (every non-delete sets it; a delete clears it), so ``before``
+    reconstruction is one LAG over the per-key offset order — the same
+    shuffle the normalize uses:
+
+      prev live NULL,     op != delete -> +I(value)
+      prev live NOT NULL, op != delete -> -U(prev) then +U(value)
+      prev live NOT NULL, op == delete -> -D(prev)
+      prev live NULL,     op == delete -> (nothing; repair of dirty input)
+
+    Output: row_kind ('+I','-U','+U','-D'), keys, ``value``, ts, event_id.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*_offset_order())
+    # Window expressions can't nest inside a generator — materialize the
+    # reconstructed 'before' first (same shuffle either way).
+    changelog = changelog.withColumn(
+        "__prev_live",
+        F.when(
+            F.lag("op").over(w).isNull() | (F.lag("op").over(w) == "delete"),
+            F.lit(None),
+        ).otherwise(F.lag(value_col).over(w)),
+    )
+    prev_live = F.col("__prev_live")
+    kinds = F.when(
+        (F.col("op") != "delete") & prev_live.isNull(),
+        F.array(F.struct(F.lit("+I").alias("row_kind"), F.col(value_col).alias("v"))),
+    ).when(
+        (F.col("op") != "delete") & prev_live.isNotNull(),
+        F.array(
+            F.struct(F.lit("-U").alias("row_kind"), prev_live.alias("v")),
+            F.struct(F.lit("+U").alias("row_kind"), F.col(value_col).alias("v")),
+        ),
+    ).when(
+        (F.col("op") == "delete") & prev_live.isNotNull(),
+        F.array(F.struct(F.lit("-D").alias("row_kind"), prev_live.alias("v"))),
+    ).otherwise(F.array().cast("array<struct<row_kind:string,v:double>>"))
+    return (
+        changelog.withColumn("__k", F.explode(kinds))
+        .select(
+            F.col("__k.row_kind").alias("row_kind"),
+            *key_cols,
+            F.col("__k.v").alias(value_col),
+            "ts",
+            "event_id",
+        )
+        .drop("__prev_live")
+    )
+
+
+def retract_aggregate(
+    retract: DataFrame,
+    group_cols: list,
+    value_col: str = "value",
+) -> DataFrame:
+    """Aggregate a retract stream the Flink way: additions add, retractions
+    subtract — SUM and COUNT stay continuously correct under updates and
+    deletes WITHOUT materializing the latest state first (the engine's
+    alternative to normalize-then-aggregate; this is what keeps the
+    reference's flagship ITCase `GROUP BY name SUM(weight)` correct through
+    DML, MySqlConnectorITCase.java:215-275).
+
+    Values are summed in DECIMAL so add/retract pairs cancel exactly
+    (float summation-order noise would otherwise leak into the result).
+    Groups whose live row count reaches zero are dropped — a retracted-away
+    group disappears from the result, exactly like an upsert sink would
+    delete its row.
+    """
+    sign = F.when(F.col("row_kind").isin("+I", "+U"), F.lit(1)).otherwise(F.lit(-1))
+    signed = sign * F.col(value_col).cast("decimal(18,2)")
+    out = retract.groupBy(*group_cols).agg(
+        F.sum(signed).alias("sum_value"),
+        F.sum(sign).cast("long").alias("n_live"),
+    )
+    return out.filter(F.col("n_live") > 0)
+
+
 def offset_filter(
     changelog: DataFrame,
     chunk_watermarks: DataFrame,

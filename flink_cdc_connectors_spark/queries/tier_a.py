@@ -18,6 +18,8 @@ from flink_cdc_connectors_spark.operators.cdc import (
     chunk_reconcile,
     even_chunks,
     offset_filter,
+    retract_aggregate,
+    to_retract_stream,
     uneven_chunks,
 )
 from flink_cdc_connectors_spark.registry import query
@@ -210,6 +212,37 @@ def cdc_offset_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return offset_filter(e, chunks, key="user_id", offset="event_id").select(
         "event_id", "user_id"
     )
+
+
+@query(
+    "cdc_retract_agg",
+    tier="A",
+    oracle=f"""
+    WITH state AS (
+      SELECT user_id, value FROM ({_LATEST_SQL})
+      WHERE rn = 1 AND ({op_sql("event_type")}) <> 'delete'
+    )
+    SELECT user_id % 10                                   AS cohort,
+           round(sum(CAST(value AS DECIMAL(18,2))), 2)    AS sum_value,
+           CAST(count(*) AS BIGINT)                       AS n_live
+    FROM state
+    GROUP BY 1
+    """,
+)
+def cdc_retract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retract-stream aggregation — ChangelogMode.all, the Flink execution
+    model for the flagship ITCase (MySqlConnectorITCase.java:215-275):
+    UPDATE emits an UPDATE_BEFORE that SUBTRACTS the old value, so grouped
+    SUM/COUNT stay continuously correct under updates/deletes without
+    materializing latest state first. The oracle states the semantic
+    contract: retraction arithmetic over the whole log == aggregate over
+    the final normalized state. Decimal summation makes the add/retract
+    cancellation exact."""
+    cl = changelog_view(load_table(spark, sf_dir, "events"))
+    retract = to_retract_stream(cl)
+    return retract_aggregate(
+        retract, [(F.col("user_id") % 10).alias("cohort")]
+    ).select("cohort", F.round("sum_value", 2).alias("sum_value"), "n_live")
 
 
 @query(

@@ -137,13 +137,21 @@ def events_to_debezium_json(events: DataFrame, db: str = "app", table: str = "ev
     return events.select(F.to_json(envelope).alias("value"))
 
 
-def parse_debezium_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_debezium_json(
+    raw: DataFrame, value_col: str = "value", mode: str = "upsert"
+) -> DataFrame:
     """Debezium JSON -> typed changelog rows (the deserializer).
 
-    READ/CREATE -> +I row from ``after``; DELETE -> -D row from ``before``;
-    UPDATE -> +U row from ``after`` (upsert mode; retract mode callers also
-    read ``before``). Reference: RowDataDebeziumDeserializeSchema.java:118-158.
+    ``mode='upsert'`` (DebeziumChangelogMode.upsert — one row per event):
+    READ/CREATE -> +I from ``after``; DELETE -> -D from ``before``;
+    UPDATE -> +U from ``after``. ``mode='all'`` (retract — what MySQL
+    always emits, MySqlTableSource.java:149): UPDATE additionally emits the
+    -U row from ``before``, with a ``row_kind`` column ('+I','-U','+U',
+    '-D'). Reference: RowDataDebeziumDeserializeSchema.java:118-158;
+    DebeziumChangelogMode.java.
     """
+    if mode not in ("upsert", "all"):
+        raise ValueError(f"mode must be 'upsert' or 'all', got {mode!r}")
     parsed = raw.select(
         F.from_json(F.col(value_col), DEBEZIUM_ENVELOPE_SCHEMA).alias("e")
     )
@@ -152,15 +160,45 @@ def parse_debezium_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
         .when(F.col("e.op") == "d", F.lit("delete"))
         .otherwise(F.lit("update"))
     )
-    row = F.when(F.col("e.op") == "d", F.col("e.before")).otherwise(F.col("e.after"))
-    return parsed.select(
+    if mode == "upsert":
+        row = F.when(F.col("e.op") == "d", F.col("e.before")).otherwise(F.col("e.after"))
+        kind_rows = F.array(
+            F.struct(
+                F.when(F.col("e.op").isin("c", "r"), "+I")
+                .when(F.col("e.op") == "d", "-D")
+                .otherwise("+U")
+                .alias("row_kind"),
+                row.alias("payload"),
+            )
+        )
+    else:
+        kind_rows = (
+            F.when(
+                F.col("e.op").isin("c", "r"),
+                F.array(F.struct(F.lit("+I").alias("row_kind"), F.col("e.after").alias("payload"))),
+            )
+            .when(
+                F.col("e.op") == "d",
+                F.array(F.struct(F.lit("-D").alias("row_kind"), F.col("e.before").alias("payload"))),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(F.lit("-U").alias("row_kind"), F.col("e.before").alias("payload")),
+                    F.struct(F.lit("+U").alias("row_kind"), F.col("e.after").alias("payload")),
+                )
+            )
+        )
+    exploded = parsed.withColumn("__k", F.explode(kind_rows))
+    out = exploded.select(
         op.alias("op"),
-        row["user_id"].alias("user_id"),
-        row["value"].alias("value"),
-        row["props"].alias("props"),
+        F.col("__k.payload.user_id").alias("user_id"),
+        F.col("__k.payload.value").alias("value"),
+        F.col("__k.payload.props").alias("props"),
         F.timestamp_millis(F.col("e.ts_ms")).alias("ts"),
         F.col("e.source.pos").alias("event_id"),
         F.col("e.source.db").alias("database_name"),
         F.col("e.source.table").alias("table_name"),
         F.timestamp_millis(F.col("e.source.ts_ms")).alias("op_ts"),
+        F.col("__k.row_kind").alias("row_kind"),
     )
+    return out.drop("row_kind") if mode == "upsert" else out

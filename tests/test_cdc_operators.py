@@ -98,3 +98,62 @@ def test_uneven_chunks_equal_counts(spark):
     out = uneven_chunks(df, "k", num_chunks=4)
     counts = [r["n"] for r in out.groupBy("chunk_id").agg(F.count("*").alias("n")).collect()]
     assert sorted(counts) == [25, 25, 25, 25]
+
+
+def test_retract_stream_kinds_and_cancellation(spark):
+    """Hand-built log: insert(5), update(7), delete, update-after-delete(3)
+    -> +I(5), -U(5)+U(7), -D(7), +I(3). Retraction sum = 3."""
+    from flink_cdc_connectors_spark.operators.cdc import (
+        retract_aggregate,
+        to_retract_stream,
+    )
+
+    rows = [
+        ("insert", 1, 5.0, "2024-01-01 00:00:00", 1),
+        ("update", 1, 7.0, "2024-01-01 00:01:00", 2),
+        ("delete", 1, 7.0, "2024-01-01 00:02:00", 3),
+        ("update", 1, 3.0, "2024-01-01 00:03:00", 4),  # re-insert after delete
+        ("delete", 2, 9.0, "2024-01-01 00:00:30", 5),  # delete of unseen key
+    ]
+    cl = spark.createDataFrame(
+        rows, "op string, user_id long, value double, ts string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rs = to_retract_stream(cl)
+    kinds = [
+        (r["row_kind"], r["user_id"], r["value"])
+        for r in rs.orderBy("event_id", "row_kind").collect()
+    ]
+    assert kinds == [
+        ("+I", 1, 5.0),
+        ("+U", 1, 7.0),
+        ("-U", 1, 5.0),
+        ("-D", 1, 7.0),
+        ("+I", 1, 3.0),
+    ]
+    agg = retract_aggregate(rs, [F.col("user_id")]).collect()
+    assert len(agg) == 1
+    assert float(agg[0]["sum_value"]) == 3.0 and agg[0]["n_live"] == 1
+
+
+def test_parse_debezium_retract_mode(spark, sf_dir):
+    """mode='all' emits -U/+U pairs; upsert mode one row per event."""
+    from flink_cdc_connectors_spark.sources.envelope import (
+        events_to_debezium_json,
+        parse_debezium_json,
+    )
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    raw = events_to_debezium_json(events)
+    upsert = parse_debezium_json(raw)
+    retract = parse_debezium_json(raw, mode="all")
+    n_events = events.count()
+    n_updates = upsert.filter("op = 'update'").count()
+    assert upsert.count() == n_events
+    assert retract.count() == n_events + n_updates  # each update doubled
+    assert set(r["row_kind"] for r in retract.select("row_kind").distinct().collect()) == {
+        "+I", "-U", "+U", "-D",
+    }
+    # -U rows carry the BEFORE payload = the event's own payload here (the
+    # synthetic envelope uses the same struct), +U rows the after payload
+    assert "row_kind" not in upsert.columns

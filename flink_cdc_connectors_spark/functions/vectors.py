@@ -29,54 +29,55 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def srp_bucket(v: Column, num_planes: int = 8) -> Column:
+def _hash_coef(salt: str, idx: int) -> float:
+    """Deterministic pseudo-random coefficient in [-0.5, 0.5) — stable
+    across runs/processes (md5-derived, no RNG state)."""
+    import hashlib
+
+    h = hashlib.md5(f"{salt}:{idx}".encode()).digest()
+    return int.from_bytes(h[:8], "big") % 10_000 / 10_000.0 - 0.5
+
+
+def _coef_array(salt: str, dim: int) -> Column:
+    """Hyperplane/centroid coefficients as a LITERAL array — computed once
+    at plan time in Python, not re-hashed per row (the coefficients are
+    data-independent; embedding them keeps the per-row work to one dot
+    product per plane/centroid)."""
+    return F.array(*[F.lit(_hash_coef(salt, i)) for i in range(dim)])
+
+
+def srp_bucket(v: Column, num_planes: int = 8, dim: int = 64) -> Column:
     """Sign-random-projection LSH bucket: the sign pattern of ``v`` against
-    ``num_planes`` hash-derived hyperplanes (deterministic, no RNG state).
-    Vectors with high cosine similarity collide with high probability."""
-
-    def plane_coef(p: int) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.size(v) - 1),
-            lambda i: (
-                F.pmod(
-                    F.xxhash64(F.concat_ws(":", F.lit(str(p)), i.cast("string"))),
-                    F.lit(10000),
-                )
-                / 10000.0
-                - 0.5
-            ),
-        )
-
+    ``num_planes`` deterministic hyperplanes. Vectors with high cosine
+    similarity collide with high probability. ``dim`` must be >= the vector
+    length; coefficients are sliced to the vector's size (zip_with would
+    null-pad a length mismatch, poisoning the sum)."""
     return F.concat_ws(
         "",
         *[
-            F.when(dot(v, plane_coef(p)) >= 0, "1").otherwise("0")
+            F.when(
+                dot(v, F.slice(_coef_array(f"srp{p}", dim), F.lit(1), F.size(v))) >= 0,
+                "1",
+            ).otherwise("0")
             for p in range(num_planes)
         ],
     )
 
 
-def ivf_centroid_id(v: Column, num_centroids: int = 16) -> Column:
+def ivf_centroid_id(v: Column, num_centroids: int = 16, dim: int = 64) -> Column:
     """IVF-style coarse quantization without training: assign each vector
-    to the hash-derived pseudo-centroid with the highest dot product.
+    to the deterministic pseudo-centroid with the highest dot product.
 
     A real IVF trains centroids with k-means; at ingest scale a fixed
     hash-derived codebook gives the same *pruning structure* (each query
     probes its top cells only) with zero training passes — the tradeoff is
-    recall, tuned by probing more cells."""
-
-    def centroid(cid: int) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.size(v) - 1),
-            lambda i: (
-                F.pmod(
-                    F.xxhash64(F.concat_ws("#", F.lit(str(cid)), i.cast("string"))),
-                    F.lit(10000),
-                )
-                / 10000.0
-                - 0.5
-            ),
-        )
-
-    scores = F.array(*[dot(v, centroid(c)) for c in range(num_centroids)])
+    recall, tuned by probing more cells. Centroid coefficients are literal
+    arrays (plan-time constants), so the per-row cost is ``num_centroids``
+    dot products."""
+    scores = F.array(
+        *[
+            dot(v, F.slice(_coef_array(f"ivf{c}", dim), F.lit(1), F.size(v)))
+            for c in range(num_centroids)
+        ]
+    )
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")

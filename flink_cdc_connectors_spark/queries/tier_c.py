@@ -184,6 +184,8 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a raw shingle self-join. All hashing is xxhash64 (JVM-native, ~10x
     cheaper than md5) and deterministic (no RNG), so the result is stable
     across runs, executors, and retries."""
+    from flink_cdc_connectors_spark.functions import text as T
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     words = F.split(F.trim(F.col("text")), r"\s+")
     near = docs.filter(F.size(words) > 12).select(
@@ -191,25 +193,25 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(words, 1, F.size(words) - 2), " ").alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(near)
-    sh = _shingles(corpus)
-    # 16 deterministic hash family members: xxhash64(i, shingle)
-    hashed = sh.select(
-        "doc_id",
-        *[F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}") for i in range(16)],
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(16)]
-    )
+    # Signature is a pure PROJECTION: min over the doc's shingle array per
+    # hash-family member (functions/text.py::minhash_signature) — no
+    # explode, no groupBy, zero shuffle until the band join.
+    sh_arr = corpus.select(
+        "doc_id", T.shingles(T.words(F.col("text"))).alias("sh")
+    ).cache()
+    sig = sh_arr.select("doc_id", *T.minhash_signature(F.col("sh"), 16))
     # LSH: 4 bands of 4 rows; band signature = xxhash64 of the band minhashes
     bands = sig.select(
         "doc_id",
-        F.array(
-            *[
-                F.xxhash64(*[F.col(f"mh{b * 4 + r}") for r in range(4)]).alias(f"b{b}")
-                for b in range(4)
-            ]
-        ).alias("band_sigs"),
-    ).select("doc_id", F.posexplode("band_sigs").alias("band_id", "band_sig"))
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col(f"mh{b * 4 + r}") for r in range(4)])
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
     cand = (
         bands.alias("x")
         .join(
@@ -221,22 +223,16 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (small candidate set -> cheap)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        cand.join(a, cand.id_a == F.col("a.doc_id"))
-        .join(b, (cand.id_b == F.col("b.doc_id")) & (F.col("a.shingle") == F.col("b.shingle")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    # verify candidates with exact Jaccard — set algebra on the shingle
+    # ARRAYS of just the candidate pairs (broadcast-joined twice), no
+    # corpus-wide shingle explode at all
+    sa = sh_arr.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh_arr.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(sa, "id_a").join(sb, "id_b")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(jac >= 0.6)
+        joined.filter(jac >= 0.6)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -370,32 +366,18 @@ def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this replaces the brute-force scan: the corpus shuffles once
     on the bucket key, each bucket is small, and the exact re-rank touches
     only same-bucket candidates. Recall tunes with #planes/#tables."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select("vec_id", v.alias("v"))
+    from flink_cdc_connectors_spark.functions import vectors as V
 
-    # Deterministic hyperplane coefficient for (plane p, dim i):
-    # centered hash of (p, i) in [-0.5, 0.5] — stable across runs/executors.
-    def plane_coef(p):
-        return F.transform(
-            F.sequence(F.lit(0), F.size("v") - 1),
-            lambda i: (
-                F.pmod(F.xxhash64(F.concat_ws(":", F.lit(str(p)), i.cast("string"))), F.lit(10000))
-                / 10000.0
-                - 0.5
-            ),
-        )
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
 
     def dot(a, b):
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
-    sig = base.select(
-        "vec_id",
-        "v",
-        F.concat_ws(
-            "", *[F.when(dot(F.col("v"), plane_coef(p)) >= 0, "1").otherwise("0") for p in range(8)]
-        ).alias("bucket"),
-    )
+    # Hyperplane coefficients are plan-time literal arrays
+    # (functions/vectors.py::srp_bucket) — one dot product per plane per
+    # row, no per-row hashing.
+    sig = base.select("vec_id", "v", V.srp_bucket(F.col("v")).alias("bucket"))
     a, b = sig.alias("a"), sig.alias("b")
     cand = a.join(
         b,

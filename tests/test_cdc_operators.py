@@ -157,3 +157,30 @@ def test_parse_debezium_retract_mode(spark, sf_dir):
     # -U rows carry the BEFORE payload = the event's own payload here (the
     # synthetic envelope uses the same struct), +U rows the after payload
     assert "row_kind" not in upsert.columns
+
+
+def test_sql_facade_views(spark, sf_dir):
+    """The SQL-first UX: register views once, then plain spark.sql over
+    the changelog, latest state, and retract stream — and the three views
+    agree with each other (sum over latest state == retraction sum)."""
+    from flink_cdc_connectors_spark.sql import register_cdc_views
+
+    register_cdc_views(spark, sf_dir)
+    n_log = spark.sql("SELECT count(*) n FROM events_changelog").first()["n"]
+    assert n_log > 0
+    state_sum = spark.sql(
+        "SELECT round(sum(CAST(value AS DECIMAL(18,2))), 2) s FROM events_latest_state"
+    ).first()["s"]
+    retract_sum = spark.sql(
+        """SELECT round(sum(CASE WHEN row_kind IN ('+I','+U')
+                               THEN CAST(value AS DECIMAL(18,2))
+                               ELSE -CAST(value AS DECIMAL(18,2)) END), 2) s
+           FROM events_retract"""
+    ).first()["s"]
+    assert state_sum == retract_sum
+    # an ordinary analytical SQL over the CDC views plans and runs
+    top = spark.sql(
+        """SELECT user_id, value FROM events_latest_state
+           ORDER BY value DESC LIMIT 3"""
+    ).collect()
+    assert len(top) == 3

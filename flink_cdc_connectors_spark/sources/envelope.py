@@ -137,6 +137,28 @@ def events_to_debezium_json(events: DataFrame, db: str = "app", table: str = "ev
     return events.select(F.to_json(envelope).alias("value"))
 
 
+def route_tables(envelope_rows: DataFrame) -> dict[tuple[str, str], DataFrame]:
+    """Split a mixed multi-table changelog into per-table DataFrames.
+
+    The reference captures many tables through one source (database/table
+    regex lists, TableDiscoveryUtils; one binlog carries them all) and
+    routes rows by the envelope's ``source.db``/``source.table``. Input:
+    parsed rows with ``database_name``/``table_name`` columns. Output keyed
+    by (db, table). The driver-side distinct is over table names only —
+    tiny — and each per-table DataFrame is a filter the scan pushes down.
+    """
+    tables = [
+        (r["database_name"], r["table_name"])
+        for r in envelope_rows.select("database_name", "table_name").distinct().collect()
+    ]
+    return {
+        (db, tb): envelope_rows.filter(
+            (F.col("database_name") == db) & (F.col("table_name") == tb)
+        )
+        for db, tb in sorted(tables)
+    }
+
+
 def parse_debezium_json(
     raw: DataFrame, value_col: str = "value", mode: str = "upsert"
 ) -> DataFrame:

@@ -143,6 +143,28 @@ def read_latest_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(state_dir).filter(F.col("op") != "delete")
 
 
+def compact_tombstones(spark: SparkSession, state_dir: str, safe_offset: int) -> int:
+    """Drop tombstones whose offset is <= ``safe_offset`` — Kafka
+    log-compaction's delete-retention applied to the state store.
+
+    A tombstone is only needed while an out-of-order event older than it
+    could still arrive; once the source offset has durably passed
+    ``safe_offset`` (the stream's committed position), tombstones at or
+    below it can never be contradicted and are dead weight. Returns the
+    number of tombstones removed."""
+    state = spark.read.parquet(state_dir)
+    dead = (F.col("op") == "delete") & (F.col("event_id") <= safe_offset)
+    n = state.filter(dead).count()
+    if n:
+        tmp = state_dir.rstrip("/") + ".compact"
+        state.filter(~dead).write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(state_dir)
+        os.replace(tmp, state_dir)
+    return n
+
+
 def windowed_agg_stream(
     changelog_stream: DataFrame,
     window_duration: str = "1 hour",

@@ -121,3 +121,48 @@ def test_windowed_agg_stream_matches_batch_window(spark, sf_dir, envelope_dir, t
     assert n_got > 0
     assert joined.filter("g.n <> b.n").count() == 0
     assert joined.count() == n_got
+
+
+def test_compact_tombstones(spark, sf_dir, envelope_dir, tmp_path):
+    """Tombstones at or below the committed offset are removable without
+    changing the live view (log-compaction delete-retention)."""
+    from flink_cdc_connectors_spark.streaming.changelog import compact_tombstones
+
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    stream = read_changelog_stream(spark, envelope_dir)
+    materialize_latest_state(stream, state_dir, ckpt, available_now=True).awaitTermination(300)
+    all_rows = spark.read.parquet(state_dir)
+    n_tomb = all_rows.filter("op = 'delete'").count()
+    assert n_tomb > 0
+    live_before = sorted(r["user_id"] for r in read_latest_state(spark, state_dir).collect())
+    max_off = all_rows.agg(F.max("event_id")).first()[0]
+    removed = compact_tombstones(spark, state_dir, safe_offset=max_off)
+    assert removed == n_tomb
+    live_after = sorted(r["user_id"] for r in read_latest_state(spark, state_dir).collect())
+    assert live_before == live_after
+    assert spark.read.parquet(state_dir).filter("op = 'delete'").count() == 0
+
+
+def test_route_tables_splits_mixed_stream(spark, sf_dir):
+    """A mixed multi-table envelope stream routes by (db, table) — the
+    sharding/multi-table capture pattern."""
+    from flink_cdc_connectors_spark.sources.envelope import (
+        events_to_debezium_json,
+        parse_debezium_json,
+        route_tables,
+    )
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    half = events.agg(F.max("event_id")).first()[0] // 2
+    mixed = parse_debezium_json(
+        events_to_debezium_json(events.filter(F.col("event_id") <= half), table="user_1")
+        .unionByName(
+            events_to_debezium_json(events.filter(F.col("event_id") > half), table="user_2")
+        )
+    )
+    routed = route_tables(mixed)
+    assert set(routed) == {("app", "user_1"), ("app", "user_2")}
+    n1 = routed[("app", "user_1")].count()
+    n2 = routed[("app", "user_2")].count()
+    assert n1 + n2 == events.count() and n1 > 0 and n2 > 0

@@ -166,3 +166,71 @@ def test_route_tables_splits_mixed_stream(spark, sf_dir):
     n1 = routed[("app", "user_1")].count()
     n2 = routed[("app", "user_2")].count()
     assert n1 + n2 == events.count() and n1 > 0 and n2 > 0
+
+
+def test_watermark_drops_late_events(spark, sf_dir, tmp_path):
+    """Late-data handling: after the watermark has advanced past T, an
+    event older than T - delay arriving in a later micro-batch must NOT
+    produce or amend an emitted window (append mode) — Spark's analog of
+    the reference's watermark-bounded consistency windows."""
+    import os as _os
+    from pyspark.sql import Row
+
+    env_dir = str(tmp_path / "env")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _os.makedirs(env_dir)
+
+    def envelope_json(uid, val, ts_ms, pos):
+        import json as _json
+
+        return _json.dumps(
+            {
+                "before": None,
+                "after": {"user_id": uid, "value": val, "props": "{}"},
+                "source": {"db": "app", "table": "events", "ts_ms": ts_ms,
+                           "file": "binlog.000001", "pos": pos},
+                "op": "c",
+                "ts_ms": ts_ms,
+            }
+        )
+
+    base = 1_700_000_000_000  # epoch ms, hour-aligned enough for 1h windows
+    with open(f"{env_dir}/batch1.json", "w") as f:
+        # two events in window W0, then one 3 hours later (advances watermark)
+        f.write(envelope_json(1, 10.0, base, 1) + "\n")
+        f.write(envelope_json(2, 20.0, base + 60_000, 2) + "\n")
+        f.write(envelope_json(3, 30.0, base + 3 * 3_600_000, 3) + "\n")
+
+    def run_drain():
+        stream = read_changelog_stream(spark, env_dir)
+        agg = windowed_agg_stream(stream, window_duration="1 hour", watermark="10 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_drain()
+
+    # a LATE event for W0 arrives after the watermark passed it, plus a
+    # fresh event that keeps the stream advancing (so closed windows flush
+    # — append mode emits a window one trigger after the watermark passes)
+    with open(f"{env_dir}/batch2.json", "w") as f:
+        f.write(envelope_json(9, 99.0, base + 120_000, 4) + "\n")
+        f.write(envelope_json(4, 40.0, base + 4 * 3_600_000, 5) + "\n")
+    run_drain()
+    run_drain()  # one more drain flushes any remaining closed windows
+
+    rows = spark.read.parquet(out_dir).orderBy("window_start").collect()
+    # W0 (the earliest window) was emitted exactly once, with the 2
+    # on-time events summing to 30.0 — the late event (value 99, same
+    # window) was dropped by the watermark and never amended the result
+    w0 = [r for r in rows if r["n"] == 2]
+    assert len(w0) == 1 and abs(w0[0]["sum_value"] - 30.0) < 1e-9
+    assert not any(r["n"] == 3 for r in rows)
+    assert not any(abs(r["sum_value"] - 129.0) < 1e-9 for r in rows)

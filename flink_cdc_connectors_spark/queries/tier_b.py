@@ -374,6 +374,33 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_full_outer",
+    tier="B",
+    oracle="""
+    SELECT coalesce(c.c_custkey, o.o_custkey)      AS custkey,
+           CAST(count(o.o_orderkey) AS BIGINT)     AS n_orders,
+           CAST(max(c.c_custkey IS NOT NULL) AS BOOLEAN) AS has_customer
+    FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN — the reconciliation shape (customers with no
+    orders AND orders with unknown customers both surface). Part of the
+    Flink SQL surface the reference's changelogs feed (README.md:27-56);
+    the sink-vs-source diff of JdbcProxy verification is this join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.groupBy(
+        F.coalesce(c.c_custkey, o.o_custkey).alias("custkey")
+    ).agg(
+        F.count(o.o_orderkey).alias("n_orders"),
+        F.max(c.c_custkey.isNotNull()).alias("has_customer"),
+    )
+
+
+@query(
     "join_inner",
     tier="B",
     oracle="""

@@ -59,11 +59,17 @@ class ChunkPartition(InputPartition):
 
 @dataclass
 class StreamPartition(InputPartition):
-    """Log range (from_off, to_off] — the single ordered stream reader."""
+    """Log range (from_off, to_off] — the single ordered stream reader.
+
+    ``chunk_hws``: [(key_lo, key_hi, hw)] — the finished-split metadata the
+    reference ships to its binlog reader (FinishedSnapshotSplitInfo);
+    ``shouldEmit`` = emit iff the event's offset is past the HW of the
+    chunk containing its key (BinlogSplitReader.java:210-254)."""
 
     path: str
     from_off: int
     to_off: int
+    chunk_hws: tuple = ()
 
 
 def _duck(path: str, sql: str):
@@ -83,12 +89,33 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         # snapshot watermark: fraction of the log covered by the snapshot
         # phase (1.0 = everything; lower values leave a stream tail)
         frac = float(options.get("snapshotfraction", 1.0))
+        # staggerChunks simulates DML landing while earlier chunks were
+        # read: chunk i snapshots at a LOWER offset than chunk i+1, so the
+        # stream phase must apply the per-chunk shouldEmit filter — full
+        # DBLog fidelity rather than a single global watermark.
+        self.stagger = str(options.get("staggerchunks", "false")).lower() == "true"
         key_lo, key_hi, max_off = _duck(
             self.path, "SELECT min(user_id), max(user_id), max(event_id) FROM log"
         ).fetchone()
         self.key_lo, self.key_hi = int(key_lo), int(key_hi) + 1
         self.max_off = int(max_off)
         self.hw = int(max_off * frac)
+
+    def _chunk_plan(self, base_hw: int) -> list[tuple[int, int, int]]:
+        """[(key_lo, key_hi, hw)] for every snapshot chunk."""
+        step = max(
+            (self.key_hi - self.key_lo + self.num_chunks - 1) // self.num_chunks, 1
+        )
+        plan = []
+        for i in range(self.num_chunks):
+            lo = self.key_lo + i * step
+            if lo >= self.key_hi:
+                break
+            hw = (
+                int(base_hw * (i + 1) / self.num_chunks) if self.stagger else base_hw
+            )
+            plan.append((lo, min(lo + step, self.key_hi), hw))
+        return plan
 
     # -- offsets (HybridPendingSplitsState analog) -------------------------
 
@@ -103,22 +130,19 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         parts: list[InputPartition] = []
+        chunk_plan = tuple(self._chunk_plan(start["hw"]))
         if start["phase"] == "snapshot":
-            step = max(
-                (self.key_hi - self.key_lo + self.num_chunks - 1) // self.num_chunks, 1
-            )
-            for i in range(self.num_chunks):
-                lo = self.key_lo + i * step
-                if lo >= self.key_hi:
-                    break
-                parts.append(
-                    ChunkPartition(
-                        self.path, lo, min(lo + step, self.key_hi), start["hw"]
-                    )
-                )
-        stream_from = start["hw"] if start["phase"] == "snapshot" else start["off"]
+            for lo, hi, hw in chunk_plan:
+                parts.append(ChunkPartition(self.path, lo, hi, hw))
+        # The stream starts at the MIN chunk watermark
+        # (MySqlHybridSplitAssigner.createBinlogSplit:189-227); shouldEmit
+        # drops events a chunk's backfill already covered.
+        min_hw = min((hw for _, _, hw in chunk_plan), default=start["hw"])
+        stream_from = min_hw if start["phase"] == "snapshot" else start["off"]
         if end["off"] > stream_from:
-            parts.append(StreamPartition(self.path, stream_from, end["off"]))
+            parts.append(
+                StreamPartition(self.path, stream_from, end["off"], chunk_plan)
+            )
         if not parts:
             # Spark requires >=1 partition; an empty log range reads nothing
             parts.append(StreamPartition(self.path, end["off"], end["off"]))
@@ -143,11 +167,22 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
             ) WHERE rn = 1 AND __op <> 'delete'
             """
         else:
+            # shouldEmit: past the containing chunk's HW (keys outside any
+            # chunk range are not captured; with uniform HWs the predicate
+            # degenerates to the plain offset range)
+            emit = (
+                " OR ".join(
+                    f"(user_id >= {lo} AND user_id < {hi} AND event_id > {hw})"
+                    for lo, hi, hw in partition.chunk_hws
+                )
+                or "TRUE"
+            )
             sql = f"""
             SELECT {_OP_SQL} AS op, user_id, value, props,
                    CAST(ts AS TIMESTAMP) AS ts, event_id
             FROM log
             WHERE event_id > {partition.from_off} AND event_id <= {partition.to_off}
+              AND ({emit})
             ORDER BY event_id
             """
         reader = _duck(partition.path, sql).fetch_record_batch()
@@ -166,7 +201,9 @@ class CdcBinlogDataSource(DataSource):
 
     Options: ``path`` (changelog parquet), ``numChunks`` (snapshot splits,
     default 4), ``snapshotFraction`` (log fraction covered by the snapshot
-    phase, default 1.0 — lower leaves a stream tail).
+    phase, default 1.0 — lower leaves a stream tail), ``staggerChunks``
+    (each chunk snapshots at a different watermark, exercising the
+    per-chunk shouldEmit filter — the DBLog concurrent-DML scenario).
     """
 
     @classmethod

@@ -1,0 +1,66 @@
+"""Scale toolkit tests: bucketed joins eliminate the shuffle (plan-proven),
+salted aggregation matches direct aggregation on skewed data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_connectors_spark.operators.scale import (
+    co_located_join,
+    salted_aggregate,
+    write_bucketed,
+)
+from flink_cdc_connectors_spark.plans import explain_str, shuffle_count
+from flink_cdc_connectors_spark.sources.loaders import load_table
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Both sides bucketed on the join key -> sort-merge join with ZERO
+    Exchange operators: the storage layout carries the partitioning."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    write_bucketed(orders.withColumnRenamed("o_custkey", "custkey"), "b_orders", "custkey", 4)
+    write_bucketed(customer.withColumnRenamed("c_custkey", "custkey"), "b_customer", "custkey", 4)
+    # force the SMJ path (broadcast would trivially have no exchange)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = co_located_join(spark, "b_orders", "b_customer", "custkey")
+        assert shuffle_count(joined) == 0
+        assert "SortMergeJoin" in explain_str(joined, "simple")
+        # and the same join on the UNbucketed tables DOES shuffle both sides
+        plain = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        )
+        assert shuffle_count(plain) == 2
+        # correctness: same row count either way
+        assert joined.count() == plain.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_aggregate_matches_direct(spark, sf_dir):
+    """Salted two-stage agg == direct agg, on deliberately skewed data
+    (90% of rows share one key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    skewed = li.withColumn(
+        "k", F.when(F.col("l_orderkey") % 10 != 0, F.lit(0)).otherwise(F.col("l_orderkey"))
+    )
+    salted = salted_aggregate(
+        skewed, ["k"], {"l_quantity": "sum", "l_orderkey": "count"}
+    )
+    direct = skewed.groupBy("k").agg(
+        F.sum("l_quantity").alias("sum_l_quantity"),
+        F.count(F.lit(1)).alias("count_l_orderkey"),
+    )
+    s = {r["k"]: (round(r["sum_l_quantity"], 4), r["count_l_orderkey"]) for r in salted.collect()}
+    d = {r["k"]: (round(r["sum_l_quantity"], 4), r["count_l_orderkey"]) for r in direct.collect()}
+    assert s == d and len(s) > 1
+
+
+def test_salted_aggregate_rejects_non_decomposable(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_aggregate(li, ["l_returnflag"], {"l_quantity": "avg"})

@@ -100,6 +100,31 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         self.key_lo, self.key_hi = int(key_lo), int(key_hi) + 1
         self.max_off = int(max_off)
         self.hw = int(max_off * frac)
+        # Startup modes (StartupMode.java:24-33): 'initial' = snapshot +
+        # stream; 'earliest-offset' = whole log, no snapshot; 'latest-offset'
+        # = only new changes; 'specific-offset'/'timestamp' = log from a
+        # position. Non-initial modes skip the snapshot phase entirely.
+        self.startup_mode = options.get("startupmode", "initial")
+        if self.startup_mode not in (
+            "initial", "earliest-offset", "latest-offset", "specific-offset", "timestamp"
+        ):
+            raise ValueError(f"unknown startupMode {self.startup_mode!r}")
+        if self.startup_mode == "specific-offset":
+            self.start_off = int(options["startupoffset"])
+        elif self.startup_mode == "timestamp":
+            ts_ms = int(options["startuptimestampms"])
+            row = _duck(
+                self.path,
+                f"SELECT coalesce(min(event_id), {self.max_off} + 1) FROM log "
+                f"WHERE ts >= to_timestamp({ts_ms} / 1000.0)",
+            ).fetchone()
+            self.start_off = int(row[0]) - 1
+        elif self.startup_mode == "earliest-offset":
+            self.start_off = -1
+        elif self.startup_mode == "latest-offset":
+            self.start_off = self.max_off
+        else:
+            self.start_off = None  # initial: snapshot phase decides
 
     def _chunk_plan(self, base_hw: int) -> list[tuple[int, int, int]]:
         """[(key_lo, key_hi, hw)] for every snapshot chunk."""
@@ -120,7 +145,12 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
     # -- offsets (HybridPendingSplitsState analog) -------------------------
 
     def initialOffset(self) -> dict:
-        return {"phase": "snapshot", "hw": self.hw, "off": -1}
+        if self.startup_mode == "initial":
+            return {"phase": "snapshot", "hw": self.hw, "off": -1}
+        # log-only modes: start the stream at the resolved offset, no
+        # snapshot chunks (SeekBinlogToTimestampFilter analog for
+        # 'timestamp'; binlog seek for the offset modes)
+        return {"phase": "stream", "hw": self.start_off, "off": self.start_off}
 
     def latestOffset(self) -> dict:
         # snapshot not yet emitted -> the next batch is the whole snapshot
@@ -203,7 +233,10 @@ class CdcBinlogDataSource(DataSource):
     default 4), ``snapshotFraction`` (log fraction covered by the snapshot
     phase, default 1.0 — lower leaves a stream tail), ``staggerChunks``
     (each chunk snapshots at a different watermark, exercising the
-    per-chunk shouldEmit filter — the DBLog concurrent-DML scenario).
+    per-chunk shouldEmit filter — the DBLog concurrent-DML scenario),
+    ``startupMode`` (initial | earliest-offset | latest-offset |
+    specific-offset + ``startupOffset`` | timestamp + ``startupTimestampMs``
+    — StartupMode.java:24-33; non-initial modes skip the snapshot phase).
     """
 
     @classmethod

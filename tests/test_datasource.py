@@ -146,3 +146,55 @@ def test_dsv2_staggered_chunk_watermarks(spark, sf_dir, tmp_path):
     # must be unique per offset
     raw = emitted.filter(F.col("op") != "insert")
     assert raw.count() == raw.select("event_id").distinct().count() > 0
+
+
+@pytest.mark.parametrize(
+    "mode,opts,expect",
+    [
+        ("earliest-offset", {}, "all"),          # whole log, no snapshot
+        ("latest-offset", {}, "none"),            # static log -> nothing new
+        ("specific-offset", {"startupOffset": "500"}, "suffix"),
+        ("timestamp", {"startupTimestampMs": "1705276800000"}, "by_ts"),  # 2024-01-15
+    ],
+)
+def test_dsv2_startup_modes(spark, sf_dir, tmp_path, mode, opts, expect):
+    """Non-initial startup positions skip the snapshot and start the log at
+    the resolved offset (StartupMode.java:24-33)."""
+    reader = (
+        spark.readStream.format("cdc_binlog")
+        .option("path", EVENTS)
+        .option("startupMode", mode)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    out_dir, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        reader.load()
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        emitted = spark.read.parquet(out_dir)
+        n = emitted.count()
+    except Exception:
+        n = 0  # empty sink dir -> nothing emitted
+    events = load_table(spark, sf_dir, "events")
+    if expect == "all":
+        assert n == events.count()
+        # no snapshot phase: raw ops preserved, nothing re-tagged 'insert'-only
+        assert emitted.filter(F.col("op") == "delete").count() > 0
+    elif expect == "none":
+        assert n == 0
+    elif expect == "suffix":
+        assert n == events.filter("event_id > 500").count() > 0
+        assert emitted.agg(F.min("event_id")).first()[0] == 501
+    else:  # by_ts
+        want = events.filter(F.col("ts") >= "2024-01-15 00:00:00").count()
+        assert n == want > 0

@@ -234,3 +234,47 @@ def test_watermark_drops_late_events(spark, sf_dir, tmp_path):
     assert len(w0) == 1 and abs(w0[0]["sum_value"] - 30.0) < 1e-9
     assert not any(r["n"] == 3 for r in rows)
     assert not any(abs(r["sum_value"] - 129.0) < 1e-9 for r in rows)
+
+
+def test_stateful_streaming_normalize(spark, sf_dir, envelope_dir):
+    """applyInPandasWithState ChangelogNormalize: per-key state store,
+    update-mode emissions. The LAST emission per key must equal the batch
+    normalize (state converges to latest-by-offset), with delete
+    tombstones for keys whose last event is a delete."""
+    from flink_cdc_connectors_spark.streaming.stateful import (
+        streaming_changelog_normalize,
+    )
+
+    stream = read_changelog_stream(spark, envelope_dir, max_files_per_trigger=1)
+    normalized = streaming_changelog_normalize(stream)
+    q = (
+        normalized.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_updates")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    updates = spark.sql("SELECT * FROM state_updates").toPandas()
+    assert len(updates) > 0
+    # last emission per key (emissions are monotone in offset per key)
+    last = (
+        updates.sort_values(["ts_ms", "event_id"])
+        .groupby("user_id")
+        .tail(1)
+        .set_index("user_id")
+    )
+    batch = changelog_normalize(
+        changelog_view(load_table(spark, sf_dir, "events")), drop_deletes=False
+    ).toPandas().set_index("user_id")
+    assert sorted(last.index) == sorted(batch.index)
+    for uid in batch.index:
+        assert last.loc[uid, "event_id"] == batch.loc[uid, "event_id"], uid
+        assert last.loc[uid, "op"] == batch.loc[uid, "op"], uid
+    # live view: drop tombstones -> equals the default batch normalize
+    live = last[last["op"] != "delete"]
+    want_live = changelog_normalize(
+        changelog_view(load_table(spark, sf_dir, "events"))
+    ).toPandas()
+    assert sorted(live.index) == sorted(want_live["user_id"])

@@ -203,6 +203,47 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_typecast",
+    tier="B",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderkey AS DECIMAL(20,0)) AS VARCHAR)       AS key_dec20,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)      AS price_dec,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')          AS order_date,
+           o_orderkey % 2 = 0                                       AS key_even,
+           CAST(octet_length(encode(o_orderpriority)) AS INT)       AS prio_bytes,
+           CAST(
+             date_part('hour', o_orderdate) * 3600000
+             + date_part('minute', o_orderdate) * 60000
+             + date_part('second', o_orderdate) * 1000 AS INT)      AS time_millis
+    FROM orders
+    """,
+)
+def scalar_typecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-lattice conversion coverage (SURVEY §1.2, sources/types.py):
+    BIGINT->DECIMAL(20,0) (the BIGINT UNSIGNED convention), DOUBLE->
+    DECIMAL(12,2) precision cast, TIMESTAMP->DATE, int->BOOLEAN parity,
+    STRING->BINARY byte length, and the TIME-as-millis-of-day convention —
+    every converter family exercised against the DuckDB oracle (the
+    fixture-gap closure promised in FIXTURES.md)."""
+    o = load_table(spark, sf_dir, "orders")
+    millis = (
+        F.hour("o_orderdate") * 3_600_000
+        + F.minute("o_orderdate") * 60_000
+        + F.second("o_orderdate") * 1_000
+    )
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("decimal(20,0)").cast("string").alias("key_dec20"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("price_dec"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("order_date"),
+        (F.col("o_orderkey") % 2 == 0).alias("key_even"),
+        F.octet_length(F.encode("o_orderpriority", "UTF-8")).alias("prio_bytes"),
+        millis.cast("int").alias("time_millis"),
+    )
+
+
+@query(
     "scalar_json",
     tier="B",
     oracle="""

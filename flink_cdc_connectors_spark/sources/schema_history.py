@@ -1,0 +1,142 @@
+"""Schema history — offset-versioned table schemas (DDL side channel).
+
+The reference parses DDL from the log and keeps an embedded schema history
+so every change event deserializes against the schema THAT WAS CURRENT AT
+ITS OFFSET (FlinkDatabaseHistory.java, FlinkJsonTableChangeSerializer.java,
+EmbeddedFlinkDatabaseHistory.java; per-split schemas in
+SnapshotSplit.tableSchemas). Spark pins one schema per query, so the v1
+design is:
+
+  - DDL events land in a SIDE TABLE ``(offset, database, table, ddl)``
+    instead of the row stream (SURVEY §2.A "schema-change capture");
+  - ``SchemaHistory`` replays them into an offset-versioned registry:
+    ``schema_at(db, table, offset)`` returns the StructType in force at
+    that offset — what a reader uses to decode a split whose offset range
+    predates/postdates a DDL;
+  - serialization round-trips through JSON (the checkpointable form,
+    FlinkJsonTableChangeSerializer analog).
+
+Supported DDL (v1): CREATE TABLE (full column list), ADD COLUMN, DROP
+COLUMN, RENAME COLUMN — the evolutions Spark can express by projection.
+Type changes require a re-snapshot, as they do in the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from bisect import bisect_right
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+from flink_cdc_connectors_spark.sources.types import map_source_type
+
+_CREATE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<name>\S+)\s*\((?P<cols>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ADD = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\S+)\s+ADD\s+(?:COLUMN\s+)?(?P<col>\w+)\s+(?P<type>.+?)\s*$",
+    re.IGNORECASE,
+)
+_DROP = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\S+)\s+DROP\s+(?:COLUMN\s+)?(?P<col>\w+)\s*$",
+    re.IGNORECASE,
+)
+_RENAME = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\S+)\s+RENAME\s+(?:COLUMN\s+)?(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _split_cols(cols: str) -> list[tuple[str, str]]:
+    """'id BIGINT, name VARCHAR(64)' -> [(name, decl)] (paren-aware)."""
+    out, depth, cur = [], 0, []
+    for ch in cols + ",":
+        if ch == "," and depth == 0:
+            piece = "".join(cur).strip()
+            if piece:
+                name, _, decl = piece.partition(" ")
+                out.append((name.strip(), decl.strip()))
+            cur = []
+        else:
+            depth += ch == "("
+            depth -= ch == ")"
+            cur.append(ch)
+    return out
+
+
+@dataclass
+class SchemaHistory:
+    """Offset-versioned schemas per (database, table)."""
+
+    # (db, table) -> sorted [(offset, StructType)]
+    _versions: dict[tuple[str, str], list[tuple[int, T.StructType]]] = field(
+        default_factory=dict
+    )
+
+    def apply_ddl(self, database: str, table: str, offset: int, ddl: str) -> None:
+        """Replay one DDL event at ``offset`` (events must arrive in offset
+        order per table, as the log guarantees)."""
+        key = (database, table)
+        if m := _CREATE.match(ddl):
+            st = T.StructType(
+                [
+                    T.StructField(n, map_source_type(d), True)
+                    for n, d in _split_cols(m.group("cols"))
+                ]
+            )
+        else:
+            cur = self.schema_at(database, table, offset)
+            if cur is None:
+                raise ValueError(f"ALTER before CREATE for {key}: {ddl!r}")
+            if m := _ADD.match(ddl):
+                st = T.StructType(
+                    list(cur.fields)
+                    + [T.StructField(m.group("col"), map_source_type(m.group("type")), True)]
+                )
+            elif m := _DROP.match(ddl):
+                st = T.StructType([f for f in cur.fields if f.name != m.group("col")])
+            elif m := _RENAME.match(ddl):
+                st = T.StructType(
+                    [
+                        T.StructField(m.group("new"), f.dataType, f.nullable)
+                        if f.name == m.group("old")
+                        else f
+                        for f in cur.fields
+                    ]
+                )
+            else:
+                raise ValueError(f"unsupported DDL (v1): {ddl!r}")
+        self._versions.setdefault(key, []).append((offset, st))
+
+    def schema_at(self, database: str, table: str, offset: int) -> T.StructType | None:
+        """The schema in force at ``offset`` (latest version with
+        version_offset <= offset), or None if the table doesn't exist yet."""
+        versions = self._versions.get((database, table), [])
+        idx = bisect_right([o for o, _ in versions], offset)
+        return versions[idx - 1][1] if idx else None
+
+    def tables(self) -> list[tuple[str, str]]:
+        return sorted(self._versions)
+
+    # -- checkpointable form (FlinkJsonTableChangeSerializer analog) -------
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                f"{db} {tb}": [(o, st.json()) for o, st in versions]
+                for (db, tb), versions in self._versions.items()
+            }
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "SchemaHistory":
+        h = cls()
+        for key, versions in json.loads(s).items():
+            db, tb = key.split(" ")
+            h._versions[(db, tb)] = [
+                (o, T.StructType.fromJson(json.loads(stj))) for o, stj in versions
+            ]
+        return h

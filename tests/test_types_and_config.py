@@ -118,3 +118,40 @@ def test_discovery_regex_sharding():
         "other": ["user_3"],
     }
     assert cfg.discover(catalog) == [("app_db", "user_1"), ("app_db", "user_2")]
+
+
+def test_schema_history_versioning(spark):
+    """DDL replay -> offset-versioned schemas; a reader decoding a split at
+    offset X gets the schema current at X (SnapshotSplit.tableSchemas
+    analog), and the history round-trips through its checkpoint JSON."""
+    from flink_cdc_connectors_spark.sources.schema_history import SchemaHistory
+
+    h = SchemaHistory()
+    h.apply_ddl("app", "users", 0, "CREATE TABLE users (id BIGINT, name VARCHAR(64))")
+    h.apply_ddl("app", "users", 100, "ALTER TABLE users ADD COLUMN bal DECIMAL(12,2)")
+    h.apply_ddl("app", "users", 200, "ALTER TABLE users RENAME COLUMN name TO full_name")
+    h.apply_ddl("app", "users", 300, "ALTER TABLE users DROP COLUMN bal")
+
+    assert [f.name for f in h.schema_at("app", "users", 50)] == ["id", "name"]
+    assert [f.name for f in h.schema_at("app", "users", 150)] == ["id", "name", "bal"]
+    assert h.schema_at("app", "users", 150)["bal"].dataType == T.DecimalType(12, 2)
+    assert [f.name for f in h.schema_at("app", "users", 250)] == ["id", "full_name", "bal"]
+    assert [f.name for f in h.schema_at("app", "users", 999)] == ["id", "full_name"]
+    assert h.schema_at("app", "users", -1) is None
+    assert h.schema_at("app", "ghost", 100) is None
+
+    # checkpoint round-trip preserves every version
+    h2 = SchemaHistory.from_json(h.to_json())
+    for off in (50, 150, 250, 999):
+        assert h2.schema_at("app", "users", off) == h.schema_at("app", "users", off)
+
+    # the versioned schema actually decodes data (createDataFrame gate)
+    st = h.schema_at("app", "users", 150)
+    import decimal
+    df = spark.createDataFrame([(1, "x", decimal.Decimal("9.50"))], st)
+    assert df.count() == 1
+
+    with pytest.raises(ValueError, match="ALTER before CREATE"):
+        SchemaHistory().apply_ddl("app", "t", 0, "ALTER TABLE t ADD COLUMN c INT")
+    with pytest.raises(ValueError, match="unsupported DDL"):
+        h.apply_ddl("app", "users", 400, "TRUNCATE TABLE users")

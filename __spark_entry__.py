@@ -42,12 +42,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {key: spec.builder for key, spec in sorted(all_queries().items())}
+    # Insertion order is deliberate (registry._CHECK_FIRST): the round-1
+    # driver compared only the first 50 keys, so keys lacking a round-1
+    # correctness row are emitted first.  Do not sort here.
+    return {key: spec.builder for key, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         key: spec.oracle
-        for key, spec in sorted(all_queries().items())
+        for key, spec in all_queries().items()
         if spec.oracle is not None
     }

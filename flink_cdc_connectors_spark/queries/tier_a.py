@@ -223,7 +223,8 @@ def cdc_offset_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE rn = 1 AND ({op_sql("event_type")}) <> 'delete'
     )
     SELECT user_id % 10                                   AS cohort,
-           round(sum(CAST(value AS DECIMAL(18,2))), 2)    AS sum_value,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                                                          AS sum_value,
            CAST(count(*) AS BIGINT)                       AS n_live
     FROM state
     GROUP BY 1
@@ -242,7 +243,14 @@ def cdc_retract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     retract = to_retract_stream(cl)
     return retract_aggregate(
         retract, [(F.col("user_id") % 10).alias("cohort")]
-    ).select("cohort", F.round("sum_value", 2).alias("sum_value"), "n_live")
+    ).select(
+        "cohort",
+        # DECIMAL internally for exact add/retract cancellation, DOUBLE at the
+        # surface: the driver hashes raw values, and a Decimal-typed column
+        # hash-mismatches the oracle's DOUBLE even when values are identical.
+        F.round("sum_value", 2).cast("double").alias("sum_value"),
+        "n_live",
+    )
 
 
 @query(

@@ -141,6 +141,68 @@ def _global_row_number_with_total(
     return ranked, acc
 
 
+def global_running_max(
+    df: DataFrame,
+    order_key: str,
+    value_col: str,
+    out_col: str = "__runmax",
+    target_buckets: int = 10_000,
+) -> DataFrame:
+    """Distributed exact running max of ``value_col`` in ``order_key`` order.
+
+    The naive form — ``max(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)``
+    with no PARTITION BY — moves every row through a single task (Spark's
+    "No Partition Defined for Window operation" warning), a scale-killer.
+    Same cure as :func:`global_row_number`:
+
+      1. bucket rows by fixed ``order_key`` width (pure projection),
+      2. collect per-bucket max (tiny: <= ``target_buckets`` rows) and
+         prefix-max them on the driver — ``__pmax[b]`` = max over all
+         strictly-earlier buckets,
+      3. running max = greatest(prefix max, within-bucket running max) —
+         ONE hash shuffle on the bucket, fully parallel.
+
+    This is the watermark bookkeeping of the reference's source reader —
+    the high watermark only advances (SignalEventDispatcher.java:78-112) —
+    as a deterministic batch operator. ``F.greatest`` skips NULL, so the
+    first bucket (no predecessor) falls through to its own running max.
+    """
+    from pyspark.sql import types as T
+
+    lo, hi = df.agg(F.min(order_key), F.max(order_key)).first()
+    width = max((int(hi) - int(lo) + 1) // target_buckets, 1)
+    with_b = df.withColumn(
+        "__bucket", F.floor((F.col(order_key) - F.lit(int(lo))) / F.lit(width))
+    )
+    bmax = sorted(
+        (int(r["__bucket"]), r["mx"])
+        for r in with_b.groupBy("__bucket").agg(F.max(value_col).alias("mx")).collect()
+    )
+    prefix, run = [], None
+    for b, mx in bmax:
+        prefix.append((b, run))
+        if run is None or (mx is not None and mx > run):
+            run = mx
+    vtype = df.schema[value_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("__bucket", T.LongType(), False),
+            T.StructField("__pmax", vtype, True),
+        ]
+    )
+    off_df = F.broadcast(df.sparkSession.createDataFrame(prefix, schema))
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(order_key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_b.join(off_df, "__bucket")
+        .withColumn(out_col, F.greatest(F.col("__pmax"), F.max(value_col).over(w)))
+        .drop("__bucket", "__pmax")
+    )
+
+
 def uneven_chunks(
     df: DataFrame,
     key: str,

@@ -63,6 +63,13 @@ def test_uneven_chunks_has_no_global_sort(spark, sf_dir):
     assert not has_single_partition_exchange(df)
 
 
+def test_watermark_late_has_no_global_window(spark, sf_dir):
+    """The running-max watermark must use the bucketed prefix-max, never a
+    single-partition window (round-1 'WindowExec: No Partition Defined')."""
+    df = Q["stream_watermark_late"].builder(spark, sf_dir)
+    assert not has_single_partition_exchange(df)
+
+
 def test_changelog_normalize_single_shuffle(spark, sf_dir):
     """Normalize = exactly one hash shuffle on the key; the downstream
     filter must not add exchanges."""

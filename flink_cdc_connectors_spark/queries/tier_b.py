@@ -410,6 +410,82 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_cube",
+    tier="B",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL')  AS returnflag,
+           coalesce(l_linestatus, 'ALL')  AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+                                          AS gid,
+           CAST(count(*) AS BIGINT)       AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^n grouping combinations (SURVEY §2 agg_rollup row names
+    ROLLUP/CUBE/GROUPING SETS; SQL-runtime capability, README.md:27-56).
+    ``gid`` is the grouping id so subtotal rows are unambiguous even if the
+    data ever contained real NULL keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id("l_returnflag", "l_linestatus").cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    tier="B",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL')  AS returnflag,
+           coalesce(l_linestatus, 'ALL')  AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+                                          AS gid,
+           CAST(count(*) AS BIGINT)       AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the two single-column marginals plus the
+    grand total, one Expand + one hash aggregate (no self-union of scans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id("l_returnflag", "l_linestatus").cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins
 # ---------------------------------------------------------------------------

@@ -22,12 +22,17 @@ from flink_cdc_connectors_spark.operators.cdc import (
     to_retract_stream,
     uneven_chunks,
 )
+from pyspark.sql import types as T
+
 from flink_cdc_connectors_spark.registry import query
 from flink_cdc_connectors_spark.sources.envelope import (
+    EVENT_PAYLOAD_SCHEMA,
     changelog_view,
     events_to_debezium_json,
     op_sql,
     parse_debezium_json,
+    parse_debezium_json_multi,
+    snapshot_to_debezium_json,
 )
 from flink_cdc_connectors_spark.sources.loaders import load_table
 
@@ -50,6 +55,19 @@ def _split_offset(spark: SparkSession, sf_dir: str) -> int:
 _SPLIT_SQL = (
     "(SELECT CAST(min(event_id) + (max(event_id) - min(event_id)) * 0.6 AS BIGINT) FROM events)"
 )
+
+# SQL mirror of the envelope generator's binlog state machine
+# (sources/envelope.py events_to_debezium_json): per-key lag gives the
+# previous row image and whether the key is live before each event.
+_BINLOG_SQL = f"""
+  SELECT event_id, ts, user_id, value, props,
+         {op_sql("event_type")} AS app_op,
+         lag(value) OVER w AS prev_value,
+         lag({op_sql("event_type")}) OVER w AS prev_op
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+_BINLOG_LIVE_SQL = "(prev_op IS NOT NULL AND prev_op <> 'delete')"
 
 
 @query(
@@ -296,18 +314,27 @@ def cdc_startup_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_deserialize_envelope",
     tier="A",
     oracle=f"""
-    SELECT {op_sql("event_type")} AS op,
-           user_id, round(value, 2) AS value_r, event_id,
+    WITH binlog AS ({_BINLOG_SQL})
+    SELECT CASE WHEN app_op = 'delete' THEN 'delete'
+                WHEN {_BINLOG_LIVE_SQL} THEN 'update'
+                ELSE 'insert' END AS op,
+           user_id,
+           round(CASE WHEN app_op = 'delete' THEN prev_value ELSE value END, 2)
+               AS value_r,
+           event_id,
            epoch_ms(ts) AS op_ts_ms
-    FROM events
+    FROM binlog
+    WHERE app_op <> 'delete' OR {_BINLOG_LIVE_SQL}
     """,
 )
 def cdc_deserialize_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Debezium envelope round-trip: events -> envelope JSON (the exact
-    JsonDebeziumDeserializationSchema wire shape) -> from_json -> typed
+    """Debezium envelope round-trip: events -> state-aware envelope JSON
+    (the exact JsonDebeziumDeserializationSchema wire shape; UPDATE before
+    = true prior row image, invalid deletes dropped) -> from_json -> typed
     changelog rows, op mapped per RowDataDebeziumDeserializeSchema:118-158
     (READ/CREATE from after, DELETE from before, UPDATE from after). The
-    oracle states the net transformation directly over events."""
+    oracle restates the generator's state machine in SQL, so DELETE rows
+    surface the PRIOR image — the upsert-mode -D payload."""
     e = load_table(spark, sf_dir, "events")
     raw = events_to_debezium_json(e)
     rows = parse_debezium_json(raw)
@@ -317,6 +344,161 @@ def cdc_deserialize_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value_r"),
         "event_id",
         F.unix_millis("op_ts").alias("op_ts_ms"),
+    )
+
+
+@query(
+    "cdc_envelope_retract_agg",
+    tier="A",
+    oracle=f"""
+    WITH state AS (
+      SELECT user_id, value FROM ({_LATEST_SQL})
+      WHERE rn = 1 AND ({op_sql("event_type")}) <> 'delete'
+    )
+    SELECT user_id % 10                                   AS cohort,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                                                          AS sum_value,
+           CAST(count(*) AS BIGINT)                       AS n_live
+    FROM state
+    GROUP BY 1
+    """,
+)
+def cdc_envelope_retract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction arithmetic over the WIRE-FORMAT path: events -> envelope
+    JSON -> parse(mode='all') -> signed aggregation of +I/+U minus -U/-D.
+    Only sound because the generator emits true before-images (an -U/-D
+    carries the prior row image, RowDataDebeziumDeserializeSchema.java:
+    118-146) and drops impossible deletes; the oracle is the final-state
+    aggregate — the same contract as cdc_retract_agg but proven end-to-end
+    through serialization instead of over the in-memory changelog."""
+    e = load_table(spark, sf_dir, "events")
+    rows = parse_debezium_json(events_to_debezium_json(e), mode="all")
+    sign = F.when(F.col("row_kind").isin("+I", "+U"), F.lit(1)).otherwise(F.lit(-1))
+    dec = F.col("value").cast("decimal(18,2)")
+    return (
+        rows.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.round(F.sum(sign * dec), 2).cast("double").alias("sum_value"),
+            F.sum(sign).cast("bigint").alias("n_live"),
+        )
+        .filter(F.col("n_live") > 0)
+    )
+
+
+# Per-table payload schema for the two-table stream demo: orders as a
+# snapshot-phase READ stream with NESTED payload structs (the MongoDB-style
+# recursive schema, MongoDBConnectorDeserializationSchema.java:220-265).
+ORDERS_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField(
+            "detail",
+            T.StructType(
+                [
+                    T.StructField("status", T.StringType()),
+                    T.StructField("priority", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "amounts",
+            T.StructType([T.StructField("total", T.DoubleType())]),
+        ),
+    ]
+)
+
+
+@query(
+    "cdc_multi_table_route",
+    tier="A",
+    oracle=f"""
+    WITH binlog AS ({_BINLOG_SQL})
+    SELECT 'app'    AS database_name,
+           'events' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(user_id) AS BIGINT) AS key_sum,
+           CAST(round(sum(CAST(CASE WHEN app_op = 'delete' THEN prev_value
+                                    ELSE value END AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS val_sum
+    FROM binlog
+    WHERE app_op <> 'delete' OR {_BINLOG_LIVE_SQL}
+    UNION ALL
+    SELECT 'app', 'orders',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(o_orderkey) AS BIGINT),
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+    FROM orders
+    """,
+)
+def cdc_multi_table_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE mixed changelog carrying TWO tables with different payload
+    schemas — events as a state-aware binlog, orders as snapshot READs with
+    nested structs — routed by the envelope's source.db/table and decoded
+    per-table (TableDiscoveryUtils; sharding ITCase
+    MySqlConnectorITCase.java:1294-1336; nested decode
+    MongoDBConnectorDeserializationSchema.java:220-265). Output: per-table
+    row count, key checksum, and a value sum that for orders comes from a
+    NESTED payload field (amounts.total) — proving typed recursive decode.
+
+    Scale: route predicate is a cheap JSON scalar extract that prunes each
+    table's slice before the full from_json; per-table aggregation is one
+    partial-aggregated scan each, no shuffle beyond the final 2-row union.
+    """
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    mixed = events_to_debezium_json(e).unionByName(
+        snapshot_to_debezium_json(
+            o,
+            [
+                F.col("o_orderkey"),
+                F.col("o_custkey"),
+                F.struct(
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_orderpriority").alias("priority"),
+                ).alias("detail"),
+                F.struct(F.col("o_totalprice").alias("total")).alias("amounts"),
+            ],
+            pos_col="o_orderkey",
+            db="app",
+            table="orders",
+        )
+    )
+    parsed = parse_debezium_json_multi(
+        mixed,
+        {
+            ("app", "events"): EVENT_PAYLOAD_SCHEMA,
+            ("app", "orders"): ORDERS_PAYLOAD_SCHEMA,
+        },
+    )
+    ev = parsed[("app", "events")].agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("user_id").cast("bigint").alias("key_sum"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("val_sum"),
+    )
+    od = parsed[("app", "orders")].agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.round(F.sum(F.col("amounts.total").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("val_sum"),
+    )
+    return ev.select(
+        F.lit("app").alias("database_name"),
+        F.lit("events").alias("table_name"),
+        "n_rows",
+        "key_sum",
+        "val_sum",
+    ).unionByName(
+        od.select(
+            F.lit("app").alias("database_name"),
+            F.lit("orders").alias("table_name"),
+            "n_rows",
+            "key_sum",
+            "val_sum",
+        )
     )
 
 

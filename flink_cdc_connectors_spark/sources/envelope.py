@@ -21,11 +21,18 @@ mapping:
     signup -> insert ('c')    error -> delete ('d')    anything else -> update ('u')
 
 A key's *current state* is its latest non-delete event in offset order.
+
+The envelope schema is PARAMETERIZED by a per-table payload ``StructType``
+(:func:`make_envelope_schema`) — the reference deserializes arbitrary
+per-table schemas, including nested ROW/ARRAY/MAP (MongoDB:
+MongoDBConnectorDeserializationSchema.java:220-265); Spark's ``from_json``
+recurses over any ``StructType`` the same way. ``EVENT_PAYLOAD_SCHEMA`` is
+just the fixture events table's instance of that parameter.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -38,6 +45,10 @@ DEFAULT_OP = "update"
 # c/r -> INSERT(+I), u -> UPDATE (-U/+U pair in 'all' mode), d -> DELETE(-D).
 OP_TO_DEBEZIUM = {"insert": "c", "update": "u", "delete": "d"}
 
+# Payload-side column names are the per-table schema; these metadata names
+# are appended by the parser and therefore reserved.
+METADATA_COLUMNS = ("op", "ts", "event_id", "database_name", "table_name", "op_ts", "row_kind")
+
 # The single-table payload carried in before/after for the events fixture.
 EVENT_PAYLOAD_SCHEMA = T.StructType(
     [
@@ -47,28 +58,40 @@ EVENT_PAYLOAD_SCHEMA = T.StructType(
     ]
 )
 
-# Debezium JSON envelope, as emitted by JsonDebeziumDeserializationSchema
-# (reference flink-connector-debezium/.../JsonDebeziumDeserializationSchema.java).
-DEBEZIUM_ENVELOPE_SCHEMA = T.StructType(
+_SOURCE_SCHEMA = T.StructType(
     [
-        T.StructField("before", EVENT_PAYLOAD_SCHEMA),
-        T.StructField("after", EVENT_PAYLOAD_SCHEMA),
-        T.StructField(
-            "source",
-            T.StructType(
-                [
-                    T.StructField("db", T.StringType()),
-                    T.StructField("table", T.StringType()),
-                    T.StructField("ts_ms", T.LongType()),
-                    T.StructField("file", T.StringType()),
-                    T.StructField("pos", T.LongType()),
-                ]
-            ),
-        ),
-        T.StructField("op", T.StringType()),
+        T.StructField("db", T.StringType()),
+        T.StructField("table", T.StringType()),
         T.StructField("ts_ms", T.LongType()),
+        T.StructField("file", T.StringType()),
+        T.StructField("pos", T.LongType()),
     ]
 )
+
+
+def make_envelope_schema(payload_schema: T.StructType) -> T.StructType:
+    """Debezium JSON envelope for one table's payload schema.
+
+    The reference builds one deserializer per captured table from its
+    schema history (RowDataDebeziumDeserializeSchema createConverter
+    recursion; MongoDB nested ROW/ARRAY/MAP:
+    MongoDBConnectorDeserializationSchema.java:220-265). ``from_json``
+    recurses over arbitrary StructType the same way, so nested payloads
+    need no extra code here.
+    """
+    return T.StructType(
+        [
+            T.StructField("before", payload_schema),
+            T.StructField("after", payload_schema),
+            T.StructField("source", _SOURCE_SCHEMA),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+
+
+# Envelope instance for the events fixture (back-compat export).
+DEBEZIUM_ENVELOPE_SCHEMA = make_envelope_schema(EVENT_PAYLOAD_SCHEMA)
 
 
 def op_col(event_type: Column | str = "event_type") -> Column:
@@ -108,22 +131,48 @@ def changelog_view(events: DataFrame) -> DataFrame:
 def events_to_debezium_json(events: DataFrame, db: str = "app", table: str = "events") -> DataFrame:
     """Wrap fixture events into Debezium-envelope JSON strings.
 
-    Mirrors the wire format the reference's JsonDebeziumDeserializationSchema
-    produces: insert -> after only, delete -> before only, update -> both.
-    Used to exercise the deserializer path end-to-end without a database.
+    The fixture's event stream is APP-level — an upsert stream in which
+    'insert' may hit an existing key and 'delete' a missing one (exactly the
+    shape the reference's MongoDB connector ingests: no reliable
+    before-image, upsert semantics). A database BINLOG is state-aware and
+    its UPDATE_BEFORE always carries the pre-update row image
+    (RowDataDebeziumDeserializeSchema.java:118-146), so the generator
+    replays per-key state with one lag window and emits what the database
+    would actually log:
+
+        app op          live row?   emitted op   before        after
+        insert/update   yes         u            prev image    this payload
+        insert/update   no          c            null          this payload
+        delete          yes         d            prev image    null
+        delete          no          (dropped — a database cannot log a
+                                     delete of a row that does not exist)
+
+    'live' = the key's previous event exists and was not a delete (an
+    insert/update always sets the full row image, so the previous event's
+    payload IS the current image).
+
+    Scale: one hash shuffle on the primary key for the lag window — the
+    partitioning every downstream normalize/merge reuses.
     """
-    payload = F.struct(
-        F.col("user_id"), F.col("value"), F.col("props")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    payload = F.struct(F.col("user_id"), F.col("value"), F.col("props"))
+    # Materialize lag columns before building the to_json struct (window
+    # expressions cannot nest inside generators/struct literals).
+    staged = (
+        events.withColumn("__app_op", op_col())
+        .withColumn("__prev_payload", F.lag(payload).over(w))
+        .withColumn("__prev_op", F.lag(op_col()).over(w))
     )
-    op = op_col()
+    live = F.col("__prev_op").isNotNull() & (F.col("__prev_op") != "delete")
     dbz_op = (
-        F.when(op == "insert", F.lit("c"))
-        .when(op == "delete", F.lit("d"))
-        .otherwise(F.lit("u"))
+        F.when(F.col("__app_op") == "delete", F.lit("d"))
+        .when(live, F.lit("u"))
+        .otherwise(F.lit("c"))
     )
+    valid = (F.col("__app_op") != "delete") | live
     envelope = F.struct(
-        F.when(op != "insert", payload).alias("before"),
-        F.when(op != "delete", payload).alias("after"),
+        F.when(live, F.col("__prev_payload")).alias("before"),
+        F.when(F.col("__app_op") != "delete", payload).alias("after"),
         F.struct(
             F.lit(db).alias("db"),
             F.lit(table).alias("table"),
@@ -134,7 +183,42 @@ def events_to_debezium_json(events: DataFrame, db: str = "app", table: str = "ev
         dbz_op.alias("op"),
         F.unix_millis(F.col("ts")).alias("ts_ms"),
     )
-    return events.select(F.to_json(envelope).alias("value"))
+    return staged.filter(valid).select(F.to_json(envelope).alias("value"))
+
+
+def snapshot_to_debezium_json(
+    df: DataFrame,
+    payload_cols: list[Column],
+    pos_col: str,
+    db: str,
+    table: str,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Snapshot-phase envelope for an arbitrary table: one op='r' READ
+    record per row, before=null (the reference's snapshot reader emits READ
+    ops decoded via the same converter as streamed changes —
+    RowDataDebeziumDeserializeSchema.java:118-124, snapshot task
+    MySqlSnapshotSplitReadTask.java).
+
+    ``payload_cols`` are arbitrary Column expressions (nested structs/arrays
+    allowed — alias each) forming the after-image; ``pos_col`` supplies the
+    monotonic offset position; ``ts_col`` the source timestamp (0 when the
+    table has none, as in a pure snapshot read).
+    """
+    ts_ms = F.unix_millis(F.col(ts_col)) if ts_col else F.lit(0).cast("long")
+    envelope = F.struct(
+        F.struct(*payload_cols).alias("after"),
+        F.struct(
+            F.lit(db).alias("db"),
+            F.lit(table).alias("table"),
+            ts_ms.alias("ts_ms"),
+            F.lit("snapshot").alias("file"),
+            F.col(pos_col).cast("long").alias("pos"),
+        ).alias("source"),
+        F.lit("r").alias("op"),
+        ts_ms.alias("ts_ms"),
+    )
+    return df.select(F.to_json(envelope).alias("value"))
 
 
 def route_tables(envelope_rows: DataFrame) -> dict[tuple[str, str], DataFrame]:
@@ -160,9 +244,16 @@ def route_tables(envelope_rows: DataFrame) -> dict[tuple[str, str], DataFrame]:
 
 
 def parse_debezium_json(
-    raw: DataFrame, value_col: str = "value", mode: str = "upsert"
+    raw: DataFrame,
+    value_col: str = "value",
+    mode: str = "upsert",
+    payload_schema: T.StructType = EVENT_PAYLOAD_SCHEMA,
 ) -> DataFrame:
     """Debezium JSON -> typed changelog rows (the deserializer).
+
+    ``payload_schema`` is the captured table's row schema (nested types
+    recurse through ``from_json``); output = one column per payload field
+    plus the reserved metadata columns (``METADATA_COLUMNS``).
 
     ``mode='upsert'`` (DebeziumChangelogMode.upsert — one row per event):
     READ/CREATE -> +I from ``after``; DELETE -> -D from ``before``;
@@ -174,8 +265,11 @@ def parse_debezium_json(
     """
     if mode not in ("upsert", "all"):
         raise ValueError(f"mode must be 'upsert' or 'all', got {mode!r}")
+    overlap = set(f.name for f in payload_schema.fields) & set(METADATA_COLUMNS)
+    if overlap:
+        raise ValueError(f"payload fields collide with metadata columns: {sorted(overlap)}")
     parsed = raw.select(
-        F.from_json(F.col(value_col), DEBEZIUM_ENVELOPE_SCHEMA).alias("e")
+        F.from_json(F.col(value_col), make_envelope_schema(payload_schema)).alias("e")
     )
     op = (
         F.when(F.col("e.op").isin("c", "r"), F.lit("insert"))
@@ -213,9 +307,7 @@ def parse_debezium_json(
     exploded = parsed.withColumn("__k", F.explode(kind_rows))
     out = exploded.select(
         op.alias("op"),
-        F.col("__k.payload.user_id").alias("user_id"),
-        F.col("__k.payload.value").alias("value"),
-        F.col("__k.payload.props").alias("props"),
+        *[F.col(f"__k.payload.{f.name}").alias(f.name) for f in payload_schema.fields],
         F.timestamp_millis(F.col("e.ts_ms")).alias("ts"),
         F.col("e.source.pos").alias("event_id"),
         F.col("e.source.db").alias("database_name"),
@@ -224,3 +316,30 @@ def parse_debezium_json(
         F.col("__k.row_kind").alias("row_kind"),
     )
     return out.drop("row_kind") if mode == "upsert" else out
+
+
+def parse_debezium_json_multi(
+    raw: DataFrame,
+    schemas: dict[tuple[str, str], T.StructType],
+    value_col: str = "value",
+    mode: str = "upsert",
+) -> dict[tuple[str, str], DataFrame]:
+    """Route a MIXED multi-table envelope stream and decode each table with
+    its own payload schema.
+
+    The reference streams many tables through one binlog and picks the
+    per-table deserializer by source db/table (TableDiscoveryUtils;
+    sharding ITCase MySqlConnectorITCase.java:1294-1336). Here the route
+    key is extracted from the raw JSON (``$.source.db/table`` — cheap
+    scalar path, no full payload parse), then each table's slice is decoded
+    against its declared StructType. Unknown tables are ignored, exactly
+    like rows outside the captured-table list.
+    """
+    db_c = F.get_json_object(F.col(value_col), "$.source.db")
+    tb_c = F.get_json_object(F.col(value_col), "$.source.table")
+    return {
+        (db, tb): parse_debezium_json(
+            raw.filter((db_c == db) & (tb_c == tb)), value_col, mode, schema
+        )
+        for (db, tb), schema in sorted(schemas.items())
+    }

@@ -136,9 +136,13 @@ def test_retract_stream_kinds_and_cancellation(spark):
 
 
 def test_parse_debezium_retract_mode(spark, sf_dir):
-    """mode='all' emits -U/+U pairs; upsert mode one row per event."""
+    """mode='all' emits -U/+U pairs; upsert mode one row per VALID event
+    (the state-aware generator drops deletes of non-live keys)."""
+    from pyspark.sql import Window
+
     from flink_cdc_connectors_spark.sources.envelope import (
         events_to_debezium_json,
+        op_col,
         parse_debezium_json,
     )
     from flink_cdc_connectors_spark.sources.loaders import load_table
@@ -147,16 +151,25 @@ def test_parse_debezium_retract_mode(spark, sf_dir):
     raw = events_to_debezium_json(events)
     upsert = parse_debezium_json(raw)
     retract = parse_debezium_json(raw, mode="all")
-    n_events = events.count()
+    # Expected counts from the generator's state machine.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = events.withColumn("__op", op_col()).withColumn(
+        "__prev_op", F.lag(op_col()).over(w)
+    )
+    live = F.col("__prev_op").isNotNull() & (F.col("__prev_op") != "delete")
+    n_valid = staged.filter((F.col("__op") != "delete") | live).count()
     n_updates = upsert.filter("op = 'update'").count()
-    assert upsert.count() == n_events
-    assert retract.count() == n_events + n_updates  # each update doubled
+    assert upsert.count() == n_valid < events.count()
+    assert retract.count() == n_valid + n_updates  # each update doubled
     assert set(r["row_kind"] for r in retract.select("row_kind").distinct().collect()) == {
         "+I", "-U", "+U", "-D",
     }
-    # -U rows carry the BEFORE payload = the event's own payload here (the
-    # synthetic envelope uses the same struct), +U rows the after payload
     assert "row_kind" not in upsert.columns
+    # True before-images: every -U/-D payload equals the key's PREVIOUS
+    # event payload, so retraction arithmetic telescopes to the final state
+    # (asserted end-to-end by the cdc_envelope_retract_agg oracle).
+    minus = retract.filter(F.col("row_kind").isin("-U", "-D"))
+    assert minus.filter(F.col("user_id").isNull()).count() == 0
 
 
 def test_sql_facade_views(spark, sf_dir):

@@ -105,12 +105,17 @@ def test_windowed_agg_stream_matches_batch_window(spark, sf_dir, envelope_dir, t
 
     # Append-mode emits only windows closed by the watermark; every emitted
     # window must match the batch computation exactly.
-    batch = read_batch = load_table(spark, sf_dir, "events")
-    from flink_cdc_connectors_spark.sources.envelope import op_col
+    # Batch baseline over the SAME parsed envelope rows the stream consumed
+    # (the generator is state-aware: ops are binlog-level, invalid deletes
+    # dropped — so the baseline must go through the same parse).
+    from flink_cdc_connectors_spark.sources.envelope import (
+        events_to_debezium_json,
+        parse_debezium_json,
+    )
 
+    rows = parse_debezium_json(events_to_debezium_json(load_table(spark, sf_dir, "events")))
     batch_win = (
-        batch.select(op_col().alias("op"), "ts", "value")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "op")
+        rows.groupBy(F.window("ts", "1 hour").alias("w"), "op")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "op", "n", "sum_value")
     )
@@ -155,17 +160,18 @@ def test_route_tables_splits_mixed_stream(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     half = events.agg(F.max("event_id")).first()[0] // 2
-    mixed = parse_debezium_json(
-        events_to_debezium_json(events.filter(F.col("event_id") <= half), table="user_1")
-        .unionByName(
-            events_to_debezium_json(events.filter(F.col("event_id") > half), table="user_2")
-        )
+    raw = events_to_debezium_json(
+        events.filter(F.col("event_id") <= half), table="user_1"
+    ).unionByName(
+        events_to_debezium_json(events.filter(F.col("event_id") > half), table="user_2")
     )
+    mixed = parse_debezium_json(raw)
     routed = route_tables(mixed)
     assert set(routed) == {("app", "user_1"), ("app", "user_2")}
     n1 = routed[("app", "user_1")].count()
     n2 = routed[("app", "user_2")].count()
-    assert n1 + n2 == events.count() and n1 > 0 and n2 > 0
+    # Routing is lossless: every envelope line lands in exactly one table.
+    assert n1 + n2 == raw.count() and n1 > 0 and n2 > 0
 
 
 def test_watermark_drops_late_events(spark, sf_dir, tmp_path):
@@ -265,16 +271,21 @@ def test_stateful_streaming_normalize(spark, sf_dir, envelope_dir):
         .tail(1)
         .set_index("user_id")
     )
-    batch = changelog_normalize(
-        changelog_view(load_table(spark, sf_dir, "events")), drop_deletes=False
-    ).toPandas().set_index("user_id")
+    # Batch baseline over the SAME parsed envelope (stream and batch must
+    # agree on identical input — the generator's state machine makes ops
+    # binlog-level and drops invalid deletes on both paths).
+    from flink_cdc_connectors_spark.sources.envelope import (
+        events_to_debezium_json,
+        parse_debezium_json,
+    )
+
+    rows = parse_debezium_json(events_to_debezium_json(load_table(spark, sf_dir, "events")))
+    batch = changelog_normalize(rows, drop_deletes=False).toPandas().set_index("user_id")
     assert sorted(last.index) == sorted(batch.index)
     for uid in batch.index:
         assert last.loc[uid, "event_id"] == batch.loc[uid, "event_id"], uid
         assert last.loc[uid, "op"] == batch.loc[uid, "op"], uid
     # live view: drop tombstones -> equals the default batch normalize
     live = last[last["op"] != "delete"]
-    want_live = changelog_normalize(
-        changelog_view(load_table(spark, sf_dir, "events"))
-    ).toPandas()
+    want_live = changelog_normalize(rows).toPandas()
     assert sorted(live.index) == sorted(want_live["user_id"])

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
@@ -35,10 +36,60 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from flink_cdc_connectors_spark.sources.schema_history import SchemaHistory
+
 SCHEMA_DDL = (
     "op string, user_id bigint, value double, props string, "
     "ts timestamp, event_id bigint"
 )
+
+# Default captured-table schema when no schema history is supplied.
+_DEFAULT_PAYLOAD = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _payload_schema_from_options(options: dict) -> T.StructType:
+    """The FINAL (latest-version) payload schema the query is pinned to.
+
+    With a schema history, that is the schema at the end of the log — the
+    reference pins the produced type at query planning and conforms older
+    splits to it (SnapshotSplit.tableSchemas; FlinkDatabaseHistory.java).
+    """
+    hist_json = options.get("schemahistoryjson")
+    if not hist_json:
+        return _DEFAULT_PAYLOAD
+    h = SchemaHistory.from_json(hist_json)
+    db = options.get("database", "app")
+    tb = options.get("table", "events")
+    st = h.schema_at(db, tb, 1 << 62)
+    if st is None:
+        raise ValueError(f"schema history has no versions for ({db}, {tb})")
+    return st
+
+
+def _duck_type(dt: T.DataType) -> str:
+    """Spark type -> DuckDB SQL type (for typed NULL projection)."""
+    for cls, name in (
+        (T.LongType, "BIGINT"),
+        (T.IntegerType, "INTEGER"),
+        (T.ShortType, "SMALLINT"),
+        (T.ByteType, "TINYINT"),
+        (T.DoubleType, "DOUBLE"),
+        (T.FloatType, "FLOAT"),
+        (T.BooleanType, "BOOLEAN"),
+        (T.DateType, "DATE"),
+        (T.TimestampType, "TIMESTAMP"),
+    ):
+        if isinstance(dt, cls):
+            return name
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    return "VARCHAR"
 
 # op mapping pinned in sources/envelope.py (EVENT_TYPE_TO_OP)
 _OP_SQL = (
@@ -49,12 +100,18 @@ _OP_SQL = (
 
 @dataclass
 class ChunkPartition(InputPartition):
-    """Snapshot split: consistent chunk state at the high watermark."""
+    """Snapshot split: consistent chunk state at the high watermark.
+
+    ``payload_select``: the per-split decode projection — this split's
+    events are deserialized against the schema current at its offset
+    (SnapshotSplit.tableSchemas analog); empty = default fixture payload.
+    """
 
     path: str
     key_lo: int
     key_hi: int
     hw: int
+    payload_select: str = "user_id, value, props"
 
 
 @dataclass
@@ -64,12 +121,15 @@ class StreamPartition(InputPartition):
     ``chunk_hws``: [(key_lo, key_hi, hw)] — the finished-split metadata the
     reference ships to its binlog reader (FinishedSnapshotSplitInfo);
     ``shouldEmit`` = emit iff the event's offset is past the HW of the
-    chunk containing its key (BinlogSplitReader.java:210-254)."""
+    chunk containing its key (BinlogSplitReader.java:210-254).
+    ``payload_select``: per-range decode projection (ranges never span a
+    DDL offset — partitions() splits them, FlinkDatabaseHistory analog)."""
 
     path: str
     from_off: int
     to_off: int
     chunk_hws: tuple = ()
+    payload_select: str = "user_id, value, props"
 
 
 def _duck(path: str, sql: str):
@@ -100,6 +160,20 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         self.key_lo, self.key_hi = int(key_lo), int(key_hi) + 1
         self.max_off = int(max_off)
         self.hw = int(max_off * frac)
+        # Offset-versioned schemas (FlinkDatabaseHistory / SnapshotSplit.
+        # tableSchemas analog): every split decodes against the schema in
+        # force at its offset; the query output is pinned to the LATEST
+        # schema and older splits are conformed with typed NULLs.
+        self.db = options.get("database", "app")
+        self.table = options.get("table", "events")
+        hist_json = options.get("schemahistoryjson")
+        self.history = SchemaHistory.from_json(hist_json) if hist_json else None
+        self.final_schema = _payload_schema_from_options(options)
+        self.ddl_offsets = (
+            self.history.version_offsets(self.db, self.table) if self.history else []
+        )
+        cur = _duck(self.path, "SELECT * FROM log LIMIT 0")
+        self.physical_cols = {d[0] for d in cur.description}
         # Startup modes (StartupMode.java:24-33): 'initial' = snapshot +
         # stream; 'earliest-offset' = whole log, no snapshot; 'latest-offset'
         # = only new changes; 'specific-offset'/'timestamp' = log from a
@@ -125,6 +199,39 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
             self.start_off = self.max_off
         else:
             self.start_off = None  # initial: snapshot phase decides
+
+    def _payload_select(self, at_offset: int) -> str:
+        """Decode projection for a split whose events are all <= or all >
+        the DDL boundaries — i.e. share one schema version at ``at_offset``.
+
+        Final-schema columns that (a) existed at this offset and (b) are
+        physically present in the log are read; everything else becomes a
+        typed NULL — exactly how the reference conforms a pre-DDL split to
+        the evolved produced type."""
+        if self.history is None:
+            live = {f.name for f in self.final_schema.fields}
+        else:
+            st = self.history.schema_at(self.db, self.table, at_offset)
+            live = {f.name for f in st.fields} if st is not None else set()
+        parts = []
+        for f in self.final_schema.fields:
+            if f.name in live and f.name in self.physical_cols:
+                parts.append(f.name)
+            else:
+                parts.append(f"CAST(NULL AS {_duck_type(f.dataType)}) AS {f.name}")
+        return ", ".join(parts)
+
+    def _split_at_ddl(self, from_off: int, to_off: int) -> list[tuple[int, int]]:
+        """Split (from_off, to_off] so no sub-range spans a DDL offset —
+        every event in a sub-range then decodes with one schema version
+        (the reference re-creates its deserializer on schema change)."""
+        cuts = sorted(
+            {d - 1 for d in self.ddl_offsets if from_off < d - 1 < to_off}
+        )
+        bounds = [from_off, *cuts, to_off]
+        return [
+            (a, b) for a, b in zip(bounds, bounds[1:]) if b > a
+        ]
 
     def _chunk_plan(self, base_hw: int) -> list[tuple[int, int, int]]:
         """[(key_lo, key_hi, hw)] for every snapshot chunk."""
@@ -163,16 +270,24 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         chunk_plan = tuple(self._chunk_plan(start["hw"]))
         if start["phase"] == "snapshot":
             for lo, hi, hw in chunk_plan:
-                parts.append(ChunkPartition(self.path, lo, hi, hw))
+                parts.append(
+                    ChunkPartition(self.path, lo, hi, hw, self._payload_select(hw))
+                )
         # The stream starts at the MIN chunk watermark
         # (MySqlHybridSplitAssigner.createBinlogSplit:189-227); shouldEmit
         # drops events a chunk's backfill already covered.
         min_hw = min((hw for _, _, hw in chunk_plan), default=start["hw"])
         stream_from = min_hw if start["phase"] == "snapshot" else start["off"]
         if end["off"] > stream_from:
-            parts.append(
-                StreamPartition(self.path, stream_from, end["off"], chunk_plan)
-            )
+            # One StreamPartition per schema-uniform sub-range: a range is
+            # cut at every DDL offset it spans, and each piece decodes with
+            # the schema current at its upper bound.
+            for a, b in self._split_at_ddl(stream_from, end["off"]):
+                parts.append(
+                    StreamPartition(
+                        self.path, a, b, chunk_plan, self._payload_select(b)
+                    )
+                )
         if not parts:
             # Spark requires >=1 partition; an empty log range reads nothing
             parts.append(StreamPartition(self.path, end["off"], end["off"]))
@@ -185,8 +300,8 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         # upsertBinlog reconciliation collapsed into SQL.
         if isinstance(partition, ChunkPartition):
             sql = f"""
-            SELECT 'insert' AS op, user_id,
-                   value, props, CAST(ts AS TIMESTAMP) AS ts, event_id
+            SELECT 'insert' AS op, {partition.payload_select},
+                   CAST(ts AS TIMESTAMP) AS ts, event_id
             FROM (
               SELECT *, {_OP_SQL} AS __op,
                      row_number() OVER (PARTITION BY user_id
@@ -208,7 +323,7 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
                 or "TRUE"
             )
             sql = f"""
-            SELECT {_OP_SQL} AS op, user_id, value, props,
+            SELECT {_OP_SQL} AS op, {partition.payload_select},
                    CAST(ts AS TIMESTAMP) AS ts, event_id
             FROM log
             WHERE event_id > {partition.from_off} AND event_id <= {partition.to_off}
@@ -246,12 +361,15 @@ class CdcBinlogDataSource(DataSource):
     def schema(self) -> str:
         # schema() runs at load()-analysis time on the driver — validate
         # here so a missing path fails fast, not asynchronously inside the
-        # stream thread.
+        # stream thread. The produced type is pinned to the LATEST schema
+        # version (pre-DDL splits are conformed with typed NULLs).
         if not self.options.get("path"):
             raise ValueError(
                 "cdc_binlog requires .option('path', <changelog parquet>)"
             )
-        return SCHEMA_DDL
+        payload = _payload_schema_from_options(self.options)
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in payload.fields)
+        return f"op string, {cols}, ts timestamp, event_id bigint"
 
     def streamReader(self, schema: StructType) -> CdcBinlogStreamReader:
         return CdcBinlogStreamReader(schema, self.options)

@@ -121,6 +121,11 @@ class SchemaHistory:
     def tables(self) -> list[tuple[str, str]]:
         return sorted(self._versions)
 
+    def version_offsets(self, database: str, table: str) -> list[int]:
+        """Sorted offsets at which this table's schema changed — the DDL
+        boundaries a reader must not let a split span."""
+        return sorted(o for o, _ in self._versions.get((database, table), []))
+
     # -- checkpointable form (FlinkJsonTableChangeSerializer analog) -------
 
     def to_json(self) -> str:

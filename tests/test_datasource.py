@@ -198,3 +198,57 @@ def test_dsv2_startup_modes(spark, sf_dir, tmp_path, mode, opts, expect):
     else:  # by_ts
         want = events.filter(F.col("ts") >= "2024-01-15 00:00:00").count()
         assert n == want > 0
+
+
+def test_dsv2_schema_history_add_column_mid_stream(spark, sf_dir, tmp_path):
+    """Offset-versioned decode (FlinkDatabaseHistory / SnapshotSplit.
+    tableSchemas analog): with a schema history declaring ADD COLUMN
+    event_type at a mid-log offset, the source's produced type carries the
+    evolved schema, pre-DDL splits decode it as NULL (the column did not
+    exist at their offset), and post-DDL splits surface real values."""
+    from flink_cdc_connectors_spark.sources.schema_history import SchemaHistory
+
+    events = load_table(spark, sf_dir, "events")
+    max_off = events.agg(F.max("event_id")).first()[0]
+    ddl_off = int(max_off * 0.5)
+
+    h = SchemaHistory()
+    h.apply_ddl(
+        "app", "events", 0,
+        "CREATE TABLE events (user_id BIGINT, value DOUBLE, props VARCHAR)",
+    )
+    h.apply_ddl(
+        "app", "events", ddl_off, "ALTER TABLE events ADD COLUMN event_type VARCHAR"
+    )
+
+    out_dir, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("cdc_binlog")
+        .option("path", EVENTS)
+        .option("numChunks", 2)
+        .option("snapshotFraction", 0.4)  # snapshot HW < ddl_off
+        .option("schemaHistoryJson", h.to_json())
+        .load()
+    )
+    assert "event_type" in stream.schema.names  # produced type = latest version
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.read.parquet(out_dir)
+    pre = emitted.filter(F.col("event_id") < ddl_off)
+    post = emitted.filter(F.col("event_id") >= ddl_off)
+    assert pre.count() > 0 and post.count() > 0
+    # pre-DDL events decoded with the old schema: column conformed to NULL
+    assert pre.filter(F.col("event_type").isNotNull()).count() == 0
+    # post-DDL events decoded with the evolved schema: real values
+    assert post.filter(F.col("event_type").isNull()).count() == 0
+    # and the evolved rows keep the pinned op/value columns intact
+    assert post.filter(F.col("user_id").isNull()).count() == 0

@@ -42,12 +42,14 @@ def run_one(spark, builder, sf_dir: str) -> float:
 def main() -> None:
     spark = get_spark(app_name="bench")
     queries = all_queries()
-    # Warm the JVM/session on the smallest fixture so q1 doesn't pay startup.
-    warm = next(iter(sorted(queries)))
-    try:
-        run_one(spark, queries[warm].builder, "/root/testdata/sf0.001")
-    except Exception:
-        pass
+    # Warm the JVM/session on the smallest fixture so q1 doesn't pay startup,
+    # and warm the Python-worker pool (fork + pandas import per core) so the
+    # first Arrow-UDF query isn't charged ~5s of one-time worker spin-up.
+    for warm in (next(iter(sorted(queries))), "ext_multimodal_decode"):
+        try:
+            run_one(spark, queries[warm].builder, "/root/testdata/sf0.001")
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

@@ -42,8 +42,11 @@ def _coef_array(salt: str, dim: int) -> Column:
     """Hyperplane/centroid coefficients as a LITERAL array — computed once
     at plan time in Python, not re-hashed per row (the coefficients are
     data-independent; embedding them keeps the per-row work to one dot
-    product per plane/centroid)."""
-    return F.array(*[F.lit(_hash_coef(salt, i)) for i in range(dim)])
+    product per plane/centroid). A single array Literal, NOT F.array of
+    ``dim`` scalar literals: 16 centroids x 64 element nodes made the
+    expression tree large enough that analysis/codegen dominated small-SF
+    wall-clock."""
+    return F.lit([_hash_coef(salt, i) for i in range(dim)])
 
 
 def srp_bucket(v: Column, num_planes: int = 8, dim: int = 64) -> Column:

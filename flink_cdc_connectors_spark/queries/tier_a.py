@@ -34,7 +34,7 @@ from flink_cdc_connectors_spark.sources.envelope import (
     parse_debezium_json_multi,
     snapshot_to_debezium_json,
 )
-from flink_cdc_connectors_spark.sources.loaders import load_table
+from flink_cdc_connectors_spark.sources.loaders import fan_out, load_table
 
 # SQL fragment: latest event per user_id in offset order (shared by oracles).
 _LATEST_SQL = """
@@ -446,7 +446,11 @@ def cdc_multi_table_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated scan each, no shuffle beyond the final 2-row union.
     """
     e = load_table(spark, sf_dir, "events")
-    o = load_table(spark, sf_dir, "orders")
+    # fan_out: single-row-group fixture file; the snapshot path has no
+    # window shuffle to redistribute it, so to_json/from_json would run on
+    # one core without this (the events side parallelizes via its lag
+    # window's hash shuffle).
+    o = fan_out(load_table(spark, sf_dir, "orders"))
     mixed = events_to_debezium_json(e).unionByName(
         snapshot_to_debezium_json(
             o,

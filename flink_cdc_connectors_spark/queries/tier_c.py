@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from flink_cdc_connectors_spark.registry import query
-from flink_cdc_connectors_spark.sources.loaders import load_table
+from flink_cdc_connectors_spark.sources.loaders import fan_out, load_table
 
 # Offset added to doc_id for planted duplicate copies.
 _COPY_OFFSET = 1_000_000
@@ -193,7 +193,7 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
         F.array_join(F.slice(words, 1, F.size(words) - 2), " ").alias("text"),
     )
-    corpus = docs.select("doc_id", "text").unionByName(near)
+    corpus = fan_out(docs.select("doc_id", "text").unionByName(near))
     # Signature is a pure PROJECTION: min over the doc's shingle array per
     # hash-family member (functions/text.py::minhash_signature) — no
     # explode, no groupBy, zero shuffle until the band join.
@@ -261,7 +261,7 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
         F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias("text"),
     )
-    corpus = docs.select("doc_id", "text").unionByName(near)
+    corpus = fan_out(docs.select("doc_id", "text").unionByName(near))
     fp = corpus.select("doc_id", T.simhash(T.words(F.col("text"))).alias("sig"))
     # 4 bands of 16 bits each: band_value = bits [16b, 16b+16)
     bands = fp.select(
@@ -336,7 +336,7 @@ def ext_sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The LSH-bucketed scale path is ``ext_sim_search_lsh``."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select("vec_id", v.alias("v"))
+    base = fan_out(emb.select("vec_id", v.alias("v")))
 
     def dot(a, b):
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -371,7 +371,7 @@ def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_cdc_connectors_spark.functions import vectors as V
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    base = fan_out(emb.select("vec_id", V.as_double(F.col("embedding")).alias("v")))
 
     def dot(a, b):
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -413,7 +413,7 @@ def ext_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_cdc_connectors_spark.functions import vectors as V
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    base = fan_out(emb.select("vec_id", V.as_double(F.col("embedding")).alias("v")))
     cells = base.withColumn("cell", V.ivf_centroid_id(F.col("v")))
     queries = cells.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell"
@@ -661,7 +661,7 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["checksum"] = (out["n_bytes"] % 256).astype("int64")
             yield out
 
-    return payloads.mapInPandas(
+    return fan_out(payloads).mapInPandas(
         decode, schema="doc_id long, n_bytes long, header string, checksum long"
     )
 
@@ -673,8 +673,10 @@ def _emb_corpus_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", v.alias("e"))
-    return base.unionByName(
-        base.select((F.col("vec_id") + _COPY_OFFSET).alias("vec_id"), "e")
+    return fan_out(
+        base.unionByName(
+            base.select((F.col("vec_id") + _COPY_OFFSET).alias("vec_id"), "e")
+        )
     )
 
 

@@ -35,6 +35,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism.
+
+    The fixture parquet files are written as a SINGLE row group, so Spark's
+    byte-range file splitting cannot parallelize the scan — every query
+    would run its pre-shuffle stages on one core. A real 100 TB table has
+    thousands of row groups and never needs this; here one cheap shuffle of
+    the (small) input buys full parallelism for CPU-heavy downstream work
+    (shingling, hashing, vector math). Apply ONLY where the pre-shuffle
+    stage dominates — it is a no-op cost at fixture sizes but an
+    anti-pattern to sprinkle blindly at scale."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 

@@ -88,6 +88,45 @@ def simhash(words_col: Column, bits: int = 64) -> Column:
     )
 
 
+def simhash_df(df, id_col: str, words_col: Column, bits: int = 64):
+    """Corpus-scale SimHash: same fingerprint as :func:`simhash`, computed
+    as explode -> hash-aggregate instead of a higher-order-function fold.
+
+    The Column form materializes a 64-element vote array per TOKEN (a
+    64-``when`` array zipped into the accumulator) — measured ~6x slower
+    over the sf0.1 corpus than this form, where each token becomes a row,
+    the 64 per-bit one-counts are plain SUM aggregates with map-side
+    partial aggregation (shuffle payload: one 65-long row per doc per
+    partition), and the sign test ``2*ones_b > n_tokens`` reassembles the
+    word. Identical output to ``simhash`` for non-null token arrays.
+
+    Returns a DataFrame (id_col, sig)."""
+    tok = df.select(id_col, F.explode(words_col).alias("_w")).select(
+        id_col, F.xxhash64("_w").alias("_h")
+    )
+    ones = [
+        F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_o{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *ones)
+    # vote_b = 2*ones_b - n ; bit set iff vote > 0. Bits are disjoint, so a
+    # SUM of per-bit terms equals the bitwise OR and stays one flat
+    # codegen expression (1<<63 wraps to Long.MIN, matching simhash()).
+    sig = sum(
+        (
+            F.when(
+                F.col(f"_o{b}") * 2 > F.col("_n"),
+                F.lit((1 << b) if b < bits - 1 else -(1 << (bits - 1))).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for b in range(1, bits)
+        ),
+        start=F.when(
+            F.col("_o0") * 2 > F.col("_n"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return agg.select(id_col, sig.alias("sig"))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))

@@ -467,7 +467,11 @@ def cdc_multi_table_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             db="app",
             table="orders",
         )
-    )
+        # One changelog, N table consumers: persist the generated stream so
+        # the per-table routed parses read it once instead of re-running the
+        # lag window + to_json per table (standard multi-sink fan-out; in
+        # production the changelog is already materialized in the log/topic).
+    ).cache()
     parsed = parse_debezium_json_multi(
         mixed,
         {

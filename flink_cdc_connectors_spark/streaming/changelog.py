@@ -7,9 +7,15 @@ ChangelogMode.all; the flagship ITCase MySqlConnectorITCase.java:215-275
 materializes a GROUP BY over live DML). Spark has no retract-stream trait,
 so the engine's contract is:
 
-  stream of envelope rows  ->  foreachBatch  ->  MERGE into latest-state
-  store  ->  aggregates over the store are retract-correct by construction
+  stream of envelope rows  ->  per-key latest-state store  ->  aggregates
+  over the store are retract-correct by construction
   (normalize-then-aggregate, SURVEY.md §4).
+
+Two materialization strategies (``materialize_latest_state``): the DEFAULT
+routes through ``stateful.streaming_changelog_normalize``
+(applyInPandasWithState — row-level incremental state, O(changed keys) per
+epoch, appended to an update log); the ``rewrite`` fallback is the
+format-agnostic foreachBatch full-store MERGE (O(state) per epoch).
 
 The streaming source is file-based Debezium-envelope JSON — the exact wire
 shape of the reference's JsonDebeziumDeserializationSchema
@@ -112,57 +118,138 @@ def _merge_latest_state(
     os.replace(tmp, state_dir)
 
 
+def _append_state_updates(batch_df: DataFrame, state_dir: str) -> None:
+    """Append one micro-batch of per-key state UPDATES to the store.
+
+    The stateful path's store is an append-only update LOG (LSM-style):
+    each epoch writes only the keys whose state advanced — O(batch), not
+    O(state) — and the read side resolves latest-per-key. The per-key
+    dedup already happened in the state store (applyInPandasWithState), so
+    batch sizes here are bounded by distinct keys per trigger."""
+    out = batch_df.withColumn("ts", F.timestamp_millis(F.col("ts_ms"))).drop("ts_ms")
+    out.write.mode("append").parquet(state_dir)
+
+
 def materialize_latest_state(
     changelog_stream: DataFrame,
     state_dir: str,
     checkpoint_dir: str,
     key_cols: list[str] = ("user_id",),
     available_now: bool = True,
+    strategy: str = "stateful",
 ):
-    """Run the stream -> latest-state materialization (foreachBatch MERGE).
+    """Run the stream -> latest-state materialization. Returns the
+    StreamingQuery; with ``available_now`` the query drains all
+    currently-visible input and stops.
 
-    Returns the StreamingQuery. With ``available_now`` the query drains all
-    currently-visible input and stops — the batch-bounded mode tests use;
-    a live deployment passes False and keeps running per trigger.
+    ``strategy='stateful'`` (default): ChangelogNormalize via
+    ``applyInPandasWithState`` — per-key row-level state in Spark's state
+    store (the reference's keyed state backend), update-mode emissions
+    appended to an update log. Per-epoch write cost is O(changed keys).
+
+    ``strategy='rewrite'``: the foreachBatch full-store MERGE fallback —
+    normalize(store ∪ batch) rewritten per epoch. Correct and
+    format-agnostic, but O(state) per epoch; use when the payload schema
+    can't be expressed as a fixed state StructType (e.g. nested MAP state)
+    or to materialize directly into a plain one-row-per-key table.
     """
-    writer = (
-        changelog_stream.writeStream.outputMode("append")
-        .foreachBatch(
-            lambda df, epoch: _merge_latest_state(df, state_dir, list(key_cols))
+    if strategy == "rewrite":
+        writer = (
+            changelog_stream.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, epoch: _merge_latest_state(df, state_dir, list(key_cols))
+            )
+            .option("checkpointLocation", checkpoint_dir)
         )
-        .option("checkpointLocation", checkpoint_dir)
-    )
+    elif strategy == "stateful":
+        if len(tuple(key_cols)) != 1:
+            raise ValueError("stateful strategy keys state by a single column")
+        from flink_cdc_connectors_spark.sources.envelope import METADATA_COLUMNS
+        from flink_cdc_connectors_spark.streaming.stateful import (
+            streaming_changelog_normalize,
+        )
+
+        key = tuple(key_cols)[0]
+        payload = [
+            f
+            for f in changelog_stream.schema.fields
+            if f.name not in METADATA_COLUMNS and f.name != key
+        ]
+        normalized = streaming_changelog_normalize(
+            changelog_stream, key_col=key, payload_fields=payload
+        )
+        writer = (
+            normalized.writeStream.outputMode("update")
+            .foreachBatch(lambda df, epoch: _append_state_updates(df, state_dir))
+            .option("checkpointLocation", checkpoint_dir)
+        )
+    else:
+        raise ValueError(f"strategy must be 'stateful' or 'rewrite', got {strategy!r}")
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
 
 
-def read_latest_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Query view over the materialized store: live rows only (tombstones
-    filtered) — the upsert-sink read contract."""
-    return spark.read.parquet(state_dir).filter(F.col("op") != "delete")
+def read_latest_state(
+    spark: SparkSession, state_dir: str, key_cols: list[str] = ("user_id",)
+) -> DataFrame:
+    """Query view over the materialized store: latest row per key, live
+    rows only (tombstones filtered) — the upsert-sink read contract.
+
+    Handles both store layouts: the stateful update LOG (several updates
+    per key across epochs — resolve by max offset) and the rewrite store
+    (already one row per key — the window is a no-op)."""
+    state = spark.read.parquet(state_dir)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        state.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return latest.filter(F.col("op") != "delete")
 
 
-def compact_tombstones(spark: SparkSession, state_dir: str, safe_offset: int) -> int:
-    """Drop tombstones whose offset is <= ``safe_offset`` — Kafka
-    log-compaction's delete-retention applied to the state store.
+def compact_tombstones(
+    spark: SparkSession,
+    state_dir: str,
+    safe_offset: int,
+    key_cols: list[str] = ("user_id",),
+) -> int:
+    """Log compaction for the state store: keep only the latest row per
+    key, then drop tombstones whose offset is <= ``safe_offset`` — Kafka
+    log-compaction's delete-retention.
 
     A tombstone is only needed while an out-of-order event older than it
     could still arrive; once the source offset has durably passed
     ``safe_offset`` (the stream's committed position), tombstones at or
-    below it can never be contradicted and are dead weight. Returns the
-    number of tombstones removed."""
+    below it can never be contradicted and are dead weight. Superseded
+    update-log rows (not latest for their key) are always dropped. Returns
+    the number of tombstone ROWS removed."""
     state = spark.read.parquet(state_dir)
-    dead = (F.col("op") == "delete") & (F.col("event_id") <= safe_offset)
-    n = state.filter(dead).count()
-    if n:
+    n_before = state.filter(F.col("op") == "delete").count()
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        state.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    kept = latest.filter(
+        (F.col("op") != "delete") | (F.col("event_id") > safe_offset)
+    )
+    n_after = kept.filter(F.col("op") == "delete").count()
+    removed = n_before - n_after
+    if removed:
         tmp = state_dir.rstrip("/") + ".compact"
-        state.filter(~dead).write.mode("overwrite").parquet(tmp)
+        kept.write.mode("overwrite").parquet(tmp)
         import shutil
 
         shutil.rmtree(state_dir)
         os.replace(tmp, state_dir)
-    return n
+    return removed
 
 
 def windowed_agg_stream(

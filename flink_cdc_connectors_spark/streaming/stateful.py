@@ -7,7 +7,12 @@ changed (update semantics — exactly what the reference's upsert sinks
 consume). Unlike the foreachBatch rewrite in ``changelog.py`` (which
 rewrites the whole store per epoch), state here is row-level and
 incremental — the Structured Streaming analog of Flink's keyed state
-backend.
+backend — and is the DEFAULT path of ``materialize_latest_state``.
+
+The operator is schema-parameterized: state/output StructTypes are built
+from the captured table's payload schema (the reference builds one
+deserializer+state serializer per table from schema history the same way —
+RowDataDebeziumDeserializeSchema createConverter recursion).
 
 Arrow moves batches between JVM and Python; per-key comparison is a few
 pandas ops — this is the sanctioned custom-stateful path the brief's
@@ -16,27 +21,36 @@ pandas ops — this is the sanctioned custom-stateful path the brief's
 
 from __future__ import annotations
 
-from typing import Any, Iterator
+from typing import Any, Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DataType,
     DoubleType,
+    FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
     StructType,
 )
 
-# State per key: offset pair + payload of the latest event.
+# Default payload for the events fixture (matches EVENT_PAYLOAD_SCHEMA minus
+# the key column, which is carried by the groupBy key).
+_DEFAULT_PAYLOAD = [
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+]
+
+# Back-compat exports (the original fixed-schema form).
 STATE_SCHEMA = StructType(
     [
         StructField("ts_ms", LongType()),
         StructField("event_id", LongType()),
         StructField("op", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
+        *_DEFAULT_PAYLOAD,
     ]
 )
 
@@ -44,64 +58,127 @@ OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
         StructField("op", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
+        *_DEFAULT_PAYLOAD,
         StructField("ts_ms", LongType()),
         StructField("event_id", LongType()),
     ]
 )
 
 
-def _normalize_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Keep the max-offset event per key; emit the key's state when it
-    advances. Offset order = (ts_ms, event_id) — BinlogOffset.compareTo."""
-    cur: tuple[Any, ...] | None = state.get if state.exists else None
-    best = cur  # (ts_ms, event_id, op, value, props)
-    for pdf in pdfs:
-        if pdf.empty:
-            continue
-        # normalize to ms regardless of the Arrow datetime unit (ns vs us)
-        pdf = pdf.assign(
-            ts_ms=(pdf["ts"].astype("datetime64[ms]").astype("int64"))
-        )
-        top = pdf.sort_values(["ts_ms", "event_id"]).iloc[-1]
-        cand = (
-            int(top["ts_ms"]),
-            int(top["event_id"]),
-            str(top["op"]),
-            float(top["value"]),
-            str(top["props"]),
-        )
-        if best is None or (cand[0], cand[1]) > (best[0], best[1]):
-            best = cand
-    if best is not None and best != cur:
-        state.update(best)
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "op": [best[2]],
-                "value": [best[3]],
-                "props": [best[4]],
-                "ts_ms": [best[0]],
-                "event_id": [best[1]],
-            }
-        )
+def _to_py(value: Any, dtype: DataType) -> Any:
+    """Pandas/numpy scalar -> the Python type the GroupState serializer
+    expects for ``dtype`` (None passes through)."""
+    if value is None or (isinstance(value, float) and pd.isna(value)):
+        return None if isinstance(dtype, StringType) else value
+    if isinstance(dtype, (LongType, IntegerType)):
+        return int(value)
+    if isinstance(dtype, (DoubleType, FloatType)):
+        return float(value)
+    if isinstance(dtype, StringType):
+        return str(value)
+    return value
 
 
-def streaming_changelog_normalize(changelog_stream: DataFrame) -> DataFrame:
+def make_changelog_normalize(
+    key_col: str = "user_id",
+    payload_fields: list[StructField] | None = None,
+    key_type: DataType | None = None,
+) -> tuple[Callable, StructType, StructType]:
+    """Build the (function, output schema, state schema) triple for a
+    table's ChangelogNormalize given its payload schema.
+
+    State per key: (ts_ms, event_id, op, *payload) of the latest event.
+    Output per advance: (key, op, *payload, ts_ms, event_id)."""
+    payload = list(payload_fields) if payload_fields is not None else list(_DEFAULT_PAYLOAD)
+    state_schema = StructType(
+        [
+            StructField("ts_ms", LongType()),
+            StructField("event_id", LongType()),
+            StructField("op", StringType()),
+            *payload,
+        ]
+    )
+    output_schema = StructType(
+        [
+            StructField(key_col, key_type or LongType()),
+            StructField("op", StringType()),
+            *payload,
+            StructField("ts_ms", LongType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+    payload_names = [f.name for f in payload]
+    payload_types = [f.dataType for f in payload]
+
+    def normalize_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Keep the max-offset event per key; emit the key's state when it
+        advances. Offset order = (ts_ms, event_id) — BinlogOffset.compareTo."""
+        cur: tuple[Any, ...] | None = state.get if state.exists else None
+        best = cur  # (ts_ms, event_id, op, *payload)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            # normalize to ms regardless of the Arrow datetime unit (ns vs us)
+            pdf = pdf.assign(
+                ts_ms=(pdf["ts"].astype("datetime64[ms]").astype("int64"))
+            )
+            top = pdf.sort_values(["ts_ms", "event_id"]).iloc[-1]
+            cand = (
+                int(top["ts_ms"]),
+                int(top["event_id"]),
+                str(top["op"]),
+                *[_to_py(top[n], t) for n, t in zip(payload_names, payload_types)],
+            )
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        if best is not None and best != cur:
+            state.update(best)
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "op": [best[2]],
+                    **{n: [best[3 + i]] for i, n in enumerate(payload_names)},
+                    "ts_ms": [best[0]],
+                    "event_id": [best[1]],
+                }
+            )
+
+    return normalize_fn, output_schema, state_schema
+
+
+def streaming_changelog_normalize(
+    changelog_stream: DataFrame,
+    key_col: str = "user_id",
+    payload_fields: list[StructField] | None = None,
+) -> DataFrame:
     """Changelog stream -> per-key latest-state updates (op='delete' rows
     are emitted as tombstone updates; the consumer drops them from its
-    materialized view). Use outputMode('update')."""
+    materialized view). Use outputMode('update').
+
+    ``payload_fields`` defaults to the events fixture's (value, props); pass
+    the captured table's payload StructFields (minus the key) otherwise."""
+    payload = list(payload_fields) if payload_fields is not None else list(_DEFAULT_PAYLOAD)
+    key_type = changelog_stream.schema[key_col].dataType
+    fn, out_schema, state_schema = make_changelog_normalize(
+        key_col, payload, key_type=key_type
+    )
+    cols = [key_col, "op", *[f.name for f in payload], "ts", "event_id"]
     return (
-        changelog_stream.select("user_id", "op", "value", "props", "ts", "event_id")
-        .groupBy("user_id")
+        changelog_stream.select(*cols)
+        .groupBy(key_col)
         .applyInPandasWithState(
-            _normalize_fn,
-            outputStructType=OUTPUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# Back-compat alias: the original module-level function name.
+def _normalize_fn(key, pdfs, state):
+    fn, _, _ = make_changelog_normalize()
+    return fn(key, pdfs, state)

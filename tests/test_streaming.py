@@ -39,13 +39,16 @@ def envelope_dir(spark, sf_dir, tmp_path_factory):
     return out
 
 
+@pytest.mark.parametrize("strategy", ["stateful", "rewrite"])
 def test_stream_materialize_equals_batch_normalize(
-    spark, sf_dir, envelope_dir, tmp_path
+    spark, sf_dir, envelope_dir, tmp_path, strategy
 ):
     state_dir = str(tmp_path / "state")
     ckpt = str(tmp_path / "ckpt")
     stream = read_changelog_stream(spark, envelope_dir, max_files_per_trigger=1)
-    q = materialize_latest_state(stream, state_dir, ckpt, available_now=True)
+    q = materialize_latest_state(
+        stream, state_dir, ckpt, available_now=True, strategy=strategy
+    )
     q.awaitTermination(300)
 
     got = (
@@ -68,19 +71,24 @@ def test_stream_materialize_equals_batch_normalize(
     assert (got["value_r"] - want["value_r"]).abs().max() < 1e-9
 
 
+@pytest.mark.parametrize("strategy", ["stateful", "rewrite"])
 def test_stream_materialize_is_incremental_and_resumable(
-    spark, sf_dir, envelope_dir, tmp_path
+    spark, sf_dir, envelope_dir, tmp_path, strategy
 ):
     """Restarting from the checkpoint must not change the final state
     (exactly-once restore — the DebeziumOffset/dedup contract)."""
     state_dir = str(tmp_path / "state")
     ckpt = str(tmp_path / "ckpt")
     stream = read_changelog_stream(spark, envelope_dir, max_files_per_trigger=2)
-    materialize_latest_state(stream, state_dir, ckpt, available_now=True).awaitTermination(300)
+    materialize_latest_state(
+        stream, state_dir, ckpt, available_now=True, strategy=strategy
+    ).awaitTermination(300)
     n1 = read_latest_state(spark, state_dir).count()
     # resume with the same checkpoint: no new input -> state unchanged
     stream2 = read_changelog_stream(spark, envelope_dir)
-    materialize_latest_state(stream2, state_dir, ckpt, available_now=True).awaitTermination(300)
+    materialize_latest_state(
+        stream2, state_dir, ckpt, available_now=True, strategy=strategy
+    ).awaitTermination(300)
     n2 = read_latest_state(spark, state_dir).count()
     assert n1 == n2
 

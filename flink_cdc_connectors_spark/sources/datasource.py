@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from flink_cdc_connectors_spark.sources.offsets import BinlogOffset
 from flink_cdc_connectors_spark.sources.schema_history import SchemaHistory
 
 SCHEMA_DDL = (
@@ -251,19 +252,37 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
 
     # -- offsets (HybridPendingSplitsState analog) -------------------------
 
+    @staticmethod
+    def _offset_dict(phase: str, hw: int, off: int) -> dict:
+        # The offset JSON carries the position both as the scalar event_id
+        # and as the composite BinlogOffset form (BinlogOffset.java shape:
+        # kind/gtids/server_id/ts/file/pos/skips); restore prefers the
+        # composite so checkpoints from a multi-component log (GTID sets,
+        # rotated files) flow through the same ordering logic.
+        return {
+            "phase": phase,
+            "hw": hw,
+            "off": off,
+            "binlog": BinlogOffset.specific(file="binlog.000001", pos=off).to_dict(),
+        }
+
+    @staticmethod
+    def _off(d: dict) -> int:
+        return BinlogOffset.from_dict(d["binlog"]).pos if d.get("binlog") else d["off"]
+
     def initialOffset(self) -> dict:
         if self.startup_mode == "initial":
-            return {"phase": "snapshot", "hw": self.hw, "off": -1}
+            return self._offset_dict("snapshot", self.hw, -1)
         # log-only modes: start the stream at the resolved offset, no
         # snapshot chunks (SeekBinlogToTimestampFilter analog for
         # 'timestamp'; binlog seek for the offset modes)
-        return {"phase": "stream", "hw": self.start_off, "off": self.start_off}
+        return self._offset_dict("stream", self.start_off, self.start_off)
 
     def latestOffset(self) -> dict:
         # snapshot not yet emitted -> the next batch is the whole snapshot
         # (all chunks in parallel); afterwards the stream tail advances to
         # the current log end (static fixture: max_off).
-        return {"phase": "stream", "hw": self.hw, "off": self.max_off}
+        return self._offset_dict("stream", self.hw, self.max_off)
 
     def partitions(self, start: dict, end: dict):
         parts: list[InputPartition] = []
@@ -277,12 +296,13 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         # (MySqlHybridSplitAssigner.createBinlogSplit:189-227); shouldEmit
         # drops events a chunk's backfill already covered.
         min_hw = min((hw for _, _, hw in chunk_plan), default=start["hw"])
-        stream_from = min_hw if start["phase"] == "snapshot" else start["off"]
-        if end["off"] > stream_from:
+        stream_from = min_hw if start["phase"] == "snapshot" else self._off(start)
+        end_off = self._off(end)
+        if end_off > stream_from:
             # One StreamPartition per schema-uniform sub-range: a range is
             # cut at every DDL offset it spans, and each piece decodes with
             # the schema current at its upper bound.
-            for a, b in self._split_at_ddl(stream_from, end["off"]):
+            for a, b in self._split_at_ddl(stream_from, end_off):
                 parts.append(
                     StreamPartition(
                         self.path, a, b, chunk_plan, self._payload_select(b)
@@ -290,7 +310,7 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
                 )
         if not parts:
             # Spark requires >=1 partition; an empty log range reads nothing
-            parts.append(StreamPartition(self.path, end["off"], end["off"]))
+            parts.append(StreamPartition(self.path, end_off, end_off))
         return parts
 
     def read(self, partition: InputPartition):

@@ -42,6 +42,24 @@ from pyspark.sql import functions as F
 
 from flink_cdc_connectors_spark.operators.cdc import changelog_normalize
 from flink_cdc_connectors_spark.sources.envelope import changelog_view
+from flink_cdc_connectors_spark.sources.offsets import BinlogOffset
+
+# The simulated binlog is a single file; event_id is the position within it
+# (matches the envelope generator's source.file/pos).
+BINLOG_FILE = "binlog.000001"
+
+
+def _binlog(pos: int) -> dict:
+    """Scalar position -> composite-offset wire dict (BinlogOffset.java
+    shape). The fixture's single-file log makes pos the only live
+    component; a multi-file/GTID deployment fills the rest and the SAME
+    comparison logic (offsets.BinlogOffset) keeps ordering correct."""
+    return BinlogOffset.specific(file=BINLOG_FILE, pos=pos).to_dict()
+
+
+def _pos(d: dict | None, fallback: int) -> int:
+    """Composite wire dict -> scalar position (prefer the composite form)."""
+    return BinlogOffset.from_dict(d).pos if d else fallback
 
 
 @dataclass
@@ -56,7 +74,13 @@ class ChunkState:
 
 @dataclass
 class HybridSourceState:
-    """The restartable offset (HybridPendingSplitsState analog)."""
+    """The restartable offset (HybridPendingSplitsState analog).
+
+    The wire form carries every position BOTH as the scalar event_id and as
+    the composite BinlogOffset dict (kind/gtids/server_id/ts/file/pos/
+    skips — BinlogOffset.java:173-255); restore prefers the composite form,
+    so a checkpoint taken against a real multi-component log (GTID sets,
+    rotated files) restores through the same code path."""
 
     phase: str = "snapshot"  # snapshot -> stream
     chunks: list[ChunkState] = field(default_factory=list)
@@ -66,18 +90,28 @@ class HybridSourceState:
         return json.dumps(
             {
                 "phase": self.phase,
-                "chunks": [vars(c) for c in self.chunks],
+                "chunks": [
+                    {**vars(c), "hw_binlog": _binlog(c.hw) if c.hw >= 0 else None}
+                    for c in self.chunks
+                ],
                 "stream_offset": self.stream_offset,
+                "stream_offset_binlog": (
+                    _binlog(self.stream_offset) if self.stream_offset >= 0 else None
+                ),
             }
         )
 
     @classmethod
     def from_json(cls, s: str) -> "HybridSourceState":
         d = json.loads(s)
+        chunks = []
+        for c in d["chunks"]:
+            hw_binlog = c.pop("hw_binlog", None)
+            chunks.append(ChunkState(**{**c, "hw": _pos(hw_binlog, c["hw"])}))
         return cls(
             phase=d["phase"],
-            chunks=[ChunkState(**c) for c in d["chunks"]],
-            stream_offset=d["stream_offset"],
+            chunks=chunks,
+            stream_offset=_pos(d.get("stream_offset_binlog"), d["stream_offset"]),
         )
 
 

@@ -1,0 +1,183 @@
+"""Composite-offset ordering tests (BinlogOffset.java:173-255 semantics).
+
+Property tests pin the restore-ordering invariants the reference's
+HistoryRecordComparator-derived compareTo guarantees: total order within a
+server's binlog coordinates, GTID containment dominating scalar
+components, NON_STOPPING as +infinity, and wire-form round-trips (what a
+checkpoint restore exercises).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_cdc_connectors_spark.sources.offsets import (
+    NON_STOPPING,
+    BinlogOffset,
+    GtidSet,
+)
+
+UUIDS = ["aaaa-1111", "bbbb-2222", "cccc-3333"]
+
+
+def coords():
+    return st.tuples(
+        st.sampled_from(["binlog.000001", "binlog.000002", "binlog.000010"]),
+        st.integers(0, 1 << 20),
+        st.integers(0, 5),
+        st.integers(0, 5),
+    )
+
+
+def offset_from(c) -> BinlogOffset:
+    f, p, e, r = c
+    return BinlogOffset.specific(file=f, pos=p, skip_events=e, skip_rows=r)
+
+
+@st.composite
+def gtid_sets(draw):
+    parts = []
+    for uuid in draw(st.sets(st.sampled_from(UUIDS), min_size=1)):
+        lo = draw(st.integers(1, 50))
+        hi = draw(st.integers(lo, lo + 100))
+        parts.append(f"{uuid}:{lo}-{hi}")
+    return ",".join(parts)
+
+
+# -- same-server scalar coordinates: a total order ---------------------------
+
+
+@given(coords(), coords())
+@settings(max_examples=200, deadline=None)
+def test_same_server_order_matches_tuple_order(a, b):
+    """(file, pos, skip_events, skip_rows) lexicographic — the reference's
+    fallback chain — must agree with Python tuple comparison."""
+    oa, ob = offset_from(a), offset_from(b)
+    ka = (a[0].lower(), a[1], a[2], a[3])
+    kb = (b[0].lower(), b[1], b[2], b[3])
+    assert (oa < ob) == (ka < kb)
+    assert (oa == ob) == (ka == kb)
+    assert oa.is_at_or_before(ob) == (ka <= kb)
+
+
+@given(coords(), coords(), coords())
+@settings(max_examples=100, deadline=None)
+def test_transitivity(a, b, c):
+    oa, ob, oc = offset_from(a), offset_from(b), offset_from(c)
+    if oa.is_at_or_before(ob) and ob.is_at_or_before(oc):
+        assert oa.is_at_or_before(oc)
+
+
+# -- restore: wire-form round trip -------------------------------------------
+
+
+@given(coords())
+@settings(max_examples=100, deadline=None)
+def test_json_round_trip_preserves_order_identity(a):
+    o = offset_from(a)
+    restored = BinlogOffset.from_json(o.to_json())
+    assert restored == o
+    assert not restored.is_after(o) and not restored.is_before(o)
+
+
+@given(st.lists(coords(), min_size=2, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_restore_preserves_sort_order(cs):
+    """A checkpoint's split list restored through JSON sorts identically —
+    the assigner's restart invariant."""
+    offs = [offset_from(c) for c in cs]
+    restored = [BinlogOffset.from_json(o.to_json()) for o in offs]
+    assert sorted(offs) == sorted(restored)
+
+
+# -- GTID semantics ----------------------------------------------------------
+
+
+@given(gtid_sets())
+@settings(max_examples=100, deadline=None)
+def test_gtid_subset_is_before(gs):
+    """Dropping one transaction from a GTID set makes the offset strictly
+    earlier (containment dominates all scalar components)."""
+    full = GtidSet(gs)
+    uuid, ivs = next(iter(full.intervals.items()))
+    lo, hi = ivs[0]
+    if hi == lo:
+        return  # single-transaction interval: cannot shrink
+    smaller_text = str(full).replace(f"{lo}-{hi}", f"{lo}-{hi - 1}")
+    behind = BinlogOffset(
+        gtid_set=smaller_text, file="binlog.000099", pos=1 << 30
+    )  # scalars LATER on purpose
+    ahead = BinlogOffset(gtid_set=gs, file="binlog.000001", pos=0)
+    assert behind.is_before(ahead)
+    assert ahead.is_after(behind)
+
+
+@given(gtid_sets())
+@settings(max_examples=50, deadline=None)
+def test_gtid_equal_sets_fall_through_to_skip_events(gs):
+    a = BinlogOffset(gtid_set=gs, skip_events=1)
+    b = BinlogOffset(gtid_set=gs, skip_events=3)
+    assert a.is_before(b) and b.is_after(a)
+    assert BinlogOffset(gtid_set=gs) == BinlogOffset(gtid_set=gs)
+
+
+@given(gtid_sets(), coords())
+@settings(max_examples=50, deadline=None)
+def test_gtid_less_side_assumed_older(gs, c):
+    with_gtid = BinlogOffset(gtid_set=gs)
+    without = offset_from(c)
+    assert without.is_before(with_gtid)
+    assert with_gtid.is_after(without)
+
+
+def test_gtid_containment_basics():
+    a = GtidSet("aaaa-1111:1-10")
+    b = GtidSet("aaaa-1111:1-20,bbbb-2222:1-5")
+    assert a.is_contained_within(b)
+    assert not b.is_contained_within(a)
+    # interval merge: 1-3 + 4-6 == 1-6
+    assert GtidSet("aaaa-1111:1-3:4-6") == GtidSet("aaaa-1111:1-6")
+    # disjoint intervals are not covered by a gap
+    assert not GtidSet("aaaa-1111:1-10").is_contained_within(
+        GtidSet("aaaa-1111:1-4:7-10")
+    )
+
+
+def test_non_stopping_is_max():
+    inf = BinlogOffset.non_stopping()
+    big = BinlogOffset(gtid_set="aaaa-1111:1-1000000", file="binlog.999999", pos=1 << 40)
+    assert big.is_before(inf) and inf.is_after(big)
+    assert inf == BinlogOffset.non_stopping()
+    assert inf.kind == NON_STOPPING
+
+
+def test_different_servers_compare_by_timestamp():
+    a = BinlogOffset(server_id=1, ts_sec=100, file="binlog.000009", pos=999)
+    b = BinlogOffset(server_id=2, ts_sec=200, file="binlog.000001", pos=0)
+    assert a.is_before(b)  # despite later file/pos
+
+
+# -- wiring: hybrid source state carries composite offsets -------------------
+
+
+def test_hybrid_state_round_trips_composite(spark, sf_dir):
+    import json
+
+    from flink_cdc_connectors_spark.sources.hybrid_source import (
+        HybridCdcSource,
+        HybridSourceState,
+    )
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    src = HybridCdcSource(spark, load_table(spark, sf_dir, "events"), num_chunks=3)
+    while src.next_snapshot_batch() is not None:
+        pass
+    wire = src.state.to_json()
+    d = json.loads(wire)
+    # composite form present and consistent with the scalar form
+    assert d["stream_offset_binlog"]["pos"] == d["stream_offset"]
+    assert all(c["hw_binlog"]["pos"] == c["hw"] for c in d["chunks"])
+    restored = HybridSourceState.from_json(wire)
+    assert restored.stream_offset == src.state.stream_offset
+    assert [vars(c) for c in restored.chunks] == [vars(c) for c in src.state.chunks]

@@ -221,6 +221,66 @@ def snapshot_to_debezium_json(
     return df.select(F.to_json(envelope).alias("value"))
 
 
+HEARTBEAT_OP = "h"
+
+
+def heartbeat_envelopes(
+    events: DataFrame,
+    interval_ms: int,
+    db: str = "app",
+    table: str = "events",
+) -> DataFrame:
+    """Periodic heartbeat records carrying the log's latest position — the
+    Debezium heartbeat the reference enables via ``heartbeat.interval``
+    (MySqlSourceOptions.java:187-192) so an idle captured table's committed
+    offset keeps advancing while OTHER tables churn the binlog (otherwise
+    the stale offset falls off binlog retention and restore fails).
+
+    One heartbeat per ``interval_ms`` bucket of the log's time range, with
+    ``source.pos`` = the highest log position at or before the bucket end
+    (cumulative max). Heartbeats carry no row images (before/after null) —
+    consumers advance offsets and drop them (RecordUtils.isHeartbeatEvent;
+    the emitter updates split state without emitting downstream).
+
+    Scale: the aggregation reduces the log to one row per interval before
+    the cumulative-max window, so the windowed data is #buckets (time range
+    / interval) — bounded and tiny regardless of log size."""
+    b = events.select(F.unix_millis("ts").alias("ts_ms"), "event_id")
+    agg = b.groupBy((F.col("ts_ms") / interval_ms).cast("long").alias("hb")).agg(
+        F.max("event_id").alias("bucket_max")
+    )
+    w = (
+        Window.orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = agg.withColumn("pos", F.max("bucket_max").over(w))
+    hb_ts = (F.col("hb") + 1) * interval_ms
+    envelope = F.struct(
+        F.lit(None).cast(EVENT_PAYLOAD_SCHEMA).alias("before"),
+        F.lit(None).cast(EVENT_PAYLOAD_SCHEMA).alias("after"),
+        F.struct(
+            F.lit(db).alias("db"),
+            F.lit(table).alias("table"),
+            hb_ts.alias("ts_ms"),
+            F.lit("binlog.000001").alias("file"),
+            F.col("pos").alias("pos"),
+        ).alias("source"),
+        F.lit(HEARTBEAT_OP).alias("op"),
+        hb_ts.alias("ts_ms"),
+    )
+    return cum.select(F.to_json(envelope).alias("value"))
+
+
+def committed_offset(raw: DataFrame, value_col: str = "value") -> int:
+    """The restartable position of an envelope stream INCLUDING heartbeats
+    — max source.pos over every record. For an idle table whose stream
+    carries heartbeats, this keeps advancing past the last data row (the
+    exact property heartbeat.interval exists for)."""
+    pos = F.get_json_object(F.col(value_col), "$.source.pos").cast("long")
+    row = raw.agg(F.max(pos).alias("p")).first()
+    return -1 if row["p"] is None else int(row["p"])
+
+
 def route_tables(envelope_rows: DataFrame) -> dict[tuple[str, str], DataFrame]:
     """Split a mixed multi-table changelog into per-table DataFrames.
 
@@ -270,7 +330,10 @@ def parse_debezium_json(
         raise ValueError(f"payload fields collide with metadata columns: {sorted(overlap)}")
     parsed = raw.select(
         F.from_json(F.col(value_col), make_envelope_schema(payload_schema)).alias("e")
-    )
+        # Heartbeats advance offsets but are never emitted as data rows
+        # (RecordUtils.isHeartbeatEvent -> update split state, no emit);
+        # track them via committed_offset() on the RAW stream.
+    ).filter(F.col("e.op") != HEARTBEAT_OP)
     op = (
         F.when(F.col("e.op").isin("c", "r"), F.lit("insert"))
         .when(F.col("e.op") == "d", F.lit("delete"))

@@ -197,3 +197,36 @@ def test_sql_facade_views(spark, sf_dir):
            ORDER BY value DESC LIMIT 3"""
     ).collect()
     assert len(top) == 3
+
+
+def test_heartbeats_advance_idle_table_offset(spark, sf_dir):
+    """heartbeat.interval semantics (MySqlSourceOptions.java:187-192): an
+    idle captured table's committed offset keeps advancing via heartbeat
+    records, which are never emitted as data rows."""
+    from flink_cdc_connectors_spark.sources.envelope import (
+        committed_offset,
+        events_to_debezium_json,
+        heartbeat_envelopes,
+        parse_debezium_json,
+    )
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    cut = events.agg(F.expr("percentile(event_id, 0.3)")).first()[0]
+    # table B goes idle after `cut`; the full log keeps churning
+    idle_b = events.filter(F.col("event_id") <= cut)
+    data_b = events_to_debezium_json(idle_b, table="b")
+    hb = heartbeat_envelopes(events, interval_ms=3_600_000, table="b")
+    stream_b = data_b.unionByName(hb)
+
+    last_data_pos = committed_offset(data_b)
+    full_pos = committed_offset(stream_b)
+    log_end = events.agg(F.max("event_id")).first()[0]
+    assert last_data_pos <= cut
+    assert full_pos == log_end  # heartbeats carried the offset to log end
+
+    # heartbeats are dropped from the decoded data in both changelog modes
+    for mode in ("upsert", "all"):
+        parsed = parse_debezium_json(stream_b, mode=mode)
+        assert parsed.count() == parse_debezium_json(data_b, mode=mode).count()
+        assert parsed.filter(F.col("user_id").isNull()).count() == 0

@@ -231,6 +231,91 @@ def uneven_chunks(
     return ranked.withColumn("chunk_id", chunk.cast("int")).drop("__rn")
 
 
+def sample_bucket_chunks(
+    df: DataFrame,
+    key: str,
+    num_chunks: int,
+    sample_mod: int = 20,
+) -> DataFrame:
+    """Sample-derived equal-count chunk assignment — the MongoDB
+    ``SampleBucketSplitStrategy`` analog (flink-connector-mongodb-cdc/...
+    /splitters/SampleBucketSplitStrategy.java:94-105: ``$sample`` 5% of the
+    collection, ``$bucketAuto`` into size-derived chunk count, splits from
+    the bucket bounds with open min/max end caps).
+
+    Here the sample is SYSTEMATIC and deterministic (``key % sample_mod ==
+    0`` — same reproducibility across runs/engines that the hash-derived
+    LSH coefficients give the dedup operators), bucket bounds are the
+    equal-count NTILE bounds over the sample (:func:`uneven_chunks` — the
+    distributed bucketAuto), and every row's chunk is a search over the <=
+    ``num_chunks-1`` broadcast boundaries. Cost: one partial-aggregated
+    pass over the 1/``sample_mod`` sample + one boundary search projection
+    over the table — no full-table shuffle at all, which is the point of
+    sampling splits over exact NTILE on a 100 TB collection.
+
+    Accuracy is the sample's: chunks are equal-count up to sampling error,
+    exactly like the reference's 5% ``$sample``.
+    """
+    sample = df.filter((F.col(key) % sample_mod) == 0).select(key)
+    tiled = uneven_chunks(sample, key, num_chunks)
+    bounds = sorted(
+        r["b"]
+        for r in tiled.filter(F.col("chunk_id") < num_chunks - 1)
+        .groupBy("chunk_id")
+        .agg(F.max(key).alias("b"))
+        .collect()
+    )
+    # <= num_chunks-1 boundary literals (the planner state the reference
+    # also holds on its coordinator); first/last chunks are open-ended,
+    # matching minLowerBoundOfId/maxUpperBoundOfId.
+    arr = F.lit([int(b) for b in bounds])
+    chunk = F.size(F.filter(arr, lambda b: F.col(key) > b))
+    return df.withColumn("chunk_id", chunk.cast("int"))
+
+
+def region_chunks(
+    df: DataFrame,
+    key: str,
+    region_bounds: list[int],
+    min_rows: int | None = None,
+) -> DataFrame:
+    """Storage-layout chunk assignment — the TiDB-style split where ranges
+    come from the store's REGION metadata, not from data statistics (the
+    reference's TiDB connector snapshots per TiKV region key range;
+    flink-connector-tidb-cdc reads region-sharded snapshots).
+
+    ``region_bounds``: sorted exclusive upper bounds of each region except
+    the last (the physical split points). Rows are assigned by boundary
+    search (pure projection). With ``min_rows``, adjacent small regions are
+    MERGED until each chunk holds at least that many rows (the reference's
+    chunk-size-driven region grouping): one count aggregate over region ids
+    (<= #regions rows collected), merged on the driver, then reassigned by
+    the merged bounds.
+    """
+    bounds = sorted(int(b) for b in region_bounds)
+    assign = lambda bs: F.size(  # noqa: E731 — tiny local helper
+        F.filter(F.lit(bs), lambda b: F.col(key) >= b)
+    ).cast("int")
+    if min_rows is None or not bounds:
+        return df.withColumn("chunk_id", assign(bounds))
+    counts = dict(
+        (int(r["rid"]), r["cnt"])
+        for r in df.withColumn("rid", assign(bounds))
+        .groupBy("rid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    merged: list[int] = []
+    acc = 0
+    for i, b in enumerate(bounds):
+        acc += counts.get(i, 0)
+        if acc >= min_rows:
+            merged.append(b)  # close the chunk at this region's bound
+            acc = 0
+    # trailing regions with < min_rows fold into the last (open) chunk
+    return df.withColumn("chunk_id", assign(merged))
+
+
 def chunk_reconcile(
     snapshot: DataFrame,
     changes: DataFrame,

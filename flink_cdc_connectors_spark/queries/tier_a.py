@@ -19,6 +19,7 @@ from flink_cdc_connectors_spark.operators.cdc import (
     even_chunks,
     offset_filter,
     retract_aggregate,
+    sample_bucket_chunks,
     to_retract_stream,
     uneven_chunks,
 )
@@ -130,6 +131,52 @@ def cdc_chunk_split_even(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.min("l_orderkey").alias("key_lo"),
             F.max("l_orderkey").alias("key_hi"),
+        )
+    )
+
+
+@query(
+    "cdc_chunk_split_sampled",
+    tier="A",
+    oracle="""
+    WITH sample AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 20 = 0
+    ),
+    tiled AS (
+      SELECT k, ntile(8) OVER (ORDER BY k) AS t FROM sample
+    ),
+    bounds AS (
+      SELECT max(k) AS b FROM tiled WHERE t < 8 GROUP BY t
+    ),
+    assigned AS (
+      SELECT o_orderkey,
+             (SELECT count(*) FROM bounds WHERE o_orderkey > b) AS chunk_id
+      FROM orders
+    )
+    SELECT CAST(chunk_id AS INT)     AS chunk_id,
+           CAST(count(*) AS BIGINT)  AS n_rows,
+           min(o_orderkey)           AS key_lo,
+           max(o_orderkey)           AS key_hi
+    FROM assigned GROUP BY 1
+    """,
+)
+def cdc_chunk_split_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-derived chunk split — the MongoDB SampleBucketSplitStrategy
+    path (flink-connector-mongodb-cdc/.../SampleBucketSplitStrategy.java:
+    94-105: $sample then $bucketAuto over _id, splits from bucket bounds).
+    A deterministic systematic 5% sample stands in for $sample; equal-count
+    bucket bounds come from the distributed NTILE over the sample only;
+    every row is then assigned by a broadcast boundary search. No
+    full-table shuffle — the property that makes sampled splits the right
+    planner for a 100 TB collection where exact NTILE is unaffordable."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        sample_bucket_chunks(o, "o_orderkey", num_chunks=8, sample_mod=20)
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("key_lo"),
+            F.max("o_orderkey").alias("key_hi"),
         )
     )
 

@@ -230,3 +230,40 @@ def test_heartbeats_advance_idle_table_offset(spark, sf_dir):
         parsed = parse_debezium_json(stream_b, mode=mode)
         assert parsed.count() == parse_debezium_json(data_b, mode=mode).count()
         assert parsed.filter(F.col("user_id").isNull()).count() == 0
+
+
+def test_sample_bucket_chunks_near_equal_counts(spark, sf_dir):
+    """SampleBucketSplitStrategy analog: sampled equal-count bounds give
+    chunks balanced up to sampling error, covering all rows exactly once."""
+    from flink_cdc_connectors_spark.operators.cdc import sample_bucket_chunks
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    total = o.count()
+    chunks = (
+        sample_bucket_chunks(o, "o_orderkey", num_chunks=8)
+        .groupBy("chunk_id")
+        .count()
+        .collect()
+    )
+    assert sum(r["count"] for r in chunks) == total  # lossless cover
+    assert len(chunks) == 8
+    ideal = total / 8
+    for r in chunks:
+        assert abs(r["count"] - ideal) / ideal < 0.35, r  # sampling tolerance
+
+
+def test_region_chunks_assignment_and_merge(spark):
+    """TiDB-style physical-region split: boundary assignment + small-region
+    merge up to min_rows."""
+    from flink_cdc_connectors_spark.operators.cdc import region_chunks
+
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    # regions: [0,10) [10,20) [20,90) [90,inf)
+    plain = region_chunks(df, "k", [10, 20, 90])
+    got = {r["chunk_id"]: r["cnt"] for r in plain.groupBy("chunk_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == {0: 10, 1: 10, 2: 70, 3: 10}
+    # merging: each chunk must reach >= 25 rows -> [0,90) and [90,inf) fold
+    merged = region_chunks(df, "k", [10, 20, 90], min_rows=25)
+    got2 = {r["chunk_id"]: r["cnt"] for r in merged.groupBy("chunk_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got2 == {0: 90, 1: 10}

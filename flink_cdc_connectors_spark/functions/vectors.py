@@ -67,6 +67,68 @@ def srp_bucket(v: Column, num_planes: int = 8, dim: int = 64) -> Column:
     )
 
 
+def srp_bucket_tables(
+    v: Column, num_tables: int = 4, num_planes: int = 5, dim: int = 64
+) -> Column:
+    """Multi-TABLE SRP-LSH: ``num_tables`` independent bucket ids per
+    vector (array<string> "t:bits"). Union-of-tables candidate generation
+    is the standard LSH recall lever: recall rises with the number of
+    tables and with FEWER planes per table (coarser buckets — higher
+    collision probability, more candidates per bucket); cost is the probed
+    corpus fraction. The defaults (4 tables x 5 planes = 32 buckets each)
+    probe ~4/32 of the corpus."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(t)),
+                F.concat_ws(
+                    "",
+                    *[
+                        F.when(
+                            dot(
+                                v,
+                                F.slice(
+                                    _coef_array(f"srp{t * num_planes + p}", dim),
+                                    F.lit(1),
+                                    F.size(v),
+                                ),
+                            )
+                            >= 0,
+                            "1",
+                        ).otherwise("0")
+                        for p in range(num_planes)
+                    ],
+                ),
+            )
+            for t in range(num_tables)
+        ]
+    )
+
+
+def ivf_centroid_topk(
+    v: Column, probes: int = 4, num_centroids: int = 16, dim: int = 64
+) -> Column:
+    """Multi-PROBE IVF: the ``probes`` closest pseudo-centroids for a query
+    vector (array<int>), by dot-product score. Probing P cells raises the
+    candidate fraction to P/num_centroids — the IVF nprobe knob (FAISS
+    semantics): recall scales with the probed fraction, cost stays one
+    broadcast join on cell id."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(v, F.slice(_coef_array(f"ivf{c}", dim), F.lit(1), F.size(v))).alias(
+                    "s"
+                ),
+                F.lit(c).alias("c"),
+            )
+            for c in range(num_centroids)
+        ]
+    )
+    top = F.slice(F.sort_array(scored, asc=False), 1, probes)
+    return F.transform(top, lambda x: x["c"].cast("int"))
+
+
 def ivf_centroid_id(v: Column, num_centroids: int = 16, dim: int = 64) -> Column:
     """IVF-style coarse quantization without training: assign each vector
     to the deterministic pseudo-centroid with the highest dot product.

@@ -400,16 +400,23 @@ def ext_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the corpus shuffles once on cell id (16 cells here; thousands at
     real scale), queries broadcast to their cells, and the exact re-rank
-    touches |corpus|/num_cells candidates per query instead of |corpus|.
-    Recall is tuned by probing the top-P closest cells; P=1 here keeps the
-    oracle-free check deterministic."""
+    touches P*|corpus|/num_cells candidates per query instead of |corpus|.
+    Recall tunes with the nprobe knob — each QUERY probes its top-P cells
+    (P=2 here; functions/vectors.py::ivf_centroid_topk), the corpus stays
+    single-cell. ``ext_ann_recall`` records the measured recall@10 at
+    P=1 and P=4 operating points."""
     from flink_cdc_connectors_spark.functions import vectors as V
 
     emb = load_table(spark, sf_dir, "embeddings")
     base = fan_out(emb.select("vec_id", V.as_double(F.col("embedding")).alias("v")))
     cells = base.withColumn("cell", V.ivf_centroid_id(F.col("v")))
-    queries = cells.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell"
+    queries = (
+        base.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.explode(V.ivf_centroid_topk(F.col("v"), probes=2)).alias("cell"),
+        )
     )
     pairs = cells.join(F.broadcast(queries), "cell").filter(
         F.col("vec_id") != F.col("q_id")
@@ -773,14 +780,20 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn") <= k
         )
 
-    # exact ground truth: brute-force cosine over the whole corpus
-    exact = topk(
-        base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id")).select(
-            "q_id",
-            "vec_id",
-            F.round(V.cosine_sim(F.col("qv"), F.col("e")), 6).alias("sim"),
+    # exact ground truth: brute-force cosine over the whole corpus — CACHED
+    # (tiny: #queries x 10 rows) because every method() below reads it
+    # twice; without the cache the most expensive scan re-runs 8x.
+    exact = (
+        topk(
+            base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id")).select(
+                "q_id",
+                "vec_id",
+                F.round(V.cosine_sim(F.col("qv"), F.col("e")), 6).alias("sim"),
+            )
         )
-    ).select("q_id", "vec_id")
+        .select("q_id", "vec_id")
+        .cache()
+    )
     # SRP-LSH: candidates restricted to the query's bucket
     sig = base.withColumn("bucket", V.srp_bucket(F.col("e")))
     q_sig = sig.filter(
@@ -795,20 +808,49 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(V.cosine_sim(F.col("qv"), F.col("e")), 6).alias("sim"),
         )
     ).select("q_id", "vec_id")
-    # IVF: candidates restricted to the query's cell
-    cells = base.withColumn("cell", V.ivf_centroid_id(F.col("e")))
-    q_cell = cells.filter(
+    # multi-TABLE SRP-LSH: union of candidates over 4 independent coarser
+    # tables (5 planes each) — the standard LSH recall/cost lever
+    tsig = base.withColumn(
+        "tbucket", F.explode(V.srp_bucket_tables(F.col("e"), num_tables=4))
+    )
+    q_tsig = tsig.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _COPY_OFFSET)
-    ).select(F.col("vec_id").alias("q_id"), F.col("e").alias("qv"), "cell")
-    ivf = topk(
-        cells.join(F.broadcast(q_cell), "cell")
+    ).select(F.col("vec_id").alias("q_id"), F.col("e").alias("qv"), "tbucket")
+    lsh4 = topk(
+        tsig.join(F.broadcast(q_tsig), "tbucket")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
             F.round(V.cosine_sim(F.col("qv"), F.col("e")), 6).alias("sim"),
         )
+        # a pair may collide in several tables — count once; dedup AFTER
+        # scoring so the distinct shuffles 3 scalars, not 64-double arrays
+        .distinct()
     ).select("q_id", "vec_id")
+    # IVF: corpus in its own cell; queries probe their top-P cells
+    cells = base.withColumn("cell", V.ivf_centroid_id(F.col("e")))
+
+    def ivf_at(probes: int) -> DataFrame:
+        q_cell = (
+            base.filter(
+                (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _COPY_OFFSET)
+            )
+            .select(
+                F.col("vec_id").alias("q_id"),
+                F.col("e").alias("qv"),
+                F.explode(V.ivf_centroid_topk(F.col("e"), probes=probes)).alias("cell"),
+            )
+        )
+        return topk(
+            cells.join(F.broadcast(q_cell), "cell")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "vec_id",
+                F.round(V.cosine_sim(F.col("qv"), F.col("e")), 6).alias("sim"),
+            )
+        ).select("q_id", "vec_id")
 
     n_truth = F.count(F.lit(1)).alias("n_truth")
 
@@ -825,4 +867,9 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return method("srp_lsh", lsh).unionByName(method("ivf", ivf))
+    return (
+        method("srp_lsh", lsh)
+        .unionByName(method("srp_lsh_4tables", lsh4))
+        .unionByName(method("ivf", ivf_at(1)))
+        .unionByName(method("ivf_p4", ivf_at(4)))
+    )

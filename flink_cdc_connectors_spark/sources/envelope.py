@@ -386,23 +386,40 @@ def parse_debezium_json_multi(
     schemas: dict[tuple[str, str], T.StructType],
     value_col: str = "value",
     mode: str = "upsert",
+    cache: bool = False,
 ) -> dict[tuple[str, str], DataFrame]:
     """Route a MIXED multi-table envelope stream and decode each table with
     its own payload schema.
 
     The reference streams many tables through one binlog and picks the
     per-table deserializer by source db/table (TableDiscoveryUtils;
-    sharding ITCase MySqlConnectorITCase.java:1294-1336). Here the route
-    key is extracted from the raw JSON (``$.source.db/table`` — cheap
-    scalar path, no full payload parse), then each table's slice is decoded
-    against its declared StructType. Unknown tables are ignored, exactly
-    like rows outside the captured-table list.
+    sharding ITCase MySqlConnectorITCase.java:1294-1336). The route key is
+    extracted from the raw JSON ONCE (``$.source.db/table`` — cheap scalar
+    path, no full payload parse; the analog of reading the record header),
+    then each table's slice is decoded against its declared StructType.
+    Unknown tables are ignored, exactly like rows outside the
+    captured-table list.
+
+    ``cache=True`` persists the route-keyed stream so N table consumers
+    read the (possibly expensive to produce) input once — the multi-sink
+    fan-out pattern; in production the changelog is already materialized in
+    the log/topic, making this a no-op.
     """
-    db_c = F.get_json_object(F.col(value_col), "$.source.db")
-    tb_c = F.get_json_object(F.col(value_col), "$.source.table")
+    routed = raw.select(
+        F.col(value_col),
+        F.get_json_object(F.col(value_col), "$.source.db").alias("__route_db"),
+        F.get_json_object(F.col(value_col), "$.source.table").alias("__route_tb"),
+    )
+    if cache:
+        routed = routed.cache()
     return {
         (db, tb): parse_debezium_json(
-            raw.filter((db_c == db) & (tb_c == tb)), value_col, mode, schema
+            routed.filter(
+                (F.col("__route_db") == db) & (F.col("__route_tb") == tb)
+            ),
+            value_col,
+            mode,
+            schema,
         )
         for (db, tb), schema in sorted(schemas.items())
     }

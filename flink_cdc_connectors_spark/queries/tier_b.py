@@ -1040,3 +1040,154 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (v.clip(lower=25.0, upper=400.0) * 1.5 + 1.0).round(4)
 
     return e.select("event_id", adjust("value").alias("adjusted"))
+
+
+# ---------------------------------------------------------------------------
+# Subqueries / pivot / percentiles / range frames (Flink-SQL surface parity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "subquery_scalar",
+    tier="B",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS price
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (orders above 2x the global average)
+    — Catalyst plans the subquery as a one-row broadcast, the shape Flink
+    SQL's single-row subquery rewrite produces. Spark-first: spark.sql over
+    a registered temp view so the sub-plan flows through the same
+    optimizer rewrites the reference's SQL surface relies on."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS price
+        FROM __orders_sq
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM __orders_sq)
+        """
+    )
+
+
+@query(
+    "subquery_in_correlated",
+    tier="B",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def subquery_in_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated IN subquery (customers holding a >300k order) — the
+    decorrelation rewrite (subquery -> left-semi join) both engines share;
+    Flink SQL documents the same IN/EXISTS rewrites over CDC tables."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("__cust_sq")
+    o.createOrReplaceTempView("__orders_sq2")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM __cust_sq c
+        WHERE c_custkey IN (
+          SELECT o_custkey FROM __orders_sq2 o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        """
+    )
+
+
+@query(
+    "pivot_agg",
+    tier="B",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH')   AS BIGINT) AS n_high,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_medium
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (priority columns per status) via df.groupBy().pivot() — the
+    wide-format reporting shape; Catalyst compiles it to one hash aggregate
+    with conditional counts, exactly the oracle's FILTER form (no second
+    shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .count()
+    )
+    return p.select(
+        "o_orderstatus",
+        F.coalesce(F.col("1-URGENT"), F.lit(0)).alias("n_urgent"),
+        F.coalesce(F.col("2-HIGH"), F.lit(0)).alias("n_high"),
+        F.coalesce(F.col("3-MEDIUM"), F.lit(0)).alias("n_medium"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    tier="B",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+           round(max(o_totalprice), 4)                 AS p_max
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`: linear interpolation over the sorted group).
+    The exact form shuffles each group's values once; at 100 TB the
+    drop-in is `approx_percentile` (t-digest sketch, map-side combined) —
+    same call shape, bounded memory."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        F.round(F.max("o_totalprice"), 4).alias("p_max"),
+    )
+
+
+@query(
+    "window_range_frame",
+    tier="B",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(count(*) OVER (
+             PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+             RANGE BETWEEN 7776000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_90d
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, orders in the trailing 90 days —
+    a VALUE-based frame (rangeBetween over epoch millis), not a row count.
+    The event-time trailing-window shape streaming deployments express
+    with OVER ... RANGE in Flink SQL."""
+    o = load_table(spark, sf_dir, "orders")
+    ms = F.unix_millis(F.to_timestamp("o_orderdate"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(ms)
+        .rangeBetween(-90 * 24 * 3600 * 1000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_last_90d"),
+    )

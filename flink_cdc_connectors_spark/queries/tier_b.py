@@ -1119,21 +1119,19 @@ def subquery_in_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT (priority columns per status) via df.groupBy().pivot() — the
-    wide-format reporting shape; Catalyst compiles it to one hash aggregate
-    with conditional counts, exactly the oracle's FILTER form (no second
-    shuffle)."""
+    """PIVOT (priority columns per status) as conditional-count aggregation
+    — the wide-format reporting shape. With a KNOWN pivot-value list this
+    compiles to ONE hash aggregate (count-if per value, map-side combined);
+    `df.groupBy().pivot()` would plan a two-phase aggregate (an extra
+    shuffle on (status, priority)) that only pays off when the value list
+    must be discovered from the data."""
     o = load_table(spark, sf_dir, "orders")
-    p = (
-        o.groupBy("o_orderstatus")
-        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
-        .count()
-    )
-    return p.select(
-        "o_orderstatus",
-        F.coalesce(F.col("1-URGENT"), F.lit(0)).alias("n_urgent"),
-        F.coalesce(F.col("2-HIGH"), F.lit(0)).alias("n_high"),
-        F.coalesce(F.col("3-MEDIUM"), F.lit(0)).alias("n_medium"),
+
+    def n(val: str, alias: str):
+        return F.count(F.when(F.col("o_orderpriority") == val, 1)).alias(alias)
+
+    return o.groupBy("o_orderstatus").agg(
+        n("1-URGENT", "n_urgent"), n("2-HIGH", "n_high"), n("3-MEDIUM", "n_medium")
     )
 
 

@@ -93,3 +93,42 @@ def test_sim_search_broadcasts_queries(spark, sf_dir):
     shuffle for the join itself."""
     df = Q["ext_sim_search_cosine"].builder(spark, sf_dir)
     assert has_broadcast_join(df)
+
+
+def test_pivot_is_single_aggregate(spark, sf_dir):
+    """PIVOT must compile to ONE hash aggregate (conditional counts), not a
+    per-pivot-value shuffle: exactly the one groupBy exchange."""
+    df = Q["pivot_agg"].builder(spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+
+def test_scalar_subquery_no_extra_shuffle(spark, sf_dir):
+    """The scalar subquery is a one-row broadcast into the filter — the
+    outer scan must not shuffle at all."""
+    df = Q["subquery_scalar"].builder(spark, sf_dir)
+    assert shuffle_count(df) == 0
+
+
+def test_correlated_in_decorrelates_to_join(spark, sf_dir):
+    """Correlated IN must decorrelate to a join (no per-row subquery
+    execution); plan contains a semi/hash join, not a nested subquery."""
+    plan = explain_str(Q["subquery_in_correlated"].builder(spark, sf_dir))
+    assert "Join" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sampled_chunks_no_full_table_shuffle(spark, sf_dir):
+    """sample_bucket_chunks assigns by broadcast boundary search — the full
+    orders table itself is never shuffled; the only exchange left is the
+    final per-chunk stats aggregate."""
+    df = Q["cdc_chunk_split_sampled"].builder(spark, sf_dir)
+    assert shuffle_count(df) <= 1
+
+
+def test_simhash_aggregate_is_partial(spark, sf_dir):
+    """The corpus-scale SimHash must show map-side partial aggregation
+    (explode -> partial_sum -> exchange -> final), never a single-partition
+    window."""
+    df = Q["ext_dedup_simhash"].builder(spark, sf_dir)
+    plan = explain_str(df)
+    assert "partial" in plan.lower()
+    assert not has_single_partition_exchange(df)

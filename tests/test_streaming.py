@@ -297,3 +297,95 @@ def test_stateful_streaming_normalize(spark, sf_dir, envelope_dir):
     live = last[last["op"] != "delete"]
     want_live = changelog_normalize(rows).toPandas()
     assert sorted(live.index) == sorted(want_live["user_id"])
+
+
+def test_stream_dedup_exact_cross_batch(spark, sf_dir, tmp_path):
+    """First-seen-wins exact dedup across micro-batches: a duplicate
+    arriving in a LATER batch is suppressed by the state store."""
+    from flink_cdc_connectors_spark.streaming.dedup import stream_dedup_exact
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    # batch 1: originals; batch 2: same texts under new ids (+ one new doc)
+    docs.coalesce(1).write.mode("overwrite").json(src + "/b1")
+    import time
+
+    time.sleep(1.1)  # distinct mtimes: the file source orders oldest-first
+    dupes = docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    fresh = spark.createDataFrame(
+        [(99_999, "a genuinely new document body entirely unseen")],
+        "doc_id long, text string",
+    )
+    dupes.unionByName(fresh).coalesce(1).write.mode("overwrite").json(src + "/b2")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src + "/*")
+    )
+    q = (
+        stream_dedup_exact(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    n_in = docs.count()
+    assert got.count() == n_in + 1  # originals + the one fresh doc
+    assert got.select("text_hash").distinct().count() == n_in + 1
+    assert got.filter(F.col("doc_id") == 99_999).count() == 1
+
+
+def test_stream_dedup_minhash_suppresses_near_dups(spark, sf_dir, tmp_path):
+    """Near-dup suppression across batches: a later doc differing only in
+    its last word shares all/most shingles, collides in at least one band,
+    and is dropped; a genuinely new doc survives."""
+    from flink_cdc_connectors_spark.streaming.dedup import (
+        materialize_stream_dedup_minhash,
+    )
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(words) > 12)
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    docs.coalesce(1).write.mode("overwrite").json(src + "/b1")
+    import time
+
+    time.sleep(1.1)  # distinct mtimes: the file source orders oldest-first
+    near = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias("text"),
+    )
+    near.coalesce(1).write.mode("overwrite").json(src + "/b2")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src + "/*")
+    )
+    materialize_stream_dedup_minhash(stream, out, ckpt).awaitTermination(300)
+    got = spark.read.parquet(out)
+    n_in = docs.count()
+    kept_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    # Nearly all originals kept — a small corpus can contain NATURAL
+    # near-dup pairs among the originals themselves, and first-seen-wins
+    # correctly suppresses the later one (that's the operator working,
+    # not a bug), so allow a small margin.
+    n_orig_kept = sum(1 for i in kept_ids if i < 10_000)
+    assert n_orig_kept >= n_in - 2, f"originals kept: {n_orig_kept}/{n_in}"
+    # ...and the bulk of the cross-batch planted near-copies suppressed
+    # (LSH recall over 3-gram shingle signatures is high, not exact)
+    n_near_kept = sum(1 for i in kept_ids if i >= 10_000)
+    assert n_near_kept <= n_in * 0.25, f"near-dups kept: {n_near_kept}/{n_in}"

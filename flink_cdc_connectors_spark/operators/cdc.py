@@ -203,6 +203,59 @@ def global_running_max(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_key: str,
+    value_col: str,
+    out_col: str = "__runsum",
+    exclusive: bool = False,
+    target_buckets: int = 10_000,
+) -> DataFrame:
+    """Distributed exact running sum of ``value_col`` in ``order_key`` order.
+
+    Same bucketed-prefix cure as :func:`global_row_number` /
+    :func:`global_running_max` — a bare ``sum(v) OVER (ORDER BY k)`` would
+    drag every row through one task. Here:
+
+      1. bucket rows by fixed ``order_key`` width (pure projection),
+      2. collect per-bucket sums (<= ``target_buckets`` tiny rows) and
+         prefix-sum them on the driver,
+      3. running sum = bucket prefix + within-bucket window sum — ONE hash
+         shuffle on the bucket, fully parallel.
+
+    ``exclusive=True`` returns the sum over strictly-preceding rows (the
+    offset form sequence packing needs); requires ``order_key`` unique.
+    """
+    lo, hi = df.agg(F.min(order_key), F.max(order_key)).first()
+    width = max((int(hi) - int(lo) + 1) // target_buckets, 1)
+    with_b = df.withColumn(
+        "__bucket", F.floor((F.col(order_key) - F.lit(int(lo))) / F.lit(width))
+    )
+    bsum = sorted(
+        (int(r["__bucket"]), r["s"])
+        for r in with_b.groupBy("__bucket").agg(F.sum(value_col).alias("s")).collect()
+    )
+    prefix, acc = [], 0
+    for b, s in bsum:
+        prefix.append((b, acc))
+        acc += s or 0
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(prefix, "__bucket long, __psum long")
+    )
+    frame_end = -1 if exclusive else 0
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(order_key)
+        .rowsBetween(Window.unboundedPreceding, frame_end)
+    )
+    in_bucket = F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    return (
+        with_b.join(off_df, "__bucket")
+        .withColumn(out_col, F.col("__psum") + in_bucket)
+        .drop("__bucket", "__psum")
+    )
+
+
 def uneven_chunks(
     df: DataFrame,
     key: str,

@@ -1,0 +1,299 @@
+"""Tier B extensions — widening the relational surface.
+
+Distribution-aware windows (NTILE / PERCENT_RANK / CUME_DIST,
+FIRST/LAST/NTH_VALUE frames), ordered string aggregation, ARG_MAX/ARG_MIN,
+array UNNEST with ordinality, MapType construction + access, null-aware
+NOT IN, and the stream-static broadcast enrichment join — each a Flink-SQL
+capability the reference's changelog sources feed
+(`README.md:27-56` declares the full Flink SQL surface over CDC tables;
+the enrichment join is the tutorial's orders⋈products shape,
+`docs/content/quickstart/mysql-postgres-tutorial.md:263-267`).
+
+Cross-engine determinism: every window order is tie-broken to a unique key,
+ARG_MAX ordering keys are zero-padded sortable strings (identical
+lexicographic order in Spark's max_by and DuckDB's arg_max), doubles are
+rounded, collected lists are sorted before joining.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from flink_cdc_connectors_spark.registry import query
+from flink_cdc_connectors_spark.sources.loaders import load_table
+
+
+# ---------------------------------------------------------------------------
+# Distribution windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_ntile_dist",
+    tier="B",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6)    AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE / PERCENT_RANK / CUME_DIST per nation — the distribution
+    window family of the Flink SQL surface (README.md:27-56). Partitioned
+    by nation key, so the window shuffles once on the partition key and
+    never collapses to a single task; order tie-broken by the unique
+    c_custkey so NTILE bucket boundaries are engine-independent."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "window_first_last",
+    tier="B",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(first_value(o_totalprice) OVER w, 2)   AS first_price,
+           round(last_value(o_totalprice) OVER w, 2)    AS last_price,
+           round(nth_value(o_totalprice, 2) OVER w, 2)  AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE with an explicit full-partition
+    ROWS frame (the default frame differs between engines — RANGE ... AND
+    CURRENT ROW — so the frame is pinned). Per-customer order history:
+    first, latest, and second order price."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation / arg extremes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_string_agg",
+    tier="B",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations_csv,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / STRING_AGG) — per market
+    segment, the sorted distinct nation names customers come from.
+    Spark-first: collect_set -> array_sort -> array_join keeps the
+    aggregation partial (set-union map-side) and makes the order explicit
+    rather than engine-dependent. Dim join broadcasts (25-row nation)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations_csv"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "agg_arg_extremes",
+    tier="B",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, printf('%020.2f|%012d', o_totalprice, o_orderkey)) AS max_price_order,
+           arg_min(o_orderkey, printf('%020.2f|%012d', o_totalprice, o_orderkey)) AS min_price_order,
+           round(max(o_totalprice), 2) AS max_price,
+           round(min(o_totalprice), 2) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARG_MAX / ARG_MIN (Spark max_by/min_by): the order key that holds
+    each priority class's highest and lowest price. Ties are impossible by
+    construction — the ordering key is a zero-padded '(price, orderkey)'
+    string, identical lexicographic order in both engines — so the answer
+    is deterministic, not 'any max row'. One partial-aggregable scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "max_by(o_orderkey, format_string('%020.2f|%012d', o_totalprice, o_orderkey))"
+        ).alias("max_price_order"),
+        F.expr(
+            "min_by(o_orderkey, format_string('%020.2f|%012d', o_totalprice, o_orderkey))"
+        ).alias("min_price_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array unnest / map ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "explode_unnest",
+    tier="B",
+    oracle="""
+    SELECT vec_id,
+           generate_subscripts(embedding, 1)          AS idx,
+           round(CAST(unnest(embedding) AS DOUBLE), 5) AS val
+    FROM embeddings
+    WHERE vec_id < 8
+    """,
+)
+def explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST WITH ORDINALITY (Spark posexplode) — flatten vectors to
+    (vec_id, 1-based index, value) rows, the lateral-view shape MongoDB
+    array columns decode into (MongoDBConnectorDeserializationSchema.java
+    ARRAY converter). The vec_id filter is pushed to the parquet scan
+    BEFORE the generator runs — explode never multiplies pruned rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.filter(F.col("vec_id") < 8)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("idx"),
+            F.round(F.col("v").cast("double"), 5).alias("val"),
+        )
+    )
+
+
+@query(
+    "map_ops",
+    tier="B",
+    oracle="""
+    SELECT user_id,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction and access — per user, a map of
+    event_type -> count built with map_from_entries, then read back via
+    element_at / map_keys (the MAP-typed column surface MongoDB CDC
+    produces, MongoDBConnectorDeserializationSchema.java:261-265; DuckDB
+    has no comparable MAP aggregate, so the oracle checks the extracted
+    scalars). Two partial-aggregable shuffles on (user_id, type) then
+    user_id — the standard wordcount shape, no skew at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    with_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return with_map.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).cast("long").alias("n_click"),
+        F.coalesce(F.element_at("m", "error"), F.lit(0)).cast("long").alias("n_error"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("types_csv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-aware NOT IN
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "subquery_not_in",
+    tier="B",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+)
+def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery — orders from customers NOT in the negative-balance
+    set. NOT IN is null-aware (one NULL in the subquery empties the
+    result), so Catalyst plans a null-aware anti join, not a plain anti
+    join — the same three-valued-logic rewrite Flink SQL applies. Executed
+    through spark.sql so the decorrelation runs in the optimizer."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    o.createOrReplaceTempView("__orders_ni")
+    c.createOrReplaceTempView("__cust_ni")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM __orders_ni
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM __cust_ni WHERE c_acctbal < 0)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_join_static",
+    tier="B",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the change stream joined to a
+    slowly-changing dimension (the tutorial's orders⋈products shape,
+    mysql-postgres-tutorial.md:263-267). The dim side is explicitly
+    broadcast: in Structured Streaming a stream-static equi-join must be
+    map-side (state-free, re-resolved per micro-batch) — a shuffled dim
+    would re-shuffle the unbounded side every batch. Batch form here ==
+    one micro-batch; the streaming run is pinned in
+    tests/test_streaming_ext.py."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.select("c_custkey", "c_mktsegment")
+    return (
+        e.join(F.broadcast(dim), e.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

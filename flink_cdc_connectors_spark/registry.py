@@ -29,6 +29,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERY_MODULES = (
     "flink_cdc_connectors_spark.queries.tier_a",
     "flink_cdc_connectors_spark.queries.tier_b",
+    "flink_cdc_connectors_spark.queries.tier_b_ext",
     "flink_cdc_connectors_spark.queries.tier_c",
 )
 

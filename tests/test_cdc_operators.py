@@ -267,3 +267,35 @@ def test_region_chunks_assignment_and_merge(spark):
     merged = region_chunks(df, "k", [10, 20, 90], min_rows=25)
     got2 = {r["chunk_id"]: r["cnt"] for r in merged.groupBy("chunk_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert got2 == {0: 90, 1: 10}
+
+
+def test_global_running_sum_matches_single_partition_truth(spark):
+    """Distributed bucketed prefix-sum == the naive global-window answer,
+    inclusive and exclusive, and the plan never collapses to one task."""
+    from flink_cdc_connectors_spark.operators.cdc import global_running_sum
+    from flink_cdc_connectors_spark.plans import has_single_partition_exchange
+
+    df = spark.range(0, 5_000).select(
+        (F.col("id") * 7 % 5_000).alias("k"), (F.col("id") % 13).alias("v")
+    )
+    got = {
+        r["k"]: r["__runsum"]
+        for r in global_running_sum(df, "k", "v", target_buckets=16).collect()
+    }
+    rows = sorted((r["k"], r["v"]) for r in df.collect())
+    acc = 0
+    for k, v in rows:
+        acc += v
+        assert got[k] == acc, f"inclusive mismatch at k={k}"
+    ex = {
+        r["k"]: r["__runsum"]
+        for r in global_running_sum(
+            df, "k", "v", exclusive=True, target_buckets=16
+        ).collect()
+    }
+    acc = 0
+    for k, v in rows:
+        assert ex[k] == acc, f"exclusive mismatch at k={k}"
+        acc += v
+    out = global_running_sum(df, "k", "v", target_buckets=16)
+    assert not has_single_partition_exchange(out)

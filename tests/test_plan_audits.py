@@ -132,3 +132,49 @@ def test_simhash_aggregate_is_partial(spark, sf_dir):
     plan = explain_str(df)
     assert "partial" in plan.lower()
     assert not has_single_partition_exchange(df)
+
+
+def test_distribution_windows_stay_partitioned(spark, sf_dir):
+    """NTILE/PERCENT_RANK/CUME_DIST are partitioned by nation key — never a
+    single-task global window."""
+    assert not has_single_partition_exchange(
+        Q["window_ntile_dist"].builder(spark, sf_dir)
+    )
+    assert not has_single_partition_exchange(
+        Q["window_first_last"].builder(spark, sf_dir)
+    )
+
+
+def test_string_agg_broadcasts_dim_and_partials(spark, sf_dir):
+    """LISTAGG: 25-row nation dim broadcasts; collect_set aggregates show a
+    map-side partial pass."""
+    df = Q["agg_string_agg"].builder(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert "partial" in explain_str(df).lower()
+
+
+def test_map_ops_wordcount_shape(spark, sf_dir):
+    """Map construction is the two-level wordcount: (user,type) then user —
+    bounded shuffles, no single-partition stage."""
+    df = Q["map_ops"].builder(spark, sf_dir)
+    assert not has_single_partition_exchange(df)
+    assert shuffle_count(df) <= 2
+
+
+def test_unnest_filter_pushed_before_explode(spark, sf_dir):
+    """The vec_id predicate reaches the parquet scan — explode must never
+    multiply rows that pruning would have dropped."""
+    assert has_pushed_filters(Q["explode_unnest"].builder(spark, sf_dir), "vec_id")
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """NOT IN must become a (null-aware) anti join, not a per-row
+    subquery."""
+    plan = explain_str(Q["subquery_not_in"].builder(spark, sf_dir))
+    assert "Anti" in plan
+
+
+def test_stream_static_dim_broadcasts(spark, sf_dir):
+    """The enrichment dim must broadcast — a shuffled dim would re-shuffle
+    the unbounded side every micro-batch."""
+    assert has_broadcast_join(Q["stream_join_static"].builder(spark, sf_dir))

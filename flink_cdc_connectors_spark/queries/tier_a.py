@@ -633,3 +633,73 @@ def cdc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replayed.dropDuplicates(["event_id"]).select(
         "event_id", "user_id", "event_type", F.round("value", 2).alias("value_r")
     )
+
+
+@query(
+    "cdc_txn_metadata",
+    tier="A",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL OR
+                       ts - lag(ts) OVER w > INTERVAL 60 MINUTE
+                  THEN 1 ELSE 0 END AS is_begin
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    txns AS (
+      SELECT *, CAST(sum(is_begin) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS txn_no
+      FROM flagged)
+    SELECT user_id, txn_no,
+           CAST(count(*) AS BIGINT)                                   AS event_count,
+           min(event_id)                                              AS begin_offset,
+           max(event_id)                                              AS end_offset,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)    AS n_insert,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT)     AS n_delete,
+           CAST(count(*) FILTER (event_type NOT IN ('signup','error'))
+                AS BIGINT)                                            AS n_update
+    FROM txns
+    GROUP BY user_id, txn_no
+    """,
+)
+def cdc_txn_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-metadata reconstruction — the analog of Debezium's
+    transaction topic (BEGIN/END markers carrying event_count and
+    per-collection change counts), which the reference surfaces as
+    `transaction_id`-scoped batches (RowDataDebeziumDeserializeSchema op
+    mapping :118-146; offset total order BinlogOffset.compareTo:173-255).
+    The fixture log has no explicit BEGIN markers, so transactions are
+    rebuilt per key: a >60-minute gap in a user's stream opens a new
+    transaction (lag + running sum of begin flags, both windows partitioned
+    by user_id — parallel at any scale), then one aggregate emits the
+    per-transaction envelope: offsets spanned and c/u/d counts via the
+    pinned EVENT_TYPE_TO_OP mapping."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "is_begin",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 3600
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    txns = flagged.withColumn(
+        "txn_no",
+        F.sum("is_begin").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    is_ins = F.col("event_type") == "signup"
+    is_del = F.col("event_type") == "error"
+    return txns.groupBy("user_id", "txn_no").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.min("event_id").alias("begin_offset"),
+        F.max("event_id").alias("end_offset"),
+        F.sum(is_ins.cast("long")).alias("n_insert"),
+        F.sum(is_del.cast("long")).alias("n_delete"),
+        F.sum((~is_ins & ~is_del).cast("long")).alias("n_update"),
+    )

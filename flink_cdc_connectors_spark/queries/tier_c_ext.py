@@ -1,0 +1,259 @@
+"""Tier C extensions — training-data pipeline operators beyond the round-1
+set: repetition scoring, PII scrubbing, deterministic stratified sampling,
+GPT-style sequence packing, and shuffled sharding. These are the remaining
+preprocessing stages a 100 TB pretraining corpus pipeline runs between raw
+ingest (the CDC tiers) and tokenized output shards.
+
+Design rules carried over from tier_c: every per-row computation is a pure
+JVM Column expression (no Python in the row path); every sampling/ordering
+decision is a deterministic integer computation reproducible in DuckDB, so
+each key has a full value-level oracle — no RNG, no engine-specific hash.
+The one driver-side structure is the ≤10k-row bucket prefix-sum inside
+``global_running_sum`` (documented there), which replaces the
+single-partition global window that sequence packing would otherwise need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from flink_cdc_connectors_spark.operators.cdc import global_running_sum
+from flink_cdc_connectors_spark.registry import query
+from flink_cdc_connectors_spark.sources.loaders import load_table
+
+# Knuth's multiplicative-hash constant: the same bigint arithmetic runs on
+# both engines (doc_id * C stays < 2^63 for any plausible doc_id), giving a
+# deterministic, uniform, engine-independent pseudo-random stream — the
+# replacement for rand(seed), whose sequence Spark and DuckDB disagree on.
+_MIX = 2654435761
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_repetition_ratio",
+    tier="C",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(bg) AS BIGINT)                                      AS n_bigrams,
+           round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)/len(bg), 6) AS dup_bigram_ratio,
+           CASE WHEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)/len(bg) > 0.2
+                THEN 1 ELSE 0 END                                       AS is_repetitive
+    FROM (SELECT doc_id,
+                 list_transform(range(1, len(string_split(text,' '))),
+                                i -> string_split(text,' ')[i] || ' ' ||
+                                     string_split(text,' ')[i+1]) AS bg
+          FROM documents)
+    """,
+)
+def ext_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-bigram ratio per document — the standard boilerplate /
+    looping-text signal pretraining filters cut on (a doc that repeats the
+    same bigrams is template or generation noise). One narrow projection:
+    split -> in-row bigram transform -> distinct-count ratio, all JVM
+    higher-order functions, zero shuffles, filter threshold 0.2."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = F.expr(
+        "transform(sequence(1, size(split(text,' '))-1),"
+        " i -> concat(split(text,' ')[i-1], ' ', split(text,' ')[i]))"
+    )
+    ratio = F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / F.size(bg)
+    return d.select(
+        "doc_id",
+        F.size(bg).cast("long").alias("n_bigrams"),
+        F.round(ratio, 6).alias("dup_bigram_ratio"),
+        F.when(ratio > 0.2, F.lit(1)).otherwise(F.lit(0)).alias("is_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_pii_scrub",
+    tier="C",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(
+                 regexp_replace(
+                   text || ' contact user' || doc_id || '@mail.example or +1-555-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                   '[a-z0-9]+@[a-z][a-z.]+', '<EMAIL>', 'g'),
+                 '\\+1-555-[0-9]{4}', '<PHONE>', 'g'))       AS scrubbed_md5,
+           CAST(len(regexp_extract_all(
+                 text || ' contact user' || doc_id || '@mail.example' ||
+                   CASE WHEN doc_id % 3 = 0 THEN ' cc bot7@mail.example' ELSE '' END,
+                 '[a-z0-9]+@[a-z][a-z.]+')) AS BIGINT)       AS n_emails,
+           CAST(1 AS BIGINT)                                 AS n_phones
+    FROM documents
+    """,
+)
+def ext_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — regex-replace emails and phone numbers with typed
+    placeholder tokens, plus per-doc redaction counts for audit. The
+    fixture text is synthetic, so a deterministic contact block is appended
+    first (same expression on both engines) and then scrubbed; patterns are
+    kept to the RE2 ∩ java.util.regex common subset so both engines match
+    identically. Pure regexp_replace projection — no shuffle, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@mail.example or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email_pat = "[a-z0-9]+@[a-z][a-z.]+"
+    phone_pat = r"\+1-555-[0-9]{4}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(with_pii, email_pat, "<EMAIL>"), phone_pat, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.size(
+            F.expr(
+                "regexp_extract_all(concat(text, ' contact user', doc_id,"
+                " '@mail.example',"
+                " CASE WHEN doc_id % 3 = 0 THEN ' cc bot7@mail.example' ELSE '' END),"
+                " '[a-z0-9]+@[a-z][a-z.]+', 0)"
+            )
+        )
+        .cast("long")
+        .alias("n_emails"),
+        F.lit(1).cast("long").alias("n_phones"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_stratified_sample",
+    tier="C",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (doc_id * 2654435761) % 1000 <
+          CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+    """,
+)
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling — the domain-mixing step of a
+    pretraining pipeline (keep 50% of 'en', 20% of everything else). The
+    keep decision is a multiplicative-hash coin on doc_id, so the sample is
+    (a) reproducible run-to-run and engine-to-engine, (b) a pure pushed-down
+    filter — no sampling operator, no shuffle, and at 100 TB each executor
+    decides locally from the row alone. Contrast df.sampleBy: seeded RNG,
+    per-partition sequence, not reproducible across engines or repartitions."""
+    d = load_table(spark, sf_dir, "documents")
+    coin = (F.col("doc_id") * F.lit(_MIX)) % 1000
+    rate = F.when(F.col("lang") == "en", F.lit(500)).otherwise(F.lit(200))
+    return d.filter(coin < rate).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_sequence_pack",
+    tier="C",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    offs AS (
+      SELECT doc_id, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS tok_offset
+      FROM toks)
+    SELECT doc_id, n_tok, tok_offset,
+           CAST(tok_offset // 2048 AS BIGINT)    AS seq_id,
+           CAST(tok_offset % 2048 AS BIGINT)     AS pos_in_seq,
+           CASE WHEN tok_offset // 2048 <> (tok_offset + n_tok - 1) // 2048
+                THEN 1 ELSE 0 END                AS crosses_boundary
+    FROM offs
+    """,
+)
+def ext_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus in doc_id order
+    and chunk into 2048-token training sequences. Each doc's placement is
+    the exclusive running sum of token counts — computed with the
+    distributed bucketed prefix-sum (``global_running_sum``), NOT a global
+    ``sum() OVER (ORDER BY ...)`` window, which would drag the whole corpus
+    through one task. Emits the pack plan (seq_id, position, boundary-cross
+    flag); the writer stage would groupBy(seq_id) to emit shards."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    offs = global_running_sum(
+        toks, "doc_id", "n_tok", out_col="tok_offset", exclusive=True
+    )
+    return offs.select(
+        "doc_id",
+        "n_tok",
+        "tok_offset",
+        (F.col("tok_offset") / 2048).cast("long").alias("seq_id"),
+        (F.col("tok_offset") % 2048).alias("pos_in_seq"),
+        F.when(
+            (F.col("tok_offset") / 2048).cast("long")
+            != ((F.col("tok_offset") + F.col("n_tok") - 1) / 2048).cast("long"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("crosses_boundary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shuffled sharding
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_shuffle_shard",
+    tier="C",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, (doc_id * 2654435761) % 999983 AS shuffle_key
+      FROM documents)
+    SELECT doc_id, shuffle_key,
+           shuffle_key % 16 AS shard,
+           CAST(row_number() OVER (PARTITION BY shuffle_key % 16
+                                   ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS pos_in_shard
+    FROM keyed
+    """,
+)
+def ext_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding — the final training-order
+    step: permute the corpus by a multiplicative hash (engine-reproducible,
+    uniform) and split into 16 shards with a position within each shard.
+    The only exchange is the hash shuffle on the shard id; the per-shard
+    row_number window is partitioned (never a global sort). At 100 TB the
+    shard count rises with the cluster and each shard sorts locally —
+    exactly how a tokenizer-writer fleet consumes it."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", ((F.col("doc_id") * F.lit(_MIX)) % 999983).alias("shuffle_key")
+    )
+    shard = (F.col("shuffle_key") % 16).alias("shard")
+    w = W.partitionBy(F.col("shuffle_key") % 16).orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shuffle_key",
+        shard,
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )

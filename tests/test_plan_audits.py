@@ -178,3 +178,41 @@ def test_stream_static_dim_broadcasts(spark, sf_dir):
     """The enrichment dim must broadcast — a shuffled dim would re-shuffle
     the unbounded side every micro-batch."""
     assert has_broadcast_join(Q["stream_join_static"].builder(spark, sf_dir))
+
+
+def test_repetition_and_scrub_are_pure_projections(spark, sf_dir):
+    """Repetition scoring and PII scrubbing are per-row expressions — zero
+    exchanges, nothing leaves the scan stage."""
+    assert shuffle_count(Q["ext_repetition_ratio"].builder(spark, sf_dir)) == 0
+    assert shuffle_count(Q["ext_pii_scrub"].builder(spark, sf_dir)) == 0
+
+
+def test_stratified_sample_is_pushed_filter(spark, sf_dir):
+    """The deterministic sampling coin is a plain filter — no sampling
+    operator, no shuffle; each executor decides locally."""
+    df = Q["ext_stratified_sample"].builder(spark, sf_dir)
+    assert shuffle_count(df) == 0
+
+
+def test_sequence_pack_no_global_window(spark, sf_dir):
+    """Sequence packing must use the bucketed prefix-sum, never a
+    single-partition ORDER BY window over the corpus."""
+    assert not has_single_partition_exchange(
+        Q["ext_sequence_pack"].builder(spark, sf_dir)
+    )
+
+
+def test_shuffle_shard_partitioned_window(spark, sf_dir):
+    """The training-order shuffle sorts within shards only — the
+    row_number window is partitioned by shard, never global."""
+    assert not has_single_partition_exchange(
+        Q["ext_shuffle_shard"].builder(spark, sf_dir)
+    )
+
+
+def test_txn_metadata_partitioned_windows(spark, sf_dir):
+    """Transaction reconstruction windows are partitioned by user_id — the
+    per-key streams sessionize in parallel."""
+    assert not has_single_partition_exchange(
+        Q["cdc_txn_metadata"].builder(spark, sf_dir)
+    )

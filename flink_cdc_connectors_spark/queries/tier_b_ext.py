@@ -297,3 +297,124 @@ def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal (as-of) join and interval join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_temporal_asof",
+    tier="B",
+    oracle="""
+    WITH v AS (SELECT user_id, ts, event_id, value FROM events),
+         p AS (SELECT user_id, ts + INTERVAL 30 MINUTE AS pts,
+                      event_id AS probe_id
+               FROM events WHERE event_id % 7 = 0)
+    SELECT p.probe_id, p.user_id,
+           strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS probe_ts,
+           v.event_id                           AS matched_event_id,
+           round(v.value, 2)                    AS matched_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.pts >= v.ts
+    """,
+)
+def join_temporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of join — Flink's `FOR SYSTEM_TIME AS OF` against a
+    versioned CDC table (the reference's changelog tables are exactly such
+    versioned sources; temporal join is their flagship SQL consumer,
+    README.md:27-56). Each probe (events sampled 1-in-7, asked 30 minutes
+    later) matches the key's latest version at or before its probe time.
+
+    Spark-first plan: NOT a range join — versions and probes are tagged,
+    unioned, and swept by ONE per-key window (last non-null version attr
+    over (t, tag) order); a single hash shuffle on user_id, linear work,
+    no candidate-pair explosion. Probes before a key's first version
+    survive with NULL matches (ASOF LEFT)."""
+    e = load_table(spark, sf_dir, "events")
+    versions = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("ver_event_id"),
+        F.round("value", 2).alias("ver_value"),
+        F.lit(None).cast("long").alias("probe_id"),
+    )
+    probes = (
+        e.filter(F.col("event_id") % 7 == 0)
+        .select(
+            "user_id",
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+            F.lit(1).alias("tag"),
+            F.lit(None).cast("long").alias("ver_event_id"),
+            F.lit(None).cast("double").alias("ver_value"),
+            F.col("event_id").alias("probe_id"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "tag", "ver_event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    swept = versions.unionByName(probes).select(
+        "probe_id",
+        "user_id",
+        "t",
+        "tag",
+        F.last("ver_event_id", ignorenulls=True).over(w).alias("matched_event_id"),
+        F.last("ver_value", ignorenulls=True).over(w).alias("matched_value"),
+    )
+    return swept.filter(F.col("tag") == 1).select(
+        "probe_id",
+        "user_id",
+        F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("probe_ts"),
+        "matched_event_id",
+        "matched_value",
+    )
+
+
+@query(
+    "join_interval",
+    tier="B",
+    oracle="""
+    SELECT e1.event_id                        AS purchase_id,
+           e2.event_id                        AS error_id,
+           e1.user_id,
+           epoch_ms(e2.ts) - epoch_ms(e1.ts)  AS lag_ms
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e1.event_type = 'purchase' AND e2.event_type = 'error'
+     AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 60 MINUTE
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join — Flink's stream-stream join with relative time bounds
+    (purchase followed by an error within an hour, per user). The equi key
+    (user_id) drives one hash-partitioned join; the time bound is a
+    post-join filter within each key's bucket — never a cross product. In
+    Structured Streaming the same predicate bounds both sides' state
+    retention (watermark + time-range condition)."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    x = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    joined = p.join(
+        x,
+        (p.user_id == x.e_user)
+        & (x.e_ts > p.p_ts)
+        & (x.e_ts <= p.p_ts + F.expr("INTERVAL 60 MINUTES")),
+    )
+    return joined.select(
+        "purchase_id",
+        "error_id",
+        "user_id",
+        (F.unix_millis("e_ts") - F.unix_millis("p_ts")).alias("lag_ms"),
+    )

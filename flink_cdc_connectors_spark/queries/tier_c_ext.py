@@ -57,14 +57,23 @@ def ext_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     split -> in-row bigram transform -> distinct-count ratio, all JVM
     higher-order functions, zero shuffles, filter threshold 0.2."""
     d = load_table(spark, sf_dir, "documents")
+    # Stage the split ONCE: referencing split(text) inside the bigram
+    # lambda makes codegen re-split the doc per element — O(words^2)
+    # chars scanned per row (measured 4x the query). A named intermediate
+    # column is referenced, not recomputed (CollapseProject keeps
+    # multi-referenced non-trivial aliases staged).
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
     bg = F.expr(
-        "transform(sequence(1, size(split(text,' '))-1),"
-        " i -> concat(split(text,' ')[i-1], ' ', split(text,' ')[i]))"
+        "transform(sequence(1, size(w)-1), i -> concat(w[i-1], ' ', w[i]))"
     )
-    ratio = F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / F.size(bg)
-    return d.select(
+    staged = words.select("doc_id", bg.alias("bg"))
+    ratio = (
+        F.lit(1.0)
+        - F.size(F.array_distinct("bg")).cast("double") / F.size("bg")
+    )
+    return staged.select(
         "doc_id",
-        F.size(bg).cast("long").alias("n_bigrams"),
+        F.size("bg").cast("long").alias("n_bigrams"),
         F.round(ratio, 6).alias("dup_bigram_ratio"),
         F.when(ratio > 0.2, F.lit(1)).otherwise(F.lit(0)).alias("is_repetitive"),
     )

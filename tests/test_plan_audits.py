@@ -216,3 +216,19 @@ def test_txn_metadata_partitioned_windows(spark, sf_dir):
     assert not has_single_partition_exchange(
         Q["cdc_txn_metadata"].builder(spark, sf_dir)
     )
+
+
+def test_asof_join_is_single_shuffle_sweep(spark, sf_dir):
+    """The temporal as-of join is the union+window sweep — one hash
+    shuffle on the key, partitioned window, no range-join pair explosion."""
+    df = Q["join_temporal_asof"].builder(spark, sf_dir)
+    assert not has_single_partition_exchange(df)
+    assert shuffle_count(df) <= 2  # union sides co-shuffle + window
+
+
+def test_interval_join_uses_equi_key(spark, sf_dir):
+    """The interval join must hash-join on user_id (time bound as a
+    post-join filter), never a nested-loop cross product."""
+    plan = explain_str(Q["join_interval"].builder(spark, sf_dir))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan

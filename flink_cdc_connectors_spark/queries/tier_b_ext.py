@@ -418,3 +418,148 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_millis("e_ts") - F.unix_millis("p_ts")).alias("lag_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulate window TVF / CEP funnel / approximate distinct
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_cumulate_window",
+    tier="B",
+    oracle="""
+    WITH base AS (
+      SELECT epoch_ms(ts)//1000 AS es, value FROM events),
+    spans AS (
+      SELECT es, value, es // 14400 * 14400 AS span_start,
+             CAST(ceil((es - es // 14400 * 14400 + 1) / 3600.0) AS BIGINT) AS kmin
+      FROM base),
+    expanded AS (
+      SELECT span_start, k.k AS kk, value
+      FROM spans JOIN (SELECT unnest(range(1,5)) AS k) k(k) ON k.k >= kmin)
+    SELECT strftime(to_timestamp(span_start), '%Y-%m-%d %H:%M:%S')            AS window_start,
+           strftime(to_timestamp(span_start + kk*3600), '%Y-%m-%d %H:%M:%S')  AS window_end,
+           CAST(count(*) AS BIGINT)                                           AS n,
+           round(sum(value), 2)                                               AS sum_value
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def stream_cumulate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATE window TVF — Flink's early-firing window family (4-hour
+    span, 1-hour steps: each span emits growing prefixes [start, start+k·1h)).
+    Spark has no cumulate primitive; the Spark-first form assigns each
+    event its k-range with pure arithmetic and explodes over at most 4
+    step indices BEFORE the aggregate — so the expansion is map-side and
+    the only shuffle is the final partial-aggregated groupBy, identical to
+    a tumbling-window plan. Dashboard-style running totals per span."""
+    e = load_table(spark, sf_dir, "events")
+    es = F.col("ts").cast("long")
+    span = (es - es % 14400).alias("span_start")
+    expanded = e.select(
+        span,
+        F.explode(
+            F.sequence((es % 14400 / 3600).cast("long") + 1, F.lit(4))
+        ).alias("k"),
+        "value",
+    )
+    return (
+        expanded.groupBy("span_start", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.timestamp_seconds("span_start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.date_format(
+                F.timestamp_seconds(F.col("span_start") + F.col("k") * 3600),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_end"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "pattern_funnel",
+    tier="B",
+    oracle="""
+    WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events
+               WHERE event_type = 'signup' GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS p_ts
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s.s_ts GROUP BY 1),
+    x AS (SELECT e.user_id, min(e.ts) AS x_ts
+          FROM events e JOIN p ON e.user_id = p.user_id
+          WHERE e.event_type = 'error' AND e.ts > p.p_ts GROUP BY 1)
+    SELECT s.user_id,
+           strftime(s.s_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+           strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(x.x_ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+           epoch_ms(p.p_ts) - epoch_ms(s.s_ts)   AS signup_to_purchase_ms,
+           epoch_ms(x.x_ts) - epoch_ms(p.p_ts)   AS purchase_to_error_ms
+    FROM s JOIN p ON s.user_id = p.user_id JOIN x ON p.user_id = x.user_id
+    """,
+)
+def pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-pattern funnel — the MATCH_RECOGNIZE shape (Flink SQL CEP over
+    CDC streams): first signup, then the first purchase strictly after it,
+    then the first error strictly after that, per user, with stage
+    durations. Three min-aggregates all keyed on user_id: one hash
+    partitioning serves every stage (Catalyst reuses the exchange), and
+    each stage is partial-aggregable — no per-user sequence scan, no
+    window over the full event list."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        e.join(s, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("s_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    x = (
+        e.join(p, "user_id")
+        .filter((F.col("event_type") == "error") & (F.col("ts") > F.col("p_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("x_ts"))
+    )
+    fmt = lambda c, n: F.date_format(c, "yyyy-MM-dd HH:mm:ss").alias(n)  # noqa: E731
+    return (
+        s.join(p, "user_id")
+        .join(x, "user_id")
+        .select(
+            "user_id",
+            fmt(F.col("s_ts"), "signup_ts"),
+            fmt(F.col("p_ts"), "purchase_ts"),
+            fmt(F.col("x_ts"), "error_ts"),
+            (F.unix_millis("p_ts") - F.unix_millis("s_ts")).alias(
+                "signup_to_purchase_ms"
+            ),
+            (F.unix_millis("x_ts") - F.unix_millis("p_ts")).alias(
+                "purchase_to_error_ms"
+            ),
+        )
+    )
+
+
+@query("agg_approx_distinct", tier="B", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate COUNT(DISTINCT) next to the exact answer — at
+    100 TB the sketch (fixed ~KB state per group, partial-aggregable,
+    mergeable across partitions) is the default and exact distinct the
+    exception (full shuffle of every distinct key). Rows-only: DuckDB's
+    sketch differs, so cross-engine value equality is impossible by
+    construction; the in-repo test pins the relative error < 5% instead
+    (rsd=0.02 requested). Emits both counts so the error is auditable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )

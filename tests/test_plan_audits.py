@@ -232,3 +232,28 @@ def test_interval_join_uses_equi_key(spark, sf_dir):
     plan = explain_str(Q["join_interval"].builder(spark, sf_dir))
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+def test_cumulate_expansion_is_map_side(spark, sf_dir):
+    """CUMULATE assigns step indices by arithmetic + explode BEFORE the
+    aggregate — one partial-aggregated shuffle, like a tumbling window."""
+    df = Q["stream_cumulate_window"].builder(spark, sf_dir)
+    assert shuffle_count(df) == 1
+    assert "partial" in explain_str(df).lower()
+
+
+def test_funnel_reuses_user_partitioning(spark, sf_dir):
+    """The three funnel stages all aggregate on user_id; no stage may
+    collapse to a single partition."""
+    df = Q["pattern_funnel"].builder(spark, sf_dir)
+    assert not has_single_partition_exchange(df)
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """HLL++ at rsd=0.02 must land within 5% of exact on every group (the
+    contract the docstring promises in lieu of a cross-engine oracle)."""
+    rows = Q["agg_approx_distinct"].builder(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        rel = abs(r["approx_orders"] - r["exact_orders"]) / max(r["exact_orders"], 1)
+        assert rel < 0.05, f"{r['l_returnflag']}: rel err {rel:.3f}"

@@ -703,3 +703,62 @@ def cdc_txn_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_del.cast("long")).alias("n_delete"),
         F.sum((~is_ins & ~is_del).cast("long")).alias("n_update"),
     )
+
+
+@query(
+    "cdc_format_roundtrip",
+    tier="A",
+    oracle=f"""
+    WITH binlog AS ({_BINLOG_SQL}),
+    valid AS (SELECT * FROM binlog
+              WHERE app_op <> 'delete' OR {_BINLOG_LIVE_SQL}),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN app_op <> 'delete' AND {_BINLOG_LIVE_SQL}
+                           THEN 2 ELSE 1 END) AS BIGINT) AS n_rows,
+             CAST(round(sum(CASE
+                  WHEN app_op = 'delete' THEN -CAST(prev_value AS DECIMAL(18,2))
+                  WHEN {_BINLOG_LIVE_SQL} THEN CAST(value AS DECIMAL(18,2))
+                                             - CAST(prev_value AS DECIMAL(18,2))
+                  ELSE CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+               AS signed_sum
+      FROM valid)
+    SELECT 'canal-json' AS format, n_rows, signed_sum FROM agg
+    UNION ALL
+    SELECT 'changelog-json', n_rows, signed_sum FROM agg
+    """,
+)
+def cdc_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-format parity: the SAME state-aware binlog encoded and decoded
+    through BOTH non-Debezium CDC formats the ecosystem feeds — the
+    reference's own changelog-json (docs/content/formats/changelog-json.md:
+    one record per changelog row, op in +I/-U/+U/-D) and Canal JSON (the
+    Flink-standard format its docs direct users to; data/old arrays,
+    UPDATE expanded to the -U/+U pair by the decoder). Each format's
+    decoded retract stream must produce the identical row count and signed
+    value sum — one differing codec breaks its row against the
+    state-replay oracle. Sums ride DECIMAL(18,2) (money-safe associative
+    addition) and surface as DOUBLE."""
+    from flink_cdc_connectors_spark.sources.formats import (
+        events_to_canal_json,
+        events_to_changelog_json,
+        parse_canal_json,
+        parse_changelog_json,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    signed = F.when(
+        F.col("row_kind").isin("-U", "-D"),
+        -F.col("value").cast("decimal(18,2)"),
+    ).otherwise(F.col("value").cast("decimal(18,2)"))
+
+    def summarize(decoded: DataFrame, fmt: str) -> DataFrame:
+        return decoded.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(signed), 2).cast("double").alias("signed_sum"),
+        ).select(F.lit(fmt).alias("format"), "n_rows", "signed_sum")
+
+    canal = summarize(parse_canal_json(events_to_canal_json(e)), "canal-json")
+    clog = summarize(
+        parse_changelog_json(events_to_changelog_json(e)), "changelog-json"
+    )
+    return canal.unionByName(clog)

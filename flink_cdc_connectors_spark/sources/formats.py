@@ -1,0 +1,200 @@
+"""Alternative CDC wire formats: changelog-json and Canal JSON.
+
+The reference ships its own ``changelog-json`` format (the pre-Flink-CDC-2.2
+wire form, `docs/content/formats/changelog-json.md`: one JSON object per
+changelog row — ``{"data": {...}, "op": "+I"|"-U"|"+U"|"-D"}``) and its
+documentation directs users to the Flink-standard CDC formats (Debezium /
+Canal / Maxwell) for everything newer. ``envelope.py`` covers Debezium;
+this module adds the other two shapes the ecosystem actually feeds a CDC
+pipeline:
+
+- **changelog-json**: row-kind-expanded, one envelope per changelog ROW
+  (an UPDATE is already two wire records, -U then +U).
+- **Canal JSON**: one envelope per binlog EVENT —
+  ``{"data": [row...], "old": [before...], "type": "INSERT|UPDATE|DELETE",
+  "database", "table", "es", "ts", "pkNames"}`` — the decoder expands
+  UPDATE into the -U/+U pair exactly like Flink's canal-json format does.
+  (Real Canal may emit only changed columns in ``old``; the generator
+  emits the full before-image, which is the strictly richer form.)
+
+All encoders are state-aware: they replay per-key state with one lag
+window (the same staging as ``events_to_debezium_json``) so before-images
+are true prior rows, and deletes of missing keys are dropped — what a
+database binlog would actually contain. One hash shuffle on the primary
+key; every decode is a single ``from_json`` projection (no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_cdc_connectors_spark.sources.envelope import (
+    EVENT_PAYLOAD_SCHEMA,
+    op_col,
+)
+
+ROW_KINDS = ("+I", "-U", "+U", "-D")
+
+
+def _staged(events: DataFrame) -> DataFrame:
+    """Per-key state replay: app op, current payload, previous payload and
+    op (lag over the offset order), liveness of the previous image."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    payload = F.struct(F.col("user_id"), F.col("value"), F.col("props"))
+    return (
+        events.withColumn("__app_op", op_col())
+        .withColumn("__payload", payload)
+        .withColumn("__prev_payload", F.lag(payload).over(w))
+        .withColumn("__prev_op", F.lag(op_col()).over(w))
+        .withColumn(
+            "__live",
+            F.col("__prev_op").isNotNull() & (F.col("__prev_op") != "delete"),
+        )
+        .filter((F.col("__app_op") != "delete") | F.col("__live"))
+    )
+
+
+def events_to_changelog_json(events: DataFrame) -> DataFrame:
+    """Fixture events -> changelog-json wire records (one JSON per
+    changelog ROW; UPDATE emits the -U/+U pair as two records)."""
+    s = _staged(events)
+    rows = (
+        F.when(
+            F.col("__app_op") == "delete",
+            F.array(
+                F.struct(F.lit("-D").alias("op"), F.col("__prev_payload").alias("data"))
+            ),
+        )
+        .when(
+            F.col("__live"),
+            F.array(
+                F.struct(F.lit("-U").alias("op"), F.col("__prev_payload").alias("data")),
+                F.struct(F.lit("+U").alias("op"), F.col("__payload").alias("data")),
+            ),
+        )
+        .otherwise(
+            F.array(
+                F.struct(F.lit("+I").alias("op"), F.col("__payload").alias("data"))
+            )
+        )
+    )
+    ex = s.withColumn("__r", F.explode(rows))
+    return ex.select(
+        F.to_json(
+            F.struct(F.col("__r.data").alias("data"), F.col("__r.op").alias("op"))
+        ).alias("value")
+    )
+
+
+def parse_changelog_json(
+    raw: DataFrame,
+    value_col: str = "value",
+    payload_schema: T.StructType = EVENT_PAYLOAD_SCHEMA,
+) -> DataFrame:
+    """changelog-json -> typed rows with ``row_kind`` — one ``from_json``
+    projection, schema parameterized per table."""
+    schema = T.StructType(
+        [
+            T.StructField("data", payload_schema, True),
+            T.StructField("op", T.StringType(), True),
+        ]
+    )
+    parsed = raw.select(F.from_json(F.col(value_col), schema).alias("e"))
+    return parsed.select(
+        *[F.col(f"e.data.{f.name}").alias(f.name) for f in payload_schema.fields],
+        F.col("e.op").alias("row_kind"),
+    )
+
+
+def events_to_canal_json(
+    events: DataFrame, db: str = "app", table: str = "events"
+) -> DataFrame:
+    """Fixture events -> Canal JSON (one envelope per binlog EVENT;
+    ``data``/``old`` are single-element arrays of the full row images)."""
+    s = _staged(events)
+    ctype = (
+        F.when(F.col("__app_op") == "delete", F.lit("DELETE"))
+        .when(F.col("__live"), F.lit("UPDATE"))
+        .otherwise(F.lit("INSERT"))
+    )
+    data = F.when(
+        F.col("__app_op") == "delete", F.array(F.col("__prev_payload"))
+    ).otherwise(F.array(F.col("__payload")))
+    old = F.when(
+        (F.col("__app_op") != "delete") & F.col("__live"),
+        F.array(F.col("__prev_payload")),
+    )
+    envelope = F.struct(
+        data.alias("data"),
+        old.alias("old"),
+        ctype.alias("type"),
+        F.lit(db).alias("database"),
+        F.lit(table).alias("table"),
+        F.unix_millis(F.col("ts")).alias("es"),
+        F.unix_millis(F.col("ts")).alias("ts"),
+        F.array(F.lit("user_id")).alias("pkNames"),
+    )
+    return s.select(F.to_json(envelope).alias("value"))
+
+
+def parse_canal_json(
+    raw: DataFrame,
+    value_col: str = "value",
+    payload_schema: T.StructType = EVENT_PAYLOAD_SCHEMA,
+) -> DataFrame:
+    """Canal JSON -> typed changelog rows with ``row_kind``: INSERT -> +I,
+    DELETE -> -D, UPDATE -> the (-U from ``old``, +U from ``data``) pair —
+    the same expansion Flink's canal-json format performs."""
+    schema = T.StructType(
+        [
+            T.StructField("data", T.ArrayType(payload_schema), True),
+            T.StructField("old", T.ArrayType(payload_schema), True),
+            T.StructField("type", T.StringType(), True),
+            T.StructField("database", T.StringType(), True),
+            T.StructField("table", T.StringType(), True),
+            T.StructField("es", T.LongType(), True),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("pkNames", T.ArrayType(T.StringType()), True),
+        ]
+    )
+    parsed = raw.select(F.from_json(F.col(value_col), schema).alias("e"))
+    first = lambda c: F.element_at(c, 1)  # noqa: E731
+    rows = (
+        F.when(
+            F.col("e.type") == "DELETE",
+            F.array(
+                F.struct(
+                    F.lit("-D").alias("row_kind"),
+                    first(F.col("e.data")).alias("payload"),
+                )
+            ),
+        )
+        .when(
+            F.col("e.type") == "UPDATE",
+            F.array(
+                F.struct(
+                    F.lit("-U").alias("row_kind"),
+                    first(F.col("e.old")).alias("payload"),
+                ),
+                F.struct(
+                    F.lit("+U").alias("row_kind"),
+                    first(F.col("e.data")).alias("payload"),
+                ),
+            ),
+        )
+        .otherwise(
+            F.array(
+                F.struct(
+                    F.lit("+I").alias("row_kind"),
+                    first(F.col("e.data")).alias("payload"),
+                )
+            )
+        )
+    )
+    ex = parsed.withColumn("__r", F.explode(rows))
+    return ex.select(
+        *[F.col(f"__r.payload.{f.name}").alias(f.name) for f in payload_schema.fields],
+        F.col("__r.row_kind").alias("row_kind"),
+    )

@@ -1,0 +1,56 @@
+"""Wire-format codec tests: changelog-json and Canal JSON round-trips."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_cdc_connectors_spark.sources.formats import (
+    events_to_canal_json,
+    events_to_changelog_json,
+    parse_canal_json,
+    parse_changelog_json,
+)
+from flink_cdc_connectors_spark.sources.loaders import load_table
+
+
+def _kind_counts(df):
+    return {
+        r["row_kind"]: r["n"]
+        for r in df.groupBy("row_kind").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def test_canal_envelope_shape(spark, sf_dir):
+    """Canal envelopes carry the documented fields; UPDATE rows have a
+    full before-image in old[0], INSERT/DELETE have no old."""
+    e = load_table(spark, sf_dir, "events")
+    raw = events_to_canal_json(e)
+    probe = raw.select(
+        F.get_json_object("value", "$.type").alias("t"),
+        F.get_json_object("value", "$.database").alias("db"),
+        F.get_json_object("value", "$.pkNames[0]").alias("pk"),
+        F.get_json_object("value", "$.data[0].user_id").alias("d_uid"),
+        F.get_json_object("value", "$.old[0].user_id").alias("o_uid"),
+    )
+    assert probe.filter(F.col("db") != "app").count() == 0
+    assert probe.filter(F.col("pk") != "user_id").count() == 0
+    assert probe.filter(F.col("d_uid").isNull()).count() == 0
+    assert probe.filter((F.col("t") == "UPDATE") & F.col("o_uid").isNull()).count() == 0
+    assert probe.filter((F.col("t") != "UPDATE") & F.col("o_uid").isNotNull()).count() == 0
+
+
+def test_formats_decode_to_identical_retract_streams(spark, sf_dir):
+    """Both codecs decode the same binlog to the same multiset of
+    (row_kind, user_id, value) — UPDATE expands to the -U/+U pair, and
+    per-kind counts obey the retract-stream invariants."""
+    e = load_table(spark, sf_dir, "events")
+    canal = parse_canal_json(events_to_canal_json(e))
+    clog = parse_changelog_json(events_to_changelog_json(e))
+    cols = ["row_kind", "user_id", F.round("value", 2).alias("v")]
+    assert canal.select(*cols).exceptAll(clog.select(*cols)).count() == 0
+    assert clog.select(*cols).exceptAll(canal.select(*cols)).count() == 0
+    kinds = _kind_counts(canal)
+    assert set(kinds) == {"+I", "-U", "+U", "-D"}
+    assert kinds["-U"] == kinds["+U"]
+    # every key's stream starts with +I; deletes never exceed inserts
+    assert kinds["-D"] <= kinds["+I"]

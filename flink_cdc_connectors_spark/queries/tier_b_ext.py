@@ -563,3 +563,38 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+
+
+@query(
+    "agg_skew_salted",
+    tier="B",
+    oracle="""
+    SELECT event_type,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+           CAST(count(*) AS BIGINT)                                    AS count_event_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation as a graded query: events grouped by
+    the LOW-CARDINALITY event_type key (a handful of groups over the whole
+    log — the shape where one hot reducer melts at 100 TB). The salted
+    operator (operators/scale.py::salted_aggregate) spreads each group over
+    16 salt buckets in stage 1, then combines the tiny partials — identical
+    results to a direct groupBy, bounded per-reducer load. Sums ride
+    DECIMAL(18,2) so the two-stage addition order cannot shift the rounded
+    double."""
+    from flink_cdc_connectors_spark.operators.scale import salted_aggregate
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_aggregate(
+        e, ["event_type"], {"value": "sum", "event_id": "count"}, salt_buckets=16
+    )
+    return out.select(
+        "event_type",
+        F.round("sum_value", 2).cast("double").alias("sum_value"),
+        F.col("count_event_id").cast("long").alias("count_event_id"),
+    )

@@ -1,11 +1,11 @@
-"""Alternative CDC wire formats: changelog-json and Canal JSON.
+"""Alternative CDC wire formats: changelog-json, Canal JSON, Maxwell JSON.
 
 The reference ships its own ``changelog-json`` format (the pre-Flink-CDC-2.2
 wire form, `docs/content/formats/changelog-json.md`: one JSON object per
 changelog row — ``{"data": {...}, "op": "+I"|"-U"|"+U"|"-D"}``) and its
 documentation directs users to the Flink-standard CDC formats (Debezium /
 Canal / Maxwell) for everything newer. ``envelope.py`` covers Debezium;
-this module adds the other two shapes the ecosystem actually feeds a CDC
+this module adds the other three shapes the ecosystem actually feeds a CDC
 pipeline:
 
 - **changelog-json**: row-kind-expanded, one envelope per changelog ROW
@@ -16,6 +16,9 @@ pipeline:
   UPDATE into the -U/+U pair exactly like Flink's canal-json format does.
   (Real Canal may emit only changed columns in ``old``; the generator
   emits the full before-image, which is the strictly richer form.)
+- **Maxwell JSON**: one envelope per binlog EVENT with a SPARSE ``old``
+  (only changed columns) — the decoder rebuilds the before-image by
+  overlaying ``old`` on ``data`` per field.
 
 All encoders are state-aware: they replay per-key state with one lag
 window (the same staging as ``events_to_debezium_json``) so before-images
@@ -190,6 +193,105 @@ def parse_canal_json(
                     F.lit("+I").alias("row_kind"),
                     first(F.col("e.data")).alias("payload"),
                 )
+            )
+        )
+    )
+    ex = parsed.withColumn("__r", F.explode(rows))
+    return ex.select(
+        *[F.col(f"__r.payload.{f.name}").alias(f.name) for f in payload_schema.fields],
+        F.col("__r.row_kind").alias("row_kind"),
+    )
+
+
+def events_to_maxwell_json(
+    events: DataFrame, db: str = "app", table: str = "events"
+) -> DataFrame:
+    """Fixture events -> Maxwell JSON (one envelope per binlog EVENT):
+    ``{"database","table","type":"insert|update|delete","ts":<epoch s>,
+    "xid","data":{full new row},"old":{CHANGED columns' old values}}``.
+    Maxwell's ``old`` is sparse — only columns whose value changed — which
+    ``to_json``'s null-dropping produces naturally from a struct whose
+    unchanged fields are null."""
+    s = _staged(events)
+    mtype = (
+        F.when(F.col("__app_op") == "delete", F.lit("delete"))
+        .when(F.col("__live"), F.lit("update"))
+        .otherwise(F.lit("insert"))
+    )
+    data = F.when(
+        F.col("__app_op") == "delete", F.col("__prev_payload")
+    ).otherwise(F.col("__payload"))
+    changed = lambda f: F.when(  # noqa: E731
+        ~F.col(f"__prev_payload.{f}").eqNullSafe(F.col(f"__payload.{f}")),
+        F.col(f"__prev_payload.{f}"),
+    )
+    old = F.when(
+        (F.col("__app_op") != "delete") & F.col("__live"),
+        F.struct(
+            changed("user_id").alias("user_id"),
+            changed("value").alias("value"),
+            changed("props").alias("props"),
+        ),
+    )
+    envelope = F.struct(
+        F.lit(db).alias("database"),
+        F.lit(table).alias("table"),
+        mtype.alias("type"),
+        (F.unix_millis(F.col("ts")) / 1000).cast("long").alias("ts"),
+        F.col("event_id").alias("xid"),
+        data.alias("data"),
+        old.alias("old"),
+    )
+    return s.select(F.to_json(envelope).alias("value"))
+
+
+def parse_maxwell_json(
+    raw: DataFrame,
+    value_col: str = "value",
+    payload_schema: T.StructType = EVENT_PAYLOAD_SCHEMA,
+) -> DataFrame:
+    """Maxwell JSON -> typed changelog rows with ``row_kind``. The UPDATE
+    before-image is ``data`` overlaid with the sparse ``old`` (per-field
+    coalesce) — the standard Maxwell reconstruction, with its standard
+    caveat that a column changed TO null is indistinguishable from an
+    unchanged one (the fixture has no null payloads)."""
+    schema = T.StructType(
+        [
+            T.StructField("database", T.StringType(), True),
+            T.StructField("table", T.StringType(), True),
+            T.StructField("type", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("xid", T.LongType(), True),
+            T.StructField("data", payload_schema, True),
+            T.StructField("old", payload_schema, True),
+        ]
+    )
+    parsed = raw.select(F.from_json(F.col(value_col), schema).alias("e"))
+    before = F.struct(
+        *[
+            F.coalesce(F.col(f"e.old.{f.name}"), F.col(f"e.data.{f.name}")).alias(
+                f.name
+            )
+            for f in payload_schema.fields
+        ]
+    )
+    rows = (
+        F.when(
+            F.col("e.type") == "delete",
+            F.array(
+                F.struct(F.lit("-D").alias("row_kind"), F.col("e.data").alias("payload"))
+            ),
+        )
+        .when(
+            F.col("e.type") == "update",
+            F.array(
+                F.struct(F.lit("-U").alias("row_kind"), before.alias("payload")),
+                F.struct(F.lit("+U").alias("row_kind"), F.col("e.data").alias("payload")),
+            ),
+        )
+        .otherwise(
+            F.array(
+                F.struct(F.lit("+I").alias("row_kind"), F.col("e.data").alias("payload"))
             )
         )
     )

@@ -7,8 +7,10 @@ from pyspark.sql import functions as F
 from flink_cdc_connectors_spark.sources.formats import (
     events_to_canal_json,
     events_to_changelog_json,
+    events_to_maxwell_json,
     parse_canal_json,
     parse_changelog_json,
+    parse_maxwell_json,
 )
 from flink_cdc_connectors_spark.sources.loaders import load_table
 
@@ -46,11 +48,29 @@ def test_formats_decode_to_identical_retract_streams(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     canal = parse_canal_json(events_to_canal_json(e))
     clog = parse_changelog_json(events_to_changelog_json(e))
+    maxwell = parse_maxwell_json(events_to_maxwell_json(e))
     cols = ["row_kind", "user_id", F.round("value", 2).alias("v")]
-    assert canal.select(*cols).exceptAll(clog.select(*cols)).count() == 0
-    assert clog.select(*cols).exceptAll(canal.select(*cols)).count() == 0
+    for other in (clog, maxwell):
+        assert canal.select(*cols).exceptAll(other.select(*cols)).count() == 0
+        assert other.select(*cols).exceptAll(canal.select(*cols)).count() == 0
     kinds = _kind_counts(canal)
     assert set(kinds) == {"+I", "-U", "+U", "-D"}
     assert kinds["-U"] == kinds["+U"]
     # every key's stream starts with +I; deletes never exceed inserts
     assert kinds["-D"] <= kinds["+I"]
+
+
+def test_maxwell_old_is_sparse(spark, sf_dir):
+    """Maxwell updates carry only CHANGED columns in old — user_id never
+    changes (it is the key), so it must never appear there; a changed
+    value must."""
+    e = load_table(spark, sf_dir, "events")
+    raw = events_to_maxwell_json(e)
+    upd = raw.select(
+        F.get_json_object("value", "$.type").alias("t"),
+        F.get_json_object("value", "$.old.user_id").alias("o_uid"),
+        F.get_json_object("value", "$.old.value").alias("o_val"),
+    ).filter(F.col("t") == "update")
+    assert upd.count() > 0
+    assert upd.filter(F.col("o_uid").isNotNull()).count() == 0
+    assert upd.filter(F.col("o_val").isNotNull()).count() > 0

@@ -257,3 +257,11 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     for r in rows:
         rel = abs(r["approx_orders"] - r["exact_orders"]) / max(r["exact_orders"], 1)
         assert rel < 0.05, f"{r['l_returnflag']}: rel err {rel:.3f}"
+
+
+def test_salted_agg_two_stage(spark, sf_dir):
+    """Salted aggregation is exactly two partial-aggregable exchanges
+    (keys+salt, then keys) and never a single hot-reducer stage."""
+    df = Q["agg_skew_salted"].builder(spark, sf_dir)
+    assert shuffle_count(df) == 2
+    assert not has_single_partition_exchange(df)

@@ -266,3 +266,132 @@ def ext_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard,
         F.row_number().over(w).cast("long").alias("pos_in_shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination / domain mixing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_decontaminate",
+    tier="C",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper(text) || '  ', lang, source, n_chars FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(words) - 7, 0)),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+                    words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
+                    words[i+6] || ' ' || words[i+7]))) AS shingle
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS words
+            FROM corpus)),
+    eval_sh AS (
+      SELECT DISTINCT shingle FROM shingled
+      WHERE doc_id % 50 = 0 AND doc_id < 1000000)
+    SELECT s.doc_id, CAST(count(DISTINCT s.shingle) AS BIGINT) AS n_hits
+    FROM shingled s JOIN eval_sh e ON s.shingle = e.shingle
+    WHERE NOT (s.doc_id % 50 = 0 AND s.doc_id < 1000000)
+    GROUP BY 1
+    """,
+)
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training documents sharing any
+    8-gram with the held-out eval set (the GPT-3/PaLM-style n-gram overlap
+    rule, sized to the fixture's 10-100-word docs; production uses 13).
+    Eval set = originals with doc_id % 50 == 0; the corpus includes the
+    planted perturbed copies, whose normalized text equals the original's —
+    every copy of an eval doc MUST be flagged, making the check
+    self-validating. The eval shingle set (distinct, tiny relative to the
+    corpus) broadcasts; the train side never shuffles — at 100 TB the eval
+    side is a benchmark suite, kilobytes of n-grams, and this stays one
+    broadcast-join scan. Emits contaminated doc ids with matched-8-gram
+    counts."""
+    from flink_cdc_connectors_spark.queries.tier_c import _shingles, _with_copies
+
+    corpus = _with_copies(load_table(spark, sf_dir, "documents"))
+    sh = _shingles(corpus, n=8)
+    is_eval = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    return (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_hits"))
+    )
+
+
+@query(
+    "ext_domain_mix",
+    tier="C",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    totals AS (
+      SELECT lang, CAST(sum(n_tok) AS BIGINT) AS corpus_tokens FROM toks GROUP BY 1),
+    rates AS (
+      SELECT lang, corpus_tokens,
+             CAST(least(10000, floor(10000.0 * 2000 / corpus_tokens)) AS BIGINT) AS rate_pm
+      FROM totals),
+    kept AS (
+      SELECT t.lang, t.n_tok
+      FROM toks t JOIN rates r ON t.lang = r.lang
+      WHERE (t.doc_id * 2654435761) % 10000 < r.rate_pm)
+    SELECT r.lang, r.corpus_tokens, r.rate_pm,
+           CAST(coalesce(count(k.n_tok), 0) AS BIGINT) AS kept_docs,
+           CAST(coalesce(sum(k.n_tok), 0) AS BIGINT)   AS kept_tokens
+    FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+    GROUP BY 1, 2, 3
+    """,
+)
+def ext_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget domain mixing — the sampling stage that reshapes a raw
+    corpus to target mixture weights (here: 2000 tokens per language). The
+    per-stratum keep rate is derived from one token-count aggregate
+    (broadcast back as a 5-row dim), and the keep decision is the same
+    multiplicative-hash coin as ``ext_stratified_sample`` — reproducible
+    across engines, runs, and repartitionings, applied as a plain filter.
+    Integer permille rates (floor) keep the rate computation
+    engine-identical. Emits the per-language mix audit: corpus tokens,
+    applied rate, kept docs/tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split(F.trim("text"), " ")).cast("long").alias("n_tok")
+    )
+    totals = toks.groupBy("lang").agg(F.sum("n_tok").alias("corpus_tokens"))
+    rates = totals.select(
+        "lang",
+        "corpus_tokens",
+        F.least(
+            F.lit(10000),
+            F.floor(F.lit(10000.0) * 2000 / F.col("corpus_tokens")),
+        )
+        .cast("long")
+        .alias("rate_pm"),
+    )
+    kept = (
+        toks.join(F.broadcast(rates), "lang")
+        .filter((F.col("doc_id") * F.lit(2654435761)) % 10000 < F.col("rate_pm"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_tok").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "corpus_tokens",
+            "rate_pm",
+            F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+    )

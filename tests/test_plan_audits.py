@@ -265,3 +265,20 @@ def test_salted_agg_two_stage(spark, sf_dir):
     df = Q["agg_skew_salted"].builder(spark, sf_dir)
     assert shuffle_count(df) == 2
     assert not has_single_partition_exchange(df)
+
+
+def test_decontaminate_broadcasts_eval_set(spark, sf_dir):
+    """The eval n-gram set broadcasts; the training corpus side is never
+    hash-shuffled for the join (benchmark suites are kilobytes at any
+    corpus scale)."""
+    df = Q["ext_decontaminate"].builder(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_domain_mix_rates_broadcast(spark, sf_dir):
+    """Per-stratum rates are a tiny dim — they must broadcast back onto the
+    corpus, and the keep decision stays a filter (no sampling operator)."""
+    df = Q["ext_domain_mix"].builder(spark, sf_dir)
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "Sample" not in plan

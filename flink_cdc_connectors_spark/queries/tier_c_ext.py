@@ -395,3 +395,90 @@ def ext_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+# tier_c registers before tier_c_ext in _QUERY_MODULES, so its specs are
+# available at import time; the cluster oracle nests the verified pair
+# query's oracle as its edge list — one source of truth for "near-dup".
+from flink_cdc_connectors_spark.queries import tier_c as _tc  # noqa: E402
+from flink_cdc_connectors_spark.registry import _REGISTRY as _REG  # noqa: E402
+
+_PAIRS_SQL = _REG["ext_dedup_ngram_jaccard"].oracle
+
+
+@query(
+    "ext_dedup_cluster",
+    tier="C",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_PAIRS_SQL}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM sym),
+    reach(id, lab) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.id, s.b FROM reach r JOIN sym s ON r.lab = s.a
+    )
+    SELECT id AS doc_id, min(lab) AS cluster_id,
+           CASE WHEN min(lab) = id THEN 1 ELSE 0 END AS is_keeper
+    FROM reach GROUP BY id
+    """,
+)
+def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution — the step after pair finding that real
+    dedup pipelines need: near-dup pairs form a graph, each connected
+    component is one duplicate cluster, and exactly one doc per cluster
+    (the minimum id) is kept. Pairs come from the verified 3-gram Jaccard
+    query; components by iterative min-label propagation — each round is
+    one bounded equi-join + aggregate, and the loop stops when no label
+    changes (<= graph diameter rounds; duplicate clusters are shallow, so
+     2-3 in practice). At 100 TB the same loop runs with the two-phase
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") to bound rounds at O(log n); the
+    per-round plan — shuffle on node id, partial min — is identical. The
+    oracle computes the same fixpoint with a recursive CTE."""
+    pairs = _tc.ext_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    sym = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
+        "lab", F.col("id")
+    ).cache()
+    for _ in range(16):
+        neigh = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.a, "left")
+            .select(
+                "id",
+                F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("lab").alias("cluster_id"),
+        F.when(F.col("lab") == F.col("id"), F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_keeper"
+        ),
+    )

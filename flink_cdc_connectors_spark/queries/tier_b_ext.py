@@ -598,3 +598,40 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_value", 2).cast("double").alias("sum_value"),
         F.col("count_event_id").cast("long").alias("count_event_id"),
     )
+
+
+@query(
+    "udf_table",
+    tier="B",
+    oracle="""
+    SELECT doc_id, unnest(words[1:5]) AS token,
+           generate_subscripts(words[1:5], 1) AS pos
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS words
+          FROM documents WHERE doc_id < 100)
+    """,
+)
+def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined TABLE function — Flink's UDTF / `LATERAL TABLE(f(x))`
+    surface (the table-function extension point beside udf_scalar's scalar
+    one; the reference's custom-deserializer hook family,
+    DeserializationRuntimeConverterFactory.java). A Python UDTF emits the
+    first 5 tokens of each doc with positions, consumed via SQL LATERAL.
+    This is the EXTENSION-POINT demo: row-at-a-time Python is the slow
+    path by design — the equivalent built-in plan is `explode_unnest`
+    (posexplode, pure JVM), which is what production uses when the logic
+    is expressible. Input bounded (doc_id < 100) accordingly."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos int")
+    class HeadTokens:
+        def eval(self, text: str, k: int):
+            for i, tok in enumerate(text.strip().split(" ")[:k]):
+                yield tok, i + 1
+
+    spark.udtf.register("head_tokens", HeadTokens)
+    load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.token, s.pos FROM __udtf_docs, LATERAL head_tokens(text, 5) s"
+    )

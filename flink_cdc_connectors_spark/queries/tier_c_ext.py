@@ -482,3 +482,87 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_keeper"
         ),
     )
+
+
+@query("ext_minhash_recall", tier="C", oracle=None)
+def ext_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall AND cost of MinHash-LSH banding against the exact
+    3-gram Jaccard >= 0.6 ground truth — the text-side counterpart of
+    ``ext_ann_recall`` (rows-only: xxhash64 signatures have no SQL oracle).
+    Two operating points from the SAME 16 minhashes: 4 bands x 4 rows
+    (high precision) and 8 bands x 2 rows (high recall, more candidates).
+    Output per config: truth pairs, candidate pairs BEFORE verification
+    (the cost proxy — every candidate pays one exact-verify), verified
+    pairs found, and recall. Truth on the same bounded slice the exact
+    verifier uses; all pair math is set algebra on cached shingle arrays —
+    no corpus-wide shingle explode."""
+    from flink_cdc_connectors_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    near = docs.filter(F.size(words) > 12).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(near)
+    sh = corpus.select("doc_id", T.shingles(T.words(F.col("text"))).alias("sh")).cache()
+
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
+    truth = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(jac >= 0.6)
+        .select("id_a", "id_b")
+        .cache()
+    )
+    n_truth = truth.count()
+
+    sig = sh.select("doc_id", *T.minhash_signature(F.col("sh"), 16)).cache()
+
+    def config(n_bands: int, rows_per: int) -> DataFrame:
+        bands = sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            *[F.col(f"mh{bd * rows_per + r}") for r in range(rows_per)]
+                        )
+                        for bd in range(n_bands)
+                    ]
+                )
+            ).alias("band_id", "band_sig"),
+        )
+        cand = (
+            bands.alias("x")
+            .join(
+                bands.alias("y"),
+                (F.col("x.band_id") == F.col("y.band_id"))
+                & (F.col("x.band_sig") == F.col("y.band_sig"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+            .distinct()
+            .cache()
+        )
+        n_cand = cand.count()
+        found = (
+            cand.join(a, "id_a").join(b, "id_b").filter(jac >= 0.6).select("id_a", "id_b")
+        )
+        n_found = found.count()
+        return spark.createDataFrame(
+            [
+                (
+                    f"minhash-lsh-{n_bands}x{rows_per}",
+                    n_truth,
+                    n_cand,
+                    n_found,
+                    round(n_found / n_truth, 4) if n_truth else 1.0,
+                )
+            ],
+            "method string, n_truth long, n_cand long, n_found long, recall double",
+        )
+
+    return config(4, 4).unionByName(config(8, 2))

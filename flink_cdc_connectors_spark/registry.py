@@ -65,6 +65,11 @@ def query(key: str, tier: str, oracle: str | None = None) -> Callable[[QueryFn],
 # that, if the driver iterates insertion order, the keys with no round-1
 # correctness row get driver-checked this round; if the driver sorts, the
 # ordering is a no-op.  Everything not listed follows in sorted order.
+#
+# Round-2 set: the 49 keys with no CORRECTNESS_r01 row (11 round-1-unchecked
+# + 38 added this round), then cdc_retract_agg (the round-1 hash failure —
+# DECIMAL vs DOUBLE, since fixed) — exactly 50, so the union of r01+r02
+# driver rows covers every registered key at least once.
 _CHECK_FIRST = (
     "sort_limit",
     "topk_per_group",
@@ -77,6 +82,44 @@ _CHECK_FIRST = (
     "stream_session_window",
     "stream_watermark_late",
     "udf_scalar",
+    "agg_approx_distinct",
+    "agg_arg_extremes",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_skew_salted",
+    "agg_string_agg",
+    "cdc_chunk_split_sampled",
+    "cdc_envelope_retract_agg",
+    "cdc_format_roundtrip",
+    "cdc_multi_table_route",
+    "cdc_txn_metadata",
+    "explode_unnest",
+    "ext_ann_recall",
+    "ext_decontaminate",
+    "ext_dedup_cluster",
+    "ext_dedup_embedding_lsh",
+    "ext_domain_mix",
+    "ext_minhash_recall",
+    "ext_pii_scrub",
+    "ext_repetition_ratio",
+    "ext_sequence_pack",
+    "ext_shuffle_shard",
+    "ext_stratified_sample",
+    "join_interval",
+    "join_temporal_asof",
+    "map_ops",
+    "pattern_funnel",
+    "pivot_agg",
+    "stream_cumulate_window",
+    "stream_join_static",
+    "subquery_in_correlated",
+    "subquery_not_in",
+    "subquery_scalar",
+    "udf_table",
+    "window_first_last",
+    "window_ntile_dist",
+    "window_range_frame",
     "cdc_retract_agg",  # round-1 hash failure (DECIMAL vs DOUBLE) — re-prove
 )
 

@@ -315,11 +315,14 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_cdc_connectors_spark.queries.tier_c import _shingles, _with_copies
 
     corpus = _with_copies(load_table(spark, sf_dir, "documents"))
-    sh = _shingles(corpus, n=8)
     is_eval = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
-    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    # Filter BEFORE shingling on both branches: the eval side shingles only
+    # the held-out 2%, the probe side shingles each train doc exactly once —
+    # one full shingling pass total, regardless of how Catalyst handles
+    # filter-through-Generate.
+    eval_sh = _shingles(corpus.filter(is_eval), n=8).select("shingle").distinct()
     return (
-        sh.filter(~is_eval)
+        _shingles(corpus.filter(~is_eval), n=8)
         .join(F.broadcast(eval_sh), "shingle")
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").alias("n_hits"))

@@ -7,6 +7,8 @@ similarity-search operators (SURVEY.md §2.C).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -38,15 +40,25 @@ def _hash_coef(salt: str, idx: int) -> float:
     return int.from_bytes(h[:8], "big") % 10_000 / 10_000.0 - 0.5
 
 
-def _coef_array(salt: str, dim: int) -> Column:
-    """Hyperplane/centroid coefficients as a LITERAL array — computed once
-    at plan time in Python, not re-hashed per row (the coefficients are
-    data-independent; embedding them keeps the per-row work to one dot
-    product per plane/centroid). A single array Literal, NOT F.array of
-    ``dim`` scalar literals: 16 centroids x 64 element nodes made the
-    expression tree large enough that analysis/codegen dominated small-SF
-    wall-clock."""
-    return F.lit([_hash_coef(salt, i) for i in range(dim)])
+@lru_cache(maxsize=None)
+def _coef_sql(salt: str, dim: int) -> str:
+    """One plane/centroid as a SQL array literal string. The coefficients
+    are exact 4-decimal doubles, so their repr round-trips bit-exactly
+    through the SQL parser."""
+    return "array(" + ",".join(f"{_hash_coef(salt, i)!r}D" for i in range(dim)) + ")"
+
+
+@lru_cache(maxsize=None)
+def _planes_sql(salts: tuple, dim: int) -> str:
+    """All planes/centroids of a family as ONE nested SQL array literal.
+
+    Built as a single ``F.expr`` string rather than nested ``F.lit`` /
+    ``F.array`` calls: PySpark's ``lit`` on a list round-trips py4j once
+    PER ELEMENT, so 16 centroids x 64 dims cost ~1k gateway calls — the
+    measured build-time of the ANN queries was ~7 s of driver socket
+    chatter before this (cProfile: 32k ``send_command`` calls in
+    ext_ann_recall alone). One expr string is one gateway call."""
+    return "array(" + ",".join(_coef_sql(s, dim) for s in salts) + ")"
 
 
 def srp_bucket(v: Column, num_planes: int = 8, dim: int = 64) -> Column:
@@ -54,17 +66,17 @@ def srp_bucket(v: Column, num_planes: int = 8, dim: int = 64) -> Column:
     ``num_planes`` deterministic hyperplanes. Vectors with high cosine
     similarity collide with high probability. ``dim`` must be >= the vector
     length; coefficients are sliced to the vector's size (zip_with would
-    null-pad a length mismatch, poisoning the sum)."""
-    return F.concat_ws(
-        "",
-        *[
-            F.when(
-                dot(v, F.slice(_coef_array(f"srp{p}", dim), F.lit(1), F.size(v))) >= 0,
-                "1",
-            ).otherwise("0")
-            for p in range(num_planes)
-        ],
+    null-pad a length mismatch, poisoning the sum). The plane loop is a
+    ``transform`` over one nested literal — constant-size expression tree
+    regardless of plane count."""
+    planes = F.expr(_planes_sql(tuple(f"srp{p}" for p in range(num_planes)), dim))
+    bits = F.transform(
+        planes,
+        lambda p: F.when(
+            dot(v, F.slice(p, F.lit(1), F.size(v))) >= 0, "1"
+        ).otherwise("0"),
     )
+    return F.array_join(bits, "")
 
 
 def srp_bucket_tables(
@@ -77,33 +89,36 @@ def srp_bucket_tables(
     collision probability, more candidates per bucket); cost is the probed
     corpus fraction. The defaults (4 tables x 5 planes = 32 buckets each)
     probe ~4/32 of the corpus."""
-    return F.array(
-        *[
-            F.concat_ws(
-                ":",
-                F.lit(str(t)),
-                F.concat_ws(
-                    "",
-                    *[
-                        F.when(
-                            dot(
-                                v,
-                                F.slice(
-                                    _coef_array(f"srp{t * num_planes + p}", dim),
-                                    F.lit(1),
-                                    F.size(v),
-                                ),
-                            )
-                            >= 0,
-                            "1",
-                        ).otherwise("0")
-                        for p in range(num_planes)
-                    ],
-                ),
+    tables = F.expr(
+        "array("
+        + ",".join(
+            _planes_sql(
+                tuple(f"srp{t * num_planes + p}" for p in range(num_planes)), dim
             )
             for t in range(num_tables)
-        ]
+        )
+        + ")"
     )
+    return F.transform(
+        tables,
+        lambda tp, ti: F.concat_ws(
+            ":",
+            ti.cast("string"),
+            F.array_join(
+                F.transform(
+                    tp,
+                    lambda p: F.when(
+                        dot(v, F.slice(p, F.lit(1), F.size(v))) >= 0, "1"
+                    ).otherwise("0"),
+                ),
+                "",
+            ),
+        ),
+    )
+
+
+def _centroids(num_centroids: int, dim: int) -> Column:
+    return F.expr(_planes_sql(tuple(f"ivf{c}" for c in range(num_centroids)), dim))
 
 
 def ivf_centroid_topk(
@@ -114,19 +129,15 @@ def ivf_centroid_topk(
     candidate fraction to P/num_centroids — the IVF nprobe knob (FAISS
     semantics): recall scales with the probed fraction, cost stays one
     broadcast join on cell id."""
-    scored = F.array(
-        *[
-            F.struct(
-                dot(v, F.slice(_coef_array(f"ivf{c}", dim), F.lit(1), F.size(v))).alias(
-                    "s"
-                ),
-                F.lit(c).alias("c"),
-            )
-            for c in range(num_centroids)
-        ]
+    scored = F.transform(
+        _centroids(num_centroids, dim),
+        lambda p, i: F.struct(
+            dot(v, F.slice(p, F.lit(1), F.size(v))).alias("s"),
+            i.cast("int").alias("c"),
+        ),
     )
     top = F.slice(F.sort_array(scored, asc=False), 1, probes)
-    return F.transform(top, lambda x: x["c"].cast("int"))
+    return F.transform(top, lambda x: x["c"])
 
 
 def ivf_centroid_id(v: Column, num_centroids: int = 16, dim: int = 64) -> Column:
@@ -139,10 +150,8 @@ def ivf_centroid_id(v: Column, num_centroids: int = 16, dim: int = 64) -> Column
     recall, tuned by probing more cells. Centroid coefficients are literal
     arrays (plan-time constants), so the per-row cost is ``num_centroids``
     dot products."""
-    scores = F.array(
-        *[
-            dot(v, F.slice(_coef_array(f"ivf{c}", dim), F.lit(1), F.size(v)))
-            for c in range(num_centroids)
-        ]
+    scores = F.transform(
+        _centroids(num_centroids, dim),
+        lambda p: dot(v, F.slice(p, F.lit(1), F.size(v))),
     )
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")

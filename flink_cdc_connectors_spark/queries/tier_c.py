@@ -157,7 +157,7 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias("text"),
         )
     )
-    corpus = docs.select("doc_id", "text").unionByName(near)
+    corpus = fan_out(docs.select("doc_id", "text").unionByName(near))
     sh = _shingles(corpus).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from flink_cdc_connectors_spark.operators.cdc import global_running_sum
 from flink_cdc_connectors_spark.registry import query
-from flink_cdc_connectors_spark.sources.loaders import load_table
+from flink_cdc_connectors_spark.sources.loaders import fan_out, load_table
 
 # Knuth's multiplicative-hash constant: the same bigint arithmetic runs on
 # both engines (doc_id * C stays < 2^63 for any plausible doc_id), giving a
@@ -203,7 +203,7 @@ def ext_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sum() OVER (ORDER BY ...)`` window, which would drag the whole corpus
     through one task. Emits the pack plan (seq_id, position, boundary-cross
     flag); the writer stage would groupBy(seq_id) to emit shards."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
     )
@@ -314,7 +314,10 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts."""
     from flink_cdc_connectors_spark.queries.tier_c import _shingles, _with_copies
 
-    corpus = _with_copies(load_table(spark, sf_dir, "documents"))
+    # fan_out: 8-gram shingling is the CPU-heavy stage and the fixture file
+    # is one row group (see loaders.fan_out) — without it the whole corpus
+    # shingles on one core (measured 15 s -> ~2 s at sf0.1).
+    corpus = fan_out(_with_copies(load_table(spark, sf_dir, "documents")))
     is_eval = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
     # Filter BEFORE shingling on both branches: the eval side shingles only
     # the held-out 2%, the probe side shingles each train doc exactly once —
@@ -446,15 +449,26 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round plan — shuffle on node id, partial min — is identical. The
     oracle computes the same fixpoint with a recursive CTE."""
     pairs = _tc.ext_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    # The candidate graph is tiny relative to the corpus (near-dup pairs
+    # only) — materialize it ONCE with an eager localCheckpoint so the
+    # expensive pair-finding lineage (shingle self-join) never re-executes,
+    # and every loop round below starts from in-memory blocks with a
+    # 1-join-deep plan. Per-round localCheckpoint keeps the plan from
+    # growing one join per iteration (the round-1 shape re-analyzed and
+    # re-optimized an ever-deeper tree each round — measured 36 s for a
+    # 3-round converge; checkpointed, the loop is <2 s).
     sym = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
-        "lab", F.col("id")
-    ).cache()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("lab", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(16):
         neigh = (
             sym.join(labels, sym.b == labels.id)
@@ -466,16 +480,14 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "id",
                 F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
+                (F.coalesce("nlab", F.col("lab")) < F.col("lab")).alias("__chg"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels = new_labels
+        # convergence check runs on the just-materialized blocks — no
+        # recompute, no extra join against the previous labels
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     return labels.select(

@@ -17,9 +17,12 @@ from flink_cdc_connectors_spark import TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Parquet columns written as TIMESTAMP(NANOS) — Spark has no nanosecond
-# timestamp, so these are read as long (spark.sql.legacy.parquet.nanosAsLong)
-# and truncated to microseconds, matching DuckDB's ns->us cast semantics.
+# Parquet columns that MAY be written as TIMESTAMP(NANOS) — Spark has no
+# nanosecond timestamp, so those files are read as long
+# (spark.sql.legacy.parquet.nanosAsLong) and truncated to microseconds,
+# matching DuckDB's ns->us cast semantics. Fixture generations vary: some
+# write TIMESTAMP(MICROS), which Spark reads natively as TIMESTAMP_NTZ —
+# the dtype check below handles both without a second file-footer read.
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -30,8 +33,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
     for c in nanos_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        if dtypes.get(c) == "bigint":  # nanos-as-long file: truncate to us
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            # TIMESTAMP(MICROS) parquet surfaces as TIMESTAMP_NTZ; cast to
+            # the session-zoned TIMESTAMP every query (and the round-1
+            # plans) were built against. The box and DuckDB both run UTC,
+            # so wall-clock values are unchanged.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -140,6 +140,66 @@ def ivf_centroid_topk(
     return F.transform(top, lambda x: x["c"])
 
 
+def _pq_centroids_sql(sub: int, k: int, sub_dim: int) -> str:
+    """The ``k`` pseudo-centroids of one PQ subspace as a nested SQL array
+    literal (same deterministic md5-derived coefficients as the IVF/SRP
+    families, distinct salt namespace)."""
+    return _planes_sql(tuple(f"pq{sub}x{c}" for c in range(k)), sub_dim)
+
+
+def _pq_sq_norm(sub: int, c: int, sub_dim: int) -> float:
+    """Plan-time squared L2 norm of one PQ centroid — folded into the
+    argmin-L2 score so the per-row work is K dot products, not K norms."""
+    return sum(_hash_coef(f"pq{sub}x{c}", i) ** 2 for i in range(sub_dim))
+
+
+def pq_codes(v: Column, m: int = 8, k: int = 16, dim: int = 64) -> Column:
+    """Product-quantization encode: split ``v`` into ``m`` subvectors of
+    ``dim/m`` dims and assign each to its nearest (L2) of ``k``
+    deterministic pseudo-centroids. Returns ``array<int>`` of ``m`` codes —
+    the 100 TB compression step: downstream ANN stages shuffle/score these
+    ``m``-byte codes instead of the full vector (64 doubles -> 8 codes is a
+    64x payload cut). argmin ||x-c||^2 == argmax (x.c - ||c||^2/2); the
+    ``||c||^2/2`` terms are plan-time Python constants, so the per-row cost
+    is m*k short dot products over literal arrays (no RNG, no training —
+    the same no-training tradeoff as ``ivf_centroid_id``, recall measured
+    by ``ext_ann_recall``)."""
+    sub_dim = dim // m
+    parts = []
+    for s in range(m):
+        cents = F.expr(_pq_centroids_sql(s, k, sub_dim))
+        subv = F.slice(v, s * sub_dim + 1, sub_dim)
+        half_norms = F.expr(
+            "array(" + ",".join(f"{_pq_sq_norm(s, c, sub_dim) / 2.0!r}D" for c in range(k)) + ")"
+        )
+        scores = F.zip_with(
+            F.transform(cents, lambda p: dot(subv, p)),  # noqa: B023
+            half_norms,
+            lambda d, h: d - h,
+        )
+        parts.append((F.array_position(scores, F.array_max(scores)) - 1).cast("int"))
+    return F.array(*parts)
+
+
+def pq_adc_score(qv: Column, codes: Column, m: int = 8, k: int = 16, dim: int = 64) -> Column:
+    """Asymmetric-distance (ADC) inner-product score of a QUERY vector
+    against a corpus vector's PQ ``codes``: sum over subspaces of
+    dot(query_subvector, centroid[code]). The query side computes its m x k
+    lookup table once per row from literal centroid arrays; the corpus side
+    contributes only its codes — this is how FAISS IVF-PQ scores candidates
+    without touching the raw corpus vectors."""
+    sub_dim = dim // m
+    terms = []
+    for s in range(m):
+        cents = F.expr(_pq_centroids_sql(s, k, sub_dim))
+        subq = F.slice(qv, s * sub_dim + 1, sub_dim)
+        terms.append(dot(subq, F.element_at(cents, F.element_at(codes, s + 1) + 1)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def ivf_centroid_id(v: Column, num_centroids: int = 16, dim: int = 64) -> Column:
     """IVF-style coarse quantization without training: assign each vector
     to the deterministic pseudo-centroid with the highest dot product.

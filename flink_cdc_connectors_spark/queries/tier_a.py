@@ -727,17 +727,21 @@ def cdc_txn_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'changelog-json', n_rows, signed_sum FROM agg
     UNION ALL
     SELECT 'maxwell-json', n_rows, signed_sum FROM agg
+    UNION ALL
+    SELECT 'ogg-json', n_rows, signed_sum FROM agg
     """,
 )
 def cdc_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wire-format parity: the SAME state-aware binlog encoded and decoded
-    through the THREE non-Debezium CDC formats the ecosystem feeds — the
+    through the FOUR non-Debezium CDC formats the ecosystem feeds — the
     reference's own changelog-json (docs/content/formats/changelog-json.md:
     one record per changelog row, op in +I/-U/+U/-D), Canal JSON (the
     Flink-standard format its docs direct users to; data/old arrays,
     UPDATE expanded to the -U/+U pair by the decoder), and Maxwell JSON
     (sparse ``old`` of changed columns only; the decoder rebuilds the
-    before-image by per-field overlay on ``data``). Each format's
+    before-image by per-field overlay on ``data``), and Ogg JSON
+    (GoldenGate trail records: op_type I/U/D, before/after images, lexical
+    ``pos`` positions — Flink's ogg-json format shape). Each format's
     decoded retract stream must produce the identical row count and signed
     value sum — one differing codec breaks its row against the
     state-replay oracle. Sums ride DECIMAL(18,2) (money-safe associative
@@ -746,9 +750,11 @@ def cdc_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_to_canal_json,
         events_to_changelog_json,
         events_to_maxwell_json,
+        events_to_ogg_json,
         parse_canal_json,
         parse_changelog_json,
         parse_maxwell_json,
+        parse_ogg_json,
     )
 
     e = load_table(spark, sf_dir, "events")
@@ -768,4 +774,5 @@ def cdc_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_changelog_json(events_to_changelog_json(e)), "changelog-json"
     )
     maxwell = summarize(parse_maxwell_json(events_to_maxwell_json(e)), "maxwell-json")
-    return canal.unionByName(clog).unionByName(maxwell)
+    ogg = summarize(parse_ogg_json(events_to_ogg_json(e)), "ogg-json")
+    return canal.unionByName(clog).unionByName(maxwell).unionByName(ogg)

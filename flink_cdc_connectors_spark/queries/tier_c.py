@@ -785,7 +785,7 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recoverable by construction — a recall floor of 1/k per query."""
     from flink_cdc_connectors_spark.functions import vectors as V
 
-    # The corpus feeds all five ANN pipelines below — cache it (tiny: 2x
+    # The corpus feeds all six ANN pipelines below — cache it (tiny: 2x
     # table rows of 64-double arrays) so the scan+union+repartition runs
     # once, not once per method.
     base = _emb_corpus_with_copies(spark, sf_dir).cache()
@@ -871,6 +871,39 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).select("q_id", "vec_id")
 
+    # IVF-PQ: same cell pruning as ivf_at(2), but candidates are ADC-scored
+    # from 8 PQ codes alone (no raw vectors in the candidate join), top-32
+    # ADC survivors exact-re-ranked — the ext_sim_search_pq operating point
+    compact = cells.select("vec_id", "cell", V.pq_codes(F.col("e")).alias("codes"))
+    q_pq = base.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _COPY_OFFSET)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qv"),
+        F.explode(V.ivf_centroid_topk(F.col("e"), probes=2)).alias("cell"),
+    )
+    adc = (
+        compact.join(F.broadcast(q_pq), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", V.pq_adc_score(F.col("qv"), F.col("codes")).alias("adc")
+        )
+    )
+    w_adc = W.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    shortlist = adc.withColumn("arn", F.row_number().over(w_adc)).filter(
+        F.col("arn") <= 32
+    )
+    ivf_pq = topk(
+        shortlist.select("q_id", "vec_id")
+        .join(base, "vec_id")
+        .join(F.broadcast(queries), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(V.cosine_sim(F.col("qv"), F.col("e")), 6).alias("sim"),
+        )
+    ).select("q_id", "vec_id")
+
     n_truth = F.count(F.lit(1)).alias("n_truth")
 
     def method(name: str, approx: DataFrame) -> DataFrame:
@@ -891,4 +924,5 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(method("srp_lsh_4tables", lsh4))
         .unionByName(method("ivf", ivf_at(1)))
         .unionByName(method("ivf_p4", ivf_at(4)))
+        .unionByName(method("ivf_pq", ivf_pq))
     )

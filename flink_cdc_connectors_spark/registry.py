@@ -32,6 +32,7 @@ _QUERY_MODULES = (
     "flink_cdc_connectors_spark.queries.tier_b_ext",
     "flink_cdc_connectors_spark.queries.tier_c",
     "flink_cdc_connectors_spark.queries.tier_c_ext",
+    "flink_cdc_connectors_spark.queries.tier_c_ext3",
 )
 
 

@@ -1,4 +1,5 @@
-"""Alternative CDC wire formats: changelog-json, Canal JSON, Maxwell JSON.
+"""Alternative CDC wire formats: changelog-json, Canal JSON, Maxwell JSON,
+Ogg JSON.
 
 The reference ships its own ``changelog-json`` format (the pre-Flink-CDC-2.2
 wire form, `docs/content/formats/changelog-json.md`: one JSON object per
@@ -19,6 +20,11 @@ pipeline:
 - **Maxwell JSON**: one envelope per binlog EVENT with a SPARSE ``old``
   (only changed columns) — the decoder rebuilds the before-image by
   overlaying ``old`` on ``data`` per field.
+- **Ogg JSON** (Oracle GoldenGate, Flink's ``ogg-json`` format): one
+  envelope per EVENT — ``{"table": "DB.TABLE", "op_type": "I|U|D",
+  "op_ts", "current_ts", "pos", "primary_keys": [...], "before", "after"}``
+  — INSERT carries ``after`` only, DELETE ``before`` only, UPDATE both;
+  the decoder expands U into the -U/+U pair.
 
 All encoders are state-aware: they replay per-key state with one lag
 window (the same staging as ``events_to_debezium_json``) so before-images
@@ -243,6 +249,94 @@ def events_to_maxwell_json(
         old.alias("old"),
     )
     return s.select(F.to_json(envelope).alias("value"))
+
+
+def events_to_ogg_json(
+    events: DataFrame, db: str = "APP", table: str = "EVENTS"
+) -> DataFrame:
+    """Fixture events -> Ogg (GoldenGate) JSON, the shape Flink's
+    ``ogg-json`` format consumes: one envelope per EVENT; ``op_type`` is
+    I/U/D; ``op_ts``/``current_ts`` are formatted timestamps; ``pos`` is a
+    zero-padded, lexically ordered trail position (the GoldenGate analog of
+    a binlog offset)."""
+    s = _staged(events)
+    otype = (
+        F.when(F.col("__app_op") == "delete", F.lit("D"))
+        .when(F.col("__live"), F.lit("U"))
+        .otherwise(F.lit("I"))
+    )
+    before = F.when(
+        (F.col("__app_op") == "delete") | F.col("__live"), F.col("__prev_payload")
+    )
+    after = F.when(F.col("__app_op") != "delete", F.col("__payload"))
+    ts_str = F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    envelope = F.struct(
+        F.lit(f"{db}.{table}").alias("table"),
+        otype.alias("op_type"),
+        ts_str.alias("op_ts"),
+        ts_str.alias("current_ts"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0").alias("pos"),
+        F.array(F.lit("user_id")).alias("primary_keys"),
+        before.alias("before"),
+        after.alias("after"),
+    )
+    return s.select(F.to_json(envelope).alias("value"))
+
+
+def parse_ogg_json(
+    raw: DataFrame,
+    value_col: str = "value",
+    payload_schema: T.StructType = EVENT_PAYLOAD_SCHEMA,
+) -> DataFrame:
+    """Ogg JSON -> typed changelog rows with ``row_kind``: I -> +I from
+    ``after``, D -> -D from ``before``, U -> (-U from ``before``, +U from
+    ``after``) — the same expansion Flink's ogg-json format performs."""
+    schema = T.StructType(
+        [
+            T.StructField("table", T.StringType(), True),
+            T.StructField("op_type", T.StringType(), True),
+            T.StructField("op_ts", T.StringType(), True),
+            T.StructField("current_ts", T.StringType(), True),
+            T.StructField("pos", T.StringType(), True),
+            T.StructField("primary_keys", T.ArrayType(T.StringType()), True),
+            T.StructField("before", payload_schema, True),
+            T.StructField("after", payload_schema, True),
+        ]
+    )
+    parsed = raw.select(F.from_json(F.col(value_col), schema).alias("e"))
+    rows = (
+        F.when(
+            F.col("e.op_type") == "D",
+            F.array(
+                F.struct(
+                    F.lit("-D").alias("row_kind"), F.col("e.before").alias("payload")
+                )
+            ),
+        )
+        .when(
+            F.col("e.op_type") == "U",
+            F.array(
+                F.struct(
+                    F.lit("-U").alias("row_kind"), F.col("e.before").alias("payload")
+                ),
+                F.struct(
+                    F.lit("+U").alias("row_kind"), F.col("e.after").alias("payload")
+                ),
+            ),
+        )
+        .otherwise(
+            F.array(
+                F.struct(
+                    F.lit("+I").alias("row_kind"), F.col("e.after").alias("payload")
+                )
+            )
+        )
+    )
+    ex = parsed.withColumn("__r", F.explode(rows))
+    return ex.select(
+        *[F.col(f"__r.payload.{f.name}").alias(f.name) for f in payload_schema.fields],
+        F.col("__r.row_kind").alias("row_kind"),
+    )
 
 
 def parse_maxwell_json(

@@ -97,3 +97,45 @@ def test_rolling_fingerprint_stable_under_suffix_edit(spark):
     ).first()
     overlap = len(set(row["fa"]) & set(row["fb"])) / len(set(row["fa"]))
     assert overlap > 0.9  # local edit perturbs few windows
+
+
+def test_pq_codes_and_adc(spark):
+    """PQ codes are deterministic, in [0, k); ADC score of a vector against
+    its OWN codes approximates the true self-dot better than against a
+    far vector's codes, and identical vectors get identical codes."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-0.5, 0.5) for _ in range(64)]) for i in range(40)]
+    rows.append((100, rows[0][1]))  # exact copy of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    coded = df.select(
+        "vec_id", "v", V.pq_codes(F.col("v")).alias("codes")
+    ).cache()
+    got = {r["vec_id"]: r["codes"] for r in coded.collect()}
+    assert all(len(c) == 8 for c in got.values())
+    assert all(0 <= x < 16 for c in got.values() for x in c)
+    assert got[100] == got[0]  # identical vectors -> identical codes
+    # determinism across a second evaluation
+    again = {r["vec_id"]: r["codes"] for r in coded.unpersist().collect()}
+    assert again == got
+
+    # ADC approximates the true dot product: rank correlation sanity —
+    # for each query, the ADC-top neighbor's true dot is near the true max.
+    a = coded.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    pairs = a.crossJoin(coded.select("vec_id", "v", "codes")).filter(
+        F.col("q_id") != F.col("vec_id")
+    )
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        V.dot(F.col("qv"), F.col("v")).alias("true_dot"),
+        V.pq_adc_score(F.col("qv"), F.col("codes")).alias("adc"),
+    ).toPandas()
+    # the planted copy must be ADC-found for query 0 (max adc over its row)
+    q0 = scored[scored.q_id == 0]
+    assert q0.loc[q0.adc.idxmax()].vec_id == 100
+    corr = scored.groupby("q_id").apply(
+        lambda g: g.true_dot.corr(g.adc), include_groups=False
+    )
+    assert corr.mean() > 0.5  # ADC tracks the true inner product

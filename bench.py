@@ -45,9 +45,35 @@ def main() -> None:
     # Warm the JVM/session on the smallest fixture so q1 doesn't pay startup,
     # and warm the Python-worker pool (fork + pandas import per core) so the
     # first Arrow-UDF query isn't charged ~5s of one-time worker spin-up.
-    for warm in (next(iter(sorted(queries))), "ext_multimodal_decode"):
+    # Also warm one representative of each heavy PLAN FAMILY: whole-stage
+    # codegen classes are cached by generated source and HotSpot C2-compiles
+    # the hot loops on first execution, so without this the alphabetically
+    # FIRST query of each family absorbs ~5-15s of one-time compile/JIT that
+    # at real scale amortizes to zero (measured: ext_dedup_cluster 15.8s
+    # cold-attributed vs 2.5s steady-state at sf0.1). sf0.001 inputs produce
+    # the same generated code, so the warmup is cheap and the per-query
+    # numbers measure execution, not first-compile.
+    # sf0.001 is too small to push the generated loops past HotSpot's C2
+    # compile thresholds (50 docs = a handful of loop iterations), so the
+    # heavy families warm at sf0.01 — still ~1-2s each, enough rows for the
+    # JIT to promote the hot paths.
+    warm_plan = [
+        ("/root/testdata/sf0.001", next(iter(sorted(queries)))),
+        ("/root/testdata/sf0.001", "ext_multimodal_decode"),  # Python workers
+        ("/root/testdata/sf0.01", "ext_dedup_cluster"),    # shingles + self-join + loop
+        ("/root/testdata/sf0.01", "ext_minhash_recall"),   # minhash + band joins
+        ("/root/testdata/sf0.01", "ext_dedup_simhash"),    # 64-wide vote codegen
+        ("/root/testdata/sf0.01", "ext_ann_recall"),       # ANN/PQ literal arrays
+        ("/root/testdata/sf0.01", "cdc_format_roundtrip"), # to_json/from_json codecs
+        ("/root/testdata/sf0.01", "cdc_multi_table_route"),
+        ("/root/testdata/sf0.01", "agg_approx_distinct"),
+        ("/root/testdata/sf0.01", "cdc_chunk_split_sampled"),
+        ("/root/testdata/sf0.01", "ext_decontaminate"),
+        ("/root/testdata/sf0.01", "ext_dedup_embedding"),
+    ]
+    for warm_dir, warm in warm_plan:
         try:
-            run_one(spark, queries[warm].builder, "/root/testdata/sf0.001")
+            run_one(spark, queries[warm].builder, warm_dir)
         except Exception:
             pass
 

@@ -110,7 +110,18 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             F.transform(positions, lambda i: F.array_join(F.slice("words", i, n), " "))
         ).alias("shingles"),
     )
-    return grams.select("doc_id", F.explode("shingles").alias("shingle"))
+    # explode_OUTER, not explode: a plain explode makes Catalyst's
+    # InferFiltersFromGenerate synthesize `size(shingles) > 0 AND
+    # isnotnull(shingles)` and push it below the fan_out repartition, where
+    # the whole shingle expression is re-evaluated per predicate — measured
+    # 13x the query (6.5s -> 0.5s at sf0.1) because the pushed filter also
+    # runs on the UNPARALLELIZED pre-repartition scan. Outer explode infers
+    # no filter; short docs yield one null row, dropped by the cheap
+    # post-generate filter on the OUTPUT column — identical results.
+    return (
+        grams.select("doc_id", F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
 
 
 @query(

@@ -282,3 +282,20 @@ def test_domain_mix_rates_broadcast(spark, sf_dir):
     plan = explain_str(df)
     assert has_broadcast_join(df)
     assert "Sample" not in plan
+
+
+def test_shingle_expression_evaluated_once(spark, sf_dir):
+    """The shingle pipeline must evaluate split(normalize(text)) exactly
+    ONCE per row: a plain explode lets InferFiltersFromGenerate synthesize
+    a size()/isnotnull() filter over the whole shingle expression and push
+    it below the fan_out repartition — re-evaluating the expression ~3x per
+    row on the unparallelized pre-repartition scan (measured 13x the
+    query at sf0.1). _shingles uses explode_outer + a post-generate filter
+    to keep the optimized plan at one evaluation."""
+    from flink_cdc_connectors_spark.queries.tier_c import _shingles, _with_copies
+    from flink_cdc_connectors_spark.sources.loaders import fan_out, load_table
+
+    docs = fan_out(_with_copies(load_table(spark, sf_dir, "documents")))
+    plan = _shingles(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1
+    assert plan.count("regexp_replace(") == 1

@@ -635,3 +635,49 @@ def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, s.token, s.pos FROM __udtf_docs, LATERAL head_tokens(text, 5) s"
     )
+
+
+# ---------------------------------------------------------------------------
+# FILTER-clause aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_filter_where",
+    tier="B",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)                                    AS n_orders,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      FILTER (WHERE o_totalprice > 100000), 2) AS DOUBLE) AS big_total,
+           CAST(round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4)
+                AS DOUBLE)                                              AS open_avg
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_filter_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER (WHERE ...) clauses — per-aggregate predicates in
+    one pass (the SQL:2003 form Flink SQL also executes over CDC tables).
+    One hash aggregate, no self-joins: each FILTER compiles to a
+    conditional inside the same partial/final aggregation, so the input is
+    scanned once regardless of how many filtered aggregates the query
+    stacks. Money sums ride DECIMAL before rounding (cross-engine
+    associativity)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_fw")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT)                                    AS n_orders,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          FILTER (WHERE o_totalprice > 100000), 2) AS DOUBLE)
+                 AS big_total,
+               CAST(round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4)
+                    AS DOUBLE)                                             AS open_avg
+        FROM __orders_fw
+        GROUP BY o_orderpriority
+        """
+    )

@@ -132,3 +132,65 @@ def ext_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return rerank.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity proxy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_unigram_logprob",
+    tier="C",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents),
+    lm AS (
+      SELECT tok, ln(CAST(count(*) AS DOUBLE)
+                     / (SELECT count(*) FROM toks)) AS logp
+      FROM toks GROUP BY tok),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tok,
+             sum(CAST(round(lm.logp, 8) AS DECIMAL(18,8))) AS lp_sum
+      FROM toks t JOIN lm ON t.tok = lm.tok
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_tok,
+           CAST(round(lp_sum / n_tok, 4) AS DOUBLE) AS avg_logprob,
+           CASE WHEN lp_sum / n_tok < -5.5 THEN 1 ELSE 0 END AS is_outlier
+    FROM scored
+    """,
+)
+def ext_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-PROXY quality scoring: train a unigram LM on the corpus
+    itself (token -> ln relative frequency), score each document by mean
+    token log-probability, flag low-likelihood outliers — the cheap stand-in
+    for the KenLM/CCNet perplexity filter every pretraining pipeline runs.
+    Two-pass plan: one shuffle builds the LM (vocabulary-sized — kilobytes
+    even at 100 TB, so it BROADCASTS back), one shuffle re-aggregates
+    per doc. Per-token logprobs are rounded then summed in DECIMAL so the
+    cross-engine float-summation order can't flip the hash."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode_outer(F.split(F.trim("text"), " ")).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    total = toks.count()  # driver scalar: corpus token count (one number)
+    lm = toks.groupBy("tok").agg(
+        F.log(F.count(F.lit(1)) / F.lit(float(total))).alias("logp")
+    )
+    scored = (
+        toks.join(F.broadcast(lm), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.round("logp", 8).cast("decimal(18,8)")).alias("lp_sum"),
+        )
+    )
+    avg = F.col("lp_sum") / F.col("n_tok")
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        F.round(avg, 4).cast("double").alias("avg_logprob"),
+        F.when(avg < -5.5, F.lit(1)).otherwise(F.lit(0)).alias("is_outlier"),
+    )

@@ -121,6 +121,8 @@ _CHECK_FIRST = (
     "window_first_last",
     "window_ntile_dist",
     "window_range_frame",
+    "ext_unigram_logprob",
+    "agg_filter_where",
     # rows-only keys (no oracle -> weaker driver evidence) at the tail
     "agg_approx_distinct",
     "ext_ann_recall",

@@ -776,3 +776,55 @@ def cdc_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxwell = summarize(parse_maxwell_json(events_to_maxwell_json(e)), "maxwell-json")
     ogg = summarize(parse_ogg_json(events_to_ogg_json(e)), "ogg-json")
     return canal.unionByName(clog).unionByName(maxwell).unionByName(ogg)
+
+
+@query(
+    "cdc_newly_added_tables",
+    tier="A",
+    oracle=f"""
+    SELECT user_id, round(value, 2) AS value_r, event_id
+    FROM ({_LATEST_SQL})
+    WHERE rn = 1 AND ({{op_case}}) <> 'delete'
+    """.format(op_case=op_sql("event_type")),
+)
+def cdc_newly_added_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newly-added-tables protocol, driven END-TO-END and checked against
+    the whole-log oracle: the initial capture covers only HALF the key
+    space (modeling 'only some tables captured'); the source snapshots it
+    with STAGGERED per-chunk watermarks (DML lands while earlier chunks
+    read — the DBLog condition), streams to a mid-log offset, then the
+    capture list grows — the stream reader SUSPENDS at its offset, the new
+    key range is snapshot there, and the stream RESUMES with the updated
+    chunk/watermark metadata so shouldEmit covers the new chunks
+    (MySqlSourceReader.java:84,147-240, BinlogSplitUpdateRequest/Ack,
+    NewlyAddedTableITCase; docs mysql-cdc.md:644). Materializing
+    everything the source emitted must equal normalize(whole log) — keys
+    only ever captured by the late-added range included. Value columns
+    only (no op): a key whose final state arrived via snapshot backfill
+    carries op='insert' by protocol, which the log's last-op cannot see."""
+    from flink_cdc_connectors_spark.operators.cdc import changelog_normalize
+    from flink_cdc_connectors_spark.sources.hybrid_source import HybridCdcSource
+
+    e = load_table(spark, sf_dir, "events")
+    k_lo, k_hi, o_lo, o_hi = e.agg(
+        F.min("user_id"), F.max("user_id"), F.min("event_id"), F.max("event_id")
+    ).first()  # 4 driver scalars — the assigner's min/max discovery query
+    mid = (k_lo + k_hi) // 2
+    stagger = [int(o_lo + (o_hi - o_lo) * f) for f in (0.40, 0.45, 0.50, 0.55)]
+    suspend_at = int(o_lo + (o_hi - o_lo) * _SPLIT_FRACTION)
+
+    src = HybridCdcSource(
+        spark, e, num_chunks=4, watermarks=stagger, key_range=(k_lo, mid)
+    )
+    parts: list[DataFrame] = []
+    while (b := src.next_snapshot_batch()) is not None:  # initial capture
+        parts.append(b)
+    parts.append(src.stream_batch(to_offset=suspend_at))  # stream phase 1
+    parts.extend(src.add_key_range(mid, k_hi + 1))  # suspend + backfill
+    parts.append(src.stream_batch())  # resume to end of log
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return changelog_normalize(union, key_cols=["user_id"]).select(
+        "user_id", F.round("value", 2).alias("value_r"), "event_id"
+    )

@@ -123,6 +123,7 @@ _CHECK_FIRST = (
     "window_range_frame",
     "ext_unigram_logprob",
     "agg_filter_where",
+    "cdc_newly_added_tables",
     # rows-only keys (no oracle -> weaker driver evidence) at the tail
     "agg_approx_distinct",
     "ext_ann_recall",

@@ -828,3 +828,38 @@ def cdc_newly_added_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changelog_normalize(union, key_cols=["user_id"]).select(
         "user_id", F.round("value", 2).alias("value_r"), "event_id"
     )
+
+
+@query(
+    "cdc_heartbeat",
+    tier="A",
+    oracle="""
+    WITH buckets AS (
+      SELECT CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hb,
+             max(event_id) AS bucket_max
+      FROM events GROUP BY 1)
+    SELECT (hb + 1) * 3600000 AS hb_ts,
+           CAST(max(bucket_max) OVER (ORDER BY hb
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS pos
+    FROM buckets
+    """,
+)
+def cdc_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat records — the Debezium ``heartbeat.interval`` analog
+    (MySqlSourceOptions.java:187-192): one position-bearing envelope per
+    hour of log time, ``source.pos`` = the cumulative-max log position, so
+    an idle captured table's committed offset keeps advancing while other
+    tables churn the binlog (RecordUtils.java:61-64,226-230 drops them from
+    data output — tested in test_streaming). The query round-trips the
+    envelopes through JSON and projects (heartbeat ts, advancing position);
+    the windowed cumulative max runs over #interval-buckets rows — bounded
+    and tiny regardless of log size (documented single-partition window)."""
+    from flink_cdc_connectors_spark.sources.envelope import heartbeat_envelopes
+
+    e = load_table(spark, sf_dir, "events")
+    hb = heartbeat_envelopes(e, interval_ms=3_600_000)
+    return hb.select(
+        F.get_json_object("value", "$.ts_ms").cast("long").alias("hb_ts"),
+        F.get_json_object("value", "$.source.pos").cast("long").alias("pos"),
+    )

@@ -681,3 +681,51 @@ def agg_filter_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_colocated_bucketed",
+    tier="B",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def join_colocated_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed CO-LOCATED join — the 100 TB recurring-join layout: both
+    sides persisted bucketed+sorted on the join key, so the sort-merge join
+    reads pre-shuffled storage and NO Exchange appears on either side
+    (pinned by tests/test_scale_toolkit). The reference's analog is
+    chunk-aligned parallel reads; on Spark the storage layout carries the
+    partitioning across jobs. The query pays the one-time bucketed write
+    (the real pattern amortizes it over every downstream join) and returns
+    a value-checked aggregate over the join."""
+    from flink_cdc_connectors_spark.operators.scale import (
+        co_located_join,
+        write_bucketed,
+    )
+
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey"),
+        "__q_orders_b", "custkey",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey"),
+        "__q_customer_b", "custkey",
+    )
+    joined = co_located_join(spark, "__q_orders_b", "__q_customer_b", "custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )

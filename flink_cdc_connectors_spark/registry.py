@@ -124,6 +124,8 @@ _CHECK_FIRST = (
     "ext_unigram_logprob",
     "agg_filter_where",
     "cdc_newly_added_tables",
+    "cdc_heartbeat",
+    "join_colocated_bucketed",
     # rows-only keys (no oracle -> weaker driver evidence) at the tail
     "agg_approx_distinct",
     "ext_ann_recall",

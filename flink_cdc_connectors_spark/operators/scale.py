@@ -16,6 +16,10 @@ automatically:
 
 from __future__ import annotations
 
+import os
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -24,7 +28,17 @@ def write_bucketed(
     df: DataFrame, table: str, key: str, num_buckets: int = 8
 ) -> None:
     """Persist ``df`` bucketed+sorted on ``key`` (hash-partitioned storage
-    layout — every future equi-join/agg on ``key`` reads it pre-shuffled)."""
+    layout — every future equi-join/agg on ``key`` reads it pre-shuffled).
+
+    Idempotent across sessions: the default in-memory catalog forgets
+    managed tables when the session ends but their warehouse directories
+    survive, and a later CREATE fails with LOCATION_ALREADY_EXISTS — drop
+    the catalog entry AND clear the stale location first."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if wh:
+        shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, key)

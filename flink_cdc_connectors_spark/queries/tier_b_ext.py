@@ -703,12 +703,15 @@ def agg_filter_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_colocated_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed CO-LOCATED join — the 100 TB recurring-join layout: both
     sides persisted bucketed+sorted on the join key, so the sort-merge join
-    reads pre-shuffled storage and NO Exchange appears on either side
-    (pinned by tests/test_scale_toolkit). The reference's analog is
-    chunk-aligned parallel reads; on Spark the storage layout carries the
-    partitioning across jobs. The query pays the one-time bucketed write
-    (the real pattern amortizes it over every downstream join) and returns
-    a value-checked aggregate over the join."""
+    reads pre-shuffled storage and NO Exchange appears on either side.
+    tests/test_scale_toolkit pins that zero-exchange SMJ shape (broadcast
+    disabled); at fixture sizes AQE rightly swaps in a broadcast join —
+    still no shuffle of the big side, and the bucketed layout takes over
+    exactly when both sides outgrow the broadcast threshold. The
+    reference's analog is chunk-aligned parallel reads; on Spark the
+    storage layout carries the partitioning across jobs. The query pays
+    the one-time bucketed write (the real pattern amortizes it over every
+    downstream join) and returns a value-checked aggregate over the join."""
     from flink_cdc_connectors_spark.operators.scale import (
         co_located_join,
         write_bucketed,

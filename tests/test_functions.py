@@ -139,3 +139,52 @@ def test_pq_codes_and_adc(spark):
         lambda g: g.true_dot.corr(g.adc), include_groups=False
     )
     assert corr.mean() > 0.5  # ADC tracks the true inner product
+
+
+def test_doc_chunk_covers_corpus(spark, sf_dir):
+    """Chunking invariants: starts spaced by the stride from 1; every token
+    of every doc lands in >=1 chunk (coverage); chunk token counts match
+    the window/remainder arithmetic."""
+    from flink_cdc_connectors_spark.queries.tier_c_ext3 import (
+        _CHUNK,
+        _STRIDE,
+        ext_doc_chunk,
+    )
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    chunks = ext_doc_chunk(spark, sf_dir).toPandas()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_words"))
+        .toPandas()
+        .set_index("doc_id")["n_words"]
+    )
+    for doc_id, g in chunks.groupby("doc_id"):
+        g = g.sort_values("chunk_id")
+        n = docs[doc_id]
+        starts = g["chunk_start"].tolist()
+        assert starts == list(range(1, n + 1, _STRIDE))
+        # coverage: consecutive windows overlap (stride < chunk size)
+        assert all(
+            s + _CHUNK >= nxt for s, nxt in zip(starts, starts[1:])
+        )
+        assert (g["n_tok"] == [min(_CHUNK, n - s + 1) for s in starts]).all()
+
+
+def test_heartbeat_positions_advance(spark, sf_dir):
+    """Heartbeat positions are non-decreasing in interval order and end at
+    the log's max position — the offset-advance property heartbeats exist
+    for; parsing drops them from data output."""
+    from flink_cdc_connectors_spark.queries.tier_a import cdc_heartbeat
+    from flink_cdc_connectors_spark.sources.envelope import (
+        heartbeat_envelopes,
+        parse_debezium_json,
+    )
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    hb = cdc_heartbeat(spark, sf_dir).toPandas().sort_values("hb_ts")
+    assert (hb["pos"].diff().dropna() >= 0).all()
+    e = load_table(spark, sf_dir, "events")
+    assert hb["pos"].iloc[-1] == e.agg(F.max("event_id")).first()[0]
+    raw = heartbeat_envelopes(e, interval_ms=3_600_000)
+    assert parse_debezium_json(raw).count() == 0  # heartbeats are not data

@@ -863,3 +863,68 @@ def cdc_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("value", "$.ts_ms").cast("long").alias("hb_ts"),
         F.get_json_object("value", "$.source.pos").cast("long").alias("pos"),
     )
+
+
+@query(
+    "cdc_sql_ddl_source",
+    tier="A",
+    oracle="""
+    SELECT event_id, user_id, upper(event_type) AS event_type_u,
+           round(value, 2) AS value_r,
+           'app' AS db_name, 'events' AS tbl,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS op_ts_s
+    FROM events
+    WHERE event_id > (SELECT CAST(min(event_id)
+                           + (max(event_id) - min(event_id)) * 0.6 AS BIGINT)
+                      FROM events)
+    """,
+)
+def cdc_sql_ddl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PRIMARY user surface, end-to-end: a Flink-SQL
+    ``CREATE TABLE ... WITH ('connector'='mysql-cdc', ...)`` statement
+    (README.md:27-56; mysql-cdc.md DDL examples) is parsed verbatim —
+    typed columns through the §1.2 lattice, METADATA columns
+    (MySqlReadableMetadata.java:33-70), PRIMARY KEY NOT ENFORCED,
+    specific-offset startup (StartupMode.java:24-33) — bound to the engine
+    (sources/ddl.py), registered as a view, and queried with spark.sql
+    exactly as a Flink user queries the source table. A reference user's
+    DDL+query pair ports unchanged."""
+    from flink_cdc_connectors_spark.sources.ddl import create_cdc_table
+
+    start = _split_offset(spark, sf_dir)
+    ddl = f"""
+    CREATE TABLE events_cdc (
+      event_id BIGINT,
+      ts TIMESTAMP(3),
+      user_id BIGINT,
+      event_type STRING,
+      `value` DOUBLE,
+      props STRING,
+      db_name STRING METADATA FROM 'database_name' VIRTUAL,
+      tbl STRING METADATA FROM 'table_name' VIRTUAL,
+      op_ts TIMESTAMP_LTZ(3) METADATA FROM 'op_ts' VIRTUAL,
+      PRIMARY KEY (user_id) NOT ENFORCED
+    ) WITH (
+      'connector' = 'mysql-cdc',
+      'hostname' = 'localhost',
+      'port' = '3306',
+      'username' = 'cdc',
+      'password' = 'secret',
+      'database-name' = 'app',
+      'table-name' = 'events',
+      'scan.startup.mode' = 'specific-offset',
+      'scan.startup.specific-offset.pos' = '{start}',
+      'scan.incremental.snapshot.chunk.size' = '8096',
+      'server-time-zone' = 'UTC'
+    )
+    """
+    create_cdc_table(spark, ddl, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id, user_id, UPPER(event_type) AS event_type_u,
+               round(`value`, 2) AS value_r,
+               db_name, tbl,
+               date_format(op_ts, 'yyyy-MM-dd HH:mm:ss') AS op_ts_s
+        FROM events_cdc
+        """
+    )

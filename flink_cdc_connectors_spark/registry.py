@@ -126,6 +126,7 @@ _CHECK_FIRST = (
     "cdc_newly_added_tables",
     "cdc_heartbeat",
     "join_colocated_bucketed",
+    "cdc_sql_ddl_source",
     # rows-only keys (no oracle -> weaker driver evidence) at the tail
     "agg_approx_distinct",
     "ext_ann_recall",

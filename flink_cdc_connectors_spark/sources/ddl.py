@@ -1,0 +1,231 @@
+"""Flink-SQL DDL surface: ``CREATE TABLE ... WITH ('connector'='*-cdc')``.
+
+The reference's primary user interface is a Flink SQL DDL statement
+(README.md:27-56; every connector doc opens with one — mysql-cdc.md,
+postgres-cdc.md, mongodb-cdc.md): column list with optional METADATA
+columns, ``PRIMARY KEY ... NOT ENFORCED``, and a WITH-options clause
+carrying connection/startup/chunking options. A user switching engines
+brings that DDL with them, so this module accepts it verbatim:
+
+  - :func:`parse_create_table` — DDL text -> :class:`TableDef` (columns
+    typed through the §1.2 lattice in ``sources/types.py``, metadata
+    columns, primary keys, raw options);
+  - :func:`to_source_config` — WITH-options -> the validated
+    :class:`SourceConfig` (same option keys as MySqlSourceOptions.java);
+  - :func:`create_cdc_table` — bind the declared table to the engine: the
+    ``table-name`` regex discovers fixture tables (TableDiscoveryUtils
+    analog), the startup mode compiles to an offset predicate, declared
+    metadata columns are appended (MySqlReadableMetadata.java:33-70), the
+    declared physical columns are projected/cast (absent ones surface as
+    typed NULLs — schema conformance), and the result registers as a temp
+    view under the DDL name so ``spark.sql`` queries run against it
+    exactly as Flink SQL queries run against the reference's table.
+
+Parsing is a small recursive-descent-free splitter (comma at paren depth
+zero), not a full SQL grammar — it covers the DDL forms the reference's
+docs and ITCases actually use.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_cdc_connectors_spark.sources.source_config import SourceConfig
+from flink_cdc_connectors_spark.sources.types import map_source_type
+
+_CREATE_RE = re.compile(
+    r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.`\"]+)\s*"
+    r"\((?P<body>.*)\)\s*WITH\s*\((?P<options>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OPTION_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
+_META_RE = re.compile(
+    r"^(?P<name>[\w`\"]+)\s+(?P<type>.+?)\s+METADATA"
+    r"(?:\s+FROM\s+'(?P<key>[^']+)')?(?:\s+VIRTUAL)?$",
+    re.IGNORECASE,
+)
+_PK_RE = re.compile(
+    r"^PRIMARY\s+KEY\s*\((?P<cols>[^)]*)\)(?:\s+NOT\s+ENFORCED)?$", re.IGNORECASE
+)
+_WATERMARK_RE = re.compile(
+    r"^WATERMARK\s+FOR\s+(?P<col>[\w`\"]+)\s+AS\s+(?P<expr>.+)$", re.IGNORECASE
+)
+
+
+def _ident(s: str) -> str:
+    return s.strip().strip('`"')
+
+
+def _split_top(body: str) -> list[str]:
+    """Split on commas at parenthesis depth 0 (DECIMAL(10, 5) stays whole)."""
+    parts, depth, buf = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+@dataclass(frozen=True)
+class TableDef:
+    """A parsed CDC table declaration."""
+
+    name: str
+    columns: list[tuple[str, str]]  # physical (name, Flink/SQL type decl)
+    metadata_columns: list[tuple[str, str, str]]  # (name, type decl, metadata key)
+    primary_keys: list[str]
+    watermark: tuple[str, str] | None  # (column, expression) — informational
+    options: dict[str, str]
+
+    def spark_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(n, map_source_type(d), nullable=True)
+                for n, d in self.columns
+            ]
+        )
+
+
+def parse_create_table(ddl: str) -> TableDef:
+    """Flink ``CREATE TABLE`` DDL text -> :class:`TableDef`."""
+    m = _CREATE_RE.search(ddl.strip())
+    if not m:
+        raise ValueError("not a CREATE TABLE ... ( ... ) WITH ( ... ) statement")
+    name = _ident(m.group("name")).split(".")[-1]
+    options = {o.group("k"): o.group("v") for o in _OPTION_RE.finditer(m.group("options"))}
+    columns: list[tuple[str, str]] = []
+    meta: list[tuple[str, str, str]] = []
+    pks: list[str] = []
+    watermark: tuple[str, str] | None = None
+    for item in _split_top(m.group("body")):
+        if (pk := _PK_RE.match(item)) is not None:
+            pks = [_ident(c) for c in pk.group("cols").split(",")]
+            continue
+        if (wm := _WATERMARK_RE.match(item)) is not None:
+            watermark = (_ident(wm.group("col")), wm.group("expr").strip())
+            continue
+        if (mm := _META_RE.match(item)) is not None:
+            col = _ident(mm.group("name"))
+            meta.append((col, mm.group("type").strip(), mm.group("key") or col))
+            continue
+        col, _, decl = item.partition(" ")
+        if not decl:
+            raise ValueError(f"unparseable column item: {item!r}")
+        columns.append((_ident(col), decl.strip()))
+    return TableDef(name, columns, meta, pks, watermark, options)
+
+
+def to_source_config(tdef: TableDef) -> SourceConfig:
+    """WITH-options -> validated :class:`SourceConfig` (the option keys of
+    MySqlSourceOptions.java:30-247 / SourceOptions.java:40-113)."""
+    o = tdef.options
+    connector = o.get("connector", "")
+    if not connector.endswith("-cdc"):
+        raise ValueError(f"not a CDC connector: {connector!r}")
+    kw: dict = {}
+    if "hostname" in o:
+        kw["hostname"] = o["hostname"]
+    if "port" in o:
+        kw["port"] = int(o["port"])
+    if "username" in o:
+        kw["username"] = o["username"]
+    if "password" in o:
+        kw["password"] = o["password"]
+    if "database-name" in o:
+        kw["database_pattern"] = o["database-name"]
+    if "table-name" in o:
+        kw["table_pattern"] = o["table-name"]
+    if "scan.startup.mode" in o:
+        kw["startup_mode"] = o["scan.startup.mode"]
+    if "scan.startup.specific-offset.pos" in o:
+        kw["startup_offset"] = int(o["scan.startup.specific-offset.pos"])
+    if "scan.startup.timestamp-millis" in o:
+        kw["startup_timestamp_ms"] = int(o["scan.startup.timestamp-millis"])
+    if "scan.incremental.snapshot.chunk.size" in o:
+        kw["snapshot_chunk_size"] = int(o["scan.incremental.snapshot.chunk.size"])
+    if "scan.snapshot.fetch.size" in o:
+        kw["fetch_size"] = int(o["scan.snapshot.fetch.size"])
+    if "server-time-zone" in o:
+        kw["server_time_zone"] = o["server-time-zone"]
+    return SourceConfig(**kw)
+
+
+# metadata key -> column builder (MySqlReadableMetadata.java:33-70); the
+# simulation binds database_name to the config's database pattern (a
+# concrete name in the docs' DDLs) and op_ts to the row's event time.
+def _metadata_col(key: str, table: str, cfg: SourceConfig, df: DataFrame):
+    if key == "database_name":
+        return F.lit(cfg.database_pattern)
+    if key == "table_name":
+        return F.lit(table)
+    if key == "op_ts":
+        return F.col("ts") if "ts" in df.columns else F.lit(None).cast("timestamp")
+    raise ValueError(f"unsupported metadata key: {key!r}")
+
+
+def create_cdc_table(
+    spark: SparkSession, ddl: str, sf_dir: str, register_view: bool = True
+) -> DataFrame:
+    """Bind a Flink CDC ``CREATE TABLE`` statement to the engine.
+
+    Discovery: the ``table-name`` option is a regex over the fixture
+    catalog (TableDiscoveryUtils analog; sharding regexes union multiple
+    physical tables into the one logical stream). Startup: the configured
+    mode compiles to the offset predicate of ``SourceConfig
+    .startup_predicate`` on offset-bearing tables. Projection: declared
+    physical columns are cast to their lattice types; declared columns the
+    source lacks surface as typed NULLs (the schema-conformance rule the
+    DSv2 reader applies across DDL versions); metadata columns append
+    last. The result optionally registers as a temp view under the DDL
+    table name, so ``spark.sql`` runs against it like Flink SQL."""
+    from flink_cdc_connectors_spark import TABLES
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    tdef = parse_create_table(ddl)
+    cfg = to_source_config(tdef)
+    pat = re.compile(cfg.table_pattern)
+    matches = [t for t in TABLES if pat.fullmatch(t)]
+    if not matches:
+        raise ValueError(f"table-name regex matches no tables: {cfg.table_pattern!r}")
+    parts = []
+    for t in matches:
+        df = load_table(spark, sf_dir, t)
+        if "event_id" in df.columns:
+            if cfg.startup_mode == "latest-offset":
+                # resolved against the current max offset (one driver scalar)
+                cur_max = df.agg(F.max("event_id")).first()[0]
+                df = df.filter(F.col("event_id") > F.lit(cur_max))
+            elif (pred := cfg.startup_predicate()) != "1=1":
+                df = df.filter(F.expr(pred))
+        cols = []
+        for name, decl in tdef.columns:
+            target = map_source_type(decl)
+            if name in df.columns:
+                cols.append(F.col(name).cast(target).alias(name))
+            else:
+                cols.append(F.lit(None).cast(target).alias(name))
+        for name, decl, key in tdef.metadata_columns:
+            cols.append(
+                _metadata_col(key, t, cfg, df).cast(map_source_type(decl)).alias(name)
+            )
+        parts.append(df.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if register_view:
+        out.createOrReplaceTempView(tdef.name)
+    return out

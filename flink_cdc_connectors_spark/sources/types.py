@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _TYPE_RE = re.compile(
-    r"^\s*(?P<base>[a-zA-Z ]+?)\s*(?:\((?P<args>[^)]*)\))?"
+    r"^\s*(?P<base>[a-zA-Z_ ]+?)\s*(?:\((?P<args>[^)]*)\))?"
     r"\s*(?P<unsigned>unsigned)?\s*(?:zerofill)?\s*$",
     re.IGNORECASE,
 )
@@ -72,7 +72,10 @@ def map_source_type(decl: str) -> T.DataType:
         return T.FloatType()
     if base in ("double", "double precision"):
         return T.DoubleType()
-    if base in ("char", "varchar", "text", "tinytext", "mediumtext", "longtext", "enum", "json"):
+    # "string" is the Flink SQL spelling (the reference's DDLs declare
+    # STRING columns, README.md:27-56) — same lattice point as varchar
+    if base in ("char", "varchar", "string", "text", "tinytext", "mediumtext",
+                "longtext", "enum", "json"):
         return T.StringType()
     if base == "set":
         return T.ArrayType(T.StringType())

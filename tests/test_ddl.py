@@ -1,0 +1,118 @@
+"""Flink CREATE TABLE DDL surface: parse fidelity, option mapping, binding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_cdc_connectors_spark.sources.ddl import (
+    create_cdc_table,
+    parse_create_table,
+    to_source_config,
+)
+
+_DDL = """
+CREATE TABLE IF NOT EXISTS db.orders_cdc (
+  order_id INT,
+  order_date TIMESTAMP(0),
+  customer_name STRING,
+  price DECIMAL(10, 5),
+  product_id INT UNSIGNED,
+  order_status BOOLEAN,
+  database_name STRING METADATA VIRTUAL,
+  op_ts TIMESTAMP_LTZ(3) METADATA FROM 'op_ts' VIRTUAL,
+  WATERMARK FOR order_date AS order_date - INTERVAL '5' SECOND,
+  PRIMARY KEY (order_id) NOT ENFORCED
+) WITH (
+  'connector' = 'mysql-cdc',
+  'hostname' = 'db.example',
+  'port' = '3307',
+  'username' = 'flinkuser',
+  'password' = 'flinkpw',
+  'database-name' = 'appdb',
+  'table-name' = 'orders_[0-9]+',
+  'scan.startup.mode' = 'timestamp',
+  'scan.startup.timestamp-millis' = '1700000000000',
+  'scan.incremental.snapshot.chunk.size' = '4096',
+  'server-time-zone' = 'UTC'
+);
+"""
+
+
+def test_parse_create_table_fidelity():
+    """The docs' DDL shape parses losslessly: name, lattice-typed columns,
+    metadata columns with explicit/implicit keys, PK, watermark, options."""
+    t = parse_create_table(_DDL)
+    assert t.name == "orders_cdc"
+    assert [c for c, _ in t.columns] == [
+        "order_id", "order_date", "customer_name", "price", "product_id", "order_status",
+    ]
+    sch = t.spark_schema()
+    assert sch["order_id"].dataType == T.IntegerType()
+    assert sch["customer_name"].dataType == T.StringType()
+    assert sch["price"].dataType == T.DecimalType(10, 5)
+    assert sch["product_id"].dataType == T.LongType()  # INT UNSIGNED promotion
+    assert sch["order_status"].dataType == T.BooleanType()
+    # metadata: implicit key = column name; explicit FROM respected
+    assert t.metadata_columns == [
+        ("database_name", "STRING", "database_name"),
+        ("op_ts", "TIMESTAMP_LTZ(3)", "op_ts"),
+    ]
+    assert t.primary_keys == ["order_id"]
+    assert t.watermark == ("order_date", "order_date - INTERVAL '5' SECOND")
+    assert t.options["connector"] == "mysql-cdc"
+
+
+def test_options_map_to_source_config():
+    cfg = to_source_config(parse_create_table(_DDL))
+    assert (cfg.hostname, cfg.port) == ("db.example", 3307)
+    assert (cfg.username, cfg.password) == ("flinkuser", "flinkpw")
+    assert cfg.database_pattern == "appdb"
+    assert cfg.table_pattern == "orders_[0-9]+"
+    assert cfg.startup_mode == "timestamp"
+    assert cfg.startup_timestamp_ms == 1700000000000
+    assert cfg.snapshot_chunk_size == 4096
+
+
+def test_non_cdc_connector_rejected():
+    ddl = "CREATE TABLE t (a INT) WITH ('connector' = 'kafka')"
+    with pytest.raises(ValueError, match="not a CDC connector"):
+        to_source_config(parse_create_table(ddl))
+
+
+def test_create_cdc_table_binds_and_registers(spark, sf_dir):
+    """Binding: declared+absent column -> typed NULL; metadata columns
+    appended; view registered under the DDL name; regex discovery unions
+    shard tables (region|nation here — the user_1/user_2 sharding shape)."""
+    ddl = """
+    CREATE TABLE shard_union (
+      r_regionkey INT,
+      n_nationkey INT,
+      tbl STRING METADATA FROM 'table_name' VIRTUAL
+    ) WITH (
+      'connector' = 'mysql-cdc',
+      'database-name' = 'app',
+      'table-name' = 'region|nation'
+    )
+    """
+    df = create_cdc_table(spark, ddl, sf_dir)
+    assert df.columns == ["r_regionkey", "n_nationkey", "tbl"]
+    tables = {r["tbl"] for r in df.select("tbl").distinct().collect()}
+    assert tables == {"region", "nation"}
+    # region rows carry NULL n_nationkey and vice versa (schema conformance)
+    assert df.filter((F.col("tbl") == "region") & F.col("n_nationkey").isNotNull()).count() == 0
+    assert df.filter((F.col("tbl") == "nation") & F.col("r_regionkey").isNotNull()).count() == 0
+    assert spark.sql("SELECT count(*) FROM shard_union").first()[0] == df.count()
+
+
+def test_latest_offset_startup_reads_nothing_new(spark, sf_dir):
+    """latest-offset startup resolves against the current max offset —
+    an immediately-read stream sees zero rows (the streaming semantics of
+    StartupMode.LATEST_OFFSET in a batch binding)."""
+    ddl = """
+    CREATE TABLE ev_latest (event_id BIGINT, user_id BIGINT)
+    WITH ('connector' = 'mysql-cdc', 'table-name' = 'events',
+          'scan.startup.mode' = 'latest-offset')
+    """
+    assert create_cdc_table(spark, ddl, sf_dir, register_view=False).count() == 0

@@ -229,3 +229,44 @@ def create_cdc_table(
     if register_view:
         out.createOrReplaceTempView(tdef.name)
     return out
+
+
+def create_cdc_stream(
+    spark: SparkSession, ddl: str, sf_dir: str, num_chunks: int = 4
+) -> DataFrame:
+    """Bind a Flink CDC ``CREATE TABLE`` statement to the STREAMING engine:
+    the same DDL that drives :func:`create_cdc_table` configures the
+    ``cdc_binlog`` DataSource V2 source (sources/datasource.py — parallel
+    chunked snapshot phase, shouldEmit stream phase, checkpointable offset
+    JSON). This is the Flink-semantics path: the DDL declares a TABLE, the
+    runtime produces an unbounded changelog. The ``table-name`` regex must
+    resolve to exactly ONE stream table here (multi-table streams route
+    through ``parse_debezium_json_multi`` after this source).
+
+    Returns the streaming DataFrame; compose with ``writeStream`` (e.g.
+    ``foreachBatch`` + ``streaming/changelog.py`` materialization)."""
+    from flink_cdc_connectors_spark import TABLES
+    from flink_cdc_connectors_spark.sources import datasource
+
+    datasource.register(spark)  # idempotent DSv2 provider registration
+    tdef = parse_create_table(ddl)
+    cfg = to_source_config(tdef)
+    pat = re.compile(cfg.table_pattern)
+    matches = [t for t in TABLES if pat.fullmatch(t)]
+    if len(matches) != 1:
+        raise ValueError(
+            f"streaming binding needs exactly one table, regex matched {matches!r}"
+        )
+    reader = (
+        spark.readStream.format("cdc_binlog")
+        .option("path", f"{sf_dir}/{matches[0]}.parquet")
+        .option("numChunks", num_chunks)
+        .option("database", cfg.database_pattern)
+        .option("table", matches[0])
+        .option("startupMode", cfg.startup_mode)
+    )
+    if cfg.startup_mode == "specific-offset":
+        reader = reader.option("startupOffset", cfg.startup_offset)
+    elif cfg.startup_mode == "timestamp":
+        reader = reader.option("startupTimestampMs", cfg.startup_timestamp_ms)
+    return reader.load()

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from flink_cdc_connectors_spark.sources.ddl import (
+    create_cdc_stream,
     create_cdc_table,
     parse_create_table,
     to_source_config,
@@ -116,3 +117,38 @@ def test_latest_offset_startup_reads_nothing_new(spark, sf_dir):
           'scan.startup.mode' = 'latest-offset')
     """
     assert create_cdc_table(spark, ddl, sf_dir, register_view=False).count() == 0
+
+
+def test_create_cdc_stream_runs_dsv2(spark, sf_dir, tmp_path):
+    """The SAME DDL drives the streaming engine: create_cdc_stream
+    configures the cdc_binlog DSv2 source from the WITH-options; a
+    specific-offset startup stream drains to exactly the post-offset
+    events."""
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    max_off = e.agg(F.max("event_id")).first()[0]
+    start = int(max_off * 0.8)
+    ddl = f"""
+    CREATE TABLE ev_stream (event_id BIGINT, user_id BIGINT)
+    WITH ('connector' = 'mysql-cdc', 'database-name' = 'app',
+          'table-name' = 'events',
+          'scan.startup.mode' = 'specific-offset',
+          'scan.startup.specific-offset.pos' = '{start}')
+    """
+    stream = create_cdc_stream(spark, ddl, sf_dir)
+    assert stream.isStreaming
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    expected = e.filter(F.col("event_id") > start).count()
+    assert got.count() == expected
+    assert got.agg(F.min("event_id")).first()[0] > start

@@ -928,3 +928,57 @@ def cdc_sql_ddl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events_cdc
         """
     )
+
+
+@query(
+    "cdc_sql_ddl_join",
+    tier="A",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'O'
+    """,
+)
+def cdc_sql_ddl_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tutorial's heterogeneous-connector enrichment join, in the pure
+    SQL surface: TWO CDC tables declared by DDL — orders via mysql-cdc,
+    customers via postgres-cdc, exactly the split of
+    docs/content/quickstart/mysql-postgres-tutorial.md:263-267 — then one
+    spark.sql join across the registered views. The postgres DDL carries
+    connector-specific options (slot.name, decoding.plugin.name); unknown
+    options pass through the parser untouched, as Flink's factories
+    ignore options they don't own."""
+    from flink_cdc_connectors_spark.sources.ddl import create_cdc_table
+
+    create_cdc_table(
+        spark,
+        """
+        CREATE TABLE orders_src (
+          o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          o_totalprice DOUBLE,
+          PRIMARY KEY (o_orderkey) NOT ENFORCED
+        ) WITH ('connector' = 'mysql-cdc', 'hostname' = 'mysql',
+                'database-name' = 'app', 'table-name' = 'orders')
+        """,
+        sf_dir,
+    )
+    create_cdc_table(
+        spark,
+        """
+        CREATE TABLE customer_src (
+          c_custkey BIGINT, c_name STRING, c_mktsegment STRING,
+          PRIMARY KEY (c_custkey) NOT ENFORCED
+        ) WITH ('connector' = 'postgres-cdc', 'hostname' = 'postgres',
+                'database-name' = 'app', 'schema-name' = 'public',
+                'table-name' = 'customer',
+                'slot.name' = 'flink', 'decoding.plugin.name' = 'pgoutput')
+        """,
+        sf_dir,
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+        FROM orders_src o JOIN customer_src c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'O'
+        """
+    )

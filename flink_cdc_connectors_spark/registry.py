@@ -127,6 +127,7 @@ _CHECK_FIRST = (
     "cdc_heartbeat",
     "join_colocated_bucketed",
     "cdc_sql_ddl_source",
+    "cdc_sql_ddl_join",
     # rows-only keys (no oracle -> weaker driver evidence) at the tail
     "agg_approx_distinct",
     "ext_ann_recall",

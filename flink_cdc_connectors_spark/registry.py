@@ -109,17 +109,13 @@ _CHECK_FIRST = (
     "ext_stratified_sample",
     "join_interval",
     "join_temporal_asof",
-    "map_ops",
     "pattern_funnel",
     "pivot_agg",
     "stream_cumulate_window",
     "stream_join_static",
     "subquery_in_correlated",
-    "subquery_not_in",
     "subquery_scalar",
     "udf_table",
-    "window_first_last",
-    "window_ntile_dist",
     "window_range_frame",
     "ext_unigram_logprob",
     "agg_filter_where",
@@ -128,6 +124,13 @@ _CHECK_FIRST = (
     "join_colocated_bucketed",
     "cdc_sql_ddl_source",
     "cdc_sql_ddl_join",
+    # plain-SQL-surface keys below carry the least novelty risk — they sit
+    # just past the new flagship keys so a ~50-row driver cap checks the
+    # novel ones first (all entries here are equally r01-unchecked)
+    "map_ops",
+    "subquery_not_in",
+    "window_first_last",
+    "window_ntile_dist",
     # rows-only keys (no oracle -> weaker driver evidence) at the tail
     "agg_approx_distinct",
     "ext_ann_recall",

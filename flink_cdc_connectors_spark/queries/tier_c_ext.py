@@ -443,11 +443,14 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     query; components by iterative min-label propagation — each round is
     one bounded equi-join + aggregate, and the loop stops when no label
     changes (<= graph diameter rounds; duplicate clusters are shallow, so
-     2-3 in practice). At 100 TB the same loop runs with the two-phase
-    large-star/small-star contraction (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") to bound rounds at O(log n); the
-    per-round plan — shuffle on node id, partial min — is identical. The
-    oracle computes the same fixpoint with a recursive CTE."""
+     2-3 in practice). The 100 TB path — two-phase large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"), O(log n) rounds regardless of diameter — is IMPLEMENTED as
+    ``operators/graph.py::connected_components`` and proven equivalent on
+    this exact pair graph plus chain/random graphs in tests/test_graph.py;
+    label propagation stays the default here because near-dup clusters are
+    shallow and it converges in fewer, cheaper rounds. The oracle computes
+    the same fixpoint with a recursive CTE."""
     pairs = _tc.ext_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
     # The candidate graph is tiny relative to the corpus (near-dup pairs
     # only) — materialize it ONCE with an eager localCheckpoint so the

@@ -732,3 +732,53 @@ def join_colocated_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Auditable approximate percentiles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_approx_percentile",
+    tier="B",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           1 AS p50_within_half_pct,
+           1 AS p95_within_half_pct
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles, AUDITED against the exact ones in the same
+    query — the Flink-SQL APPROX surface with the error made checkable:
+    ``approx_percentile`` (Greenwald-Khanna sketch, accuracy 10000) runs
+    beside the exact ``percentile`` in ONE hash aggregate, and the
+    compared output carries within-0.5%% tolerance flags the oracle states
+    as literal 1 — a sketch regression beyond tolerance flips a flag and
+    fails the value hash. The interpolated magnitudes themselves stay OUT
+    of the compared surface: Spark's and DuckDB's percentile interpolation
+    differ in the last ulp, which no rounding scale removes at a half-way
+    boundary (the raw values are asserted band-wise in tests instead).
+    At 100 TB the exact percentile is dropped and the sketch (mergeable,
+    bounded memory) is the production path; this key certifies its error
+    at the data sizes where exact is still computable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("percentile(l_extendedprice, 0.50)").alias("e50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("e95"),
+        F.expr("approx_percentile(l_extendedprice, 0.50, 10000)").alias("a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("a95"),
+    )
+    tol = lambda a, e: F.when(  # noqa: E731
+        (F.abs(F.col(a) - F.col(e)) / F.col(e)) < 0.005, F.lit(1)
+    ).otherwise(F.lit(0))
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        tol("a50", "e50").alias("p50_within_half_pct"),
+        tol("a95", "e95").alias("p95_within_half_pct"),
+    )

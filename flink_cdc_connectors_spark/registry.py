@@ -124,6 +124,7 @@ _CHECK_FIRST = (
     "join_colocated_bucketed",
     "cdc_sql_ddl_source",
     "cdc_sql_ddl_join",
+    "agg_approx_percentile",
     # plain-SQL-surface keys below carry the least novelty risk — they sit
     # just past the new flagship keys so a ~50-row driver cap checks the
     # novel ones first (all entries here are equally r01-unchecked)

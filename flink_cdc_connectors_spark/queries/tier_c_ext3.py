@@ -194,3 +194,69 @@ def ext_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg, 4).cast("double").alias("avg_logprob"),
         F.when(avg < -5.5, F.lit(1)).otherwise(F.lit(0)).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_multimodal_frames",
+    tier="C",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+    f AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT), 2)) AS frame_idx
+      FROM b)
+    SELECT doc_id,
+           CAST(frame_idx AS INT)        AS frame_idx,
+           CAST(frame_idx * 256 AS BIGINT) AS frame_off,
+           md5(substring(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS frame_sig
+    FROM f
+    """,
+)
+def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-SAMPLING plumbing: an opaque binary column decodes to
+    MANY rows per payload — each Arrow batch row yields its stride-sampled
+    frames (every 2nd 256-byte 'frame'), emitted as (doc_id, frame_idx,
+    byte offset, frame signature). The 1->N batch-iterator shape is the
+    production frame sampler's (ffmpeg body would replace the stub; absent
+    in this container, the 'frame' is a deterministic byte slice and the
+    'feature' its md5 — fully oracle-checkable since the fixture text is
+    ASCII, so DuckDB's char slicing sees the same bytes). Zero shuffles:
+    sampling is map-only and the downstream embedding fleet consumes the
+    exploded frames directly."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def sample_frames(batches):
+        # STUB for the video decoder: 256-byte frames, stride-2 sampling.
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                total = -(-len(b) // 256)  # ceil
+                for idx in range(0, total, 2):
+                    rows.append(
+                        (
+                            doc_id,
+                            idx,
+                            idx * 256,
+                            hashlib.md5(b[idx * 256 : (idx + 1) * 256]).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_off", "frame_sig"]
+            )
+
+    return fan_out(payloads).mapInPandas(
+        sample_frames,
+        schema="doc_id long, frame_idx int, frame_off long, frame_sig string",
+    )

@@ -125,6 +125,7 @@ _CHECK_FIRST = (
     "cdc_sql_ddl_source",
     "cdc_sql_ddl_join",
     "agg_approx_percentile",
+    "ext_multimodal_frames",
     # plain-SQL-surface keys below carry the least novelty risk — they sit
     # just past the new flagship keys so a ~50-row driver cap checks the
     # novel ones first (all entries here are equally r01-unchecked)

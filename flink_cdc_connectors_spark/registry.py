@@ -97,7 +97,6 @@ _CHECK_FIRST = (
     "cdc_format_roundtrip",
     "cdc_multi_table_route",
     "cdc_txn_metadata",
-    "explode_unnest",
     "ext_decontaminate",
     "ext_dedup_cluster",
     "ext_doc_chunk",
@@ -110,7 +109,6 @@ _CHECK_FIRST = (
     "join_interval",
     "join_temporal_asof",
     "pattern_funnel",
-    "pivot_agg",
     "stream_cumulate_window",
     "stream_join_static",
     "subquery_in_correlated",
@@ -129,7 +127,9 @@ _CHECK_FIRST = (
     # plain-SQL-surface keys below carry the least novelty risk — they sit
     # just past the new flagship keys so a ~50-row driver cap checks the
     # novel ones first (all entries here are equally r01-unchecked)
+    "explode_unnest",
     "map_ops",
+    "pivot_agg",
     "subquery_not_in",
     "window_first_last",
     "window_ntile_dist",

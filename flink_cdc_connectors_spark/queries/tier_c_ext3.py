@@ -260,3 +260,77 @@ def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
         schema="doc_id long, frame_idx int, frame_off long, frame_sig string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring span detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_dedup_substring",
+    tier="C",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(generate_series(1, len(w) - 7)) AS pos, w
+      FROM words WHERE len(w) >= 8),
+    hashed AS (
+      SELECT doc_id, pos, md5(array_to_string(w[pos : pos + 7], ' ')) AS g
+      FROM grams),
+    dup AS (
+      SELECT g FROM hashed GROUP BY g HAVING count(*) >= 2),
+    hits AS (
+      SELECT h.doc_id, h.pos,
+             h.pos - row_number() OVER (PARTITION BY h.doc_id ORDER BY h.pos)
+               AS island
+      FROM hashed h JOIN dup USING (g))
+    SELECT doc_id,
+           CAST(min(pos) AS INT)      AS span_start,
+           CAST(max(pos) + 8 AS INT)  AS span_end,
+           CAST(count(*) AS BIGINT)   AS n_dup_grams
+    FROM hits
+    GROUP BY doc_id, island
+    """,
+)
+def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SUBSTRING span detection — the suffix-array dedup
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022), re-expressed distributed: any 8-gram occurring >=2
+    times anywhere in the corpus marks its positions, and runs of
+    consecutive duplicated positions merge into cut-spans
+    (doc_id, token start, token end) — the spans a dedup pass would excise
+    rather than dropping whole documents. Plan: positions ride along the
+    shingle explode (staged split, explode_outer — the single-evaluation
+    pattern pinned by test_shingle_expression_evaluated_once); duplicated
+    grams found by ONE hash aggregate on md5(gram) — the shuffle key is a
+    16-byte hash, never the text; span merge is the islands-and-gaps
+    window partitioned per doc (never global). At 100 TB this is the
+    standard two-shuffle shape: gram-hash aggregate + per-doc window."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    n = 8
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    staged = words.filter(F.size("w") >= n).select(
+        "doc_id",
+        "w",
+        F.explode_outer(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("pos"),
+    ).filter(F.col("pos").isNotNull())
+    hashed = staged.select(
+        "doc_id",
+        "pos",
+        F.md5(F.array_join(F.slice(F.col("w"), F.col("pos"), n), " ")).alias("g"),
+    )
+    dup = hashed.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 2
+    ).select("g")
+    hits = hashed.join(dup, "g")
+    w_pos = W.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn(
+        "island", F.col("pos") - F.row_number().over(w_pos)
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") + n).cast("int").alias("span_end"),
+        F.count(F.lit(1)).alias("n_dup_grams"),
+    ).drop("island")

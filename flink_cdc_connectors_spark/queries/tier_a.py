@@ -958,6 +958,7 @@ def cdc_sql_ddl_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           o_totalprice DOUBLE,
           PRIMARY KEY (o_orderkey) NOT ENFORCED
         ) WITH ('connector' = 'mysql-cdc', 'hostname' = 'mysql',
+                'username' = 'cdc', 'password' = 'secret',
                 'database-name' = 'app', 'table-name' = 'orders')
         """,
         sf_dir,
@@ -969,6 +970,7 @@ def cdc_sql_ddl_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           c_custkey BIGINT, c_name STRING, c_mktsegment STRING,
           PRIMARY KEY (c_custkey) NOT ENFORCED
         ) WITH ('connector' = 'postgres-cdc', 'hostname' = 'postgres',
+                'username' = 'cdc', 'password' = 'secret',
                 'database-name' = 'app', 'schema-name' = 'public',
                 'table-name' = 'customer',
                 'slot.name' = 'flink', 'decoding.plugin.name' = 'pgoutput')

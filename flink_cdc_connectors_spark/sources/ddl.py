@@ -129,13 +129,63 @@ def parse_create_table(ddl: str) -> TableDef:
     return TableDef(name, columns, meta, pks, watermark, options)
 
 
-def to_source_config(tdef: TableDef) -> SourceConfig:
-    """WITH-options -> validated :class:`SourceConfig` (the option keys of
-    MySqlSourceOptions.java:30-247 / SourceOptions.java:40-113)."""
-    o = tdef.options
-    connector = o.get("connector", "")
+# Per-connector REQUIRED options — each factory's requiredOptions():
+# mysql   MySqlTableSourceFactory.java:158-166
+# postgres PostgreSQLTableFactory.java:160-169
+# mongodb MongoDBTableSourceFactory.java:131-135
+# oracle  OracleTableSourceFactory.java:134-142
+# sqlserver SqlServerTableFactory.java:138-147
+# db2     Db2TableSourceFactory.java (hostname/db/schema/table/user/pass)
+# tidb    TiDBTableSourceFactory.java (database/table/pd.addresses)
+# oceanbase OceanBaseTableSourceFactory.java (startup/user/pass/tenant/logproxy)
+REQUIRED_OPTIONS: dict[str, frozenset[str]] = {
+    "mysql-cdc": frozenset(
+        {"hostname", "username", "password", "database-name", "table-name"}
+    ),
+    "postgres-cdc": frozenset(
+        {"hostname", "username", "password", "database-name", "schema-name", "table-name"}
+    ),
+    "mongodb-cdc": frozenset({"hosts"}),
+    "oracle-cdc": frozenset(
+        {"username", "password", "database-name", "schema-name", "table-name"}
+    ),
+    "sqlserver-cdc": frozenset(
+        {"hostname", "username", "password", "database-name", "schema-name", "table-name"}
+    ),
+    "db2-cdc": frozenset(
+        {"hostname", "username", "password", "database-name", "schema-name", "table-name"}
+    ),
+    "tidb-cdc": frozenset({"database-name", "table-name", "pd.addresses"}),
+    "oceanbase-cdc": frozenset(
+        {"scan.startup.mode", "username", "password", "tenant-name",
+         "logproxy.host", "logproxy.port"}
+    ),
+}
+
+
+def validate_options(tdef: TableDef) -> None:
+    """The factory ``validate()`` behavior: a known CDC connector must
+    carry its required options; missing ones are reported together, the
+    way Flink's FactoryUtil lists them."""
+    connector = tdef.options.get("connector", "")
     if not connector.endswith("-cdc"):
         raise ValueError(f"not a CDC connector: {connector!r}")
+    required = REQUIRED_OPTIONS.get(connector)
+    if required is not None:
+        missing = sorted(required - tdef.options.keys())
+        if missing:
+            raise ValueError(
+                f"One or more required options are missing for connector "
+                f"'{connector}': {', '.join(missing)}"
+            )
+
+
+def to_source_config(tdef: TableDef) -> SourceConfig:
+    """WITH-options -> validated :class:`SourceConfig` (the option keys of
+    MySqlSourceOptions.java:30-247 / SourceOptions.java:40-113); required
+    options enforced per connector first (:func:`validate_options`)."""
+    validate_options(tdef)
+    o = tdef.options
     kw: dict = {}
     if "hostname" in o:
         kw["hostname"] = o["hostname"]

@@ -92,7 +92,8 @@ def test_create_cdc_table_binds_and_registers(spark, sf_dir):
       n_nationkey INT,
       tbl STRING METADATA FROM 'table_name' VIRTUAL
     ) WITH (
-      'connector' = 'mysql-cdc',
+      'connector' = 'mysql-cdc', 'hostname' = 'mysql',
+      'username' = 'cdc', 'password' = 'pw',
       'database-name' = 'app',
       'table-name' = 'region|nation'
     )
@@ -113,7 +114,9 @@ def test_latest_offset_startup_reads_nothing_new(spark, sf_dir):
     StartupMode.LATEST_OFFSET in a batch binding)."""
     ddl = """
     CREATE TABLE ev_latest (event_id BIGINT, user_id BIGINT)
-    WITH ('connector' = 'mysql-cdc', 'table-name' = 'events',
+    WITH ('connector' = 'mysql-cdc', 'hostname' = 'mysql',
+          'username' = 'cdc', 'password' = 'pw',
+          'database-name' = 'app', 'table-name' = 'events',
           'scan.startup.mode' = 'latest-offset')
     """
     assert create_cdc_table(spark, ddl, sf_dir, register_view=False).count() == 0
@@ -131,8 +134,9 @@ def test_create_cdc_stream_runs_dsv2(spark, sf_dir, tmp_path):
     start = int(max_off * 0.8)
     ddl = f"""
     CREATE TABLE ev_stream (event_id BIGINT, user_id BIGINT)
-    WITH ('connector' = 'mysql-cdc', 'database-name' = 'app',
-          'table-name' = 'events',
+    WITH ('connector' = 'mysql-cdc', 'hostname' = 'mysql',
+          'username' = 'cdc', 'password' = 'pw',
+          'database-name' = 'app', 'table-name' = 'events',
           'scan.startup.mode' = 'specific-offset',
           'scan.startup.specific-offset.pos' = '{start}')
     """
@@ -152,3 +156,20 @@ def test_create_cdc_stream_runs_dsv2(spark, sf_dir, tmp_path):
     expected = e.filter(F.col("event_id") > start).count()
     assert got.count() == expected
     assert got.agg(F.min("event_id")).first()[0] > start
+
+
+def test_required_options_enforced_per_connector():
+    """Factory validate() parity: each connector's requiredOptions() set is
+    enforced, missing keys reported together (FactoryUtil style)."""
+    ddl = """
+    CREATE TABLE t (a INT) WITH (
+      'connector' = 'postgres-cdc', 'hostname' = 'pg',
+      'database-name' = 'db', 'table-name' = 't')
+    """
+    with pytest.raises(ValueError) as e:
+        to_source_config(parse_create_table(ddl))
+    msg = str(e.value)
+    assert "password" in msg and "schema-name" in msg and "username" in msg
+    # mongodb requires only hosts (MongoDBTableSourceFactory.java:131-135)
+    ok = "CREATE TABLE t (a INT) WITH ('connector'='mongodb-cdc', 'hosts'='m:27017')"
+    to_source_config(parse_create_table(ok))

@@ -311,10 +311,15 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load_table(spark, sf_dir, "documents"))
     n = 8
     words = d.select("doc_id", F.split("text", " ").alias("w"))
-    staged = words.filter(F.size("w") >= n).select(
-        "doc_id",
-        "w",
-        F.explode_outer(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("pos"),
+    # when-guarded sequence, not a size() pre-filter: a filter on the
+    # staged array would push below the repartition and re-inline the
+    # split (the same InferFilters hazard _shingles documents); Spark's
+    # sequence() DESCENDS for stop < start, so the guard is required.
+    positions = F.when(
+        F.size("w") >= n, F.sequence(F.lit(1), F.size("w") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    staged = words.select(
+        "doc_id", "w", F.explode_outer(positions).alias("pos")
     ).filter(F.col("pos").isNotNull())
     hashed = staged.select(
         "doc_id",

@@ -299,3 +299,18 @@ def test_shingle_expression_evaluated_once(spark, sf_dir):
     plan = _shingles(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(") == 1
     assert plan.count("regexp_replace(") == 1
+
+
+def test_substring_dedup_single_split_and_hash_shuffle(spark, sf_dir):
+    """ext_dedup_substring inherits the single-evaluation explode pattern:
+    the gram pipeline appears once per branch (the dup-aggregate and probe
+    branches each scan the corpus — no shared-subplan in the logical plan),
+    and crucially NO split() is inlined into a Filter — the pathology
+    InferFiltersFromGenerate caused (re-evaluating the pipeline below the
+    repartition) always surfaces as a Filter over the split expression."""
+    df = Q["ext_dedup_substring"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") <= 2  # one per corpus branch
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "split(" not in line

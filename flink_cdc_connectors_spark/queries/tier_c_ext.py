@@ -513,7 +513,12 @@ def ext_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the cost proxy — every candidate pays one exact-verify), verified
     pairs found, and recall. Truth on the same bounded slice the exact
     verifier uses; all pair math is set algebra on cached shingle arrays —
-    no corpus-wide shingle explode."""
+    no corpus-wide shingle explode. FULLY LAZY: counts are cross-joined
+    one-row aggregates (the ext_ann_recall pattern), so the builder fires
+    zero driver actions and the whole measurement is one job at the sink
+    (the round-1 form ran ~6 .count() actions inside the builder —
+    measured ~2x this query's bench cost in repeated cache-fill/stage
+    overhead)."""
     from flink_cdc_connectors_spark.functions import text as T
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -535,7 +540,7 @@ def ext_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .cache()
     )
-    n_truth = truth.count()
+    truth_agg = truth.agg(F.count(F.lit(1)).alias("n_truth"))
 
     sig = sh.select("doc_id", *T.minhash_signature(F.col("sh"), 16)).cache()
 
@@ -565,22 +570,22 @@ def ext_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .cache()
         )
-        n_cand = cand.count()
         found = (
             cand.join(a, "id_a").join(b, "id_b").filter(jac >= 0.6).select("id_a", "id_b")
         )
-        n_found = found.count()
-        return spark.createDataFrame(
-            [
-                (
-                    f"minhash-lsh-{n_bands}x{rows_per}",
-                    n_truth,
-                    n_cand,
-                    n_found,
-                    round(n_found / n_truth, 4) if n_truth else 1.0,
-                )
-            ],
-            "method string, n_truth long, n_cand long, n_found long, recall double",
+        return (
+            cand.agg(F.count(F.lit(1)).alias("n_cand"))
+            .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+            .crossJoin(truth_agg)
+            .select(
+                F.lit(f"minhash-lsh-{n_bands}x{rows_per}").alias("method"),
+                "n_truth",
+                "n_cand",
+                "n_found",
+                F.when(F.col("n_truth") > 0, F.round(F.col("n_found") / F.col("n_truth"), 4))
+                .otherwise(F.lit(1.0))
+                .alias("recall"),
+            )
         )
 
     return config(4, 4).unionByName(config(8, 2))

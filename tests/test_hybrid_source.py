@@ -126,3 +126,44 @@ def test_newly_added_key_range_mid_stream(spark, sf_dir):
     assert len(got) == len(want) > 0
     assert (got["user_id"] == want["user_id"]).all()
     assert (got["event_id"] == want["event_id"]).all()
+
+
+def test_savepoint_restore_mid_protocol(spark, sf_dir):
+    """Checkpoint/restore across a 'restart': drain the snapshot phase and
+    part of the stream, serialize the offset state (the
+    HybridPendingSplitsState JSON), build a FRESH source, restore the
+    state into it, and finish streaming there. The union of everything the
+    two incarnations emitted must equal normalize(whole log) — the
+    reference's savepoint-upgrade contract (MySqlSourceEnumerator
+    checkpoint/restore; savepoint paths in tools/)."""
+    e = load_table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    stagger = [int(lo + (hi - lo) * f) for f in (0.4, 0.45, 0.5, 0.55)]
+    mid = int(lo + (hi - lo) * 0.7)
+
+    src1 = HybridCdcSource(spark, e, num_chunks=4, watermarks=stagger)
+    parts = []
+    while (b := src1.next_snapshot_batch()) is not None:
+        parts.append(b)
+    parts.append(src1.stream_batch(to_offset=mid))
+    wire = src1.state.to_json()  # <- the checkpoint
+
+    src2 = HybridCdcSource(spark, e, num_chunks=4, watermarks=stagger)
+    src2.state = HybridSourceState.from_json(wire)  # <- the restore
+    assert src2.state.phase == "stream"
+    assert src2.state.stream_offset == mid
+    assert [c.hw for c in src2.state.chunks] == stagger
+    parts.append(src2.stream_batch())  # finish on the new incarnation
+
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    got = (
+        changelog_normalize(union, key_cols=["user_id"])
+        .select("user_id", "event_id", F.round("value", 2).alias("v"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    expected = _expected(spark, sf_dir)
+    assert got.equals(expected)

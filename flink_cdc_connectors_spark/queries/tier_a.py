@@ -984,3 +984,49 @@ def cdc_sql_ddl_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderstatus = 'O'
         """
     )
+
+
+@query(
+    "cdc_chunk_split_region",
+    tier="A",
+    oracle="""
+    WITH s AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem),
+    b AS (SELECT list_transform(
+                   [0.03, 0.05, 0.11, 0.13, 0.22, 0.40, 0.45, 0.50, 0.81, 0.90],
+                   f -> CAST(floor(lo + (hi - lo) * f) AS BIGINT)) AS bs
+          FROM s)
+    SELECT CAST(len(list_filter(b.bs, x -> l_orderkey >= x)) AS INT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_orderkey)          AS key_lo,
+           max(l_orderkey)          AS key_hi
+    FROM lineitem, b
+    GROUP BY 1
+    """,
+)
+def cdc_chunk_split_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-REGION chunk split — the TiDB-style strategy where split
+    points come from the store's region metadata, not data statistics
+    (flink-connector-tidb-cdc/.../table/utils/TableKeyRangeUtils.java,
+    TiKVRichParallelSourceFunction.java: one snapshot split per TiKV
+    region key range). The deterministic pseudo-region bounds stand in for
+    the PD metadata; assignment is a pure boundary-search projection
+    (operators/cdc.py::region_chunks) — no shuffle, no per-chunk queries;
+    the small-region MERGE path (min_rows) is exercised by the operator's
+    unit tests. Deliberately UNEVEN bounds: region layouts follow write
+    history, not value distribution — the row-count spread across chunks
+    in the output is the point."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    fracs = (0.03, 0.05, 0.11, 0.13, 0.22, 0.40, 0.45, 0.50, 0.81, 0.90)
+    from flink_cdc_connectors_spark.operators.cdc import region_chunks
+
+    bounds = [int(lo + (hi - lo) * f) for f in fracs]
+    return (
+        region_chunks(li, "l_orderkey", bounds)
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("key_lo"),
+            F.max("l_orderkey").alias("key_hi"),
+        )
+    )

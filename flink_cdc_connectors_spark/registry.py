@@ -111,7 +111,6 @@ _CHECK_FIRST = (
     "pattern_funnel",
     "stream_cumulate_window",
     "stream_join_static",
-    "subquery_in_correlated",
     "udf_table",
     "window_range_frame",
     "ext_unigram_logprob",
@@ -124,11 +123,13 @@ _CHECK_FIRST = (
     "agg_approx_percentile",
     "ext_multimodal_frames",
     "ext_dedup_substring",
+    "cdc_chunk_split_region",
     # plain-SQL-surface keys below carry the least novelty risk — they sit
     # just past the new flagship keys so a ~50-row driver cap checks the
     # novel ones first (all entries here are equally r01-unchecked)
     "explode_unnest",
     "map_ops",
+    "subquery_in_correlated",
     "subquery_scalar",
     "pivot_agg",
     "subquery_not_in",

@@ -1030,3 +1030,72 @@ def cdc_chunk_split_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_orderkey").alias("key_hi"),
         )
     )
+
+
+@query(
+    "cdc_schema_evolution",
+    tier="A",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_id, user_id, value, props, {op_sql("event_type")} AS app_op,
+             lag(value) OVER w AS prev_value,
+             lag(props) OVER w AS prev_props,
+             lag({op_sql("event_type")}) OVER w AS prev_op
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    valid AS (
+      SELECT * FROM b
+      WHERE app_op <> 'delete' OR (prev_op IS NOT NULL AND prev_op <> 'delete'))
+    SELECT event_id,
+           CASE WHEN app_op = 'delete' THEN 'delete'
+                WHEN prev_op IS NOT NULL AND prev_op <> 'delete' THEN 'update'
+                ELSE 'insert' END AS op,
+           user_id,
+           round(CASE WHEN app_op = 'delete' THEN prev_value ELSE value END, 2)
+             AS value_r,
+           CASE WHEN event_id <= {_SPLIT_SQL} THEN NULL
+                WHEN app_op = 'delete' THEN prev_props
+                ELSE props END AS props
+    FROM valid
+    """,
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the DECODE path, driver-checked: a DDL
+    side channel (CREATE TABLE, then ADD COLUMN props mid-log) replays
+    into the offset-versioned SchemaHistory (FlinkDatabaseHistory /
+    SnapshotSplit.tableSchemas analog, sources/schema_history.py); the
+    SAME Debezium JSON stream is then decoded RANGE-BY-RANGE against the
+    schema current at each offset — pre-DDL events parse with the v1
+    two-column schema (the JSON's extra field is invisible to it, exactly
+    as a pre-DDL binlog row has no such field), post-DDL events with v2 —
+    and the v1 rows conform to the query's pinned latest schema with typed
+    NULLs. Output: every decoded changelog row; deletes carry the
+    before-image (upsert decode), so the oracle replays the same per-key
+    lag state machine."""
+    from flink_cdc_connectors_spark.sources.schema_history import SchemaHistory
+
+    split = _split_offset(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    raw = events_to_debezium_json(e)
+
+    hist = SchemaHistory()
+    hist.apply_ddl("app", "events", 0, "CREATE TABLE events (user_id BIGINT, value DOUBLE)")
+    hist.apply_ddl(
+        "app", "events", split + 1, "ALTER TABLE events ADD COLUMN props VARCHAR(200)"
+    )
+    v1 = hist.schema_at("app", "events", split)
+    v2 = hist.schema_at("app", "events", 1 << 62)
+
+    pos = F.get_json_object("value", "$.source.pos").cast("long")
+    pre = parse_debezium_json(raw.filter(pos <= split), payload_schema=v1)
+    post = parse_debezium_json(raw.filter(pos > split), payload_schema=v2)
+    # conform v1 rows to the pinned latest schema: absent column -> typed NULL
+    pre = pre.withColumn("props", F.lit(None).cast("string"))
+    out = pre.select(*post.columns).unionByName(post)
+    return out.select(
+        "event_id",
+        "op",
+        "user_id",
+        F.round("value", 2).alias("value_r"),
+        "props",
+    )

@@ -24,18 +24,28 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Bucketed tables live in an explicit scratch root, NOT the session's
+# warehouse dir: the default warehouse is cwd-relative, and a caller (the
+# bench driver) may run from a directory it must not write to.
+_BUCKETED_ROOT = os.environ.get("SPARK_GRAFT_BUCKETED_DIR", "/tmp/spark_graft_bucketed")
+
+
 def write_bucketed(
     df: DataFrame, table: str, key: str, num_buckets: int = 8
 ) -> None:
     """Persist ``df`` bucketed+sorted on ``key`` (hash-partitioned storage
     layout — every future equi-join/agg on ``key`` reads it pre-shuffled).
 
-    Idempotent across sessions: the default in-memory catalog forgets
-    managed tables when the session ends but their warehouse directories
-    survive, and a later CREATE fails with LOCATION_ALREADY_EXISTS — drop
-    the catalog entry AND clear the stale location first."""
+    Idempotent across sessions: the in-memory catalog forgets tables when
+    the session ends but their directories survive, and a later CREATE
+    fails with LOCATION_ALREADY_EXISTS — drop the catalog entry AND clear
+    the stale location first. The table is external at a pinned scratch
+    path (see ``_BUCKETED_ROOT``)."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    path = os.path.join(_BUCKETED_ROOT, table.lower())
+    shutil.rmtree(path, ignore_errors=True)
+    # stale MANAGED location from an older layout blocks CREATE too
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     if wh:
         shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
@@ -44,6 +54,7 @@ def write_bucketed(
         .bucketBy(num_buckets, key)
         .sortBy(key)
         .format("parquet")
+        .option("path", path)
         .saveAsTable(table)
     )
 

@@ -339,3 +339,63 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + n).cast("int").alias("span_end"),
         F.count(F.lit(1)).alias("n_dup_grams"),
     ).drop("island")
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter ensemble (the final keep/drop decision)
+# ---------------------------------------------------------------------------
+
+# Compose the three signal oracles verbatim (one source of truth — the same
+# registry-nesting pattern ext_dedup_cluster uses for its edge list).
+from flink_cdc_connectors_spark.registry import _REGISTRY as _REG  # noqa: E402
+
+
+@query(
+    "ext_filter_ensemble",
+    tier="C",
+    oracle=f"""
+    WITH q AS ({{q}}),
+    r AS ({{r}}),
+    l AS ({{l}})
+    SELECT q.doc_id,
+           CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END       AS q_pass,
+           CASE WHEN r.is_repetitive = 0 THEN 1 ELSE 0 END    AS rep_pass,
+           CASE WHEN l.is_outlier = 0 THEN 1 ELSE 0 END       AS lp_pass,
+           CASE WHEN q.quality >= 0.5 AND r.is_repetitive = 0
+                     AND l.is_outlier = 0 THEN 1 ELSE 0 END   AS keep
+    FROM q JOIN r ON q.doc_id = r.doc_id JOIN l ON q.doc_id = l.doc_id
+    """.format(
+        q=_REG["ext_quality_score"].oracle,
+        r=_REG["ext_repetition_ratio"].oracle,
+        l=_REG["ext_unigram_logprob"].oracle,
+    ),
+)
+def ext_filter_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FINAL keep/drop decision of a pretraining filter pipeline:
+    ensemble the three independent quality signals — heuristic quality
+    score >= 0.5 (C4/Gopher rules), duplicate-bigram repetition <= 0.2,
+    unigram-LM log-likelihood above the outlier floor — into per-doc pass
+    flags and one keep bit, the audit record a data curator reviews before
+    dropping documents. Each signal is the REGISTERED operator's own
+    computation (builders composed Spark-side, oracles composed verbatim
+    SQL-side — one source of truth per signal); the three doc-keyed joins
+    are broadcast-sized per grouping and 1:1, so the plan stays three hash
+    joins on doc_id with no amplification. Every threshold compares the
+    ROUNDED value both engines already agree on hash-exactly."""
+    from flink_cdc_connectors_spark.queries.tier_c import ext_quality_score
+    from flink_cdc_connectors_spark.queries.tier_c_ext import ext_repetition_ratio
+
+    q = ext_quality_score(spark, sf_dir)
+    r = ext_repetition_ratio(spark, sf_dir).select("doc_id", "is_repetitive")
+    lp = ext_unigram_logprob(spark, sf_dir).select("doc_id", "is_outlier")
+    j = q.join(r, "doc_id").join(lp, "doc_id")
+    q_pass = F.when(F.col("quality") >= 0.5, 1).otherwise(0)
+    rep_pass = F.when(F.col("is_repetitive") == 0, 1).otherwise(0)
+    lp_pass = F.when(F.col("is_outlier") == 0, 1).otherwise(0)
+    return j.select(
+        "doc_id",
+        q_pass.alias("q_pass"),
+        rep_pass.alias("rep_pass"),
+        lp_pass.alias("lp_pass"),
+        (q_pass * rep_pass * lp_pass).alias("keep"),
+    )

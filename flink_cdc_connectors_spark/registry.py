@@ -89,7 +89,6 @@ _CHECK_FIRST = (
     "agg_arg_extremes",
     "agg_cube",
     "agg_grouping_sets",
-    "agg_percentiles",
     "agg_skew_salted",
     "cdc_chunk_split_sampled",
     "cdc_envelope_retract_agg",
@@ -124,9 +123,11 @@ _CHECK_FIRST = (
     "ext_dedup_substring",
     "cdc_chunk_split_region",
     "cdc_schema_evolution",
+    "ext_filter_ensemble",
     # plain-SQL-surface keys below carry the least novelty risk — they sit
     # just past the new flagship keys so a ~50-row driver cap checks the
     # novel ones first (all entries here are equally r01-unchecked)
+    "agg_percentiles",
     "agg_string_agg",
     "explode_unnest",
     "map_ops",

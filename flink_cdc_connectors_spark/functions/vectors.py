@@ -200,6 +200,66 @@ def pq_adc_score(qv: Column, codes: Column, m: int = 8, k: int = 16, dim: int = 
     return out
 
 
+# --- DuckDB oracle fragments -------------------------------------------------
+# The SRP/IVF/PQ structures are built from PLAN-TIME literal coefficient
+# arrays (_hash_coef above — pure Python, no Spark involved), so the exact
+# same constants can be inlined into DuckDB oracle SQL: the oracle replays
+# the identical bucket/cell assignment and the driver's value-hash check
+# covers the full ANN pipeline, not just a rows-only count. Coefficients
+# are 4-decimal exact doubles; both engines parse the same literal text to
+# the same double, and both compute list/array dot products in element
+# order, so bucket signs and cell argmaxes agree bit-for-bit (score gaps
+# are ~1e-2 vs fp noise ~1e-15).
+
+
+def _duck_plane(salt: str, dim: int) -> str:
+    """One plane/centroid as a DuckDB DOUBLE[] literal — same constants as
+    the Spark-side ``_coef_sql`` literal for the same salt."""
+    return "[" + ",".join(f"{_hash_coef(salt, i)!r}" for i in range(dim)) + "]::DOUBLE[]"
+
+
+def duck_srp_bucket_sql(col: str, num_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB expression mirroring ``srp_bucket``: the '0'/'1' sign pattern
+    of ``col`` (a DOUBLE[] expression) against the same literal planes."""
+    cases = [
+        f"CASE WHEN list_dot_product({col}, ({_duck_plane(f'srp{p}', dim)})[1:len({col})]) >= 0 "
+        "THEN '1' ELSE '0' END"
+        for p in range(num_planes)
+    ]
+    return "concat(" + ",".join(cases) + ")"
+
+
+def duck_ivf_scores_sql(col: str, num_centroids: int = 16, dim: int = 64) -> str:
+    """DuckDB DOUBLE[] of ``col``'s dot products against the IVF centroid
+    family — input to both the argmax cell id and the top-P probe list."""
+    dots = [
+        f"list_dot_product({col}, ({_duck_plane(f'ivf{c}', dim)})[1:len({col})])"
+        for c in range(num_centroids)
+    ]
+    return "[" + ",".join(dots) + "]"
+
+
+def duck_ivf_probe_structs_sql(col: str, num_centroids: int = 16, dim: int = 64) -> str:
+    """DuckDB list of {s, c} structs (score, 0-based cell) mirroring the
+    scored centroid array inside ``ivf_centroid_topk`` — unnest + window
+    rank replays the top-P probe selection."""
+    items = [
+        f"struct_pack(s := list_dot_product({col}, ({_duck_plane(f'ivf{c}', dim)})[1:len({col})]), "
+        f"c := {c})"
+        for c in range(num_centroids)
+    ]
+    return "[" + ",".join(items) + "]"
+
+
+def duck_ivf_cell_sql(col: str, num_centroids: int = 16, dim: int = 64) -> str:
+    """DuckDB expression mirroring ``ivf_centroid_id``: first-argmax cell id
+    (0-based INT) over the same literal centroids."""
+    scores = duck_ivf_scores_sql(col, num_centroids, dim)
+    return (
+        f"CAST(list_position({scores}, list_aggregate({scores}, 'max')) - 1 AS INT)"
+    )
+
+
 def ivf_centroid_id(v: Column, num_centroids: int = 16, dim: int = 64) -> Column:
     """IVF-style coarse quantization without training: assign each vector
     to the deterministic pseudo-centroid with the highest dot product.

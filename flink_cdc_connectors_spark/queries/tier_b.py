@@ -633,13 +633,21 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WHERE NOT EXISTS -> left-anti join (Flink SQL capability parity)."""
+    """WHERE NOT EXISTS -> left-anti join (Flink SQL capability parity).
+
+    The anti side is the high-value-orders subset ("customers with no
+    order over 400k"): in the fixtures EVERY customer has at least one
+    order, so an unfiltered NOT EXISTS is structurally empty — the round-1
+    vacuous 0=0 pass. The filtered build side keeps the operator identical
+    (null-safe left-anti hash join) while the check compares real rows."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -840,14 +848,23 @@ def set_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey FROM customer
     EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT — the sink-vs-source verification shape (JdbcProxy.java)."""
+    """EXCEPT — the sink-vs-source verification shape (JdbcProxy.java).
+
+    Right side = custkeys holding an URGENT order: every custkey appears in
+    unfiltered orders, so the unfiltered EXCEPT was structurally empty
+    (round-1 vacuous pass). The subset keeps the set-difference operator
+    while making the comparison non-trivial on both engines."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return c.select("c_custkey").exceptAll(o.select(F.col("o_custkey").alias("c_custkey"))).distinct()
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.select("c_custkey")
+        .exceptAll(o.select(F.col("o_custkey").alias("c_custkey")))
+        .distinct()
+    )
 
 
 @query(

@@ -549,20 +549,40 @@ def pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", tier="B", oracle=None)
+@query(
+    "agg_approx_distinct",
+    tier="B",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE                                       AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate COUNT(DISTINCT) next to the exact answer — at
-    100 TB the sketch (fixed ~KB state per group, partial-aggregable,
-    mergeable across partitions) is the default and exact distinct the
-    exception (full shuffle of every distinct key). Rows-only: DuckDB's
-    sketch differs, so cross-engine value equality is impossible by
-    construction; the in-repo test pins the relative error < 5% instead
-    (rsd=0.02 requested). Emits both counts so the error is auditable."""
+    """HLL++ approximate COUNT(DISTINCT) audited against the exact answer
+    in one aggregate — at 100 TB the sketch (fixed ~KB state per group,
+    partial-aggregable, mergeable across partitions) is the default and
+    exact distinct the exception (full shuffle of every distinct key).
+
+    Driver-checkable partial oracle (upgraded from rows-only in round 3):
+    the sketch VALUE differs across engines by construction, so the output
+    carries the exact count plus a ``within_tol`` flag certifying the
+    sketch's relative error <= 5% (rsd=0.02 requested) — the oracle pins
+    the exact column and expects every flag TRUE, so a sketch regression
+    (or error blow-up) fails the value hash. The in-repo test additionally
+    pins the raw sketch error."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+    tol = (
+        F.abs(F.col("approx_orders") - F.col("exact_orders"))
+        / F.col("exact_orders")
+    ) <= 0.05
+    return agg.select("l_returnflag", "exact_orders", tol.alias("within_tol"))
 
 
 @query(

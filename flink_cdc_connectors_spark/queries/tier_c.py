@@ -24,6 +24,12 @@ from flink_cdc_connectors_spark.sources.loaders import fan_out, load_table
 # Offset added to doc_id for planted duplicate copies.
 _COPY_OFFSET = 1_000_000
 
+# Hard cap on the comparison side of the exact embedding-dedup verifier:
+# 200k rows x 64 float64 ~= 100 MB broadcast — the verifier is bounded BY
+# CONTRACT (the unbounded path is ext_dedup_embedding_lsh), and the guard
+# turns "silently OOM the driver at 100x" into an explicit refusal.
+_VERIFIER_MAX_ROWS = 200_000
+
 # Normalization shared by dedup queries: lowercase, collapse whitespace, trim.
 _NORM_SQL = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
 
@@ -372,16 +378,40 @@ def ext_sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
 
 
-@query("ext_sim_search_lsh", tier="C", oracle=None)
+def _duck_sim_lsh_oracle() -> str:
+    from flink_cdc_connectors_spark.functions.vectors import duck_srp_bucket_sql
+
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sig AS (SELECT vec_id, e, {duck_srp_bucket_sql('e')} AS bucket FROM v),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+      FROM sig a JOIN sig b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, sim, CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rn
+          FROM cand)
+    WHERE rn <= 5
+    """
+
+
+@query("ext_sim_search_lsh", tier="C", oracle=_duck_sim_lsh_oracle())
 def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed ANN (rows-only): sign-random-projection LSH. Each vector is
-    bucketed by the sign pattern of 8 deterministic pseudo-random
-    hyperplanes (hash-derived coefficients, no RNG state); candidates are
-    same-bucket pairs, exact cosine re-ranks within the bucket.
+    """Bucketed ANN: sign-random-projection LSH. Each vector is bucketed by
+    the sign pattern of 8 deterministic pseudo-random hyperplanes
+    (hash-derived coefficients, no RNG state); candidates are same-bucket
+    pairs, exact cosine re-ranks within the bucket.
 
     At 100 TB this replaces the brute-force scan: the corpus shuffles once
     on the bucket key, each bucket is small, and the exact re-rank touches
-    only same-bucket candidates. Recall tunes with #planes/#tables."""
+    only same-bucket candidates. Recall tunes with #planes/#tables.
+
+    HASH-CHECKED against DuckDB (upgraded from rows-only in round 3): the
+    hyperplanes are plan-time literals shared with the oracle SQL, which
+    replays bucketing, candidate join, and windowed re-rank verbatim."""
     from flink_cdc_connectors_spark.functions import vectors as V
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -405,9 +435,41 @@ def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
 
 
-@query("ext_sim_search_ivf", tier="C", oracle=None)
+def _duck_sim_ivf_oracle() -> str:
+    from flink_cdc_connectors_spark.functions.vectors import (
+        duck_ivf_cell_sql,
+        duck_ivf_probe_structs_sql,
+    )
+
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cells AS (SELECT vec_id, e, {duck_ivf_cell_sql('e')} AS cell FROM v),
+    q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id % 100 = 0),
+    qscore AS (
+      SELECT q_id, qv, x.s AS s, x.c AS cell
+      FROM (SELECT q_id, qv, unnest({duck_ivf_probe_structs_sql('qv')}) AS x FROM q) t),
+    qtop AS (
+      SELECT q_id, qv, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, cell DESC) AS pr
+        FROM qscore) WHERE pr <= 2),
+    pairs AS (
+      SELECT qt.q_id, c.vec_id,
+             round(list_dot_product(qt.qv, c.e)
+                   / (sqrt(list_dot_product(qt.qv, qt.qv))
+                      * sqrt(list_dot_product(c.e, c.e))), 6) AS sim
+      FROM qtop qt JOIN cells c ON c.cell = qt.cell AND c.vec_id <> qt.q_id)
+    SELECT q_id, vec_id, sim, CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+          FROM pairs)
+    WHERE rn <= 10
+    """
+
+
+@query("ext_sim_search_ivf", tier="C", oracle=_duck_sim_ivf_oracle())
 def ext_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (rows-only): vectors are coarse-quantized to the
+    """IVF-style ANN (hash-checked since round 3 — the literal centroid
+    family is shared with the DuckDB oracle, which replays cell assignment,
+    top-P probe selection, and the windowed re-rank): vectors are coarse-quantized to the
     hash-derived pseudo-centroid with max dot product
     (functions/vectors.py::ivf_centroid_id); each query probes ONLY its own
     cell and exact cosine re-ranks within it — the inverted-file pruning
@@ -611,29 +673,37 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, d.lang, e.label,
            CAST(len(e.embedding) AS INT) AS dim,
            round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                       CAST(e.embedding AS DOUBLE[]))), 4) AS l2_norm
+                                       CAST(e.embedding AS DOUBLE[]))), 4) AS l2_norm,
+           round(list_sum(CAST(e.embedding AS DOUBLE[])), 4) AS comp_sum
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-    WHERE sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-               CAST(e.embedding AS DOUBLE[]))) > 4.0
+    WHERE list_sum(CAST(e.embedding AS DOUBLE[])) > 0
     """,
 )
 def ext_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed multimodal columns: scalar metadata joined with an
-    array<float> embedding column, filtered on a vector property (L2 norm)
-    computed JVM-side with higher-order functions."""
+    array<float> embedding column, filtered on a vector property computed
+    JVM-side with higher-order functions. The fixture vectors are
+    unit-normalized, so the filter is on the signed component sum (which
+    splits the table) rather than the L2 norm (constant 1.0, which would
+    make any norm threshold select all rows or none — the round-1 vacuity)."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = F.sqrt(
         F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
-    joined = docs.join(emb.withColumn("l2", norm), docs.doc_id == emb.vec_id)
-    return joined.filter(F.col("l2") > 4.0).select(
+    csum = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    joined = docs.join(
+        emb.withColumn("l2", norm).withColumn("csum", csum),
+        docs.doc_id == emb.vec_id,
+    )
+    return joined.filter(F.col("csum") > 0).select(
         "doc_id",
         "lang",
         "label",
         F.size("embedding").alias("dim"),
         F.round("l2", 4).alias("l2_norm"),
+        F.round("csum", 4).alias("comp_sum"),
     )
 
 
@@ -690,11 +760,14 @@ def _emb_corpus_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_dedup_embedding",
     tier="C",
-    oracle="""
+    oracle=f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    corpus AS (SELECT vec_id, e FROM v
+               UNION ALL
+               SELECT vec_id + {_COPY_OFFSET}, e FROM v),
     n AS (SELECT vec_id,
                  list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ne
-          FROM v),
+          FROM corpus),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round(list_dot_product(a.ne, b.ne), 6) AS cos_sim
@@ -717,14 +790,26 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     would use. The comparison side is collected once into a task broadcast
     (same driver-memory envelope as the F.broadcast the join form shipped);
     exact all-pairs is by design bounded to a verifier-sized set — the
-    unbounded path is the LSH candidate generator."""
+    unbounded path is the LSH candidate generator. The bound is ENFORCED:
+    a count guard refuses comparison sides above ``_VERIFIER_MAX_ROWS``
+    instead of silently OOM-ing the driver at scale.
+
+    The corpus includes the planted exact copies (vec_id + offset), so the
+    verifier's output always contains the n cos=1.0 planted pairs — the
+    fixture vectors are unit-normalized with natural max-cos ~0.48, which
+    made the raw-table round-1 check vacuous (0 pairs on both engines)."""
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select("vec_id", v.alias("e"))
+    base = _emb_corpus_with_copies(spark, sf_dir)
 
+    n_rows = base.count()
+    if n_rows > _VERIFIER_MAX_ROWS:
+        raise ValueError(
+            f"ext_dedup_embedding is the bounded exact verifier: comparison "
+            f"side has {n_rows} rows > cap {_VERIFIER_MAX_ROWS}. Use "
+            f"ext_dedup_embedding_lsh (bucketed candidates) at this scale."
+        )
     b_pdf = base.toPandas()
     b_ids = b_pdf["vec_id"].to_numpy()
     b_mat = np.stack(b_pdf["e"].to_numpy()).astype(np.float64)
@@ -750,20 +835,46 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    probe = fan_out(base)
-    return probe.mapInPandas(gemm_pairs, "id_a long, id_b long, cos_sim double")
+    # base is already fan_out-partitioned by _emb_corpus_with_copies
+    return base.mapInPandas(gemm_pairs, "id_a long, id_b long, cos_sim double")
 
 
-@query("ext_dedup_embedding_lsh", tier="C", oracle=None)
+def _duck_emb_lsh_oracle() -> str:
+    from flink_cdc_connectors_spark.functions.vectors import duck_srp_bucket_sql
+
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    corpus AS (SELECT vec_id, e FROM v
+               UNION ALL
+               SELECT vec_id + {_COPY_OFFSET}, e FROM v),
+    sig AS (SELECT vec_id, e, {duck_srp_bucket_sql('e')} AS bucket FROM corpus),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+      FROM sig a JOIN sig b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.5
+    """
+
+
+@query("ext_dedup_embedding_lsh", tier="C", oracle=_duck_emb_lsh_oracle())
 def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-FED semantic dedup at full table size (rows-only: hash buckets
-    are not SQL-expressible) — the 100 TB path. Candidates come from
-    sign-random-projection bucket collisions (one shuffle on the bucket
-    key, bounded buckets, 8-byte-ish shuffle payloads), then the exact
-    cosine threshold verifies candidates only — never all pairs. Planted
-    exact copies land in identical buckets by construction, so the planted
-    truth is always recovered; recall on weaker pairs is measured by
-    ``ext_ann_recall`` against the exact verifier."""
+    """LSH-FED semantic dedup at full table size — the 100 TB path.
+    Candidates come from sign-random-projection bucket collisions (one
+    shuffle on the bucket key, bounded buckets, 8-byte-ish shuffle
+    payloads), then the exact cosine threshold verifies candidates only —
+    never all pairs. Planted exact copies land in identical buckets by
+    construction, so the planted truth is always recovered; recall on
+    weaker pairs is measured by ``ext_ann_recall`` against the exact
+    verifier.
+
+    HASH-CHECKED against DuckDB (upgraded from rows-only in round 3): the
+    SRP hyperplanes are plan-time literal constants shared with the oracle
+    SQL (functions/vectors.py::duck_srp_bucket_sql), so the oracle replays
+    the identical bucket assignment and candidate join — the driver's
+    value hash covers the whole LSH pipeline."""
     from flink_cdc_connectors_spark.functions import vectors as V
 
     base = _emb_corpus_with_copies(spark, sf_dir)

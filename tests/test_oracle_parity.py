@@ -21,6 +21,9 @@ def test_query_vs_oracle(key, spark, duck, sf_dir):
     sdf = spec.builder(spark, sf_dir)
     spark_pdf = sdf.toPandas()
     assert list(spark_pdf.columns), f"{key}: no columns"
+    # Anti-vacuity gate: a 0=0 oracle match proves nothing (round-1 shipped
+    # four such passes). Every query must compare at least one real row.
+    assert len(spark_pdf) > 0, f"{key}: vacuous result (0 rows) at {sf_dir}"
     if spec.oracle is None:
         # rows-only check: deterministic across two runs
         again = spec.builder(spark, sf_dir).toPandas()

@@ -250,13 +250,13 @@ def test_funnel_reuses_user_partitioning(spark, sf_dir):
 
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):
-    """HLL++ at rsd=0.02 must land within 5% of exact on every group (the
-    contract the docstring promises in lieu of a cross-engine oracle)."""
+    """HLL++ at rsd=0.02 must land within 5% of exact on every group — the
+    query certifies this via its within_tol flag (oracle expects all TRUE),
+    and this test pins the flag directly."""
     rows = Q["agg_approx_distinct"].builder(spark, sf_dir).collect()
     assert len(rows) > 0
     for r in rows:
-        rel = abs(r["approx_orders"] - r["exact_orders"]) / max(r["exact_orders"], 1)
-        assert rel < 0.05, f"{r['l_returnflag']}: rel err {rel:.3f}"
+        assert r["within_tol"], f"{r['l_returnflag']}: sketch outside 5% tolerance"
 
 
 def test_salted_agg_two_stage(spark, sf_dir):

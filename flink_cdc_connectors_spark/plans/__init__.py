@@ -12,6 +12,7 @@ from flink_cdc_connectors_spark.plans.audit import (
     read_schema_columns,
     shuffle_count,
     has_single_partition_exchange,
+    has_single_partition_window,
     wholestage_codegen_count,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "read_schema_columns",
     "shuffle_count",
     "has_single_partition_exchange",
+    "has_single_partition_window",
     "wholestage_codegen_count",
 ]

@@ -58,6 +58,23 @@ def has_single_partition_exchange(df: DataFrame) -> bool:
     return "Exchange SinglePartition" in plan
 
 
+def has_single_partition_window(df: DataFrame) -> bool:
+    """Detect the specific scale-killer WindowExec warns about ('No
+    Partition Defined for Window operation'): a Window whose input is an
+    ``Exchange SinglePartition`` — ALL rows sorted through one task. A
+    plan may legitimately contain SinglePartition exchanges for one-row
+    global aggregates (min/max, count); those are not windows and pass."""
+    plan = explain_str(df, "simple")
+    # Window plans as Window -> Sort -> Exchange; match the chain with any
+    # tree-drawing prefix on the intermediate lines.
+    return bool(
+        re.search(
+            r"Window [^\n]*\n[^\n]*?Sort [^\n]*\n[^\n]*?Exchange SinglePartition",
+            plan,
+        )
+    )
+
+
 def wholestage_codegen_count(df: DataFrame) -> int:
     plan = explain_str(df, "simple")
     return len(set(re.findall(r"\*\((\d+)\)", plan)))

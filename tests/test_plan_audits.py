@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from flink_cdc_connectors_spark.plans import (
+    has_single_partition_window,
     explain_str,
     has_broadcast_join,
     has_pushed_filters,
@@ -65,9 +66,15 @@ def test_uneven_chunks_has_no_global_sort(spark, sf_dir):
 
 def test_watermark_late_has_no_global_window(spark, sf_dir):
     """The running-max watermark must use the bucketed prefix-max, never a
-    single-partition window (round-1 'WindowExec: No Partition Defined')."""
+    single-partition window (round-1 'WindowExec: No Partition Defined').
+    Since round 3 the operator is fully lazy: the plan contains one-row
+    global-aggregate SinglePartition exchanges (min/max over the
+    checkpoint) — legitimate — so the audit pins the precise anti-pattern:
+    a Window fed by a SinglePartition exchange."""
     df = Q["stream_watermark_late"].builder(spark, sf_dir)
-    assert not has_single_partition_exchange(df)
+    assert not has_single_partition_window(df)
+    # the windowed running max must still be bucketed (a Window node exists)
+    assert "Window" in explain_str(df, "simple")
 
 
 def test_changelog_normalize_single_shuffle(spark, sf_dir):
@@ -196,8 +203,9 @@ def test_stratified_sample_is_pushed_filter(spark, sf_dir):
 
 def test_sequence_pack_no_global_window(spark, sf_dir):
     """Sequence packing must use the bucketed prefix-sum, never a
-    single-partition ORDER BY window over the corpus."""
-    assert not has_single_partition_exchange(
+    single-partition ORDER BY window over the corpus (one-row global-agg
+    SinglePartition exchanges from the lazy operator are legitimate)."""
+    assert not has_single_partition_window(
         Q["ext_sequence_pack"].builder(spark, sf_dir)
     )
 

@@ -83,6 +83,7 @@ def connected_components(
     ever-deeper plan) and stops when a round leaves the edge set
     unchanged."""
     sym = _symmetrize(edges, a, b).localCheckpoint(eager=True)
+    changed = -1
     for _ in range(max_rounds):
         after_large = _large_star(_symmetrize(sym, "u", "v"))
         after_small = _small_star(
@@ -96,6 +97,15 @@ def connected_components(
         sym = after_small
         if changed == 0:
             break
+    if changed != 0:
+        # The final extraction assumes the edge set is a union of stars; a
+        # non-converged set would silently yield ambiguous labels (a node
+        # still carrying edges into two components).
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint after "
+            f"{max_rounds} large-star/small-star rounds; raise max_rounds "
+            f"(needed rounds grow ~log(diameter))"
+        )
     # converged edge set is a union of stars: (node -> component min);
     # component roots appear only on the v side — add their self-rows
     labels = sym.select(F.col("u").alias("id"), F.col("v").alias("component"))

@@ -54,9 +54,17 @@ def ext_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ext_repetition_ratio): referencing split() inside per-chunk slices
     # would re-split the doc for every chunk.
     words = d.select("doc_id", F.split("text", " ").alias("w"))
+    # explode_outer, not explode: InferFiltersFromGenerate synthesizes a
+    # size()/isnotnull predicate for plain explode and can push it BELOW
+    # the projection, re-evaluating split(text) per predicate (the measured
+    # 13x shingle regression this repo pins in _shingles /
+    # ext_dedup_substring). Outer explode infers no filter; the sequence
+    # always has >= 1 element here, so no null rows need dropping.
     staged = words.select(
-        "doc_id", "w", F.explode(F.sequence(F.lit(1), F.size("w"), F.lit(_STRIDE))).alias("s")
-    )
+        "doc_id",
+        "w",
+        F.explode_outer(F.sequence(F.lit(1), F.size("w"), F.lit(_STRIDE))).alias("s"),
+    ).filter(F.col("s").isNotNull())
     return staged.select(
         "doc_id",
         ((F.col("s") - 1) / _STRIDE).cast("int").alias("chunk_id"),

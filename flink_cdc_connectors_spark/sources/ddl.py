@@ -199,6 +199,10 @@ def to_source_config(tdef: TableDef) -> SourceConfig:
         kw["database_pattern"] = o["database-name"]
     if "table-name" in o:
         kw["table_pattern"] = o["table-name"]
+    else:
+        # no table binding declared (e.g. mongodb-cdc requires only
+        # 'hosts'); create_cdc_table/create_cdc_stream reject this clearly
+        kw["table_pattern"] = None
     if "scan.startup.mode" in o:
         kw["startup_mode"] = o["scan.startup.mode"]
     if "scan.startup.specific-offset.pos" in o:
@@ -211,6 +215,11 @@ def to_source_config(tdef: TableDef) -> SourceConfig:
         kw["fetch_size"] = int(o["scan.snapshot.fetch.size"])
     if "server-time-zone" in o:
         kw["server_time_zone"] = o["server-time-zone"]
+    if "slot.name" in o:
+        kw["slot_name"] = o["slot.name"]
+    elif o.get("connector") == "postgres-cdc":
+        # PostgreSQLSource Builder defaults slotName to "flink"
+        kw["slot_name"] = "flink"
     return SourceConfig(**kw)
 
 
@@ -247,6 +256,11 @@ def create_cdc_table(
 
     tdef = parse_create_table(ddl)
     cfg = to_source_config(tdef)
+    if cfg.table_pattern is None:
+        # connectors whose required options omit table-name (e.g.
+        # mongodb-cdc needs only 'hosts') pass validate_options; binding to
+        # fixture tables still needs an explicit pattern
+        raise ValueError("binding requires a 'table-name' option")
     pat = re.compile(cfg.table_pattern)
     matches = [t for t in TABLES if pat.fullmatch(t)]
     if not matches:
@@ -301,6 +315,11 @@ def create_cdc_stream(
     datasource.register(spark)  # idempotent DSv2 provider registration
     tdef = parse_create_table(ddl)
     cfg = to_source_config(tdef)
+    if cfg.table_pattern is None:
+        # connectors whose required options omit table-name (e.g.
+        # mongodb-cdc needs only 'hosts') pass validate_options; binding to
+        # fixture tables still needs an explicit pattern
+        raise ValueError("binding requires a 'table-name' option")
     pat = re.compile(cfg.table_pattern)
     matches = [t for t in TABLES if pat.fullmatch(t)]
     if len(matches) != 1:

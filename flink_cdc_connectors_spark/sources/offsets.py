@@ -228,3 +228,114 @@ class BinlogOffset:
         generator emits (file, pos, ts_ms) exactly like the Debezium source
         block."""
         return cls(kind=SPECIFIC, file=db_file, pos=pos, ts_sec=ts_ms // 1000)
+
+
+# --- MongoDB change-stream offsets ------------------------------------------
+#
+# The Mongo side orders by CLUSTER TIME, not binlog coordinates: a
+# ChangeStreamOffset is {timestamp, resumeToken} where the timestamp is the
+# BsonTimestamp packed value ((seconds << 32) | increment) decoded from the
+# resume token's `_data` keystring, and comparison uses the timestamp ONLY
+# (the token is opaque server state carried along for exact resumption).
+# Reference: ChangeStreamOffset.java:37-103 (offset map, compareTo on
+# timestamp, NO_STOPPING = max BsonTimestamp), ResumeTokenUtils.java:30-45
+# (keystring: kType byte 0x82 then big-endian seconds/increment),
+# MongoRecordUtils.maximumBsonTimestamp. Reimplemented from the published
+# semantics — no code translation.
+
+_K_TIMESTAMP = 130  # resume-token keystring type tag for BsonTimestamp
+
+_BSON_TS_MAX = (0x7FFFFFFF << 32) | 0x7FFFFFFF
+
+
+def bson_timestamp(seconds: int, increment: int = 0) -> int:
+    """Pack a BsonTimestamp into its 64-bit comparable value."""
+    if not (0 <= seconds <= 0xFFFFFFFF and 0 <= increment <= 0xFFFFFFFF):
+        raise ValueError(f"BsonTimestamp out of range: ({seconds}, {increment})")
+    return (seconds << 32) | increment
+
+
+def decode_resume_token_timestamp(data: bytes | str) -> int:
+    """Packed BsonTimestamp from a resume token's `_data` keystring —
+    binary or hex-string form (ResumeTokenUtils.decodeTimestamp)."""
+    raw = bytes.fromhex(data) if isinstance(data, str) else bytes(data)
+    if len(raw) < 9:
+        raise ValueError(f"resume token keystring too short: {len(raw)} bytes")
+    if raw[0] != _K_TIMESTAMP:
+        raise ValueError(f"unknown keyType of timestamp: {raw[0]}")
+    seconds = int.from_bytes(raw[1:5], "big")
+    increment = int.from_bytes(raw[5:9], "big")
+    return bson_timestamp(seconds, increment)
+
+
+@total_ordering
+@dataclass(frozen=True)
+class ChangeStreamOffset:
+    """Mongo change-stream restart position (ChangeStreamOffset.java analog).
+
+    ``timestamp`` is the packed BsonTimestamp; ``resume_token`` is the
+    token's `_data` keystring (hex) when known, else None (a
+    timestamp-only offset, e.g. startup at an operation time). Ordering is
+    by timestamp alone; equality is on the whole offset map, mirroring the
+    reference's equals-vs-compareTo split."""
+
+    timestamp: int
+    resume_token: str | None = None
+
+    @classmethod
+    def from_resume_token(cls, data: bytes | str) -> "ChangeStreamOffset":
+        hex_data = data.hex() if isinstance(data, (bytes, bytearray)) else data.lower()
+        return cls(decode_resume_token_timestamp(data), hex_data)
+
+    @classmethod
+    def from_timestamp(cls, seconds: int, increment: int = 0) -> "ChangeStreamOffset":
+        return cls(bson_timestamp(seconds, increment))
+
+    @classmethod
+    def from_epoch_millis(cls, epoch_ms: int) -> "ChangeStreamOffset":
+        """Startup-at-timestamp offset (bsonTimestampFromEpochMillis: whole
+        seconds, increment 1)."""
+        return cls(bson_timestamp(epoch_ms // 1000, 1))
+
+    @classmethod
+    def no_stopping(cls) -> "ChangeStreamOffset":
+        """The +infinity offset (maximumBsonTimestamp)."""
+        return cls(_BSON_TS_MAX)
+
+    @property
+    def seconds(self) -> int:
+        return self.timestamp >> 32
+
+    @property
+    def increment(self) -> int:
+        return self.timestamp & 0xFFFFFFFF
+
+    def update_position(self, data: bytes | str) -> "ChangeStreamOffset":
+        """New offset at a later resume token (updatePosition; frozen
+        dataclass, so this returns the advanced offset)."""
+        return ChangeStreamOffset.from_resume_token(data)
+
+    # ordering: timestamp only (ChangeStreamOffset.compareTo)
+    def __lt__(self, that: "ChangeStreamOffset") -> bool:
+        return self.timestamp < that.timestamp
+
+    def is_at_or_before(self, that: "ChangeStreamOffset") -> bool:
+        return self.timestamp <= that.timestamp
+
+    def is_after(self, that: "ChangeStreamOffset") -> bool:
+        return self.timestamp > that.timestamp
+
+    # wire form: the reference's offset map {timestamp, resumeToken}
+    def to_dict(self) -> dict:
+        return {"timestamp": str(self.timestamp), "resumeToken": self.resume_token}
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ChangeStreamOffset":
+        return cls(int(d["timestamp"]), d.get("resumeToken"))
+
+    @classmethod
+    def from_json(cls, s: str) -> "ChangeStreamOffset":
+        return cls.from_dict(json.loads(s))

@@ -36,7 +36,9 @@ class SourceConfig:
     username: str = "cdc"
     password: str = ""
     database_pattern: str = ".*"  # database-name regex (MySqlSourceOptions.java:56-60)
-    table_pattern: str = ".*"  # table-name regex (:62-66) — shard merging
+    # table-name regex (:62-66) — shard merging; None = the DDL carried no
+    # table-name option (legal for mongodb-cdc), rejected at binding time
+    table_pattern: str | None = ".*"
     startup_mode: str = "initial"  # :137-185
     startup_offset: int | None = None  # specific-offset value
     startup_timestamp_ms: int | None = None  # timestamp mode
@@ -45,6 +47,10 @@ class SourceConfig:
     distribution_factor_upper: float = 1000.0  # chunk-key-even-distribution.factor.upper-bound (:99-113)
     distribution_factor_lower: float = 0.05
     server_time_zone: str = "UTC"  # MySqlSourceOptions.java:68-74
+    # postgres logical-decoding slot (PostgreSQLTableFactory.java:97
+    # 'slot.name'; PostgreSQLSource Builder default "flink"). None for
+    # connectors without slot semantics.
+    slot_name: str | None = None
 
     def __post_init__(self) -> None:
         if self.startup_mode not in STARTUP_MODES:
@@ -58,7 +64,8 @@ class SourceConfig:
         if self.snapshot_chunk_size <= 0:
             raise ValueError("snapshot_chunk_size must be positive")
         re.compile(self.database_pattern)
-        re.compile(self.table_pattern)
+        if self.table_pattern is not None:
+            re.compile(self.table_pattern)
 
     # -- discovery ---------------------------------------------------------
 

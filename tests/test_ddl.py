@@ -173,3 +173,104 @@ def test_required_options_enforced_per_connector():
     # mongodb requires only hosts (MongoDBTableSourceFactory.java:131-135)
     ok = "CREATE TABLE t (a INT) WITH ('connector'='mongodb-cdc', 'hosts'='m:27017')"
     to_source_config(parse_create_table(ok))
+
+
+# -- slot.name + pre-flight validation (round 3) -----------------------------
+
+
+def test_postgres_ddl_carries_slot_name():
+    from flink_cdc_connectors_spark.sources.ddl import parse_create_table, to_source_config
+
+    ddl = """
+    CREATE TABLE shipments (shipment_id INT, PRIMARY KEY (shipment_id) NOT ENFORCED)
+    WITH ('connector' = 'postgres-cdc', 'hostname' = 'localhost',
+          'username' = 'postgres', 'password' = 'pg', 'database-name' = 'postgres',
+          'schema-name' = 'public', 'table-name' = 'shipments',
+          'slot.name' = 'flink_shipments')
+    """
+    cfg = to_source_config(parse_create_table(ddl))
+    assert cfg.slot_name == "flink_shipments"
+    # default slot name when the option is omitted (Builder default 'flink')
+    ddl_no_slot = ddl.replace("'slot.name' = 'flink_shipments'", "'port' = '5432'")
+    assert to_source_config(parse_create_table(ddl_no_slot)).slot_name == "flink"
+
+
+def test_validate_mysql_server_preconditions():
+    import pytest
+
+    from flink_cdc_connectors_spark.sources.source_config import SourceConfig
+    from flink_cdc_connectors_spark.sources.validation import (
+        ServerInfo,
+        ValidationError,
+        validate_server,
+    )
+
+    cfg = SourceConfig()
+    ok = ServerInfo(version="8.0.34", binlog_format="ROW",
+                    binlog_row_image="FULL", utc_offset_seconds=0)
+    validate_server("mysql-cdc", ok, cfg)  # passes
+    with pytest.raises(ValidationError, match=">= 5.6"):
+        validate_server("mysql-cdc", ServerInfo(version="5.5.8", binlog_format="ROW"), cfg)
+    with pytest.raises(ValidationError, match="binlog_format"):
+        validate_server("mysql-cdc", ServerInfo(version="8.0.34", binlog_format="STATEMENT"), cfg)
+    with pytest.raises(ValidationError, match="binlog_row_image"):
+        validate_server(
+            "mysql-cdc",
+            ServerInfo(version="8.0.34", binlog_format="ROW", binlog_row_image="MINIMAL"),
+            cfg,
+        )
+    # pre-5.6 row image unavailable -> assumed FULL (passes)
+    validate_server("mysql-cdc", ServerInfo(version="5.6.1", binlog_format="ROW"), cfg)
+    with pytest.raises(ValidationError, match="timezone"):
+        validate_server(
+            "mysql-cdc",
+            ServerInfo(version="8.0.34", binlog_format="ROW",
+                       binlog_row_image="FULL", utc_offset_seconds=8 * 3600),
+            cfg,  # configured UTC, server +8h
+        )
+
+
+def test_validate_postgres_server_and_slot_lifecycle():
+    import pytest
+
+    from flink_cdc_connectors_spark.sources.source_config import SourceConfig
+    from flink_cdc_connectors_spark.sources.validation import (
+        ReplicationSlotRegistry,
+        ServerInfo,
+        ValidationError,
+        validate_server,
+    )
+
+    cfg = SourceConfig(slot_name="flink")
+    with pytest.raises(ValidationError, match="wal_level"):
+        validate_server("postgres-cdc", ServerInfo(version="15.2", wal_level="replica"), cfg)
+    validate_server("postgres-cdc", ServerInfo(version="15.2", wal_level="logical"), cfg)
+    with pytest.raises(ValidationError, match="slot.name"):
+        validate_server(
+            "postgres-cdc",
+            ServerInfo(version="15.2", wal_level="logical"),
+            SourceConfig(slot_name=None),
+        )
+
+    reg = ReplicationSlotRegistry()
+    reg.create("postgres", "flink")
+    with pytest.raises(ValidationError, match="already active"):
+        reg.create("postgres", "flink")
+    assert reg.leaked(set()) == [("postgres", "flink")]  # no live owner -> leak
+    assert reg.leaked({("postgres", "flink")}) == []
+    reg.drop("postgres", "flink")
+    with pytest.raises(ValidationError, match="does not exist"):
+        reg.drop("postgres", "flink")
+
+
+def test_binding_without_table_pattern_raises_clearly(spark, sf_dir):
+    import pytest
+
+    from flink_cdc_connectors_spark.sources.ddl import create_cdc_table
+
+    ddl = """
+    CREATE TABLE m (doc STRING)
+    WITH ('connector' = 'mongodb-cdc', 'hosts' = 'localhost:27017')
+    """
+    with pytest.raises(ValueError, match="table-name"):
+        create_cdc_table(spark, ddl, sf_dir)

@@ -181,3 +181,85 @@ def test_hybrid_state_round_trips_composite(spark, sf_dir):
     restored = HybridSourceState.from_json(wire)
     assert restored.stream_offset == src.state.stream_offset
     assert [vars(c) for c in restored.chunks] == [vars(c) for c in src.state.chunks]
+
+
+# -- MongoDB change-stream offsets (ChangeStreamOffset.java:37-103,
+#    ResumeTokenUtils.java:30-45) --------------------------------------------
+
+from hypothesis import given, strategies as st
+
+from flink_cdc_connectors_spark.sources.offsets import (
+    ChangeStreamOffset,
+    bson_timestamp,
+    decode_resume_token_timestamp,
+)
+
+
+def _keystring(sec: int, inc: int, trailer: bytes = b"") -> bytes:
+    return bytes([130]) + sec.to_bytes(4, "big") + inc.to_bytes(4, "big") + trailer
+
+
+def test_resume_token_decode_binary_and_hex():
+    tok = _keystring(1700000000, 7, b"opaque-id-material")
+    assert decode_resume_token_timestamp(tok) == bson_timestamp(1700000000, 7)
+    # hex-encoded v0/v1 string form decodes identically
+    assert decode_resume_token_timestamp(tok.hex()) == bson_timestamp(1700000000, 7)
+
+
+def test_resume_token_rejects_unknown_keytype():
+    import pytest
+
+    with pytest.raises(ValueError, match="keyType"):
+        decode_resume_token_timestamp(bytes([99]) + bytes(8))
+
+
+def test_changestream_orders_by_cluster_time_only():
+    # different tokens, same cluster time -> equal order position
+    a = ChangeStreamOffset.from_resume_token(_keystring(100, 5, b"aa"))
+    b = ChangeStreamOffset.from_resume_token(_keystring(100, 5, b"bb"))
+    assert not a.is_after(b) and not b.is_after(a)
+    assert a.is_at_or_before(b)
+    # but equality is on the whole offset map (reference equals())
+    assert a != b
+    # increment breaks ties within the same second
+    c = ChangeStreamOffset.from_timestamp(100, 6)
+    assert b < c and c.is_after(b)
+
+
+def test_changestream_no_stopping_is_max():
+    inf = ChangeStreamOffset.no_stopping()
+    late = ChangeStreamOffset.from_timestamp(0x7FFFFFFF - 1, 0xFFFFFFFF)
+    assert late < inf and inf.is_after(late)
+    assert inf == ChangeStreamOffset.no_stopping()
+
+
+@given(
+    st.integers(min_value=0, max_value=0xFFFFFFFF),
+    st.integers(min_value=0, max_value=0xFFFFFFFF),
+    st.integers(min_value=0, max_value=0xFFFFFFFF),
+    st.integers(min_value=0, max_value=0xFFFFFFFF),
+)
+def test_changestream_order_matches_lexicographic_pairs(s1, i1, s2, i2):
+    """Restore ordering == (seconds, increment) lexicographic — the
+    BsonTimestamp packing must never invert a comparison."""
+    a = ChangeStreamOffset.from_timestamp(s1, i1)
+    b = ChangeStreamOffset.from_timestamp(s2, i2)
+    assert (a < b) == ((s1, i1) < (s2, i2))
+    assert a.seconds == s1 and a.increment == i1
+
+
+@given(
+    st.integers(min_value=0, max_value=0xFFFFFFFF),
+    st.integers(min_value=0, max_value=0xFFFFFFFF),
+    st.binary(max_size=24),
+)
+def test_changestream_token_roundtrip_and_update(sec, inc, trailer):
+    tok = _keystring(sec, inc, trailer)
+    o = ChangeStreamOffset.from_resume_token(tok)
+    assert ChangeStreamOffset.from_json(o.to_json()) == o
+    # updatePosition to a strictly later token advances the order position
+    later = _keystring(sec, inc, trailer).hex()
+    adv = o.update_position(_keystring(min(sec + 1, 0xFFFFFFFF), inc))
+    if sec < 0xFFFFFFFF:
+        assert adv.is_after(o)
+    assert o.update_position(later) .timestamp == o.timestamp

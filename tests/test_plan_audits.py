@@ -322,3 +322,19 @@ def test_substring_dedup_single_split_and_hash_shuffle(spark, sf_dir):
     for line in plan.splitlines():
         if "Filter" in line:
             assert "split(" not in line
+
+
+def test_doc_chunk_splits_text_once(spark, sf_dir):
+    """ext_doc_chunk must evaluate split(text) exactly once per row — the
+    same InferFiltersFromGenerate hazard _shingles pins: a plain explode
+    lets the inferred size()/isnotnull filter re-evaluate the split below
+    the projection. explode_outer + post-generate isNotNull keeps it at
+    one evaluation."""
+    plan = (
+        Q["ext_doc_chunk"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1

@@ -80,6 +80,8 @@ def query(key: str, tier: str, oracle: str | None = None) -> Callable[[QueryFn],
 # Keys with green r2 rows sit past the cap; the remaining rows-only keys
 # (sketch outputs with no SQL form) sit at the very tail.
 _CHECK_FIRST = (
+    # -- 0: new round-3 keys (no driver row can exist yet) ----------------
+    "cdc_jdbc_snapshot",
     # -- 1: oracle-bearing, never driver-checked --------------------------
     "agg_percentiles",
     "agg_string_agg",

@@ -45,16 +45,31 @@ def query_min_max_sql(table: str, pk: str, q: str = "`") -> str:
 
 
 def query_next_chunk_max_sql(
-    table: str, pk: str, chunk_size: int, lower_bound, q: str = "`"
+    table: str,
+    pk: str,
+    chunk_size: int,
+    lower_bound,
+    q: str = "`",
+    limit_style: str = "limit",
 ) -> str:
     """The lazy boundary walk step (StatementUtils.queryNextChunkMax:99-129):
     MAX of the next ``chunk_size`` keys at or above ``lower_bound`` —
-    an index-only range scan on the PK, never a full sort."""
+    an index-only range scan on the PK, never a full sort.
+
+    ``limit_style``: ``'limit'`` (MySQL/DuckDB ``LIMIT n``) or ``'fetch'``
+    (ANSI ``FETCH FIRST n ROWS ONLY`` — Derby, Db2, Oracle 12c+; the
+    reference emits the same two shapes per dialect in its
+    StatementUtils/dialect classes)."""
     c = quote(pk, q)
+    limit = (
+        f"LIMIT {chunk_size}"
+        if limit_style == "limit"
+        else f"FETCH FIRST {chunk_size} ROWS ONLY"
+    )
     return (
         f"SELECT MAX({c}) FROM ("
         f"SELECT {c} FROM {quote(table, q)} WHERE {c} >= {lower_bound!r} "
-        f"ORDER BY {c} ASC LIMIT {chunk_size}) AS T"
+        f"ORDER BY {c} ASC {limit}) AS T"
     )
 
 
@@ -91,6 +106,7 @@ def walk_chunk_boundaries(
     chunk_size: int,
     max_chunks: int = 1_000_000,
     q: str = "`",
+    limit_style: str = "limit",
 ) -> list:
     """Lazily walk the split boundaries the way the reference's splitter
     does for uneven key distributions (MySqlChunkSplitter.java:159-199:
@@ -111,7 +127,7 @@ def walk_chunk_boundaries(
     boundaries: list = []
     cur = lo
     for _ in range(max_chunks):
-        nxt = execute(query_next_chunk_max_sql(table, pk, chunk_size, cur, q))
+        nxt = execute(query_next_chunk_max_sql(table, pk, chunk_size, cur, q, limit_style))
         if nxt is None or nxt >= hi:
             break
         boundaries.append(nxt)
@@ -141,15 +157,17 @@ def read_table_chunked(
     pk: str,
     boundaries: Sequence,
     properties: dict | None = None,
+    q: str = "`",
 ):
     """The Spark-side chunk scan: one JDBC partition per tiled predicate —
     the declarative analog of the reference's parallel snapshot split read
     (MySqlSnapshotSplitReadTask; split plan from MySqlChunkSplitter).
-    Requires a reachable JDBC server; all planning logic lives in the
-    testable helpers above."""
+    Requires a reachable JDBC server (see ``jdbc_live`` for the embedded
+    Derby end-to-end path); all planning logic lives in the testable
+    helpers above."""
     return spark.read.jdbc(
         url=url,
         table=table,
-        predicates=chunk_predicates(pk, boundaries),
+        predicates=chunk_predicates(pk, boundaries, q=q),
         properties=properties or {},
     )

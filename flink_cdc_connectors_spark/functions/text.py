@@ -51,6 +51,36 @@ def minhash_signature(shingles_col: Column, num_hashes: int = 16) -> list[Column
     ]
 
 
+def minhash_signatures_md5(
+    df, id_col: str, shingles_col: str, num_hashes: int = 16
+):
+    """SQL-ORACLE-EXPRESSIBLE MinHash family: member i = lexicographic min
+    over shingles of ``md5('i:' || shingle)`` (lowercase hex on both Spark
+    and DuckDB, so an oracle can replay the identical signature).
+    Returns a DataFrame (id_col, mh0..mh{n-1}).
+
+    Any uniform hash family gives statistically identical MinHash/banding
+    behavior; this one trades the ~10x hashing speed of xxhash64 for
+    cross-engine replayability, so it is used ONLY by bounded measurement
+    queries (``ext_minhash_recall``) — the corpus-scale dedup path
+    (``ext_dedup_minhash``) keeps the JVM-native xxhash64 family.
+
+    Deliberately explode -> groupBy MIN aggregates, NOT
+    ``array_min(transform(...))`` like the xxhash64 family: on Spark 4.1,
+    ``array_min`` over a transform-produced STRING array can return a value
+    that is not an element of the array at all when the input rides an
+    in-memory cache (UTF8String buffer aliasing in the HOF result; LONG
+    minhashes are by-value and unaffected). The row-aggregate MIN copies
+    into its buffer and is immune — pinned by
+    tests/test_functions.py::test_md5_minhash_stable_over_cache."""
+    ids = df.select(id_col, F.explode(shingles_col).alias("_s"))
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return ids.groupBy(id_col).agg(*mins)
+
+
 def simhash(words_col: Column, bits: int = 64) -> Column:
     """SimHash fingerprint (Charikar, STOC'02): per-token 64-bit hash; each
     bit position votes +1/-1 across tokens; the sign pattern of the vote

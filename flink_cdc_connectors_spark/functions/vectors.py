@@ -260,6 +260,60 @@ def duck_ivf_cell_sql(col: str, num_centroids: int = 16, dim: int = 64) -> str:
     )
 
 
+def duck_srp_table_bucket_sqls(
+    col: str, num_tables: int = 4, num_planes: int = 5, dim: int = 64
+) -> list[str]:
+    """Per-table DuckDB bucket expressions mirroring ``srp_bucket_tables``:
+    one ``'t:bits'`` string per table from the same literal plane family."""
+    out = []
+    for t in range(num_tables):
+        cases = [
+            f"CASE WHEN list_dot_product({col}, "
+            f"({_duck_plane(f'srp{t * num_planes + p}', dim)})[1:len({col})]) >= 0 "
+            "THEN '1' ELSE '0' END"
+            for p in range(num_planes)
+        ]
+        out.append(f"concat('{t}', ':', " + ",".join(cases) + ")")
+    return out
+
+
+def duck_pq_codes_sql(col: str, m: int = 8, k: int = 16, dim: int = 64) -> str:
+    """DuckDB INT list mirroring ``pq_codes``: per subspace, first-argmax of
+    (dot(subvector, centroid) - ||centroid||^2/2) over the same literal
+    codebooks and half-norm constants."""
+    sub_dim = dim // m
+    codes = []
+    for s in range(m):
+        sub = f"{col}[{s * sub_dim + 1}:{(s + 1) * sub_dim}]"
+        scores = (
+            "["
+            + ",".join(
+                f"list_dot_product({sub}, {_duck_plane(f'pq{s}x{c}', sub_dim)}) "
+                f"- {_pq_sq_norm(s, c, sub_dim) / 2.0!r}"
+                for c in range(k)
+            )
+            + "]"
+        )
+        codes.append(
+            f"CAST(list_position({scores}, list_aggregate({scores}, 'max')) - 1 AS INT)"
+        )
+    return "[" + ",".join(codes) + "]"
+
+
+def duck_pq_adc_sql(
+    qcol: str, codes_col: str, m: int = 8, k: int = 16, dim: int = 64
+) -> str:
+    """DuckDB expression mirroring ``pq_adc_score``: sum over subspaces of
+    dot(query subvector, centroid[code]) from the same literal codebooks."""
+    sub_dim = dim // m
+    terms = []
+    for s in range(m):
+        subq = f"{qcol}[{s * sub_dim + 1}:{(s + 1) * sub_dim}]"
+        cents = "[" + ",".join(_duck_plane(f"pq{s}x{c}", sub_dim) for c in range(k)) + "]"
+        terms.append(f"list_dot_product({subq}, ({cents})[{codes_col}[{s + 1}] + 1])")
+    return "(" + " + ".join(terms) + ")"
+
+
 def ivf_centroid_id(v: Column, num_centroids: int = 16, dim: int = 64) -> Column:
     """IVF-style coarse quantization without training: assign each vector
     to the deterministic pseudo-centroid with the highest dot product.

@@ -894,13 +894,106 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(F.col("cos_sim") >= 0.5)
 
 
-@query("ext_ann_recall", tier="C", oracle=None)
+def _duck_ann_recall_oracle() -> str:
+    from flink_cdc_connectors_spark.functions.vectors import (
+        duck_ivf_cell_sql,
+        duck_ivf_probe_structs_sql,
+        duck_pq_adc_sql,
+        duck_pq_codes_sql,
+        duck_srp_bucket_sql,
+        duck_srp_table_bucket_sqls,
+    )
+
+    cos = (
+        "round(list_dot_product({q}, {c}) / (sqrt(list_dot_product({q}, {q}))"
+        " * sqrt(list_dot_product({c}, {c}))), 6)"
+    )
+    tables = ",".join(duck_srp_table_bucket_sqls("e"))
+
+    def top10(scored: str) -> str:
+        return f"""SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id, row_number() OVER (
+            PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM ({scored}))
+        WHERE rn <= 10"""
+
+    def probe(p: int) -> str:
+        return f"""SELECT q_id, qv, cell FROM (
+          SELECT q_id, qv, x.c AS cell, row_number() OVER (
+            PARTITION BY q_id ORDER BY x.s DESC, x.c DESC) AS pr
+          FROM (SELECT q_id, qv, unnest({duck_ivf_probe_structs_sql('qv')}) AS x
+                FROM q) t) WHERE pr <= {p}"""
+
+    def row(name: str, approx_cte: str) -> str:
+        return f"""
+        SELECT '{name}' AS method,
+               (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_truth,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM exact JOIN {approx_cte} USING (q_id, vec_id)) AS n_hits,
+               round((SELECT count(*) FROM exact JOIN {approx_cte} USING (q_id, vec_id))
+                     / (SELECT count(*)::DOUBLE FROM exact), 4) AS recall_at_10"""
+
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    corpus AS (SELECT vec_id, e FROM v
+               UNION ALL SELECT vec_id + {_COPY_OFFSET}, e FROM v),
+    q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id % 100 = 0),
+    exact AS ({top10(f'''
+      SELECT q.q_id, c.vec_id, {cos.format(q='q.qv', c='c.e')} AS sim
+      FROM q JOIN corpus c ON c.vec_id <> q.q_id''')}),
+    sigb AS (SELECT vec_id, e, {duck_srp_bucket_sql('e')} AS bucket FROM corpus),
+    qb AS (SELECT vec_id AS q_id, e AS qv, bucket FROM sigb
+           WHERE vec_id % 100 = 0 AND vec_id < {_COPY_OFFSET}),
+    lsh AS ({top10(f'''
+      SELECT qb.q_id, s.vec_id, {cos.format(q='qb.qv', c='s.e')} AS sim
+      FROM sigb s JOIN qb ON s.bucket = qb.bucket AND s.vec_id <> qb.q_id''')}),
+    tb AS (SELECT vec_id, e, unnest([{tables}]) AS tbucket FROM corpus),
+    qtb AS (SELECT vec_id AS q_id, e AS qv, tbucket FROM tb
+            WHERE vec_id % 100 = 0 AND vec_id < {_COPY_OFFSET}),
+    lsh4 AS ({top10(f'''
+      SELECT DISTINCT q_id, vec_id, sim FROM (
+        SELECT qtb.q_id, s.vec_id, {cos.format(q='qtb.qv', c='s.e')} AS sim
+        FROM tb s JOIN qtb ON s.tbucket = qtb.tbucket AND s.vec_id <> qtb.q_id)''')}),
+    cells AS (SELECT vec_id, e, {duck_ivf_cell_sql('e')} AS cell FROM corpus),
+    p1 AS ({probe(1)}),
+    p4 AS ({probe(4)}),
+    ivf1 AS ({top10(f'''
+      SELECT p1.q_id, c.vec_id, {cos.format(q='p1.qv', c='c.e')} AS sim
+      FROM cells c JOIN p1 ON c.cell = p1.cell AND c.vec_id <> p1.q_id''')}),
+    ivf4 AS ({top10(f'''
+      SELECT p4.q_id, c.vec_id, {cos.format(q='p4.qv', c='c.e')} AS sim
+      FROM cells c JOIN p4 ON c.cell = p4.cell AND c.vec_id <> p4.q_id''')}),
+    compact AS (SELECT vec_id, cell, {duck_pq_codes_sql('e')} AS codes FROM cells),
+    p2 AS ({probe(2)}),
+    short AS (
+      SELECT q_id, vec_id FROM (
+        SELECT qp.q_id, c.vec_id, row_number() OVER (
+          PARTITION BY qp.q_id
+          ORDER BY round({duck_pq_adc_sql('qp.qv', 'c.codes')}, 6) DESC, c.vec_id
+        ) AS arn
+        FROM compact c JOIN p2 qp ON c.cell = qp.cell AND c.vec_id <> qp.q_id)
+      WHERE arn <= 32),
+    ivfpq AS ({top10(f'''
+      SELECT s.q_id, s.vec_id, {cos.format(q='q.qv', c='c.e')} AS sim
+      FROM short s JOIN corpus c ON c.vec_id = s.vec_id
+      JOIN q ON q.q_id = s.q_id''')})
+    {row('srp_lsh', 'lsh')}
+    UNION ALL {row('srp_lsh_4tables', 'lsh4')}
+    UNION ALL {row('ivf', 'ivf1')}
+    UNION ALL {row('ivf_p4', 'ivf4')}
+    UNION ALL {row('ivf_pq', 'ivfpq')}
+    """
+
+
+@query("ext_ann_recall", tier="C", oracle=_duck_ann_recall_oracle())
 def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured recall@10 of the two ANN pruning structures against the
-    exact cosine ground truth (rows-only; deterministic because every hash
-    coefficient is plan-time constant). Output: one row per method with
-    the hit count over all queries — the number the judge asked to see
-    recorded, computed inside the engine itself.
+    """Measured recall@10 of the ANN pruning structures against the exact
+    cosine ground truth — HASH-CHECKED since round 3: every hash coefficient
+    (SRP planes, the 4 LSH tables, IVF centroids, PQ codebooks) is a
+    plan-time literal shared with the DuckDB oracle, which replays all five
+    approximate pipelines AND the exact truth end-to-end, so the driver's
+    value hash covers the recall numbers themselves, not just row counts.
+    ADC scores round to 6 decimals on both sides before the shortlist rank
+    (summation-order fp noise cannot flip the rank-32 boundary).
 
     Queries = original vectors with vec_id % 100 == 0; corpus includes the
     planted copies, so each query's true #1 neighbor (its exact copy) is
@@ -1008,7 +1101,9 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact.join(F.broadcast(q_pq), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
-            "q_id", "vec_id", V.pq_adc_score(F.col("qv"), F.col("codes")).alias("adc")
+            "q_id",
+            "vec_id",
+            F.round(V.pq_adc_score(F.col("qv"), F.col("codes")), 6).alias("adc"),
         )
     )
     w_adc = W.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("vec_id"))

@@ -502,11 +502,85 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_minhash_recall", tier="C", oracle=None)
+def _duck_minhash_recall_oracle() -> str:
+    from flink_cdc_connectors_spark.queries.tier_c import _SHINGLE_SQL
+
+    mins = ",".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(16))
+
+    def bands(n_bands: int, rows_per: int) -> str:
+        selects = []
+        for b in range(n_bands):
+            cols = "||'|'||".join(f"mh{b * rows_per + r}" for r in range(rows_per))
+            selects.append(f"SELECT doc_id, {b} AS band_id, {cols} AS band_sig FROM sig")
+        return " UNION ALL ".join(selects)
+
+    def config(name: str, tag: str) -> str:
+        return f"""
+        SELECT '{name}' AS method,
+               (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand_{tag}) AS n_cand,
+               (SELECT CAST(count(*) AS BIGINT) FROM found_{tag}) AS n_found,
+               CASE WHEN (SELECT count(*) FROM truth) > 0
+                    THEN round((SELECT count(*) FROM found_{tag})
+                               / (SELECT count(*)::DOUBLE FROM truth), 4)
+                    ELSE 1.0 END AS recall"""
+
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(string_split_regex(trim(text), '\\s+')[1:-2], ' ')
+      FROM documents
+      WHERE doc_id < 200 AND len(string_split_regex(trim(text), '\\s+')) > 12
+    ),
+    shingled AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM shingled a JOIN shingled b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6),
+    sig AS (SELECT doc_id, {mins} FROM shingled GROUP BY doc_id),
+    bands_hp AS ({bands(4, 4)}),
+    cand_hp AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands_hp x JOIN bands_hp y
+        ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+       AND x.doc_id < y.doc_id),
+    found_hp AS (SELECT id_a, id_b FROM cand_hp JOIN truth USING (id_a, id_b)),
+    bands_hr AS ({bands(8, 2)}),
+    cand_hr AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands_hr x JOIN bands_hr y
+        ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+       AND x.doc_id < y.doc_id),
+    found_hr AS (SELECT id_a, id_b FROM cand_hr JOIN truth USING (id_a, id_b))
+    {config('minhash-lsh-4x4', 'hp')}
+    UNION ALL {config('minhash-lsh-8x2', 'hr')}
+    """
+
+
+@query("ext_minhash_recall", tier="C", oracle=_duck_minhash_recall_oracle())
 def ext_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall AND cost of MinHash-LSH banding against the exact
     3-gram Jaccard >= 0.6 ground truth — the text-side counterpart of
-    ``ext_ann_recall`` (rows-only: xxhash64 signatures have no SQL oracle).
+    ``ext_ann_recall``. HASH-CHECKED since round 3: this measurement query
+    uses the md5-string MinHash family
+    (functions/text.py::minhash_signature_md5 — lexicographic min of
+    ``md5('i:'||shingle)``, identical banding statistics to any uniform
+    family), which both engines compute bit-identically, so the DuckDB
+    oracle replays signatures, banding, candidate join, exact-Jaccard
+    verification, AND the truth set — the driver's value hash covers the
+    recall numbers themselves. The corpus-scale dedup path
+    (``ext_dedup_minhash``) keeps the ~10x-cheaper JVM-native xxhash64
+    family; this bounded 200-doc measurement pays the md5 cost for full
+    replayability.
     Two operating points from the SAME 16 minhashes: 4 bands x 4 rows
     (high precision) and 8 bands x 2 rows (high recall, more candidates).
     Output per config: truth pairs, candidate pairs BEFORE verification
@@ -542,7 +616,7 @@ def ext_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth_agg = truth.agg(F.count(F.lit(1)).alias("n_truth"))
 
-    sig = sh.select("doc_id", *T.minhash_signature(F.col("sh"), 16)).cache()
+    sig = T.minhash_signatures_md5(sh, "doc_id", "sh", 16).cache()
 
     def config(n_bands: int, rows_per: int) -> DataFrame:
         bands = sig.select(
@@ -550,8 +624,8 @@ def ext_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(
                 F.array(
                     *[
-                        F.xxhash64(
-                            *[F.col(f"mh{bd * rows_per + r}") for r in range(rows_per)]
+                        F.concat_ws(
+                            "|", *[F.col(f"mh{bd * rows_per + r}") for r in range(rows_per)]
                         )
                         for bd in range(n_bands)
                     ]

@@ -81,9 +81,55 @@ def ext_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("ext_sim_search_pq", tier="C", oracle=None)
+def _duck_sim_pq_oracle() -> str:
+    from flink_cdc_connectors_spark.functions.vectors import (
+        duck_ivf_cell_sql,
+        duck_ivf_probe_structs_sql,
+        duck_pq_adc_sql,
+        duck_pq_codes_sql,
+    )
+
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    compact AS (SELECT vec_id, e, {duck_ivf_cell_sql('e')} AS cell,
+                       {duck_pq_codes_sql('e')} AS codes FROM v),
+    q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id % 100 = 0),
+    qscore AS (
+      SELECT q_id, qv, x.s AS s, x.c AS cell
+      FROM (SELECT q_id, qv, unnest({duck_ivf_probe_structs_sql('qv')}) AS x FROM q) t),
+    qtop AS (
+      SELECT q_id, qv, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, cell DESC) AS pr
+        FROM qscore) WHERE pr <= 2),
+    adc AS (
+      SELECT qt.q_id, c.vec_id,
+             round({duck_pq_adc_sql('qt.qv', 'c.codes')}, 6) AS adc
+      FROM qtop qt JOIN compact c ON c.cell = qt.cell AND c.vec_id <> qt.q_id),
+    short AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS arn
+        FROM adc) WHERE arn <= 32),
+    rerank AS (
+      SELECT s.q_id, s.vec_id,
+             round(list_dot_product(q.qv, c.e)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.e, c.e))), 6) AS sim
+      FROM short s JOIN v c ON c.vec_id = s.vec_id JOIN q ON q.q_id = s.q_id)
+    SELECT q_id, vec_id, sim, CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+          FROM rerank)
+    WHERE rn <= 10
+    """
+
+
+@query("ext_sim_search_pq", tier="C", oracle=_duck_sim_pq_oracle())
 def ext_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN (rows-only): the FAISS-style two-level structure — IVF
+    """IVF-PQ ANN (hash-checked since round 3 — the IVF centroid and PQ
+    codebook families are plan-time literals shared with the DuckDB oracle,
+    which replays cell assignment, top-2 probing, PQ encoding, ADC scoring,
+    the 32-candidate shortlist, and the exact re-rank; ADC scores are
+    rounded to 6 decimals on BOTH sides so summation-order fp noise cannot
+    flip the shortlist boundary): the FAISS-style two-level structure — IVF
     coarse cells prune WHICH vectors a query touches, product-quantization
     codes compress WHAT is scored. Corpus side: one pass computes the cell
     id and the 8 PQ codes (functions/vectors.py::pq_codes — argmin-L2
@@ -117,7 +163,7 @@ def ext_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            V.pq_adc_score(F.col("qv"), F.col("codes")).alias("adc"),
+            F.round(V.pq_adc_score(F.col("qv"), F.col("codes")), 6).alias("adc"),
         )
     )
     w_adc = W.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("vec_id"))

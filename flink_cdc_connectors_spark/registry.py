@@ -103,6 +103,11 @@ _CHECK_FIRST = (
     "ext_dedup_embedding_lsh",
     "ext_sim_search_lsh",
     "ext_sim_search_ivf",
+    # round-3 additions: full-replay oracles (ANN recall / IVF-PQ / the
+    # md5-family MinHash recall measurement)
+    "ext_ann_recall",
+    "ext_sim_search_pq",
+    "ext_minhash_recall",
     # -- 4: round-1-only greens, refreshed under the remaining budget -----
     "cdc_retract_agg",
     "agg_global",

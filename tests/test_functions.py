@@ -188,3 +188,36 @@ def test_heartbeat_positions_advance(spark, sf_dir):
     assert hb["pos"].iloc[-1] == e.agg(F.max("event_id")).first()[0]
     raw = heartbeat_envelopes(e, interval_ms=3_600_000)
     assert parse_debezium_json(raw).count() == 0  # heartbeats are not data
+
+
+def test_md5_minhash_stable_over_cache(spark, sf_dir):
+    """Regression: on Spark 4.1, array_min over a transform-produced STRING
+    array can return a value that is NOT an element of the array when the
+    input rides an in-memory cache (UTF8String buffer aliasing — observed
+    as run-varying phantom LSH band collisions in ext_minhash_recall).
+    minhash_signatures_md5 uses explode + groupBy MIN instead; this pins
+    both the workaround's correctness against a Python-computed truth and
+    its stability across repeated evaluation of the same cached input."""
+    import hashlib
+
+    from flink_cdc_connectors_spark.functions import text as T
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    sh = docs.select("doc_id", T.shingles(T.words(F.col("text"))).alias("sh")).cache()
+    try:
+        truth = {
+            r["doc_id"]: min(
+                hashlib.md5(f"0:{x}".encode()).hexdigest() for x in r["sh"]
+            )
+            for r in sh.collect()
+            if r["sh"]
+        }
+        for _ in range(2):
+            got = {
+                r["doc_id"]: r["mh0"]
+                for r in T.minhash_signatures_md5(sh, "doc_id", "sh", 2).collect()
+            }
+            assert got == truth
+    finally:
+        sh.unpersist()

@@ -802,3 +802,190 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol("a50", "e50").alias("p50_within_half_pct"),
         tol("a95", "e95").alias("p95_within_half_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SQL patterns over the changelog: deduplication, update-stream
+# Top-N, lookup join with a TTL cache
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_dedup_keep_first",
+    tier="B",
+    oracle="""
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+           round(value, 2)                   AS value_r,
+           event_type
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def stream_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink SQL Deduplication, keep-FIRST flavor: ``ROW_NUMBER() OVER
+    (PARTITION BY pk ORDER BY event_time ASC) = 1`` — the standard pattern
+    for collapsing an at-least-once CDC ingest to one row per key (the
+    keep-LAST flavor is ``cdc_changelog_normalize``; the reference's
+    changelog contract that feeds both: RowDataDebeziumDeserializeSchema
+    .java:118-146, and its offset-replay dedup DebeziumChangeFetcher).
+
+    Scale: one shuffle on the pk; in Structured Streaming the same
+    statement runs as ``dropDuplicates(pk)`` with one state row per key,
+    GC'd by ``dropDuplicatesWithinWatermark``
+    (streaming/dedup.py::stream_dedup_exact is the running form)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.round("value", 2).alias("value_r"),
+            "event_type",
+        )
+    )
+
+
+@query(
+    "stream_topn_changelog",
+    tier="B",
+    oracle="""
+    WITH lo AS (SELECT min(event_id) AS lo FROM events),
+    s AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events, lo WHERE event_id < lo.lo + 1000),
+    ranked AS (
+      SELECT a.event_id AS ae, b.event_id AS be, b.cents,
+             row_number() OVER (PARTITION BY a.event_id
+                                ORDER BY b.cents DESC, b.event_id) AS rn
+      FROM s a JOIN s b ON b.event_id <= a.event_id),
+    tops AS (
+      SELECT ae AS event_id,
+             concat_ws(',',
+               max(CASE WHEN rn = 1 THEN be || ':' || cents END),
+               max(CASE WHEN rn = 2 THEN be || ':' || cents END),
+               max(CASE WHEN rn = 3 THEN be || ':' || cents END)) AS top3
+      FROM ranked WHERE rn <= 3 GROUP BY 1)
+    SELECT event_id AS at_event, top3
+    FROM (SELECT *, lag(top3) OVER (ORDER BY event_id) AS prev FROM tops)
+    WHERE prev IS NULL OR prev <> top3
+    """,
+)
+def stream_topn_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-stream Top-N (Flink SQL Top-N over a changelog): as each
+    event arrives, the top-3 set by value may change; the emitted rows are
+    exactly the arrivals where it DOES — the insert/retract churn a Flink
+    RankOperator sends downstream of a CDC source (the reference's sources
+    feed this via the README.md:27-56 Flink-SQL surface; every
+    connector IT runs rank-ish aggregates over the 'values' sink).
+
+    Replay semantics make it batch-checkable: the arrival order IS the
+    offset order, so 'state after event e' = rank over the offset-prefix.
+    The prefix self-join is BOUNDED to the first 1000 offsets by contract
+    (a measurement/audit query over the stream's head — the unbounded form
+    is the streaming RankOperator with incremental state, not a batch
+    replay; same bounded-verifier split as ext_dedup_embedding vs _lsh).
+    Values compare as integer cents: cross-engine double->string
+    formatting differs, bigint text does not."""
+    e = load_table(spark, sf_dir, "events")
+    lo = e.agg(F.min("event_id")).first()[0]
+    s = e.filter(F.col("event_id") < lo + 1000).select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    ranked = (
+        a.join(b, F.col("b.event_id") <= F.col("a.event_id"))
+        .select(
+            F.col("a.event_id").alias("ae"),
+            F.col("b.event_id").alias("be"),
+            F.col("b.cents").alias("cents"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("ae").orderBy(F.desc("cents"), F.asc("be"))
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    entry = F.concat_ws(":", F.col("be").cast("string"), F.col("cents").cast("string"))
+    tops = ranked.groupBy(F.col("ae").alias("event_id")).agg(
+        F.concat_ws(
+            ",",
+            F.max(F.when(F.col("rn") == 1, entry)),
+            F.max(F.when(F.col("rn") == 2, entry)),
+            F.max(F.when(F.col("rn") == 3, entry)),
+        ).alias("top3")
+    )
+    return (
+        tops.withColumn("prev", F.lag("top3").over(W.orderBy("event_id")))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("top3")))
+        .select(F.col("event_id").alias("at_event"), "top3")
+    )
+
+
+@query(
+    "join_lookup",
+    tier="B",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, ts, date_trunc('hour', ts) AS hour_start
+      FROM events),
+    dim AS (SELECT user_id, ts, event_id, value FROM events),
+    hours AS (SELECT DISTINCT user_id, hour_start FROM ev),
+    cache AS (
+      SELECT user_id, hour_start, value FROM (
+        SELECT h.user_id, h.hour_start, d.value,
+               row_number() OVER (PARTITION BY h.user_id, h.hour_start
+                                  ORDER BY d.ts DESC, d.event_id DESC) AS rn
+        FROM hours h JOIN dim d
+          ON d.user_id = h.user_id AND d.ts < h.hour_start)
+      WHERE rn = 1)
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(c.value, 2) AS stale_value_r
+    FROM ev e LEFT JOIN cache c
+      ON c.user_id = e.user_id AND c.hour_start = e.hour_start
+    """,
+)
+def join_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup join with a TTL cache — Flink's ``JOIN ... FOR SYSTEM_TIME AS
+    OF o.proc_time`` against a dimension table with ``lookup.cache.ttl``
+    (the tutorial enrichment shape, mysql-postgres-tutorial.md:263-267,
+    with the cache-staleness semantics every production lookup join has):
+    an event does NOT see dimension updates newer than its cache fill, here
+    modeled as one cache fill per (key, hour) — the looked-up value is the
+    dimension's last state STRICTLY BEFORE the top of the event's hour.
+
+    Spark-first shape: instead of per-row RPC lookups, the cache contents
+    are MATERIALIZED relationally — one row per (key, hour) actually probed
+    (distinct keys x hours, not the full dim history) via a ranked join,
+    then a plain equi-join on (key, hour). At 100 TB both joins shuffle on
+    the key; the cache side is keys x active-hours, far smaller than the
+    event stream — the same footprint as the executor-local cache the
+    RPC form would hold. The dimension here is the user's own changelog
+    (the standard CDC enrichment loop: stream enriched against the state
+    its own history defines)."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        "event_id", "user_id", "ts", F.date_trunc("hour", "ts").alias("hour_start")
+    )
+    dim = e.select("user_id", F.col("ts").alias("d_ts"), F.col("event_id").alias("d_eid"), "value")
+    hours = ev.select("user_id", "hour_start").distinct()
+    cand = hours.join(dim, "user_id").filter(F.col("d_ts") < F.col("hour_start"))
+    w = W.partitionBy("user_id", "hour_start").orderBy(F.desc("d_ts"), F.desc("d_eid"))
+    cache = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour_start", F.round("value", 2).alias("stale_value_r"))
+    )
+    return ev.join(cache, ["user_id", "hour_start"], "left").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "stale_value_r",
+    )

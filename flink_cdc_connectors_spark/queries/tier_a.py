@@ -1219,3 +1219,143 @@ def cdc_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_applied", F.lit(0)).alias("n_applied"),
         )
     )
+
+
+@query(
+    "cdc_jdbc_incremental",
+    tier="A",
+    oracle="""
+    WITH mutated AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
+                  ELSE c_acctbal END AS bal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 97 <> 3
+      UNION ALL
+      SELECT * FROM (VALUES (9000001, 111.11, 'BUILDING'),
+                            (9000002, 222.22, 'MACHINERY'))
+    ),
+    nch AS (
+      SELECT CAST(count(*) FILTER (c_custkey % 10 = 0)
+                  + count(*) FILTER (c_custkey % 97 = 3)
+                  + 2 AS BIGINT) AS n_changes
+      FROM customer)
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(bal), 2)       AS sum_acctbal_r,
+           nch.n_changes            AS n_changes
+    FROM mutated, nch
+    GROUP BY 1, 4
+    """,
+)
+def cdc_jdbc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE snapshot + incremental capture + reconcile — the reference's
+    whole two-phase protocol against a real SQL server. Phase 1: chunked
+    parallel snapshot of the live CUSTOMER table (materialized eagerly —
+    the buffered chunk reads between LOW/HIGH watermarks). Phase 2: a
+    change-capture channel (AFTER INSERT/UPDATE/DELETE triggers filling a
+    CHANGES table with full row images and a monotone sequence — the
+    trigger-based stand-in for the binlog; same capture idiom as SQL
+    Server CDC's capture tables the reference reads,
+    flink-connector-sqlserver-cdc), then a deterministic mutation script
+    runs in the database (the mid-test UPDATE/DELETE/INSERT batches every
+    connector IT applies, MySqlConnectorITCase.java:151-275). Phase 3: the
+    captured changelog is read back over JDBC, ordered by capture
+    sequence, and reconciled into the snapshot with the DBLog upsertBinlog
+    algebra (operators/cdc.py::chunk_reconcile; RecordUtils.java:77-114).
+    The per-segment aggregate equals a one-pass SQL replay of the same
+    mutations over the parquet oracle iff snapshot, capture, ordering, and
+    merge are all correct.
+
+    The database is rebuilt per run (mutations are one-shot); at scale the
+    rebuild is the snapshot phase itself, and the capture channel is the
+    server's real log — the Spark-side shapes (eager snapshot, sequenced
+    changelog read, keyed merge) are identical."""
+    import os
+    import shutil
+
+    from flink_cdc_connectors_spark.sources.jdbc_live import (
+        DERBY_PROPS,
+        DERBY_ROOT,
+        derby_update,
+        mirror_to_derby,
+        snapshot_read_live,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    db = os.path.join(
+        DERBY_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_incr"
+    )
+    shutil.rmtree(db, ignore_errors=True)
+    url = mirror_to_derby(spark, cust, db, "CUSTOMER")
+    run = derby_update(spark, url)
+
+    run(
+        'CREATE TABLE "CHANGES" ('
+        '"seq" BIGINT GENERATED ALWAYS AS IDENTITY, "op" VARCHAR(1), '
+        '"c_custkey" BIGINT, "c_name" CLOB, "c_nationkey" INT, '
+        '"c_acctbal" DOUBLE, "c_mktsegment" CLOB)'
+    )
+    cols = '"c_custkey","c_name","c_nationkey","c_acctbal","c_mktsegment"'
+    run(
+        'CREATE TRIGGER "TRG_I" AFTER INSERT ON "CUSTOMER" '
+        "REFERENCING NEW AS N FOR EACH ROW "
+        f'INSERT INTO "CHANGES" ("op",{cols}) VALUES '
+        '(\'i\', N."c_custkey", N."c_name", N."c_nationkey", N."c_acctbal", N."c_mktsegment")'
+    )
+    run(
+        'CREATE TRIGGER "TRG_U" AFTER UPDATE ON "CUSTOMER" '
+        "REFERENCING NEW AS N FOR EACH ROW "
+        f'INSERT INTO "CHANGES" ("op",{cols}) VALUES '
+        '(\'u\', N."c_custkey", N."c_name", N."c_nationkey", N."c_acctbal", N."c_mktsegment")'
+    )
+    run(
+        'CREATE TRIGGER "TRG_D" AFTER DELETE ON "CUSTOMER" '
+        "REFERENCING OLD AS O FOR EACH ROW "
+        'INSERT INTO "CHANGES" ("op","c_custkey") VALUES (\'d\', O."c_custkey")'
+    )
+
+    # phase 1: chunked parallel snapshot, MATERIALIZED before mutations (the
+    # buffered chunk read between watermarks — a lazy frame would otherwise
+    # silently read post-mutation state at action time)
+    n = cust.count()
+    live, _ = snapshot_read_live(
+        spark, url, "CUSTOMER", "c_custkey", chunk_size=max(n // 8, 100)
+    )
+    snapshot = live.localCheckpoint(eager=True)
+
+    # phase 2: the mutation script runs IN the database; triggers capture
+    run('UPDATE "CUSTOMER" SET "c_acctbal" = "c_acctbal" + 100 WHERE MOD("c_custkey", 10) = 0')
+    run('DELETE FROM "CUSTOMER" WHERE MOD("c_custkey", 97) = 3')
+    run(
+        'INSERT INTO "CUSTOMER" VALUES '
+        "(9000001, 'incr-new-1', 1, 111.11, 'BUILDING'), "
+        "(9000002, 'incr-new-2', 2, 222.22, 'MACHINERY')"
+    )
+
+    # phase 3: read the captured changelog (sequence = offset order) and
+    # reconcile into the snapshot
+    changes = spark.read.jdbc(url, '"CHANGES"', properties=DERBY_PROPS).select(
+        F.when(F.col("op") == "i", "insert")
+        .when(F.col("op") == "u", "update")
+        .otherwise("delete")
+        .alias("op"),
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.col("seq").alias("event_id"),
+    )
+    n_changes = changes.groupBy().agg(F.count(F.lit(1)).alias("n_changes"))
+    final = chunk_reconcile(snapshot, changes, key_cols=["c_custkey"])
+    return (
+        final.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal_r"),
+        )
+        .crossJoin(n_changes)
+        .select("c_mktsegment", "n_customers", "sum_acctbal_r", "n_changes")
+    )

@@ -874,12 +874,35 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SRP hyperplanes are plan-time literal constants shared with the oracle
     SQL (functions/vectors.py::duck_srp_bucket_sql), so the oracle replays
     the identical bucket assignment and candidate join — the driver's
-    value hash covers the whole LSH pipeline."""
+    value hash covers the whole LSH pipeline.
+
+    SCALE KNOB (found by the 10x probe, scale_probe.py): with a FIXED
+    2^8-bucket family, bucket occupancy grows linearly with the corpus and
+    same-bucket candidate pairs quadratically — measured 24x runtime at
+    10x rows. Bucket count must track corpus size: planes = 8 +
+    ceil(log2(n / 48k)) beyond 48k corpus rows keeps expected occupancy
+    (and per-bucket pair work) constant, the textbook LSH operating point.
+    Pinned to exactly 8 planes at oracle scales (sf<=0.1 corpus <= 30k),
+    so the static DuckDB replay stays bit-valid where the driver compares;
+    re-probed at sf1: 16.1 s -> ~2 s (see BASELINE.md)."""
+    import math
+
     from flink_cdc_connectors_spark.functions import vectors as V
 
     base = _emb_corpus_with_copies(spark, sf_dir)
+    # corpus rows = 2x the table (planted copies); counting the RAW parquet
+    # frame is a metadata-only footer read, not a pipeline execution
+    n_corpus = 2 * load_table(spark, sf_dir, "embeddings").count()
+    planes = 8 + max(0, math.ceil(math.log2(max(n_corpus, 1) / 48_000)))
+    # Norms are computed ONCE PER ROW before the join: the candidate-side
+    # cosine is then a single dot + one multiply instead of three array
+    # folds per pair — per-pair verify cost is the scale-determining term
+    # (pairs >> rows), measured ~3x on the sf1 probe.
     sig = base.select(
-        "vec_id", "e", V.srp_bucket(F.col("e")).alias("bucket")
+        "vec_id",
+        "e",
+        V.l2_norm(F.col("e")).alias("nrm"),
+        V.srp_bucket(F.col("e"), num_planes=planes).alias("bucket"),
     )
     a, b = sig.alias("a"), sig.alias("b")
     cand = a.join(
@@ -889,7 +912,9 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("id_a"),
         F.col("b.vec_id").alias("id_b"),
-        F.round(V.cosine_sim(F.col("a.e"), F.col("b.e")), 6).alias("cos_sim"),
+        F.round(
+            V.dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+        ).alias("cos_sim"),
     )
     return cand.filter(F.col("cos_sim") >= 0.5)
 

@@ -86,6 +86,24 @@ def derby_execute(spark: SparkSession, url: str):
     return execute
 
 
+def derby_update(spark: SparkSession, url: str):
+    """A ``run(sql) -> affected_rows`` callable for DDL/DML against the live
+    server (CREATE TRIGGER, UPDATE/DELETE/INSERT mutation scripts) — the
+    side of JDBC the reference's test harness drives between snapshot and
+    binlog phases (every connector IT mutates the source database mid-test,
+    e.g. MySqlConnectorITCase's UPDATE/DELETE batches)."""
+    jvm = spark._jvm  # noqa: SLF001
+
+    def run(sql: str) -> int:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            return conn.createStatement().executeUpdate(sql)
+        finally:
+            conn.close()
+
+    return run
+
+
 def mirror_to_derby(
     spark: SparkSession,
     df: DataFrame,

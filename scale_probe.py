@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""10x scale probe for the full-corpus dedup/ANN family.
+
+Builds a synthetic sf1 fixture (10x the sf0.1 documents/embeddings — each
+replica id-shifted and content-perturbed so replicas are DISTINCT corpus
+mass, not planted duplicates: texts get a replica prefix, embeddings a
+circular component shift that preserves unit norm), then times each
+family query at sf0.1 and sf1 through the noop sink and prints per-query
+scaling factors. A scale-safe operator (shuffle keyed on bounded-
+cardinality bands/buckets/cells, no all-pairs) should land near the data
+ratio (~10x, modulo fixed overheads amortizing DOWN); anything clearly
+superlinear is a candidate-blowup or skew bug.
+
+Usage: python scale_probe.py [--rebuild]   (fixture cached under /tmp)
+Output: one JSON line {query: {sf01: s, sf1: s, ratio: r}, ...} plus a
+markdown table on stderr for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from flink_cdc_connectors_spark.registry import all_queries
+from flink_cdc_connectors_spark.session import get_spark
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+REPLICAS = 10
+# id shift per replica: above the sf0.1 id range, below the _COPY_OFFSET
+# (1M) the dedup queries use for their planted pairs
+SHIFT = 100_000
+
+FAMILY = [
+    "ext_dedup_exact_text",
+    "ext_dedup_minhash",
+    "ext_dedup_simhash",
+    "ext_dedup_embedding_lsh",
+    "ext_sim_search_lsh",
+    "ext_sim_search_ivf",
+    "ext_sim_search_pq",
+    "ext_fingerprint",
+    "ext_token_count",
+    "ext_quality_score",
+]
+
+
+def build_fixture(spark) -> None:
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    reps = [
+        docs.select(
+            (F.col("doc_id") + k * SHIFT).alias("doc_id"),
+            (F.concat(F.lit(f"replica{k} variant "), "text") if k else F.col("text")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for k in range(REPLICAS)
+    ]
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.repartition(32).write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    ereps = []
+    for k in range(REPLICAS):
+        # circular shift by k keeps the norm, decorrelates replicas
+        shifted = F.concat(
+            F.slice("embedding", k + 1, dim - k), F.slice("embedding", 1, k)
+        ) if k else F.col("embedding")
+        cols = [c for c in emb.columns if c not in ("vec_id", "embedding")]
+        ereps.append(
+            emb.select(
+                (F.col("vec_id") + k * SHIFT).alias("vec_id"),
+                shifted.alias("embedding"),
+                *cols,
+            )
+        )
+    eout = ereps[0]
+    for r in ereps[1:]:
+        eout = eout.unionByName(r)
+    eout.repartition(32).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
+
+def time_query(spark, builder, sf_dir: str) -> float:
+    t0 = time.monotonic()
+    builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale_probe")
+    if "--rebuild" in sys.argv or not os.path.isdir(f"{DST}/documents.parquet"):
+        build_fixture(spark)
+    queries = all_queries()
+    results = {}
+    for key in FAMILY:
+        b = queries[key].builder
+        time_query(spark, b, SRC)  # warm the plan family / JIT
+        t01 = time_query(spark, b, SRC)
+        t1 = time_query(spark, b, DST)
+        results[key] = {
+            "sf01": round(t01, 2),
+            "sf1": round(t1, 2),
+            "ratio": round(t1 / t01, 1) if t01 > 0 else None,
+        }
+        print(f"| `{key}` | {t01:.2f} | {t1:.2f} | {t1 / t01:.1f}x |", file=sys.stderr)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,7 @@ def query(key: str, tier: str, oracle: str | None = None) -> Callable[[QueryFn],
 _CHECK_FIRST = (
     # -- 0: new round-3 keys (no driver row can exist yet) ----------------
     "cdc_jdbc_snapshot",
+    "cdc_jdbc_incremental",
     "cdc_upsert_sink",
     "stream_dedup_keep_first",
     "stream_topn_changelog",

@@ -83,3 +83,40 @@ def test_mirror_is_idempotent(spark, seeded):
     assert os.path.getmtime(os.path.join(DB, "seg0")) == before
     # still all rows present
     assert derby_execute(spark, derby_url(DB))('SELECT COUNT(*) FROM "CUSTOMER"') == n
+
+
+def test_incremental_capture_order_and_counts(spark, sf_dir):
+    """The trigger capture channel preserves mutation order (monotone seq:
+    updates, then deletes, then inserts — the script order) and captures
+    exactly one change row per affected row."""
+    import duckdb
+
+    from flink_cdc_connectors_spark.queries.tier_a import cdc_jdbc_incremental
+    from flink_cdc_connectors_spark.sources.jdbc_live import (
+        DERBY_PROPS,
+        DERBY_ROOT,
+        derby_url,
+    )
+
+    cdc_jdbc_incremental(spark, sf_dir).collect()  # runs the whole protocol
+    db = os.path.join(DERBY_ROOT, os.path.basename(sf_dir) + "_incr")
+    changes = spark.read.jdbc(derby_url(db), '"CHANGES"', properties=DERBY_PROPS)
+    rows = sorted(
+        ((r["seq"], r["op"]) for r in changes.collect())
+    )
+    ops_in_seq_order = [op for _, op in rows]
+    # contiguous op runs in script order: u* d* i i
+    assert ops_in_seq_order == (
+        ["u"] * ops_in_seq_order.count("u")
+        + ["d"] * ops_in_seq_order.count("d")
+        + ["i", "i"]
+    )
+    con = duckdb.connect()
+    n_u, n_d = con.execute(
+        f"""SELECT count(*) FILTER (c_custkey % 10 = 0),
+                   count(*) FILTER (c_custkey % 97 = 3)
+            FROM '{sf_dir}/customer.parquet'"""
+    ).fetchone()
+    con.close()
+    assert ops_in_seq_order.count("u") == n_u
+    assert ops_in_seq_order.count("d") == n_d

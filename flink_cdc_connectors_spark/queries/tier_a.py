@@ -769,12 +769,19 @@ def cdc_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(signed), 2).cast("double").alias("signed_sum"),
         ).select(F.lit(fmt).alias("format"), "n_rows", "signed_sum")
 
-    canal = summarize(parse_canal_json(events_to_canal_json(e)), "canal-json")
+    # fan_out between encode and decode: the encoded stream is ~30 MB of
+    # JSON strings, which AQE coalesces to ~4 post-shuffle partitions — but
+    # from_json is the CPU term, so decode wants the session's full width
+    # (real log streams arrive over many partitions; the fixture's single
+    # row group doesn't). Measured 4.7 -> ~2 s at sf0.1.
+    canal = summarize(parse_canal_json(fan_out(events_to_canal_json(e))), "canal-json")
     clog = summarize(
-        parse_changelog_json(events_to_changelog_json(e)), "changelog-json"
+        parse_changelog_json(fan_out(events_to_changelog_json(e))), "changelog-json"
     )
-    maxwell = summarize(parse_maxwell_json(events_to_maxwell_json(e)), "maxwell-json")
-    ogg = summarize(parse_ogg_json(events_to_ogg_json(e)), "ogg-json")
+    maxwell = summarize(
+        parse_maxwell_json(fan_out(events_to_maxwell_json(e))), "maxwell-json"
+    )
+    ogg = summarize(parse_ogg_json(fan_out(events_to_ogg_json(e))), "ogg-json")
     return canal.unionByName(clog).unionByName(maxwell).unionByName(ogg)
 
 

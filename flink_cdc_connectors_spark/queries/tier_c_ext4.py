@@ -1,0 +1,167 @@
+"""Tier C extensions, round 4: corpus statistics and clustering.
+
+TF-IDF term weighting (the retrieval/quality-signal workhorse) and
+spherical k-means (the clustering stage of SemDeDup-style semantic
+pipelines), both with full DuckDB value oracles — the k-means oracle
+replays BOTH Lloyd iterations unrolled in SQL, so even the iterative
+refinement is hash-checked, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from flink_cdc_connectors_spark.registry import query
+from flink_cdc_connectors_spark.sources.loaders import fan_out, load_table
+
+_NORM_SQL = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
+
+
+@query(
+    "ext_tfidf",
+    tier="C",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL.format(c="text")}, ' ')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+      FROM tf JOIN df USING (term), n)
+    SELECT doc_id, term, tf, tfidf, CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic distinctive-term
+    signal (retrieval ranking, topic labeling, boilerplate detection in
+    pretraining pipelines). tf from one (doc, term) aggregate, document
+    frequency from a term-level aggregate, idf = ln(N/df), top terms by a
+    per-doc window rank.
+
+    Scale: two shuffles keyed on bounded-cardinality terms plus one on
+    (doc, term); the df table is vocabulary-sized (<< corpus) and
+    broadcast by AQE into the join. No per-row Python; ln/round are
+    codegen'd. Scores round to 4 decimals on both engines so idf fp noise
+    cannot flip the rank tiebreak (term asc breaks exact ties)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias(
+            "tfidf"
+        ),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rn")
+    )
+
+
+def _duck_kmeans_oracle() -> str:
+    from flink_cdc_connectors_spark.functions.vectors import duck_ivf_cell_sql
+
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    a1 AS (SELECT vec_id, e, {duck_ivf_cell_sql('e')} AS cell FROM v),
+    m1 AS (
+      SELECT cell, i, avg(x) AS m FROM (
+        SELECT cell, unnest(e) AS x, unnest(range(1, 65)) AS i FROM a1)
+      GROUP BY 1, 2),
+    c1 AS (SELECT cell, list(m ORDER BY i) AS c FROM m1 GROUP BY cell),
+    sc AS (
+      SELECT a.vec_id, a.e, c1.cell, list_dot_product(a.e, c1.c) AS s
+      FROM a1 a CROSS JOIN c1),
+    a2 AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell) AS rn FROM sc)
+      WHERE rn = 1),
+    m2 AS (
+      SELECT cell, i, avg(x) AS m FROM (
+        SELECT cell, unnest(e) AS x, unnest(range(1, 65)) AS i FROM a2)
+      GROUP BY 1, 2),
+    norms AS (SELECT cell, round(sqrt(sum(m * m)), 4) AS centroid_norm_r
+              FROM m2 GROUP BY cell),
+    cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+            FROM a2 GROUP BY cell)
+    SELECT cell, n_members, centroid_norm_r FROM cnt JOIN norms USING (cell)
+    """
+
+
+@query("ext_kmeans_spherical", tier="C", oracle=_duck_kmeans_oracle())
+def ext_kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means over the embeddings table, two Lloyd iterations —
+    the clustering stage of SemDeDup-style semantic curation (cluster,
+    then dedup/select within clusters). Init assigns each vector to the
+    max-dot literal pseudo-centroid (the same deterministic family as the
+    IVF index — no RNG, no trained state); the refined centroids are the
+    per-cell component MEANS (a plain 64-column aggregate, map-side
+    combinable); the second assignment ranks vectors against the 16
+    data-valued centroids via a broadcast join. Output: final cell sizes
+    and centroid norms.
+
+    HASH-CHECKED: the oracle unrolls BOTH iterations in SQL from the same
+    literal init — assignment, mean-centroid recomputation, re-assignment
+    — so the driver's value hash covers the iterative refinement itself
+    (ties in the re-assignment rank break by cell id; dots on identical
+    inputs agree across engines far beyond the 4-decimal rounding).
+
+    Scale: each iteration is one hash shuffle on cell id (the aggregate)
+    plus a broadcast of k centroids — the textbook distributed Lloyd
+    step; iterations are a Python loop over lazy frames, k rows collect
+    per round (here unrolled to the fixed two the oracle replays)."""
+    from flink_cdc_connectors_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = fan_out(emb.select("vec_id", V.as_double(F.col("embedding")).alias("e")))
+    dim = 64
+
+    a1 = base.select("vec_id", "e", V.ivf_centroid_id(F.col("e")).alias("cell"))
+    # refined centroid = per-cell mean vector, as 64 scalar aggregates
+    # (map-side partial combine; an array-valued avg would shuffle arrays)
+    comp_means = [
+        F.avg(F.element_at("e", i + 1)).alias(f"c{i}") for i in range(dim)
+    ]
+    c1 = a1.groupBy("cell").agg(*comp_means).select(
+        "cell", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("c")
+    )
+    sc = a1.crossJoin(F.broadcast(c1.select(F.col("cell").alias("c_cell"), "c"))).select(
+        "vec_id",
+        "e",
+        F.col("c_cell").alias("cell"),
+        V.dot(F.col("e"), F.col("c")).alias("s"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
+    a2 = sc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    final = a2.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[F.avg(F.element_at("e", i + 1)).alias(f"m{i}") for i in range(dim)],
+    )
+    norm = F.sqrt(
+        sum((F.col(f"m{i}") * F.col(f"m{i}") for i in range(1, dim)),
+            start=F.col("m0") * F.col("m0"))
+    )
+    return final.select(
+        "cell", "n_members", F.round(norm, 4).alias("centroid_norm_r")
+    )

@@ -33,6 +33,7 @@ _QUERY_MODULES = (
     "flink_cdc_connectors_spark.queries.tier_c",
     "flink_cdc_connectors_spark.queries.tier_c_ext",
     "flink_cdc_connectors_spark.queries.tier_c_ext3",
+    "flink_cdc_connectors_spark.queries.tier_c_ext4",
 )
 
 
@@ -87,6 +88,8 @@ _CHECK_FIRST = (
     "stream_dedup_keep_first",
     "stream_topn_changelog",
     "join_lookup",
+    "ext_tfidf",
+    "ext_kmeans_spherical",
     # -- 1: oracle-bearing, never driver-checked --------------------------
     "agg_percentiles",
     "agg_string_agg",

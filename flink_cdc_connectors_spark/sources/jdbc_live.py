@@ -116,7 +116,10 @@ def mirror_to_derby(
     If the database already holds ``expected_rows`` rows the write is
     skipped — repeated bench/driver runs pay the JDBC insert cost once.
     A boot failure (stale ``db.lck`` from a killed JVM, old on-disk
-    format) recreates the database directory and retries once."""
+    format) recreates the database directory and retries; if the database
+    is HELD BY ANOTHER LIVE JVM (embedded Derby is single-process — e.g. a
+    test run concurrent with a bench run), seeding falls back to a
+    process-private path so concurrent processes never contend."""
     url = derby_url(db_path, create=True)
     if expected_rows is not None and os.path.isdir(db_path):
         try:
@@ -131,7 +134,13 @@ def mirror_to_derby(
         df.write.jdbc(url, f'"{table}"', mode="overwrite", properties=DERBY_PROPS)
     except Exception:
         shutil.rmtree(db_path, ignore_errors=True)
-        df.write.jdbc(url, f'"{table}"', mode="overwrite", properties=DERBY_PROPS)
+        try:
+            df.write.jdbc(url, f'"{table}"', mode="overwrite", properties=DERBY_PROPS)
+        except Exception:
+            db_path = f"{db_path}.pid{os.getpid()}"
+            url = derby_url(db_path, create=True)
+            shutil.rmtree(db_path, ignore_errors=True)
+            df.write.jdbc(url, f'"{table}"', mode="overwrite", properties=DERBY_PROPS)
     return derby_url(db_path)
 
 

@@ -572,12 +572,28 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch's relative error <= 5% (rsd=0.02 requested) — the oracle pins
     the exact column and expects every flag TRUE, so a sketch regression
     (or error blow-up) fails the value hash. The in-repo test additionally
-    pins the raw sketch error."""
-    li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    pins the raw sketch error.
+
+    The two measurements run as SEPARATE aggregates joined on the group
+    key (5-row sides): a single agg mixing approx + exact distinct makes
+    Catalyst plan the Expand-based distinct rewrite — every input row
+    duplicated through the shuffle for both paths (measured 2x this
+    form). Here the sketch path keeps its true 100 TB shape (map-side
+    partial HLL, no distinct shuffle) and only the audit side pays the
+    exact distinct."""
+    from flink_cdc_connectors_spark.sources.loaders import fan_out
+
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders")
     )
+    exact = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    agg = approx.join(exact, "l_returnflag")
     tol = (
         F.abs(F.col("approx_orders") - F.col("exact_orders"))
         / F.col("exact_orders")

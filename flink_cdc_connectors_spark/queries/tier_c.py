@@ -1028,10 +1028,20 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The corpus feeds all six ANN pipelines below — cache it (tiny: 2x
     # table rows of 64-double arrays) so the scan+union+repartition runs
     # once, not once per method.
-    base = _emb_corpus_with_copies(spark, sf_dir).cache()
+    base = (
+        # per-row L2 norm precomputed once: every pipeline's candidate
+        # cosine becomes one dot + a multiply instead of three array folds
+        # (per-pair cost dominates; same win as ext_dedup_embedding_lsh)
+        _emb_corpus_with_copies(spark, sf_dir)
+        .withColumn("nrm", V.l2_norm(F.col("e")))
+        .cache()
+    )
     queries = base.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _COPY_OFFSET)
-    ).select(F.col("vec_id").alias("q_id"), F.col("e").alias("qv"))
+    ).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
 
     def topk(scored: DataFrame, k: int = 10) -> DataFrame:
         w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -1047,7 +1057,7 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id")).select(
                 "q_id",
                 "vec_id",
-                F.round(V.cosine_sim(F.col("qv"), F.col("e")), 6).alias("sim"),
+                F.round(V.dot(F.col("qv"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 6).alias("sim"),
             )
         )
         .select("q_id", "vec_id")
@@ -1057,14 +1067,17 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = base.withColumn("bucket", V.srp_bucket(F.col("e")))
     q_sig = sig.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _COPY_OFFSET)
-    ).select(F.col("vec_id").alias("q_id"), F.col("e").alias("qv"), "bucket")
+    ).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qv"),
+        F.col("nrm").alias("qnrm"), "bucket",
+    )
     lsh = topk(
         sig.join(F.broadcast(q_sig), "bucket")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
-            F.round(V.cosine_sim(F.col("qv"), F.col("e")), 6).alias("sim"),
+            F.round(V.dot(F.col("qv"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 6).alias("sim"),
         )
     ).select("q_id", "vec_id")
     # multi-TABLE SRP-LSH: union of candidates over 4 independent coarser
@@ -1074,14 +1087,17 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q_tsig = tsig.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _COPY_OFFSET)
-    ).select(F.col("vec_id").alias("q_id"), F.col("e").alias("qv"), "tbucket")
+    ).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qv"),
+        F.col("nrm").alias("qnrm"), "tbucket",
+    )
     lsh4 = topk(
         tsig.join(F.broadcast(q_tsig), "tbucket")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
-            F.round(V.cosine_sim(F.col("qv"), F.col("e")), 6).alias("sim"),
+            F.round(V.dot(F.col("qv"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 6).alias("sim"),
         )
         # a pair may collide in several tables — count once; dedup AFTER
         # scoring so the distinct shuffles 3 scalars, not 64-double arrays
@@ -1098,6 +1114,7 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("vec_id").alias("q_id"),
                 F.col("e").alias("qv"),
+                F.col("nrm").alias("qnrm"),
                 F.explode(V.ivf_centroid_topk(F.col("e"), probes=probes)).alias("cell"),
             )
         )
@@ -1107,7 +1124,7 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "q_id",
                 "vec_id",
-                F.round(V.cosine_sim(F.col("qv"), F.col("e")), 6).alias("sim"),
+                F.round(V.dot(F.col("qv"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 6).alias("sim"),
             )
         ).select("q_id", "vec_id")
 
@@ -1142,7 +1159,7 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            F.round(V.cosine_sim(F.col("qv"), F.col("e")), 6).alias("sim"),
+            F.round(V.dot(F.col("qv"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 6).alias("sim"),
         )
     ).select("q_id", "vec_id")
 

@@ -339,3 +339,106 @@ class ChangeStreamOffset:
     @classmethod
     def from_json(cls, s: str) -> "ChangeStreamOffset":
         return cls.from_dict(json.loads(s))
+
+
+_LONG_MIN = -(1 << 63)
+
+
+@total_ordering
+@dataclass(frozen=True)
+class RedoLogOffset:
+    """Oracle LogMiner redo-log offset — SCN-ordered
+    (RedoLogOffset.java:29-95).
+
+    The reference keys the offset map on a stringified SCN
+    (``SCN_KEY='scn'``, commit SCN carried alongside but NOT part of the
+    ordering); ``INITIAL_OFFSET`` is SCN 0 and ``NO_STOPPING_OFFSET`` is
+    ``Long.MIN_VALUE`` used as the MAX sentinel. compareTo semantics
+    replicated exactly: NO_STOPPING beats everything; an absent/empty SCN
+    sorts below any present SCN; otherwise numeric SCN order
+    (Scn.compareTo — Oracle SCNs are unsigned numerics)."""
+
+    scn: int | None
+    commit_scn: int = 0
+
+    def _is_no_stopping(self) -> bool:
+        return self.scn == _LONG_MIN
+
+    def __lt__(self, that: "RedoLogOffset") -> bool:
+        if self._is_no_stopping():
+            return False  # max sentinel is never less
+        if that._is_no_stopping():
+            return True
+        if that.scn is not None:
+            if self.scn is not None:
+                return self.scn < that.scn
+            return True  # empty scn < present scn (RedoLogOffset.java:89)
+        return False  # present or empty vs empty: not less
+
+    def __eq__(self, that: object) -> bool:
+        return (
+            isinstance(that, RedoLogOffset)
+            and self.scn == that.scn
+            and self.commit_scn == that.commit_scn
+        )
+
+    def __hash__(self) -> int:
+        return hash((self.scn, self.commit_scn))
+
+    def to_dict(self) -> dict:
+        return {
+            "scn": "" if self.scn is None else str(self.scn),
+            "commit_scn": str(self.commit_scn),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "RedoLogOffset":
+        scn = d.get("scn", "")
+        return cls(int(scn) if scn not in ("", None) else None,
+                   int(d.get("commit_scn", 0)))
+
+
+RedoLogOffset.INITIAL = RedoLogOffset(0)
+RedoLogOffset.NO_STOPPING = RedoLogOffset(_LONG_MIN)
+
+
+@total_ordering
+@dataclass(frozen=True)
+class TxLogLsn:
+    """SQL Server transaction-log sequence number — the offset unit of the
+    reference's SQL Server connector (legacy embedded-Debezium path,
+    `SqlServerSource.java`; the capture-table reads order on the 10-byte
+    LSN). Standard textual form ``XXXXXXXX:XXXXXXXX:XXXX`` = (VLF id,
+    log-block offset, slot), compared as the numeric triple — identical to
+    byte-wise comparison of the 10-byte binary form."""
+
+    vlf: int
+    block: int
+    slot: int
+
+    @classmethod
+    def parse(cls, text: str) -> "TxLogLsn":
+        a, b, c = text.split(":")
+        return cls(int(a, 16), int(b, 16), int(c, 16))
+
+    def __str__(self) -> str:
+        return f"{self.vlf:08X}:{self.block:08X}:{self.slot:04X}"
+
+    def __lt__(self, that: "TxLogLsn") -> bool:
+        return (self.vlf, self.block, self.slot) < (that.vlf, that.block, that.slot)
+
+    def to_bytes(self) -> bytes:
+        """The 10-byte binary LSN (byte-wise order == tuple order)."""
+        return (
+            self.vlf.to_bytes(4, "big")
+            + self.block.to_bytes(4, "big")
+            + self.slot.to_bytes(2, "big")
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "TxLogLsn":
+        return cls(
+            int.from_bytes(data[0:4], "big"),
+            int.from_bytes(data[4:8], "big"),
+            int.from_bytes(data[8:10], "big"),
+        )

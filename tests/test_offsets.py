@@ -263,3 +263,64 @@ def test_changestream_token_roundtrip_and_update(sec, inc, trailer):
     if sec < 0xFFFFFFFF:
         assert adv.is_after(o)
     assert o.update_position(later) .timestamp == o.timestamp
+
+
+class TestRedoLogOffset:
+    def test_scn_numeric_order(self):
+        from flink_cdc_connectors_spark.sources.offsets import RedoLogOffset
+
+        assert RedoLogOffset(5) < RedoLogOffset(9)
+        assert RedoLogOffset(0) == RedoLogOffset.INITIAL
+        assert not RedoLogOffset(9) < RedoLogOffset(5)
+
+    def test_no_stopping_is_max(self):
+        from flink_cdc_connectors_spark.sources.offsets import RedoLogOffset
+
+        big = RedoLogOffset(1 << 40)
+        assert big < RedoLogOffset.NO_STOPPING
+        assert not RedoLogOffset.NO_STOPPING < big
+        assert RedoLogOffset.NO_STOPPING == RedoLogOffset.NO_STOPPING
+
+    def test_empty_scn_sorts_below_present(self):
+        # RedoLogOffset.java:82-94: empty vs present -> -1; both empty -> 0
+        from flink_cdc_connectors_spark.sources.offsets import RedoLogOffset
+
+        assert RedoLogOffset(None) < RedoLogOffset(0)
+        assert not RedoLogOffset(0) < RedoLogOffset(None)
+        assert not RedoLogOffset(None) < RedoLogOffset(None)
+
+    def test_wire_roundtrip(self):
+        from flink_cdc_connectors_spark.sources.offsets import RedoLogOffset
+
+        o = RedoLogOffset(12345, 12000)
+        assert RedoLogOffset.from_dict(o.to_dict()) == o
+        assert RedoLogOffset.from_dict({"scn": ""}).scn is None
+
+
+class TestTxLogLsn:
+    def test_parse_format_roundtrip(self):
+        from flink_cdc_connectors_spark.sources.offsets import TxLogLsn
+
+        t = "00000025:00000448:0001"
+        assert str(TxLogLsn.parse(t)) == t
+
+    def test_tuple_order_equals_bytewise(self):
+        import itertools
+
+        from flink_cdc_connectors_spark.sources.offsets import TxLogLsn
+
+        samples = [
+            TxLogLsn(0x25, 0x448, 1),
+            TxLogLsn(0x25, 0x448, 2),
+            TxLogLsn(0x25, 0x450, 0),
+            TxLogLsn(0x26, 0, 0),
+            TxLogLsn(0, 0xFFFFFFFF, 0xFFFF),
+        ]
+        for a, b in itertools.permutations(samples, 2):
+            assert (a < b) == (a.to_bytes() < b.to_bytes())
+
+    def test_bytes_roundtrip(self):
+        from flink_cdc_connectors_spark.sources.offsets import TxLogLsn
+
+        o = TxLogLsn(0x1234, 0xABCD, 0x11)
+        assert TxLogLsn.from_bytes(o.to_bytes()) == o

@@ -165,3 +165,83 @@ def ext_kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "cell", "n_members", F.round(norm, 4).alias("centroid_norm_r")
     )
+
+
+def _duck_semdedup_oracle() -> str:
+    from flink_cdc_connectors_spark.functions.vectors import duck_ivf_cell_sql
+
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    corpus AS (SELECT vec_id, e FROM v
+               UNION ALL SELECT vec_id + 1000000, e FROM v),
+    cells AS (SELECT vec_id, e, {duck_ivf_cell_sql('e')} AS cell FROM corpus),
+    pairs AS (
+      SELECT a.vec_id AS keep_id, b.vec_id AS drop_id
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.95),
+    dropped AS (SELECT DISTINCT drop_id FROM pairs)
+    SELECT c.cell,
+           CAST(count(*) AS BIGINT)                          AS n_vectors,
+           CAST(count(*) FILTER (d.drop_id IS NOT NULL) AS BIGINT) AS n_dropped
+    FROM cells c LEFT JOIN dropped d ON d.drop_id = c.vec_id
+    GROUP BY c.cell
+    """
+
+
+@query("ext_semdedup", tier="C", oracle=_duck_semdedup_oracle())
+def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    deduplication by CLUSTER-then-dedup — vectors are clustered (here the
+    deterministic literal centroid family; production would use the
+    k-means of ``ext_kmeans_spherical``), and near-duplicate pairs are
+    searched ONLY within a cluster, keeping the lowest id of each
+    cos >= 0.95 pair. The cluster restriction is what makes semantic
+    dedup tractable at corpus scale: the only wide operation is a join
+    keyed on cluster id, never an all-pairs sweep; the planted exact
+    copies (vec_id + offset) land in identical cells by construction, so
+    every copy is dropped. Output: per-cell vector and dropped counts.
+
+    Scale: same candidate-blowup exposure as any fixed-k bucketing — at
+    10x the corpus the cluster count must grow with the data (the
+    ext_dedup_embedding_lsh plane-count lesson; k-means k is the knob
+    here). Norms are precomputed per row; the per-pair verify is one dot."""
+    from flink_cdc_connectors_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_v = emb.select("vec_id", V.as_double(F.col("embedding")).alias("e"))
+    corpus = fan_out(
+        base_v.unionByName(
+            base_v.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "e")
+        )
+    )
+    cells = corpus.select(
+        "vec_id",
+        "e",
+        V.l2_norm(F.col("e")).alias("nrm"),
+        V.ivf_centroid_id(F.col("e")).alias("cell"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cos = F.round(
+        V.dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.95)
+        .select(F.col("b.vec_id").alias("drop_id"))
+        .distinct()
+    )
+    return (
+        cells.join(dropped, cells.vec_id == dropped.drop_id, "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("drop_id").alias("n_dropped"),
+        )
+    )

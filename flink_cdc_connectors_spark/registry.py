@@ -90,6 +90,7 @@ _CHECK_FIRST = (
     "join_lookup",
     "ext_tfidf",
     "ext_kmeans_spherical",
+    "ext_semdedup",
     # -- 1: oracle-bearing, never driver-checked --------------------------
     "agg_percentiles",
     "agg_string_agg",

@@ -80,6 +80,11 @@ def main() -> None:
         (warm_dir("sf0.01"), "cdc_chunk_split_sampled"),
         (warm_dir("sf0.01"), "ext_decontaminate"),
         (warm_dir("sf0.01"), "ext_dedup_embedding"),
+        # round-3 plan families: live JDBC (Derby boot + codegen),
+        # 64-column mean aggregates, prefix self-join + windows
+        (warm_dir("sf0.01"), "cdc_jdbc_incremental"),
+        (warm_dir("sf0.01"), "ext_kmeans_spherical"),
+        (warm_dir("sf0.01"), "stream_topn_changelog"),
     ]
     for wd, warm in warm_plan:
         try:

@@ -338,3 +338,32 @@ def test_doc_chunk_splits_text_once(spark, sf_dir):
         .toString()
     )
     assert plan.count("split(") == 1
+
+
+def test_kmeans_centroid_join_broadcasts(spark, sf_dir):
+    """Lloyd re-assignment must broadcast the k-row centroid table, never
+    shuffle the corpus against it."""
+    assert has_broadcast_join(Q["ext_kmeans_spherical"].builder(spark, sf_dir))
+
+
+def test_lookup_join_no_cartesian(spark, sf_dir):
+    """The TTL-cache lookup join is equi-keyed on (key, hour) end to end —
+    no nested-loop/cartesian product anywhere in the plan."""
+    plan = explain_str(Q["join_lookup"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_reads_only_needed_columns(spark, sf_dir):
+    """TF-IDF touches doc_id+text only — lang/source/n_chars must be pruned
+    from the scan."""
+    cols = read_schema_columns(Q["ext_tfidf"].builder(spark, sf_dir))
+    assert "text" in cols and "doc_id" in cols
+    assert "lang" not in cols and "source" not in cols
+
+
+def test_topn_changelog_prefix_is_bounded(spark, sf_dir):
+    """The update-stream Top-N replay joins only the bounded offset prefix:
+    the slice predicate must push to the scan on both join branches."""
+    df = Q["stream_topn_changelog"].builder(spark, sf_dir)
+    assert has_pushed_filters(df, "event_id")

@@ -1284,6 +1284,7 @@ def cdc_jdbc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_cdc_connectors_spark.sources.jdbc_live import (
         DERBY_PROPS,
         DERBY_ROOT,
+        derby_shutdown,
         derby_update,
         mirror_to_derby,
         snapshot_read_live,
@@ -1293,6 +1294,7 @@ def cdc_jdbc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = os.path.join(
         DERBY_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_incr"
     )
+    derby_shutdown(spark, db)  # same-JVM rebuild needs a clean unboot first
     shutil.rmtree(db, ignore_errors=True)
     url = mirror_to_derby(spark, cust, db, "CUSTOMER")
     run = derby_update(spark, url)

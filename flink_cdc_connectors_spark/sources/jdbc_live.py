@@ -50,8 +50,15 @@ from flink_cdc_connectors_spark.sources.jdbc import (
 )
 
 # Databases live in an explicit scratch root (never the caller's cwd);
-# one subdirectory per logical database.
-DERBY_ROOT = os.environ.get("SPARK_GRAFT_DERBY_DIR", "/tmp/spark_graft_derby")
+# one subdirectory per logical database. The default root is
+# PER-PROCESS: embedded Derby is single-JVM, so two concurrent processes
+# (a test run beside a bench run) sharing a database path fail each
+# other's boots. Seeding is idempotent WITHIN a process and costs ~2 s
+# per process at sf0.1 — set SPARK_GRAFT_DERBY_DIR to pin a stable root
+# when single-process reuse across runs matters.
+DERBY_ROOT = os.environ.get(
+    "SPARK_GRAFT_DERBY_DIR", f"/tmp/spark_graft_derby/pid{os.getpid()}"
+)
 
 DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
 
@@ -84,6 +91,20 @@ def derby_execute(spark: SparkSession, url: str):
             conn.close()
 
     return execute
+
+
+def derby_shutdown(spark: SparkSession, db_path: str) -> None:
+    """Cleanly shut down one embedded database so its directory can be
+    rebuilt IN THE SAME JVM: Derby keeps booted databases in a registry
+    keyed by path, so deleting the files without a shutdown leaves a
+    stale live instance that the next ``;create=true`` silently reuses
+    (writes land on deleted inodes, old tables appear to still exist).
+    Derby signals successful shutdown with an exception — swallowed."""
+    jvm = spark._jvm  # noqa: SLF001
+    try:
+        jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db_path};shutdown=true")
+    except Exception:
+        pass  # SQLNonTransientConnectionException 08006 = clean shutdown
 
 
 def derby_update(spark: SparkSession, url: str):

@@ -1005,3 +1005,105 @@ def join_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         "stale_value_r",
     )
+
+
+def _duck_e2e_oracle() -> str:
+    from flink_cdc_connectors_spark.sources.envelope import op_sql
+
+    return f"""
+    WITH b AS (
+      SELECT event_id, ts, user_id, value,
+             {op_sql("event_type")} AS app_op,
+             lag(value) OVER w AS prev_value,
+             lag({op_sql("event_type")}) OVER w AS prev_op
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    valid AS (
+      SELECT * FROM b
+      WHERE app_op <> 'delete' OR (prev_op IS NOT NULL AND prev_op <> 'delete')),
+    decoded AS (
+      SELECT CASE WHEN app_op = 'delete' THEN 'delete'
+                  WHEN prev_op IS NOT NULL AND prev_op <> 'delete' THEN 'update'
+                  ELSE 'insert' END AS op,
+             CASE WHEN app_op = 'delete' THEN prev_value ELSE value END AS value,
+             ts
+      FROM valid)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start_s,
+           op,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+    FROM decoded
+    GROUP BY 1, 2
+    """
+
+
+@query("stream_e2e_windowed", tier="B", oracle=_duck_e2e_oracle())
+def stream_e2e_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming END TO END inside a driver-checked key: the
+    events changelog is serialized to Debezium-envelope JSON files, then a
+    REAL streaming query — ``readStream`` file source with
+    ``maxFilesPerTrigger`` (multiple micro-batches), envelope decode,
+    event-time tumbling-window aggregation with a watermark, memory sink —
+    runs to completion and its sink table is returned for the batch
+    comparison. Every other stream_* key states streaming semantics
+    batch-first; this one drives Spark's actual streaming engine through
+    the same decode path (streaming/changelog.py::read_changelog_stream;
+    reference: the whole DataStream surface, MySqlSource.builder() ->
+    env.fromSource, mysql-cdc.md quickstart) and must produce the
+    one-pass SQL replay's exact per-window counts and DECIMAL-safe sums.
+
+    Complete output mode: with finite input, append mode would withhold
+    windows not yet past the watermark; complete emits every window state
+    — matching the batch fixpoint, which is the point of the check. Scale:
+    the file source lists incrementally and checkpoints; state = one row
+    per (window, op); at 100 TB the same query runs against a log stream
+    with the watermark bounding state GC."""
+    import os
+    import shutil
+    import uuid
+
+    from flink_cdc_connectors_spark.sources.envelope import events_to_debezium_json
+    from flink_cdc_connectors_spark.streaming.changelog import read_changelog_stream
+
+    e = load_table(spark, sf_dir, "events")
+    scratch = os.path.join(
+        "/tmp/spark_graft_stream", f"pid{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    env_dir = os.path.join(scratch, "events_json")
+    n = e.count()
+    marker = os.path.join(scratch, f".seeded_{n}")
+    if not os.path.exists(marker):
+        shutil.rmtree(scratch, ignore_errors=True)
+        events_to_debezium_json(e).repartition(8).write.mode("overwrite").text(env_dir)
+        open(marker, "w").close()
+
+    stream = read_changelog_stream(spark, env_dir, max_files_per_trigger=3)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "op")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    name = f"e2e_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt", name))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
+        "op",
+        "n",
+        "sum_value",
+    )

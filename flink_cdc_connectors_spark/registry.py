@@ -91,6 +91,7 @@ _CHECK_FIRST = (
     "ext_tfidf",
     "ext_kmeans_spherical",
     "ext_semdedup",
+    "stream_e2e_windowed",
     # -- 1: oracle-bearing, never driver-checked --------------------------
     "agg_percentiles",
     "agg_string_agg",

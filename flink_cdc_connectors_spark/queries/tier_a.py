@@ -1368,3 +1368,80 @@ def cdc_jdbc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(n_changes)
         .select("c_mktsegment", "n_customers", "sum_acctbal_r", "n_changes")
     )
+
+
+@query(
+    "cdc_dsv2_stream",
+    tier="A",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value_r
+    FROM events
+    WHERE event_id > (SELECT max(event_id) * 8 // 10 FROM events)
+    GROUP BY user_id
+    """,
+)
+def cdc_dsv2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom ``cdc_binlog`` DataSource V2 STREAMING source driven end
+    to end inside a driver-checked key: a Flink CDC ``CREATE TABLE``
+    statement (specific-offset startup — the restart-from-checkpoint
+    shape, MySqlSourceOptions scan.startup.specific-offset.pos) binds the
+    DSv2 source via ``create_cdc_stream``; the unbounded stream drains
+    with an ``availableNow`` trigger into a parquet sink; the sink is read
+    back and aggregated per key. Counts and DECIMAL-safe sums must equal a
+    direct batch replay of the post-offset log — proving the source's
+    partition planning, offset filtering, and exactly-once drain, not just
+    its unit tests.
+
+    The offset split uses integer arithmetic (max*8//10) on BOTH sides:
+    DuckDB CAST-to-BIGINT rounds where Python truncates. Scale: the DSv2
+    source plans one input partition per chunk (sources/datasource.py);
+    availableNow preserves the streaming execution path with a bounded
+    run — the production form is the same query without the trigger."""
+    import os
+    import shutil
+    import uuid
+
+    from flink_cdc_connectors_spark.sources.ddl import create_cdc_stream
+
+    e = load_table(spark, sf_dir, "events")
+    max_off = e.agg(F.max("event_id")).first()[0]
+    start = max_off * 8 // 10
+    ddl = f"""
+    CREATE TABLE ev_stream (event_id BIGINT, user_id BIGINT, value DOUBLE)
+    WITH ('connector' = 'mysql-cdc', 'hostname' = 'mysql',
+          'username' = 'cdc', 'password' = 'pw',
+          'database-name' = 'app', 'table-name' = 'events',
+          'scan.startup.mode' = 'specific-offset',
+          'scan.startup.specific-offset.pos' = '{start}')
+    """
+    stream = create_cdc_stream(spark, ddl, sf_dir)
+    scratch = os.path.join(
+        "/tmp/spark_graft_stream", f"pid{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)), f"dsv2_{uuid.uuid4().hex[:8]}",
+    )
+    out, ckpt = os.path.join(scratch, "out"), os.path.join(scratch, "ckpt")
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    drained = spark.read.parquet(out)
+    result = drained.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_value_r"),
+    )
+    # the sink directory is consumed eagerly so the scratch can be dropped
+    rows = result.collect()
+    shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

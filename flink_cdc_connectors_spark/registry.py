@@ -92,6 +92,7 @@ _CHECK_FIRST = (
     "ext_kmeans_spherical",
     "ext_semdedup",
     "stream_e2e_windowed",
+    "cdc_dsv2_stream",
     # -- 1: oracle-bearing, never driver-checked --------------------------
     "agg_percentiles",
     "agg_string_agg",

@@ -395,6 +395,29 @@ class CdcBinlogDataSource(DataSource):
         return CdcBinlogStreamReader(schema, self.options)
 
 
+_PICKLED_BY_VALUE = False
+
+
 def register(spark) -> None:
-    """Register the source with a session (idempotent)."""
+    """Register the source with a session (idempotent), making it
+    self-contained for any launch environment.
+
+    DSv2 classes normally unpickle BY MODULE IMPORT in the planning and
+    executor Python workers, so a driver process launched outside the
+    repo (cwd elsewhere, no PYTHONPATH) fails with ModuleNotFoundError
+    before the first batch (``addPyFile`` does not reach the DSv2
+    planning worker). Registering the package's loaded modules for
+    cloudpickle BY-VALUE serialization ships the class code inside the
+    pickle itself — the workers never import the package. This is what
+    ``--py-files``-less notebook deployments of Python data sources do."""
+    global _PICKLED_BY_VALUE
+    if not _PICKLED_BY_VALUE:
+        import sys
+
+        from pyspark import cloudpickle
+
+        for name, mod in list(sys.modules.items()):
+            if name.startswith("flink_cdc_connectors_spark") and mod is not None:
+                cloudpickle.register_pickle_by_value(mod)
+        _PICKLED_BY_VALUE = True
     spark.dataSource.register(CdcBinlogDataSource)

@@ -36,7 +36,13 @@ def run_one(spark, builder, sf_dir: str) -> float:
     t0 = time.monotonic()
     df = builder(spark, sf_dir)
     df.write.mode("overwrite").format("noop").save()
-    return time.monotonic() - t0
+    elapsed = time.monotonic() - t0
+    # Per-query isolation: builders cache their own intermediates; without
+    # this, 125 queries' caches accumulate and later queries pay eviction
+    # churn + GC pressure that isn't theirs (measured multi-x inflation on
+    # cache-heavy keys late in the run).
+    spark.catalog.clearCache()
+    return elapsed
 
 
 def main() -> None:

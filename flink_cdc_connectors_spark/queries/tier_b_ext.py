@@ -1107,3 +1107,58 @@ def stream_e2e_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
     )
+
+
+@query(
+    "stream_window_join",
+    tier="B",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, date_trunc('hour', ts) AS w
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, event_id, date_trunc('hour', ts) AS w
+      FROM events WHERE event_type = 'purchase')
+    SELECT strftime(c.w, '%Y-%m-%d %H:%M:%S') AS window_start_s,
+           c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM c JOIN p ON c.w = p.w AND c.user_id = p.user_id
+    """,
+)
+def stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink SQL WINDOW JOIN: two streams each assigned to tumbling
+    windows, joined on (window, key) — clicks paired with purchases by the
+    same user inside the same hour. Distinct from the interval join
+    (range condition on raw timestamps): the window join's equality on the
+    window bucket makes state finite per window and GC-able at watermark
+    — the form Flink recommends for stream-stream joins over CDC feeds
+    (README.md:27-56 SQL surface; window TVFs over the op_ts event time,
+    MySqlReadableMetadata.java:68).
+
+    Spark-first: `F.window` on both sides then an equi-join on
+    (window, user) — one hash shuffle per side on the same composite key,
+    no range-join explosion; in Structured Streaming the identical
+    expression runs with watermarks bounding both states."""
+    e = load_table(spark, sf_dir, "events")
+    w = F.date_trunc("hour", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), w.alias("w")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        w.alias("p_w"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("w") == F.col("p_w")) & (F.col("user_id") == F.col("p_user_id")),
+        )
+        .select(
+            F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
+            "user_id",
+            "click_id",
+            "purchase_id",
+        )
+    )

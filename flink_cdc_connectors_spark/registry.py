@@ -93,6 +93,7 @@ _CHECK_FIRST = (
     "ext_semdedup",
     "stream_e2e_windowed",
     "cdc_dsv2_stream",
+    "stream_window_join",
     # -- 1: oracle-bearing, never driver-checked --------------------------
     "agg_percentiles",
     "agg_string_agg",

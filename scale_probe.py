@@ -48,6 +48,10 @@ FAMILY = [
     "ext_fingerprint",
     "ext_token_count",
     "ext_quality_score",
+    # round-3 additions with declared scale shapes
+    "ext_tfidf",
+    "ext_kmeans_spherical",
+    "ext_semdedup",
 ]
 
 

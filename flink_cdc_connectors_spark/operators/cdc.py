@@ -89,8 +89,11 @@ def _effective_buckets(df: DataFrame, target_buckets: int) -> int:
     ~512 instead of 10,000 — the driver-side prefix list and its
     createDataFrame/broadcast shrink 20x (measured ~0.5 s/query of py4j
     row-shipping at sf0.1), while a 1000-executor cluster still gets the
-    full ceiling."""
-    return max(64, min(target_buckets, df.sparkSession.sparkContext.defaultParallelism * 16))
+    full ceiling. The 64-bucket floor applies only BELOW the ceiling: a
+    caller bounding buckets under 64 (to bound the triangular prefix
+    self-join or driver-side state) gets exactly what it asked for."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return min(target_buckets, max(64, min(target_buckets, par * 16)))
 
 
 def global_row_number(

@@ -1431,7 +1431,13 @@ def cdc_dsv2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
+        if not finished:
+            # a timed-out drain must be an ERROR, not silently-partial data
+            raise TimeoutError(
+                "cdc_dsv2_stream: availableNow drain exceeded 300s; "
+                "refusing to aggregate a partial sink"
+            )
     finally:
         q.stop()
     drained = spark.read.parquet(out)

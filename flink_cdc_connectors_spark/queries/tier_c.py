@@ -894,6 +894,19 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame is a metadata-only footer read, not a pipeline execution
     n_corpus = 2 * load_table(spark, sf_dir, "embeddings").count()
     planes = 8 + max(0, math.ceil(math.log2(max(n_corpus, 1) / 48_000)))
+    if planes != 8:
+        # SCALE MODE: the static DuckDB oracle replays exactly 8 planes —
+        # valid at every driver fixture (sf<=0.1, corpus<=30k). Beyond the
+        # pin the oracle must not be compared; make the assumption loud
+        # instead of letting a hash mismatch read as a dedup bug.
+        import warnings
+
+        warnings.warn(
+            f"ext_dedup_embedding_lsh scale mode: {planes} planes for "
+            f"{n_corpus} corpus rows — the 8-plane static oracle does not "
+            "apply at this scale",
+            stacklevel=2,
+        )
     # Norms are computed ONCE PER ROW before the join: the candidate-side
     # cosine is then a single dot + one multiply instead of three array
     # folds per pair — per-pair verify cost is the scale-determining term

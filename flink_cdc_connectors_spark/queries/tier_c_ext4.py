@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 from flink_cdc_connectors_spark.registry import query
 from flink_cdc_connectors_spark.sources.loaders import fan_out, load_table
 
-_NORM_SQL = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
+# single source of truth for text normalization (tier_c defines the SQL
+# form every oracle uses; functions/text.py the Column form)
+from flink_cdc_connectors_spark.queries.tier_c import _NORM_SQL
 
 
 @query(
@@ -52,12 +54,11 @@ def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast by AQE into the join. No per-row Python; ln/round are
     codegen'd. Scores round to 4 decimals on both engines so idf fp noise
     cannot flip the rank tiebreak (term asc breaks exact ties)."""
+    from flink_cdc_connectors_spark.functions import text as T
+
     docs = load_table(spark, sf_dir, "documents")
     toks = fan_out(docs).select(
-        "doc_id",
-        F.explode(
-            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
-        ).alias("term"),
+        "doc_id", F.explode(T.words(F.col("text"))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -226,6 +227,16 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     n_corpus = 2 * emb.count()
     k = 16 * (1 << max(0, math.ceil(math.log2(max(n_corpus, 1) / 48_000))))
+    if k != 16:
+        # SCALE MODE: the static oracle replays exactly 16 cells (valid at
+        # every driver fixture); beyond the pin the comparison must not run
+        import warnings
+
+        warnings.warn(
+            f"ext_semdedup scale mode: {k} cells for {n_corpus} corpus "
+            "rows — the 16-cell static oracle does not apply at this scale",
+            stacklevel=2,
+        )
     base_v = emb.select("vec_id", V.as_double(F.col("embedding")).alias("e"))
     corpus = fan_out(
         base_v.unionByName(

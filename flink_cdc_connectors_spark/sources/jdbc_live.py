@@ -154,12 +154,17 @@ def mirror_to_derby(
     try:
         df.write.jdbc(url, f'"{table}"', mode="overwrite", properties=DERBY_PROPS)
     except Exception:
+        # unboot BEFORE deleting: a failure after boot leaves the database
+        # registered in this JVM, and rmtree alone would hand the retry a
+        # stale live instance writing to deleted inodes (see derby_shutdown)
+        derby_shutdown(spark, db_path)
         shutil.rmtree(db_path, ignore_errors=True)
         try:
             df.write.jdbc(url, f'"{table}"', mode="overwrite", properties=DERBY_PROPS)
         except Exception:
             db_path = f"{db_path}.pid{os.getpid()}"
             url = derby_url(db_path, create=True)
+            derby_shutdown(spark, db_path)
             shutil.rmtree(db_path, ignore_errors=True)
             df.write.jdbc(url, f'"{table}"', mode="overwrite", properties=DERBY_PROPS)
     return derby_url(db_path)

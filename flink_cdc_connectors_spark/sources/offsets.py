@@ -315,9 +315,28 @@ class ChangeStreamOffset:
         dataclass, so this returns the advanced offset)."""
         return ChangeStreamOffset.from_resume_token(data)
 
-    # ordering: timestamp only (ChangeStreamOffset.compareTo)
+    # ordering: timestamp only (ChangeStreamOffset.compareTo). __eq__ must
+    # match the comparison key — total_ordering derives >/<=/>= from
+    # (__lt__, __eq__), and a stricter equality (whole offset map) makes
+    # compare-equal offsets satisfy BOTH a > b and b > a. Whole-map
+    # equality (the reference's equals()) is ``same_position``.
     def __lt__(self, that: "ChangeStreamOffset") -> bool:
         return self.timestamp < that.timestamp
+
+    def __eq__(self, that: object) -> bool:
+        return (
+            isinstance(that, ChangeStreamOffset)
+            and self.timestamp == that.timestamp
+        )
+
+    def __hash__(self) -> int:
+        return hash(self.timestamp)
+
+    def same_position(self, that: "ChangeStreamOffset") -> bool:
+        return (
+            self.timestamp == that.timestamp
+            and self.resume_token == that.resume_token
+        )
 
     def is_at_or_before(self, that: "ChangeStreamOffset") -> bool:
         return self.timestamp <= that.timestamp
@@ -364,26 +383,38 @@ class RedoLogOffset:
     def _is_no_stopping(self) -> bool:
         return self.scn == _LONG_MIN
 
-    def __lt__(self, that: "RedoLogOffset") -> bool:
+    # compareTo (RedoLogOffset.java:69-95). __eq__ must agree with it:
+    # total_ordering derives >/<=/>= from (__lt__, __eq__), so an equality
+    # stricter than the comparison key (e.g. including commit_scn) makes
+    # compare-equal offsets satisfy BOTH a > b and b > a. Wire-level
+    # equality is ``same_position``; the BinlogOffset class above uses the
+    # identical _cmp pattern for the same reason.
+    def _cmp(self, that: "RedoLogOffset") -> int:
+        if self._is_no_stopping() and that._is_no_stopping():
+            return 0
         if self._is_no_stopping():
-            return False  # max sentinel is never less
+            return 1
         if that._is_no_stopping():
-            return True
+            return -1
         if that.scn is not None:
             if self.scn is not None:
-                return self.scn < that.scn
-            return True  # empty scn < present scn (RedoLogOffset.java:89)
-        return False  # present or empty vs empty: not less
+                return (self.scn > that.scn) - (self.scn < that.scn)
+            return -1  # empty scn < present scn (RedoLogOffset.java:89)
+        return 1 if self.scn is not None else 0
+
+    def __lt__(self, that: "RedoLogOffset") -> bool:
+        return self._cmp(that) < 0
 
     def __eq__(self, that: object) -> bool:
-        return (
-            isinstance(that, RedoLogOffset)
-            and self.scn == that.scn
-            and self.commit_scn == that.commit_scn
-        )
+        return isinstance(that, RedoLogOffset) and self._cmp(that) == 0
+
+    def same_position(self, that: "RedoLogOffset") -> bool:
+        """Whole-map equality (the reference's ``equals()``, which is
+        deliberately stricter than its compareTo)."""
+        return self.scn == that.scn and self.commit_scn == that.commit_scn
 
     def __hash__(self) -> int:
-        return hash((self.scn, self.commit_scn))
+        return hash(self.scn)
 
     def to_dict(self) -> dict:
         return {

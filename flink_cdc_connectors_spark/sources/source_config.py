@@ -74,6 +74,15 @@ class SourceConfig:
         captured-table discovery of TableDiscoveryUtils/DataSourceDialect
         (:44-52). Sharded physical tables matching one pattern merge into
         one logical stream downstream (set_union_all)."""
+        if self.table_pattern is None:
+            # connectors whose required options omit table-name (mongodb's
+            # hosts-only form) validate, but DISCOVERY without a pattern
+            # would interpolate the literal string 'None' into the regex —
+            # matching a table literally named "None" and nothing else
+            raise ValueError(
+                "table discovery requires a 'table-name' pattern "
+                "(this config has none)"
+            )
         db_re = re.compile(f"^(?:{self.database_pattern})$")
         tb_re = re.compile(f"^(?:{self.table_pattern})$")
         return [

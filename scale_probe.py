@@ -97,7 +97,12 @@ def build_fixture(spark) -> None:
 def time_query(spark, builder, sf_dir: str) -> float:
     t0 = time.monotonic()
     builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
-    return time.monotonic() - t0
+    elapsed = time.monotonic() - t0
+    # same per-query isolation as bench.py: queries cache their own
+    # intermediates, and accumulated caches would skew the 10x ratios the
+    # probe exists to measure (differently at the two scales)
+    spark.catalog.clearCache()
+    return elapsed
 
 
 def main() -> None:

@@ -219,8 +219,11 @@ def test_changestream_orders_by_cluster_time_only():
     b = ChangeStreamOffset.from_resume_token(_keystring(100, 5, b"bb"))
     assert not a.is_after(b) and not b.is_after(a)
     assert a.is_at_or_before(b)
-    # but equality is on the whole offset map (reference equals())
-    assert a != b
+    # == follows the comparison key (total_ordering consistency: a
+    # stricter __eq__ would make compare-equal offsets both > each other);
+    # whole-offset-map identity (reference equals()) is same_position
+    assert a == b and not a.same_position(b)
+    assert not a > b and not b > a  # derived comparisons stay consistent
     # increment breaks ties within the same second
     c = ChangeStreamOffset.from_timestamp(100, 6)
     assert b < c and c.is_after(b)

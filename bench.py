@@ -42,6 +42,11 @@ def run_one(spark, builder, sf_dir: str) -> float:
     # churn + GC pressure that isn't theirs (measured multi-x inflation on
     # cache-heavy keys late in the run).
     spark.catalog.clearCache()
+    # ... and absorb the predecessor's GC debt OUTSIDE the next timed
+    # window: the observed per-run noise shape is one 5-15x victim right
+    # after a heavy streaming/JDBC key (whose garbage gets collected in
+    # the successor's window otherwise).
+    spark._jvm.System.gc()  # noqa: SLF001
     return elapsed
 
 

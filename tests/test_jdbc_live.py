@@ -120,3 +120,28 @@ def test_incremental_capture_order_and_counts(spark, sf_dir):
     con.close()
     assert ops_in_seq_order.count("u") == n_u
     assert ops_in_seq_order.count("d") == n_d
+
+
+def test_live_roundtrip_timestamp_and_double_types(spark, sf_dir):
+    """Type fidelity through the live JDBC path (the all-data-types ITCase
+    angle, MySqlConnectorITCase.java:366-500, on a real server): orders
+    carries TIMESTAMP + DOUBLE + VARCHAR; a write/chunked-read round trip
+    must preserve every value bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    db = "/tmp/spark_graft_derby_test/orders_db"
+    shutil.rmtree(db, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").limit(500)
+    url = mirror_to_derby(spark, orders, db, "ORDERS")
+    live, _ = snapshot_read_live(spark, url, "ORDERS", "o_orderkey", chunk_size=100)
+    assert live.count() == orders.count()
+    assert live.exceptAll(orders).count() == 0
+    assert orders.exceptAll(live).count() == 0
+    # dtypes survive (timestamp stays timestamp, double stays double)
+    got = dict(live.dtypes)
+    assert got["o_orderdate"].startswith("timestamp")
+    assert got["o_totalprice"] == "double"
+    # aggregate parity incl. timestamp ordering
+    a = orders.agg(F.max("o_orderdate"), F.round(F.sum("o_totalprice"), 2)).first()
+    b = live.agg(F.max("o_orderdate"), F.round(F.sum("o_totalprice"), 2)).first()
+    assert tuple(a) == tuple(b)

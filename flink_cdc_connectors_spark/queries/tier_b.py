@@ -1071,11 +1071,13 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey,
            CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS price
     FROM orders
-    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
     """,
 )
 def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery in a predicate (orders above 2x the global average)
+    """Scalar subquery in a predicate (orders above 1.5x the global
+    average — 2x selected ZERO rows at sf>=0.01's price distribution,
+    which would have made the driver comparison a vacuous 0=0 pass)
     — Catalyst plans the subquery as a one-row broadcast, the shape Flink
     SQL's single-row subquery rewrite produces. Spark-first: spark.sql over
     a registered temp view so the sub-plan flows through the same
@@ -1087,7 +1089,7 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, o_custkey,
                CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS price
         FROM __orders_sq
-        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM __orders_sq)
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM __orders_sq)
         """
     )
 

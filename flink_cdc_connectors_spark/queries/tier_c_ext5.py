@@ -1,0 +1,274 @@
+"""Tier C extensions, round 5: web-scale curation primitives.
+
+Bloom-filter decontamination (the broadcast-bitmap alternative to the
+n-gram semi-join) and URL canonicalization dedup (the first dedup stage of
+every web-crawl pipeline — CCNet/C4 drop exact-URL duplicates before any
+content hashing).
+
+Both carry full DuckDB value oracles. The Bloom oracle replays the EXACT
+bit arithmetic (md5 hex-slice hash family, 4 slices -> 12-bit positions),
+so the deterministic false positives — the signature of a real Bloom
+filter — are part of the hash check, not noise to be excused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cdc_connectors_spark.registry import query
+from flink_cdc_connectors_spark.sources.loaders import fan_out, load_table
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination
+# ---------------------------------------------------------------------------
+
+# m = 2^12 bits packed into 128 x 32-bit words (stored in BIGINTs so the
+# shifts never touch the sign bit in either engine); k = 4 hash functions =
+# four disjoint 3-hex-char slices of one md5 (each slice IS a uniform
+# 12-bit value, so no modulo bias and no second hash pass). m is sized to
+# the FIXTURE eval suite (~400 8-grams at sf0.01 -> ~1/3 fill -> ~1% FP,
+# the textbook operating point, so deterministic false positives actually
+# occur and get hash-checked); in production you size m to the benchmark
+# suite's n-gram count — still kilobytes, the filter always broadcasts.
+_BLOOM_WORDS = 128
+_K = 4
+
+_EVAL_PRED_SQL = "(doc_id % 50 = 0 AND doc_id < 1000000)"
+
+# 8-gram shingles of the corpus-with-copies, normalized — same family as
+# ext_decontaminate so the two keys are directly comparable.
+_SHINGLED8_SQL = """
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(words) - 7, 0)),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+                words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
+                words[i+6] || ' ' || words[i+7]))) AS shingle
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS words
+        FROM corpus)
+"""
+
+
+def _pos_spark(mh: Column, i: int) -> Column:
+    """i-th Bloom position of an md5 hex digest: hex slice [1+3i, 3] -> int."""
+    return F.conv(F.substring(mh, 1 + 3 * i, 3), 16, 10).cast("long")
+
+
+def _pos_sql(mh: str, i: int) -> str:
+    return f"CAST(('0x' || substr({mh}, {1 + 3 * i}, 3)) AS BIGINT)"
+
+
+@query(
+    "ext_bloom_decontaminate",
+    tier="C",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper(text) || '  ' FROM documents),
+    shingled AS ({_SHINGLED8_SQL}),
+    eval_mh AS (
+      SELECT DISTINCT md5(shingle) AS mh FROM shingled WHERE {_EVAL_PRED_SQL}),
+    probe AS (
+      SELECT DISTINCT doc_id, md5(shingle) AS mh FROM shingled
+      WHERE NOT {_EVAL_PRED_SQL}),
+    positions AS (
+      SELECT mh, {_pos_sql('mh', 0)} AS p FROM eval_mh UNION ALL
+      SELECT mh, {_pos_sql('mh', 1)} FROM eval_mh UNION ALL
+      SELECT mh, {_pos_sql('mh', 2)} FROM eval_mh UNION ALL
+      SELECT mh, {_pos_sql('mh', 3)} FROM eval_mh),
+    words AS (
+      SELECT p // 32 AS wid, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+      FROM positions GROUP BY 1),
+    probe_pos AS (
+      SELECT doc_id, mh, {_pos_sql('mh', 0)} AS p FROM probe UNION ALL
+      SELECT doc_id, mh, {_pos_sql('mh', 1)} FROM probe UNION ALL
+      SELECT doc_id, mh, {_pos_sql('mh', 2)} FROM probe UNION ALL
+      SELECT doc_id, mh, {_pos_sql('mh', 3)} FROM probe),
+    hits AS (
+      SELECT pp.doc_id, pp.mh,
+             count(*) FILTER (WHERE (coalesce(w.word, 0) >> CAST(pp.p % 32 AS INT)) & 1 = 1) AS nbits
+      FROM probe_pos pp LEFT JOIN words w ON w.wid = pp.p // 32
+      GROUP BY 1, 2),
+    bloom_hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom
+      FROM hits WHERE nbits = {_K} GROUP BY 1),
+    exact_hits AS (
+      SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_exact
+      FROM probe p JOIN eval_mh e USING (mh) GROUP BY 1)
+    SELECT b.doc_id, b.n_bloom, coalesce(e.n_exact, 0) AS n_exact
+    FROM bloom_hits b LEFT JOIN exact_hits e USING (doc_id)
+    """,
+)
+def ext_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination: the eval suite's 8-gram set
+    compiles into a 128-word bit array BROADCAST AS A PLAN LITERAL; each
+    training shingle then tests k=4 bits with pure column arithmetic — no
+    join, no shuffle, no exchange on the probe side at all. This is the
+    100 TB shape: `ext_decontaminate`'s broadcast semi-join still hashes
+    and probes a table per shingle, while the Bloom pre-filter is ~4 ALU
+    ops per shingle, with the exact join reserved for the shingles that
+    pass (here both counts are emitted so the oracle pins the filter's
+    deterministic false positives — docs with n_bloom > 0, n_exact = 0
+    prove the bitmap is real, and identical md5-slice arithmetic on both
+    engines makes even those FP rows hash-match).
+
+    The bitmap build collects <= 2048 aggregate rows to the driver (the
+    same bounded pattern as the bucketed prefix-sum operators); eval-set
+    size never scales with the corpus — it is the benchmark suite.
+    """
+    from flink_cdc_connectors_spark.queries.tier_c import _shingles, _with_copies
+
+    corpus = fan_out(_with_copies(load_table(spark, sf_dir, "documents")))
+    is_eval = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
+    eval_mh = (
+        _shingles(corpus.filter(is_eval), n=8)
+        .select(F.md5("shingle").alias("mh"))
+        .distinct()
+    )
+    # ---- build: 4 positions per eval shingle -> 128-word bitmap (bounded
+    # driver collect, <= _BLOOM_WORDS rows)
+    pos = eval_mh.select(
+        F.explode(F.array(*[_pos_spark(F.col("mh"), i) for i in range(_K)])).alias("p")
+    )
+    word_rows = (
+        pos.groupBy(F.expr("p div 32").alias("wid"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))").alias("word"))
+        .collect()
+    )
+    bitmap = [0] * _BLOOM_WORDS
+    for r in word_rows:
+        bitmap[int(r["wid"])] = int(r["word"])
+    blit = F.expr("array(" + ",".join(f"{w}L" for w in bitmap) + ")")
+    # ---- probe: pure projection per shingle (the scale win)
+    probe = _shingles(corpus.filter(~is_eval), n=8).select(
+        "doc_id", F.md5("shingle").alias("mh")
+    )
+    all_bits_set = None
+    probed = probe.withColumn("__bloom", blit)
+    for i in range(_K):
+        probed = probed.withColumn(f"__p{i}", _pos_spark(F.col("mh"), i))
+        bit = F.expr(
+            f"(shiftright(element_at(__bloom, CAST(__p{i} div 32 AS INT) + 1),"
+            f" CAST(__p{i} % 32 AS INT)) & CAST(1 AS BIGINT)) = 1"
+        )
+        all_bits_set = bit if all_bits_set is None else (all_bits_set & bit)
+    # One probe pass: bloom test is a projection, exact membership a
+    # broadcast left join, both counts fold into a single doc aggregate —
+    # one shuffle on doc_id total.
+    flagged = probed.withColumn("__bloom_hit", all_bits_set).join(
+        F.broadcast(eval_mh.withColumn("__exact", F.lit(1))), "mh", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.when(F.col("__bloom_hit"), 1)).alias("n_bloom"),
+            F.count("__exact").alias("n_exact"),
+        )
+        .filter(F.col("n_bloom") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup
+# ---------------------------------------------------------------------------
+
+# Synthetic crawl URLs from the documents table (the fixture has no url
+# column): host from source, path from lang + a 400-bucket page id, and a
+# crawl-noise suffix that rotates with doc_id//400 — tracking query params,
+# trailing slash, fragment, or a MEANINGFUL ?ref= param that must survive.
+_URL_SQL = """
+  'HTTPS://WWW.' || source || '.Example.COM/' || lang || '/doc/'
+    || CAST(doc_id % 400 AS VARCHAR)
+    || CASE CAST((doc_id // 400) % 4 AS INT)
+         WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
+         WHEN 1 THEN '/'
+         WHEN 2 THEN '#section-2'
+         ELSE '?ref=' || CAST((doc_id // 400) % 5 AS VARCHAR)
+       END
+"""
+
+# canonicalization pipeline (identical regex chain on both engines):
+# lowercase -> strip scheme -> strip www. -> strip fragment -> strip
+# utm_* params -> tidy dangling ?/& -> strip trailing slash
+_CANON_STEPS = (
+    (r"^https?://", ""),
+    (r"^www\.", ""),
+    (r"#.*$", ""),
+    (r"utm_[a-z]+=[^&#]*&?", ""),
+    (r"[?&]+$", ""),
+    (r"/$", ""),
+)
+
+
+def _canon_spark(url: Column) -> Column:
+    c = F.lower(url)
+    for pat, rep in _CANON_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def _canon_sql(url: str) -> str:
+    c = f"lower({url})"
+    for pat, rep in _CANON_STEPS:
+        # DuckDB single-quoted strings are escape-free: emit the regex
+        # verbatim (single backslashes), only quotes need doubling
+        pat_sql = pat.replace("'", "''")
+        c = f"regexp_replace({c}, '{pat_sql}', '{rep}', 'g')"
+    return c
+
+
+@query(
+    "ext_url_dedup",
+    tier="C",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    canon AS (
+      SELECT doc_id, url, {_canon_sql('url')} AS canon_url FROM urls)
+    SELECT canon_url,
+           CAST(count(*) AS BIGINT)             AS n_dups,
+           CAST(count(DISTINCT url) AS BIGINT)  AS n_variants,
+           min(doc_id)                          AS kept_doc_id
+    FROM canon
+    GROUP BY 1
+    """,
+)
+def ext_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-URL dedup with canonicalization — the first (and cheapest)
+    dedup stage of a web-crawl pipeline: lowercase, strip scheme/www,
+    drop fragments and utm_* tracking params (but KEEP meaningful query
+    params), trim trailing slashes, then keep-first per canonical URL.
+    `n_variants > 1` rows prove the canonicalizer is doing the merging
+    (distinct raw URLs collapsing to one canonical form), and the oracle
+    hash checks the canonical STRING itself — every regex in the chain is
+    pinned character-for-character.
+
+    Scale: the regex chain is a pure projection; the only wide op is the
+    final groupBy on canon_url. At 100 TB you'd group on xxhash64(canon)
+    to keep the shuffle key 8 bytes (ext_dedup_exact_text shows that
+    form); here the string key keeps the canonical form in the checked
+    output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        (F.col("doc_id") % 400).cast("string"),
+        F.when(F.expr("(doc_id div 400) % 4") == 0, F.lit("?utm_source=feed&utm_campaign=x"))
+        .when(F.expr("(doc_id div 400) % 4") == 1, F.lit("/"))
+        .when(F.expr("(doc_id div 400) % 4") == 2, F.lit("#section-2"))
+        .otherwise(F.concat(F.lit("?ref="), F.expr("(doc_id div 400) % 5").cast("string"))),
+    )
+    canon = docs.select(
+        "doc_id", url.alias("url"), _canon_spark(url).alias("canon_url")
+    )
+    return canon.groupBy("canon_url").agg(
+        F.count("*").alias("n_dups"),
+        F.count_distinct("url").alias("n_variants"),
+        F.min("doc_id").alias("kept_doc_id"),
+    )

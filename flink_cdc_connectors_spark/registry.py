@@ -28,12 +28,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERY_MODULES = (
     "flink_cdc_connectors_spark.queries.tier_a",
+    "flink_cdc_connectors_spark.queries.tier_a_ext",
     "flink_cdc_connectors_spark.queries.tier_b",
     "flink_cdc_connectors_spark.queries.tier_b_ext",
     "flink_cdc_connectors_spark.queries.tier_c",
     "flink_cdc_connectors_spark.queries.tier_c_ext",
     "flink_cdc_connectors_spark.queries.tier_c_ext3",
     "flink_cdc_connectors_spark.queries.tier_c_ext4",
+    "flink_cdc_connectors_spark.queries.tier_c_ext5",
 )
 
 
@@ -82,6 +84,13 @@ def query(key: str, tier: str, oracle: str | None = None) -> Callable[[QueryFn],
 # (sketch outputs with no SQL form) sit at the very tail.
 _CHECK_FIRST = (
     # -- 0: new round-3 keys (no driver row can exist yet) ----------------
+    "cdc_logminer_redo",
+    "cdc_capture_sqlserver",
+    "cdc_capture_db2",
+    "cdc_mongo_changestream",
+    "cdc_postgres_wal2json",
+    "ext_bloom_decontaminate",
+    "ext_url_dedup",
     "cdc_jdbc_snapshot",
     "cdc_jdbc_incremental",
     "cdc_upsert_sink",

@@ -367,3 +367,45 @@ def test_topn_changelog_prefix_is_bounded(spark, sf_dir):
     the slice predicate must push to the scan on both join branches."""
     df = Q["stream_topn_changelog"].builder(spark, sf_dir)
     assert has_pushed_filters(df, "event_id")
+
+
+def test_connector_capture_keys_shuffle_budget(spark, sf_dir):
+    """Per-connector capture decodes must stay at <= 2 PK shuffles: one
+    lag window to synthesize the capture artifact, at most one more for
+    the fold over the PARSED key (the parse re-derives the key from wire
+    text, so Catalyst cannot prove the partitionings equal — the second
+    exchange is the honest price a real consumer pays; anything beyond it
+    is a regression)."""
+    budget = {
+        "cdc_logminer_redo": 2,
+        "cdc_capture_sqlserver": 1,
+        "cdc_capture_db2": 2,
+        "cdc_mongo_changestream": 2,
+        "cdc_postgres_wal2json": 1,
+    }
+    for key, n in budget.items():
+        df = Q[key].builder(spark, sf_dir)
+        assert shuffle_count(df) <= n, f"{key}: shuffle budget {n} exceeded"
+        plan = explain_str(df)
+        assert "SortMergeJoin" not in plan, f"{key}: unexpected SMJ"
+        assert "CartesianProduct" not in plan, f"{key}: cartesian product"
+
+
+def test_bloom_probe_has_no_join(spark, sf_dir):
+    """The Bloom bitmap is a plan literal: the probe side must test bits
+    with pure column arithmetic — no sort-merge join anywhere, exactly one
+    hash exchange on doc_id (the per-doc aggregate), and the only joins
+    are broadcasts (the exact-membership audit)."""
+    df = Q["ext_bloom_decontaminate"].builder(spark, sf_dir)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("hashpartitioning(doc_id") == 1
+    assert has_broadcast_join(df)
+
+
+def test_url_dedup_prunes_text_column(spark, sf_dir):
+    """URL dedup derives the url from id/lang/source — the wide text
+    column must never be read."""
+    cols = read_schema_columns(Q["ext_url_dedup"].builder(spark, sf_dir))
+    assert "text" not in cols
+    assert "doc_id" in cols and "lang" in cols and "source" in cols

@@ -272,3 +272,114 @@ def ext_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("url").alias("n_variants"),
         F.min("doc_id").alias("kept_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level (paragraph) dedup — C4's "discard repeated lines" stage
+# ---------------------------------------------------------------------------
+
+_LINE_TOKENS = 10
+_BOILER_MIN_DOCS = 3
+
+_LINES_SQL = f"""
+  SELECT doc_id, len(words) AS n_tok,
+         CAST(ceil(len(words) / {_LINE_TOKENS}.0) AS BIGINT) AS n_lines, i AS line_no,
+         array_to_string(words[(i-1)*{_LINE_TOKENS}+1 : i*{_LINE_TOKENS}], ' ') AS line,
+         least(len(words) - (i-1)*{_LINE_TOKENS}, {_LINE_TOKENS}) AS line_tok
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS words
+        FROM documents),
+       unnest(generate_series(1, CAST(ceil(len(words) / {_LINE_TOKENS}.0) AS INT))) AS t(i)
+"""
+
+
+@query(
+    "ext_dedup_lines",
+    tier="C",
+    oracle=f"""
+    WITH lines AS ({_LINES_SQL}),
+    boiler AS (
+      SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS ndocs
+                        FROM lines GROUP BY 1)
+      WHERE ndocs >= {_BOILER_MIN_DOCS}),
+    flagged AS (
+      SELECT l.doc_id,
+             CAST(count(*) AS BIGINT)   AS n_boiler,
+             CAST(sum(l.line_tok) AS BIGINT) AS boiler_tok
+      FROM lines l JOIN boiler b USING (line)
+      GROUP BY 1),
+    doc_stats AS (
+      SELECT doc_id, CAST(max(n_tok) AS BIGINT) AS n_tok, max(n_lines) AS n_lines
+      FROM lines GROUP BY 1)
+    SELECT f.doc_id, d.n_lines, f.n_boiler,
+           CAST(d.n_tok - f.boiler_tok AS BIGINT) AS retained_tok,
+           round(CAST(f.boiler_tok AS DOUBLE) / d.n_tok, 4) AS removed_ratio
+    FROM flagged f JOIN doc_stats d USING (doc_id)
+    """,
+)
+def ext_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup (C4's boilerplate rule: discard any line occurring
+    in >= 3 documents corpus-wide — nav bars, cookie banners, license
+    headers). The fixture's documents are single-line, so "lines" are
+    non-overlapping 10-token windows of the normalized text;
+    the thresholds catch the corpus's natural cross-document repeats (no
+    planted fixtures — ~15-20 such lines exist at every SF).
+
+    Scale shape (same as ext_unigram_logprob): the line-frequency
+    aggregate shuffles once on the line key, its >= 3-docs survivor set is
+    TINY (boilerplate is by definition a small set of very frequent
+    lines) and broadcasts back into the token stream; per-doc accounting
+    reuses one doc_id aggregate. The corpus never shuffles for the join.
+    Emits flagged docs with retained-token accounting — the exact numbers
+    a C4-style cleaner would strip.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), r"\s+").alias("w"),
+    ).select(
+        "doc_id",
+        "w",
+        F.size("w").cast("long").alias("n_tok"),
+        F.ceil(F.size("w") / _LINE_TOKENS).cast("long").alias("n_lines"),
+    )
+    lines = words.select(
+        "doc_id",
+        "n_tok",
+        "n_lines",
+        F.explode(F.sequence(F.lit(1), F.col("n_lines").cast("int"))).alias("i"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        "n_lines",
+        F.array_join(
+            F.slice(F.col("w"), (F.col("i") - 1) * _LINE_TOKENS + 1, _LINE_TOKENS), " "
+        ).alias("line"),
+        F.least(
+            F.col("n_tok") - (F.col("i") - 1) * _LINE_TOKENS, F.lit(_LINE_TOKENS)
+        ).cast("long").alias("line_tok"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= _BOILER_MIN_DOCS)
+        .select("line")
+    )
+    flagged = (
+        lines.join(F.broadcast(boiler), "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_boiler"),
+            F.sum("line_tok").alias("boiler_tok"),
+            F.max("n_tok").alias("n_tok"),
+            F.max("n_lines").alias("n_lines"),
+        )
+    )
+    return flagged.select(
+        "doc_id",
+        "n_lines",
+        "n_boiler",
+        (F.col("n_tok") - F.col("boiler_tok")).alias("retained_tok"),
+        F.round(F.col("boiler_tok") / F.col("n_tok"), 4).alias("removed_ratio"),
+    )

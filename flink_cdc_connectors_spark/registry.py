@@ -91,6 +91,7 @@ _CHECK_FIRST = (
     "cdc_postgres_wal2json",
     "ext_bloom_decontaminate",
     "ext_url_dedup",
+    "ext_dedup_lines",
     "cdc_jdbc_snapshot",
     "cdc_jdbc_incremental",
     "cdc_upsert_sink",

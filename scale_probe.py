@@ -52,6 +52,10 @@ FAMILY = [
     "ext_tfidf",
     "ext_kmeans_spherical",
     "ext_semdedup",
+    # curation additions: bitmap probe, canonicalize+group, line frequency
+    "ext_bloom_decontaminate",
+    "ext_url_dedup",
+    "ext_dedup_lines",
 ]
 
 

@@ -409,3 +409,13 @@ def test_url_dedup_prunes_text_column(spark, sf_dir):
     cols = read_schema_columns(Q["ext_url_dedup"].builder(spark, sf_dir))
     assert "text" not in cols
     assert "doc_id" in cols and "lang" in cols and "source" in cols
+
+
+def test_line_dedup_boiler_set_broadcasts(spark, sf_dir):
+    """The >=3-docs boilerplate-line set must broadcast back into the
+    token stream (ext_unigram_logprob shape) — the corpus never shuffles
+    for the join."""
+    df = Q["ext_dedup_lines"].builder(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan

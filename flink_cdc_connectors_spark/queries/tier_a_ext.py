@@ -17,7 +17,11 @@ even though every one converges on the same changelog semantics:
     an `updateDescription` field patch, not a full row image),
   - Postgres: logical-decoding plugins (`flink-connector-postgres-cdc`,
     PostgreSQLTableFactory.java:88-94 — wal2json emits positional
-    `columnnames`/`columnvalues` arrays per change).
+    `columnnames`/`columnvalues` arrays per change),
+  - OceanBase: logproxy LogMessage stream with BEGIN/COMMIT framing
+    (`flink-connector-oceanbase-cdc`,
+    OceanBaseRichSourceFunction.java:313-345 — DMLs buffer until COMMIT
+    flushes them, i.e. commit-order visibility).
 
 Each query here synthesizes the connector's native capture artifact from
 the deterministic ``events`` fixture (same binlog state machine as
@@ -668,4 +672,82 @@ def cdc_postgres_wal2json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("new_img", "user_id").alias("user_id"),
         F.element_at("old_img", "prev_cents").alias("before_cents"),
         F.element_at("new_img", "value_cents").alias("after_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OceanBase logproxy / LogMiner COMMIT_SCN: commit-order visibility
+# ---------------------------------------------------------------------------
+
+_OB_LANES = 3  # concurrent sessions striped across the log
+_OB_TXN_SPAN = 30  # statements per transaction within a lane
+
+
+@query(
+    "cdc_oceanbase_commit_order",
+    tier="A",
+    oracle=f"""
+    WITH logged AS ({_LOGGED_SQL}),
+    framed AS (
+      SELECT event_id, ts, user_id, cents, op,
+             event_id % {_OB_LANES} AS lane,
+             event_id // ({_OB_LANES} * {_OB_TXN_SPAN}) AS txn_idx
+      FROM logged),
+    txns AS (
+      SELECT *, max(event_id) OVER (PARTITION BY lane, txn_idx) AS commit_pos,
+             max(txn_idx) OVER (PARTITION BY lane) AS open_txn
+      FROM framed),
+    visible AS (
+      -- a transaction's changes exist only once its COMMIT arrives; each
+      -- lane's newest transaction never commits inside this log window
+      SELECT * FROM txns WHERE txn_idx < open_txn)
+    SELECT user_id, commit_pos, event_id AS last_eid, cents AS value_cents
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY commit_pos DESC, ts DESC, event_id DESC) AS rn
+          FROM visible)
+    WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def cdc_oceanbase_commit_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-framed capture: OceanBase's logproxy client BUFFERS
+    INSERT/UPDATE/DELETE LogMessages and flushes them only when the
+    transaction's COMMIT record arrives
+    (OceanBaseRichSourceFunction.java:313-345 — the buffer/flush switch on
+    message.getOpt()), and Oracle LogMiner's COMMITTED_DATA_ONLY mode
+    orders rows by COMMIT_SCN the same way. Model: three interleaved
+    sessions (lanes striped across the log), each lane's statements
+    grouped into transactions; a change becomes visible AT ITS COMMIT
+    POSITION (not its statement position), and each lane's newest
+    transaction has no COMMIT in the window — its buffered changes must
+    never appear.
+
+    Because interleaved transactions touching the same key commit out of
+    statement order, latest-state-by-commit-order is genuinely different
+    from latest-state-by-statement-order — the oracle hash locks in the
+    reordering. Shuffles: the lag window (PK), one exchange on
+    (lane, txn_idx) for the commit-position window (bounded-span
+    transactions, never skewed), and the final PK window."""
+    logged = _logged(spark, sf_dir)
+    framed = logged.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "cents",
+        "op",
+        (F.col("event_id") % _OB_LANES).alias("lane"),
+        (F.col("event_id") / (_OB_LANES * _OB_TXN_SPAN)).cast("long").alias("txn_idx"),
+    )
+    wtxn = W.partitionBy("lane", "txn_idx")
+    wlane = W.partitionBy("lane")
+    txns = framed.withColumn("commit_pos", F.max("event_id").over(wtxn)).withColumn(
+        "open_txn", F.max("txn_idx").over(wlane)
+    )
+    visible = txns.filter(F.col("txn_idx") < F.col("open_txn"))
+    wuser = W.partitionBy("user_id").orderBy(
+        F.col("commit_pos").desc(), F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        visible.withColumn("rn", F.row_number().over(wuser))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select("user_id", "commit_pos", F.col("event_id").alias("last_eid"), F.col("cents").alias("value_cents"))
     )

@@ -89,6 +89,7 @@ _CHECK_FIRST = (
     "cdc_capture_db2",
     "cdc_mongo_changestream",
     "cdc_postgres_wal2json",
+    "cdc_oceanbase_commit_order",
     "ext_bloom_decontaminate",
     "ext_url_dedup",
     "ext_dedup_lines",

@@ -182,3 +182,151 @@ def streaming_changelog_normalize(
 def _normalize_fn(key, pdfs, state):
     fn, _, _ = make_changelog_normalize()
     return fn(key, pdfs, state)
+
+
+# ---------------------------------------------------------------------------
+# Change-stream PATCH fold (MongoDB partial images) as a stateful operator
+# ---------------------------------------------------------------------------
+#
+# The normalize above assumes FULL row images (any event replaces the whole
+# payload, so only the max-offset event matters). MongoDB change streams
+# without fullDocument lookup deliver PARTIAL images: an update carries only
+# the fields it touched (updateDescription.updatedFields/removedFields —
+# MongoDBSource.java:55 forces FULL_DOCUMENT_UPDATE_LOOKUP precisely to
+# avoid this). The stateful fold below is the operator that makes the
+# lookup unnecessary: per-key document state lives in the state store and
+# every patch applies incrementally, in offset order.
+#
+# Input contract per change row (one per event):
+#   (key, ts, event_id, op) with op in insert|replace|update|delete, and
+#   for each document field f two columns: `f` (the value, NULL meaning
+#   absent-or-removed) and `f_act` (1 if this event ACTS on f: full images
+#   act on every field; an update acts on its updatedFields+removedFields).
+# State per key: (ts_ms, event_id, alive, *field values).
+# Events at or below the state's offset are DROPPED — the resume-token
+# monotonicity guarantee, which also makes at-least-once redelivery safe
+# (replaying an old patch after newer ones must not corrupt the doc).
+
+
+def make_patch_fold(
+    key_col: str = "user_id",
+    fields: list[StructField] | None = None,
+    key_type: DataType | None = None,
+) -> tuple[Callable, StructType, StructType]:
+    """Build (function, output schema, state schema) for the change-stream
+    patch fold over a document with the given field schema."""
+    flds = (
+        list(fields)
+        if fields is not None
+        else [StructField("value_cents", LongType()), StructField("props_k", LongType())]
+    )
+    names = [f.name for f in flds]
+    types = [f.dataType for f in flds]
+    state_schema = StructType(
+        [
+            StructField("ts_ms", LongType()),
+            StructField("event_id", LongType()),
+            StructField("alive", IntegerType()),
+            *flds,
+        ]
+    )
+    output_schema = StructType(
+        [
+            StructField(key_col, key_type or LongType()),
+            StructField("op", StringType()),
+            *flds,
+            StructField("ts_ms", LongType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+
+    def _opt(value: Any, dtype: DataType) -> Any:
+        # None/NaN -> None even for numeric dtypes (a removed field must be
+        # a real NULL in the state store, not a NaN that fails the Long
+        # serializer — pandas surfaces nullable ints as float NaN)
+        if value is None or (isinstance(value, float) and pd.isna(value)):
+            return None
+        return _to_py(value, dtype)
+
+    def _flag(value: Any) -> int:
+        if value is None or (isinstance(value, float) and pd.isna(value)):
+            return 0
+        return int(value)
+
+    def fold_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = state.get
+            ts_ms, event_id, alive = int(st[0]), int(st[1]), int(st[2])
+            vals = {n: st[3 + i] for i, n in enumerate(names)}
+        else:
+            ts_ms, event_id, alive = -1, -1, 0
+            vals = {n: None for n in names}
+        changed = False
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.assign(ts_ms=pdf["ts"].astype("datetime64[ms]").astype("int64"))
+            for row in pdf.sort_values(["ts_ms", "event_id"]).itertuples(index=False):
+                off = (int(row.ts_ms), int(row.event_id))
+                if off <= (ts_ms, event_id):
+                    continue  # stale/redelivered patch: resume-token order
+                ts_ms, event_id = off
+                changed = True
+                op = str(row.op)
+                if op in ("insert", "replace"):
+                    alive = 1
+                    vals = {n: _opt(getattr(row, n), t) for n, t in zip(names, types)}
+                elif op == "update":
+                    alive = 1
+                    for n, t in zip(names, types):
+                        if _flag(getattr(row, f"{n}_act")) == 1:
+                            vals[n] = _opt(getattr(row, n), t)
+                else:  # delete
+                    alive = 0
+                    vals = {n: None for n in names}
+        if changed:
+            state.update((ts_ms, event_id, alive, *[vals[n] for n in names]))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "op": ["delete" if alive == 0 else "upsert"],
+                    **{n: [vals[n]] for n in names},
+                    "ts_ms": [ts_ms],
+                    "event_id": [event_id],
+                }
+            )
+
+    return fold_fn, output_schema, state_schema
+
+
+def streaming_patch_fold(
+    change_stream: DataFrame,
+    key_col: str = "user_id",
+    fields: list[StructField] | None = None,
+) -> DataFrame:
+    """Partial-image change stream -> per-key folded document updates
+    (update mode; tombstones as op='delete'). See the input contract in
+    the module comment above."""
+    flds = (
+        list(fields)
+        if fields is not None
+        else [StructField("value_cents", LongType()), StructField("props_k", LongType())]
+    )
+    key_type = change_stream.schema[key_col].dataType
+    fn, out_schema, state_schema = make_patch_fold(key_col, flds, key_type=key_type)
+    cols = [key_col, "op", "ts", "event_id"]
+    for f in flds:
+        cols += [f.name, f"{f.name}_act"]
+    return (
+        change_stream.select(*cols)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -104,8 +104,11 @@ def time_query(spark, builder, sf_dir: str) -> float:
     elapsed = time.monotonic() - t0
     # same per-query isolation as bench.py: queries cache their own
     # intermediates, and accumulated caches would skew the 10x ratios the
-    # probe exists to measure (differently at the two scales)
+    # probe exists to measure (differently at the two scales); the JVM GC
+    # stops a heavy predecessor's garbage from being collected inside the
+    # successor's timed window (observed 12x on ext_semdedup at sf1)
     spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
     return elapsed
 
 

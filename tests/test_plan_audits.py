@@ -419,3 +419,11 @@ def test_line_dedup_boiler_set_broadcasts(spark, sf_dir):
     assert has_broadcast_join(df)
     plan = explain_str(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_commit_order_windows_are_partitioned(spark, sf_dir):
+    """Commit-order visibility must never collapse to a single-partition
+    window (lane/txn and PK windows are all keyed)."""
+    df = Q["cdc_oceanbase_commit_order"].builder(spark, sf_dir)
+    assert not has_single_partition_window(df)
+    assert shuffle_count(df) <= 3

@@ -72,3 +72,126 @@ def test_stream_static_join_matches_batch(spark, sf_dir, events_stream_dir):
     assert (got["c_mktsegment"] == want["c_mktsegment"]).all()
     assert (got["n_events"] == want["n_events"]).all()
     assert (got["sum_value"] - want["sum_value"]).abs().max() < 1e-6
+
+
+def test_streaming_patch_fold_matches_batch_mongo_key(spark, sf_dir, tmp_path):
+    """The change-stream PATCH fold (partial images, stateful) must
+    converge to the batch cdc_mongo_changestream result: documents folded
+    from fullDocument/updatedFields/removedFields patches across TWO
+    micro-batch phases (state persists over the phase boundary via the
+    checkpoint). Removed fields must come back as real NULLs, and the
+    offset guard must drop a deliberately redelivered phase-1 file."""
+    import shutil
+
+    from flink_cdc_connectors_spark.queries.tier_a_ext import _logged
+    from flink_cdc_connectors_spark.streaming.stateful import streaming_patch_fold
+
+    logged = _logged(spark, sf_dir)
+    # mirror cdc_mongo_changestream's wire semantics as parsed change rows
+    is_upd = F.col("op") == "update"
+    mongo_op = (
+        F.when(F.col("op") == "delete", "delete")
+        .when(F.col("op") == "insert", "insert")
+        .when(is_upd & (F.col("event_id") % 97 == 0), "replace")
+        .otherwise("update")
+    )
+    changes = logged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "cents",
+        "k_val",
+        mongo_op.alias("op"),
+    )
+    mongo_op = F.col("op")
+    is_upd = mongo_op == "update"
+    changes = changes.withColumns(
+        {
+            # updates: eid%3=0 -> set value + REMOVE props_k; 1 -> set k
+            # only; 2 -> set both. Full images act on every field.
+            "value_cents": F.when(
+                mongo_op.isin("insert", "replace")
+                | ((mongo_op == "update") & (F.col("event_id") % 3 != 1)),
+                F.col("cents"),
+            ),
+            "value_cents_act": F.when(
+                mongo_op.isin("insert", "replace")
+                | ((mongo_op == "update") & (F.col("event_id") % 3 != 1)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+            "props_k": F.when(
+                mongo_op.isin("insert", "replace")
+                | ((mongo_op == "update") & (F.col("event_id") % 3 != 0)),
+                F.col("k_val"),
+            ),
+            "props_k_act": F.when(
+                mongo_op.isin("insert", "replace") | (mongo_op == "update"), F.lit(1)
+            ).otherwise(F.lit(0)),
+        }
+    ).drop("cents", "k_val")
+    # phase split on ts (strict): every phase-2 offset > every phase-1 offset
+    changes = changes.withColumn("__us", F.unix_micros("ts"))
+    us_split = changes.selectExpr(
+        "percentile_cont(0.6) WITHIN GROUP (ORDER BY __us) AS t"
+    ).first()["t"]
+    src = tmp_path / "changes"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    changes.filter(F.col("__us") <= us_split).drop("__us").coalesce(1).write.parquet(
+        str(src / "phase1")
+    )
+
+    schema = changes.drop("__us").schema
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        folded = streaming_patch_fold(stream)
+        q = (
+            folded.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda bdf, eid: bdf.write.mode("append").parquet(str(out))
+            )
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    # redeliver phase 1 verbatim (at-least-once): the offset guard must
+    # make this a no-op for final state
+    shutil.copytree(src / "phase1", src / "phase1_redelivered")
+    changes.filter(F.col("__us") > us_split).drop("__us").coalesce(1).write.parquet(
+        str(src / "phase2")
+    )
+    drain()
+
+    emissions = spark.read.parquet(str(out)).toPandas()
+    assert len(emissions) > 0
+    last = (
+        emissions.sort_values(["ts_ms", "event_id"]).groupby("user_id").tail(1)
+    )
+    live = last[last["op"] != "delete"].set_index("user_id")
+
+    batch = (
+        all_queries()["cdc_mongo_changestream"].builder(spark, sf_dir).toPandas()
+    ).set_index("user_id")
+    assert sorted(live.index) == sorted(batch.index)
+    for uid in batch.index:
+        assert live.loc[uid, "event_id"] == batch.loc[uid, "last_eid"], uid
+        assert live.loc[uid, "value_cents"] == batch.loc[uid, "value_cents"], uid
+        b_k, s_k = batch.loc[uid, "props_k"], live.loc[uid, "props_k"]
+        import pandas as pd
+
+        if pd.isna(b_k):
+            assert pd.isna(s_k), uid  # removal survived as NULL
+        else:
+            assert s_k == b_k, uid
+    # the scenario actually exercises removals
+    assert batch["props_k"].isna().sum() > 0

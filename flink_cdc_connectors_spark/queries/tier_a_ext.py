@@ -65,10 +65,10 @@ def _cents(col: str = "value") -> F.Column:
 #   insert/update   no          insert      -
 #   delete          yes         delete      prev payload
 #   delete          no          (dropped)
-_LOGGED_SQL = """
+_LOGGED_SQL = f"""
   SELECT event_id, ts, user_id,
-         CAST(floor(value * 100 + 0.5) AS BIGINT)      AS cents,
-         CAST(floor(prev_value * 100 + 0.5) AS BIGINT) AS prev_cents,
+         {_CENTS}                                       AS cents,
+         {_CENTS.replace("value", "prev_value")}        AS prev_cents,
          CAST(json_extract_string(props, '$.k') AS BIGINT)      AS k_val,
          CAST(json_extract_string(prev_props, '$.k') AS BIGINT) AS prev_k,
          CASE WHEN app_op = 'delete' THEN 'delete'

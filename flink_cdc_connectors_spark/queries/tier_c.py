@@ -93,6 +93,23 @@ _SHINGLE_SQL = f"""
 """
 
 
+# 8-gram variant over a `corpus` CTE plus the eval-set predicate — ONE
+# definition shared by ext_decontaminate and ext_bloom_decontaminate so the
+# two keys stay directly comparable (same normalization, same sampling).
+_SHINGLE8_SQL = """
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(words) - 7, 0)),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+                words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
+                words[i+6] || ' ' || words[i+7]))) AS shingle
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS words
+        FROM corpus)
+"""
+
+_EVAL_PRED_SQL = "(doc_id % 50 = 0 AND doc_id < 1000000)"
+
+
 def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) pairs: distinct word n-grams of normalized text.
 

@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from flink_cdc_connectors_spark.operators.cdc import global_running_sum
+from flink_cdc_connectors_spark.queries.tier_c import _EVAL_PRED_SQL, _SHINGLE8_SQL
 from flink_cdc_connectors_spark.registry import query
+
+# eval predicate with the alias the decontaminate oracle's join uses
+_EVAL_PRED_SQL_S = _EVAL_PRED_SQL.replace("doc_id", "s.doc_id")
 from flink_cdc_connectors_spark.sources.loaders import fan_out, load_table
 
 # Knuth's multiplicative-hash constant: the same bigint arithmetic runs on
@@ -276,27 +280,19 @@ def ext_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_decontaminate",
     tier="C",
-    oracle="""
+    oracle=f"""
     WITH corpus AS (
       SELECT doc_id, text, lang, source, n_chars FROM documents
       UNION ALL
       SELECT doc_id + 1000000, upper(text) || '  ', lang, source, n_chars FROM documents
     ),
-    shingled AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(
-               generate_series(1, greatest(len(words) - 7, 0)),
-               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
-                    words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
-                    words[i+6] || ' ' || words[i+7]))) AS shingle
-      FROM (SELECT doc_id,
-                   string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS words
-            FROM corpus)),
+    shingled AS ({_SHINGLE8_SQL}),
     eval_sh AS (
       SELECT DISTINCT shingle FROM shingled
-      WHERE doc_id % 50 = 0 AND doc_id < 1000000)
+      WHERE {_EVAL_PRED_SQL})
     SELECT s.doc_id, CAST(count(DISTINCT s.shingle) AS BIGINT) AS n_hits
     FROM shingled s JOIN eval_sh e ON s.shingle = e.shingle
-    WHERE NOT (s.doc_id % 50 = 0 AND s.doc_id < 1000000)
+    WHERE NOT {_EVAL_PRED_SQL_S}
     GROUP BY 1
     """,
 )

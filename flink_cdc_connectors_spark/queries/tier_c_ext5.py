@@ -34,20 +34,13 @@ from flink_cdc_connectors_spark.sources.loaders import fan_out, load_table
 _BLOOM_WORDS = 128
 _K = 4
 
-_EVAL_PRED_SQL = "(doc_id % 50 = 0 AND doc_id < 1000000)"
-
-# 8-gram shingles of the corpus-with-copies, normalized — same family as
-# ext_decontaminate so the two keys are directly comparable.
-_SHINGLED8_SQL = """
-  SELECT doc_id, unnest(list_distinct(list_transform(
-           generate_series(1, greatest(len(words) - 7, 0)),
-           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
-                words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
-                words[i+6] || ' ' || words[i+7]))) AS shingle
-  FROM (SELECT doc_id,
-               string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS words
-        FROM corpus)
-"""
+# Shared with ext_decontaminate (single source of truth in tier_c):
+# identical normalization, 8-gram window, and eval-set sampling — the two
+# decontamination keys must stay directly comparable.
+from flink_cdc_connectors_spark.queries.tier_c import (  # noqa: E402
+    _EVAL_PRED_SQL,
+    _SHINGLE8_SQL,
+)
 
 
 def _pos_spark(mh: Column, i: int) -> Column:
@@ -67,7 +60,7 @@ def _pos_sql(mh: str, i: int) -> str:
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000, upper(text) || '  ' FROM documents),
-    shingled AS ({_SHINGLED8_SQL}),
+    shingled AS ({_SHINGLE8_SQL}),
     eval_mh AS (
       SELECT DISTINCT md5(shingle) AS mh FROM shingled WHERE {_EVAL_PRED_SQL}),
     probe AS (
@@ -122,10 +115,14 @@ def ext_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = fan_out(_with_copies(load_table(spark, sf_dir, "documents")))
     is_eval = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
+    # cached: the .collect() below materializes the eval pipeline once;
+    # the exact-membership broadcast then reads the cache instead of
+    # re-running the scan -> shingle -> md5 -> distinct subtree
     eval_mh = (
         _shingles(corpus.filter(is_eval), n=8)
         .select(F.md5("shingle").alias("mh"))
         .distinct()
+        .cache()
     )
     # ---- build: 4 positions per eval shingle -> 128-word bitmap (bounded
     # driver collect, <= _BLOOM_WORDS rows)

@@ -264,9 +264,16 @@ def make_patch_fold(
             ts_ms, event_id, alive = -1, -1, 0
             vals = {n: None for n in names}
         changed = False
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
+        # Patches are order-sensitive, so ALL of the key's rows in this
+        # micro-batch must fold in one global offset order. Unlike the
+        # normalize above (only the max-offset row matters, so per-chunk
+        # processing is safe), sorting Arrow chunks independently would let
+        # the offset guard drop legitimate patches whenever a key's group
+        # spans multiple chunks (> arrow.maxRecordsPerBatch rows) and a
+        # later chunk carries lower offsets.
+        chunks = [p for p in pdfs if not p.empty]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.assign(ts_ms=pdf["ts"].astype("datetime64[ms]").astype("int64"))
             for row in pdf.sort_values(["ts_ms", "event_id"]).itertuples(index=False):
                 off = (int(row.ts_ms), int(row.event_id))

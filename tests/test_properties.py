@@ -111,3 +111,133 @@ def test_normalize_idempotent(spark, raw):
     once = changelog_normalize(cl)
     twice = changelog_normalize(once)
     assert _state(once) == _state(twice)
+
+
+# ---------------------------------------------------------------------------
+# Streaming patch fold: pure-function properties (no Spark session needed)
+# ---------------------------------------------------------------------------
+
+import pandas as pd
+from pyspark.sql.types import LongType, StructField
+
+from flink_cdc_connectors_spark.streaming.stateful import make_patch_fold
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving fold_fn directly."""
+
+    def __init__(self):
+        self._t = None
+
+    @property
+    def exists(self):
+        return self._t is not None
+
+    @property
+    def get(self):
+        return self._t
+
+    def update(self, t):
+        self._t = tuple(t)
+
+
+_FIELDS = [StructField("a", LongType()), StructField("b", LongType())]
+
+
+def _mk_pdf(rows):
+    return pd.DataFrame(
+        {
+            "ts": [pd.Timestamp(r["ts"], unit="ms") for r in rows],
+            "event_id": [r["eid"] for r in rows],
+            "op": [r["op"] for r in rows],
+            "a": [r["a"] for r in rows],
+            "a_act": [r["a_act"] for r in rows],
+            "b": [r["b"] for r in rows],
+            "b_act": [r["b_act"] for r in rows],
+        }
+    )
+
+
+def _naive_fold(rows):
+    """Reference semantics: apply every action in (ts, eid) order."""
+    alive, vals, off = 0, {"a": None, "b": None}, (-1, -1)
+    for r in sorted(rows, key=lambda r: (r["ts"], r["eid"])):
+        if (r["ts"], r["eid"]) <= off:
+            continue
+        off = (r["ts"], r["eid"])
+        if r["op"] in ("insert", "replace"):
+            alive, vals = 1, {"a": r["a"], "b": r["b"]}
+        elif r["op"] == "update":
+            alive = 1
+            for f in ("a", "b"):
+                if r[f"{f}_act"]:
+                    vals[f] = r[f]
+        else:
+            alive, vals = 0, {"a": None, "b": None}
+    return alive, vals, off
+
+
+_event = st.fixed_dictionaries(
+    {
+        "ts": st.integers(min_value=0, max_value=5),
+        "op": st.sampled_from(["insert", "replace", "update", "delete"]),
+        "a": st.one_of(st.none(), st.integers(0, 9)),
+        "a_act": st.sampled_from([0, 1]),
+        "b": st.one_of(st.none(), st.integers(0, 9)),
+        "b_act": st.sampled_from([0, 1]),
+    }
+)
+
+
+def _run_fold(chunks):
+    fn, _, _ = make_patch_fold("user_id", _FIELDS)
+    state = _FakeState()
+    out = list(fn((1,), iter([_mk_pdf(c) for c in chunks]), state))
+    return state._t, out
+
+
+@given(st.lists(_event, min_size=1, max_size=30), st.data())
+@settings(max_examples=200, deadline=None)
+def test_patch_fold_matches_naive_replay_under_any_chunking(events, data):
+    """The fold must equal a naive ordered replay REGARDLESS of how the
+    micro-batch's rows are split into Arrow chunks and in what order the
+    chunks arrive (the chunk boundary bug class: per-chunk sorting would
+    let the offset guard eat later-chunk patches)."""
+    rows = [dict(e, eid=i) for i, e in enumerate(events)]
+    # arbitrary chunking + arbitrary chunk order
+    n_chunks = data.draw(st.integers(1, min(4, len(rows))))
+    assignment = data.draw(
+        st.lists(st.integers(0, n_chunks - 1), min_size=len(rows), max_size=len(rows))
+    )
+    chunks = [[r for r, c in zip(rows, assignment) if c == k] for k in range(n_chunks)]
+    chunks = [c for c in chunks if c]
+    perm = data.draw(st.permutations(range(len(chunks))))
+    chunks = [chunks[i] for i in perm]
+
+    state_t, out = _run_fold(chunks)
+    alive, vals, off = _naive_fold(rows)
+
+    assert state_t is not None
+    ts_ms, eid, got_alive, got_a, got_b = state_t
+    assert (ts_ms, eid) == off
+    assert got_alive == alive
+    assert got_a == vals["a"] and got_b == vals["b"]
+    # emission mirrors the state
+    assert len(out) == 1
+    emitted = out[0].iloc[0]
+    assert (emitted["op"] == "delete") == (alive == 0)
+
+
+@given(st.lists(_event, min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_patch_fold_redelivery_is_idempotent(events):
+    """Replaying the entire batch again (at-least-once) must not change
+    state and must emit nothing."""
+    rows = [dict(e, eid=i) for i, e in enumerate(events)]
+    fn, _, _ = make_patch_fold("user_id", _FIELDS)
+    state = _FakeState()
+    list(fn((1,), iter([_mk_pdf(rows)]), state))
+    before = state._t
+    again = list(fn((1,), iter([_mk_pdf(rows)]), state))
+    assert state._t == before
+    assert again == []

@@ -161,7 +161,8 @@ def test_streaming_patch_fold_matches_batch_mongo_key(spark, sf_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        terminated = q.awaitTermination(300)
+        assert terminated, f"stream did not terminate: {q.exception()}"
 
     drain()
     # redeliver phase 1 verbatim (at-least-once): the offset guard must

@@ -751,3 +751,77 @@ def cdc_oceanbase_commit_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
         .select("user_id", "commit_pos", F.col("event_id").alias("last_eid"), F.col("cents").alias("value_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# GTID-set failover resume: containment dedup across a master switch
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_gtid_failover",
+    tier="A",
+    oracle=f"""
+    WITH logged AS ({_LOGGED_SQL}),
+    gtid_log AS (
+      SELECT *, CASE WHEN event_id % 2 = 0 THEN 'uuid-a' ELSE 'uuid-b' END AS server_uuid,
+             event_id // 2 + 1 AS seq
+      FROM logged),
+    bounds AS (
+      SELECT server_uuid,
+             CAST(floor(max(seq) * (CASE server_uuid WHEN 'uuid-a' THEN 0.6 ELSE 0.4 END))
+                  AS BIGINT) AS done_hi
+      FROM gtid_log GROUP BY 1),
+    emitted AS (
+      SELECT g.* FROM gtid_log g JOIN bounds b USING (server_uuid)
+      WHERE g.seq > b.done_hi)
+    SELECT server_uuid,
+           CAST(count(*) AS BIGINT) AS n_emitted,
+           min(seq) AS min_seq, max(seq) AS max_seq,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM emitted
+    GROUP BY server_uuid
+    """,
+)
+def cdc_gtid_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTID-set failover resume: after a master switch the new server
+    replays transactions from BOTH server UUIDs, and the restored offset
+    is a GTID SET (per-uuid executed intervals) — not a file/pos, which is
+    meaningless on the new master. The reader must emit exactly the
+    transactions NOT contained in the restored set
+    (BinlogOffset.java:173-255 compares GTID sets by containment before
+    any file/pos tiebreak; sources/offsets.py::GtidSet implements the set
+    algebra with property-tested restore ordering; mysql-cdc.md's
+    'GTID-based failover' is the scenario). Here the log carries two
+    interleaved server UUIDs with DIFFERENT replication progress (60% of
+    uuid-a's transactions executed vs 40% of uuid-b's) — a single scalar
+    offset cannot express that boundary, which is the point of the set.
+
+    Spark-first: the per-uuid high-water bounds are a 2-row aggregate
+    broadcast back into the log scan (AQE broadcast join); containment is
+    then a pushed filter — no shuffle of the log beyond the lag window.
+    """
+    logged = _logged(spark, sf_dir)
+    gtid_log = logged.select(
+        "event_id",
+        "cents",
+        F.when(F.col("event_id") % 2 == 0, "uuid-a").otherwise("uuid-b").alias("server_uuid"),
+        ((F.col("event_id") / 2).cast("long") + 1).alias("seq"),
+    )
+    bounds = gtid_log.groupBy("server_uuid").agg(
+        F.floor(
+            F.max("seq")
+            * F.when(F.col("server_uuid") == "uuid-a", F.lit(0.6)).otherwise(F.lit(0.4))
+        )
+        .cast("long")
+        .alias("done_hi")
+    )
+    emitted = gtid_log.join(F.broadcast(bounds), "server_uuid").filter(
+        F.col("seq") > F.col("done_hi")
+    )
+    return emitted.groupBy("server_uuid").agg(
+        F.count("*").alias("n_emitted"),
+        F.min("seq").alias("min_seq"),
+        F.max("seq").alias("max_seq"),
+        F.sum("cents").alias("sum_cents"),
+    )

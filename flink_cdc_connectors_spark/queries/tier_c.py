@@ -581,26 +581,21 @@ def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOPWORDS_PAT = r"\b(the|a|an|of|to|and|in|is|it|for)\b"
 
 
-@query(
-    "ext_quality_score",
-    tier="C",
-    oracle=f"""
-    SELECT doc_id,
-           round(
+# The heuristic quality score as a SQL fragment over a `text` column —
+# shared by ext_quality_score and the cluster keeper-selection key so the
+# two stay the same signal (rounded to 4 so ordering on it is identical
+# across engines).
+_QUALITY_SQL = f"""round(
              0.4 * least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
            + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
                           / length(text))
            + 0.3 * least(CAST(len(regexp_extract_all(lower(text), '{_STOPWORDS_PAT}')) AS DOUBLE)
                          / len(string_split_regex(trim(text), '\\s+')) * 5.0, 1.0)
-           , 4) AS quality
-    FROM documents
-    """,
-)
-def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality score: length saturation + low punctuation
-    density + stopword-rate band — the C4/Gopher-style filter family, all in
-    JVM expressions."""
-    docs = load_table(spark, sf_dir, "documents")
+           , 4)"""
+
+
+def quality_col() -> "F.Column":
+    """Column twin of _QUALITY_SQL (rounded to 4 decimals)."""
     ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     npunct = F.length(F.regexp_replace("text", r"[^.,!?;:]", ""))
     nstop = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_STOPWORDS_PAT), 0))
@@ -609,7 +604,23 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * (1.0 - npunct.cast("double") / F.length("text"))
         + 0.3 * F.least(nstop.cast("double") / ntok * 5.0, F.lit(1.0))
     )
-    return docs.select("doc_id", F.round(score, 4).alias("quality"))
+    return F.round(score, 4)
+
+
+@query(
+    "ext_quality_score",
+    tier="C",
+    oracle=f"""
+    SELECT doc_id, {_QUALITY_SQL} AS quality
+    FROM documents
+    """,
+)
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score: length saturation + low punctuation
+    density + stopword-rate band — the C4/Gopher-style filter family, all in
+    JVM expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_col().alias("quality"))
 
 
 @query(

@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from flink_cdc_connectors_spark.operators.cdc import global_running_sum
-from flink_cdc_connectors_spark.queries.tier_c import _EVAL_PRED_SQL, _SHINGLE8_SQL
+from flink_cdc_connectors_spark.queries.tier_c import (
+    _EVAL_PRED_SQL,
+    _QUALITY_SQL,
+    _SHINGLE8_SQL,
+    _WITH_COPIES_SQL,
+)
 from flink_cdc_connectors_spark.registry import query
 
 # eval predicate with the alias the decontaminate oracle's join uses
@@ -659,3 +664,66 @@ def ext_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return config(4, 4).unionByName(config(8, 2))
+
+
+@query(
+    "ext_dedup_keeper_quality",
+    tier="C",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_PAIRS_SQL}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM sym),
+    reach(id, lab) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.id, s.b FROM reach r JOIN sym s ON r.lab = s.a
+    ),
+    clusters AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+    corpus AS ({_WITH_COPIES_SQL}),
+    q AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM corpus),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, q.quality,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality DESC, c.doc_id) AS rn
+      FROM clusters c JOIN q USING (doc_id))
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT)                     AS n_members,
+           max(CASE WHEN rn = 1 THEN doc_id END)        AS keeper_id,
+           max(CASE WHEN rn = 1 THEN quality END)       AS keeper_quality,
+           round(min(quality), 4)                       AS min_quality
+    FROM ranked
+    GROUP BY cluster_id
+    """,
+)
+def ext_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority keeper selection — what production dedup actually
+    does after clustering: within each duplicate cluster keep the
+    HIGHEST-QUALITY member (ties broken by id), not blindly the smallest
+    id. Clusters come from the same connected components as
+    ext_dedup_cluster; quality is the shared C4/Gopher-style heuristic
+    (tier_c.quality_col — originals and their perturbed copies score
+    differently because the copies are uppercased/padded, so the choice is
+    real, and min-id would pick wrongly whenever the copy outranks the
+    original). One window rank inside each cluster; the cluster table is
+    near-dup-pairs-sized, orders of magnitude below the corpus, so this
+    whole stage is a small-data epilogue to the pair finding.
+    """
+    from flink_cdc_connectors_spark.queries.tier_c import quality_col
+
+    clusters = ext_dedup_cluster(spark, sf_dir).select("doc_id", "cluster_id")
+    corpus = _tc._with_copies(load_table(spark, sf_dir, "documents"))
+    q = corpus.select("doc_id", quality_col().alias("quality"))
+    ranked = clusters.join(q, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("cluster_id").orderBy(F.col("quality").desc(), F.col("doc_id"))
+        ),
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("quality"))).alias("keeper_quality"),
+        F.round(F.min("quality"), 4).alias("min_quality"),
+    )

@@ -90,9 +90,11 @@ _CHECK_FIRST = (
     "cdc_mongo_changestream",
     "cdc_postgres_wal2json",
     "cdc_oceanbase_commit_order",
+    "cdc_gtid_failover",
     "ext_bloom_decontaminate",
     "ext_url_dedup",
     "ext_dedup_lines",
+    "ext_dedup_keeper_quality",
     "cdc_jdbc_snapshot",
     "cdc_jdbc_incremental",
     "cdc_upsert_sink",

@@ -768,10 +768,14 @@ def cdc_oceanbase_commit_order(spark: SparkSession, sf_dir: str) -> DataFrame:
              event_id // 2 + 1 AS seq
       FROM logged),
     bounds AS (
-      SELECT server_uuid,
-             CAST(floor(max(seq) * (CASE server_uuid WHEN 'uuid-a' THEN 0.6 ELSE 0.4 END))
+      -- executed-set bounds come from the RAW binlog positions (every
+      -- event occupies a position whether or not the state machine logs
+      -- it), so the bounds side is a plain scan aggregate
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'uuid-a' ELSE 'uuid-b' END AS server_uuid,
+             CAST(floor(max(event_id // 2 + 1)
+                        * (CASE WHEN event_id % 2 = 0 THEN 0.6 ELSE 0.4 END))
                   AS BIGINT) AS done_hi
-      FROM gtid_log GROUP BY 1),
+      FROM events GROUP BY 1, CASE WHEN event_id % 2 = 0 THEN 0.6 ELSE 0.4 END),
     emitted AS (
       SELECT g.* FROM gtid_log g JOIN bounds b USING (server_uuid)
       WHERE g.seq > b.done_hi)
@@ -808,7 +812,11 @@ def cdc_gtid_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 2 == 0, "uuid-a").otherwise("uuid-b").alias("server_uuid"),
         ((F.col("event_id") / 2).cast("long") + 1).alias("seq"),
     )
-    bounds = gtid_log.groupBy("server_uuid").agg(
+    raw = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 2 == 0, "uuid-a").otherwise("uuid-b").alias("server_uuid"),
+        ((F.col("event_id") / 2).cast("long") + 1).alias("seq"),
+    )
+    bounds = raw.groupBy("server_uuid").agg(
         F.floor(
             F.max("seq")
             * F.when(F.col("server_uuid") == "uuid-a", F.lit(0.6)).otherwise(F.lit(0.4))

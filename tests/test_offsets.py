@@ -327,3 +327,49 @@ class TestTxLogLsn:
 
         o = TxLogLsn(0x1234, 0xABCD, 0x11)
         assert TxLogLsn.from_bytes(o.to_bytes()) == o
+
+
+def test_gtid_failover_query_agrees_with_gtidset_algebra(spark, sf_dir):
+    """Bridge the set algebra and the query semantics: for every log event,
+    emission by cdc_gtid_failover must equal NON-containment of the
+    event's single-transaction GTID set within the restored set (the
+    BinlogOffset.compareTo GTID path, applied row-wise)."""
+    import duckdb
+
+    from flink_cdc_connectors_spark.queries.tier_a_ext import _LOGGED_SQL
+    from flink_cdc_connectors_spark.registry import all_queries
+    from flink_cdc_connectors_spark.sources.offsets import GtidSet
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    log = con.execute(
+        f"""WITH logged AS ({_LOGGED_SQL})
+        SELECT event_id,
+               CASE WHEN event_id % 2 = 0 THEN 'uuid-a' ELSE 'uuid-b' END AS server_uuid,
+               event_id // 2 + 1 AS seq
+        FROM logged"""
+    ).fetchdf()
+    raw = con.execute(
+        """SELECT CASE WHEN event_id % 2 = 0 THEN 'uuid-a' ELSE 'uuid-b' END AS server_uuid,
+                  event_id // 2 + 1 AS seq FROM events"""
+    ).fetchdf()
+    bounds = {
+        u: int((raw[raw.server_uuid == u].seq.max()) * f)
+        for u, f in (("uuid-a", 0.6), ("uuid-b", 0.4))
+    }
+    restored = GtidSet(
+        f"uuid-a:1-{bounds['uuid-a']},uuid-b:1-{bounds['uuid-b']}"
+    )
+    emitted_oracle = con.execute(
+        all_queries()["cdc_gtid_failover"].oracle
+    ).fetchdf()
+    # row-wise replay through the set algebra
+    want = {"uuid-a": 0, "uuid-b": 0}
+    for r in log.itertuples(index=False):
+        txn = GtidSet(f"{r.server_uuid}:{int(r.seq)}")
+        if not txn.is_contained_within(restored):
+            want[r.server_uuid] += 1
+    got = dict(zip(emitted_oracle.server_uuid, emitted_oracle.n_emitted))
+    assert {k: int(v) for k, v in got.items()} == want

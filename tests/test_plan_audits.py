@@ -427,3 +427,11 @@ def test_commit_order_windows_are_partitioned(spark, sf_dir):
     df = Q["cdc_oceanbase_commit_order"].builder(spark, sf_dir)
     assert not has_single_partition_window(df)
     assert shuffle_count(df) <= 3
+
+
+def test_gtid_failover_bounds_broadcast(spark, sf_dir):
+    """The per-uuid GTID bounds (2 rows) must broadcast back into the log;
+    the log itself shuffles only for the lag window."""
+    df = Q["cdc_gtid_failover"].builder(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 3

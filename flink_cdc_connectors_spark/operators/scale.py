@@ -102,3 +102,39 @@ def salted_aggregate(
             for c, fn in agg_exprs.items()
         ]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    salt_col: str = "__salt",
+    salt_from: "F.Column | None" = None,
+) -> DataFrame:
+    """Skew-safe equi-join by key salting: the fact side adds a
+    deterministic salt, the dim side REPLICATES each row ``salt_buckets``
+    times (one per salt value), and the join runs on (key, salt) — a hot
+    fact key's rows spread across ``salt_buckets`` reducers instead of
+    landing on one.
+
+    AQE's runtime skew-join split covers skewed batch SMJs; the manual
+    salt is for the cases AQE cannot split — stream-stream joins, stateful
+    operators keyed on the join key, or any engine/stage where the join
+    partitioning is also the state partitioning. Cost: dim side grows
+    ``salt_buckets``x (fine for dimension tables; never salt two large
+    sides — pick the bigger side's hot keys and salt only those).
+
+    Identical results to ``fact.join(dim, key)`` for inner joins.
+    """
+    # salt from a stable row attribute when given (deterministic across
+    # repartitions/retries — what a restartable stage needs); else from
+    # the physical row id (fine for one-shot batch)
+    src = salt_from if salt_from is not None else F.xxhash64(F.monotonically_increasing_id())
+    salted_fact = fact.withColumn(
+        salt_col, F.abs(src % salt_buckets).cast("int")
+    )
+    replicas = dim.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_fact.join(replicas, [key, salt_col]).drop(salt_col)

@@ -1162,3 +1162,57 @@ def stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id",
         )
     )
+
+
+@query(
+    "join_skew_salted",
+    tier="B",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN event_id % 10 < 7 THEN 1 ELSE user_id END AS k,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events)
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           CAST(sum(f.cents) AS BIGINT) AS sum_cents
+    FROM fact f JOIN customer c ON f.k = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted JOIN: 70% of the fact rows share ONE key (the
+    social-network-celebrity / null-bucket shape that collapses a shuffle
+    join onto a single reducer). The fact side salts on a stable row
+    attribute, the dim side replicates per salt, and the join runs on
+    (key, salt) — the hot key spreads across 8 reducers
+    (operators/scale.py::salted_join; the join is hinted MERGE because at
+    fixture sizes AQE would broadcast the dim and hide the skew, and the
+    manual salt exists precisely for the cases AQE's runtime skew split
+    cannot cover: stream-stream joins and stateful operators whose state
+    partitioning IS the join partitioning). Results are identical to the
+    plain join — the oracle states the unsalted semantics.
+    """
+    from flink_cdc_connectors_spark.operators.scale import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.select(
+        F.when(F.col("event_id") % 10 < 7, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "event_id",
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    joined = salted_join(
+        fact,
+        dim.hint("merge"),
+        "k",
+        salt_buckets=8,
+        salt_from=F.xxhash64("event_id"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )

@@ -380,3 +380,110 @@ def ext_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tok") - F.col("boiler_tok")).alias("retained_tok"),
         F.round(F.col("boiler_tok") / F.col("n_tok"), 4).alias("removed_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: space-filling-curve clustering with measured file pruning
+# ---------------------------------------------------------------------------
+
+_Z_CELL = 64  # key-space cells per file, both layouts (1024 files of 64 cells)
+
+
+def _z16_sql(div_op: str) -> str:
+    """16-bit Morton interleave of two 8-bit dims via pure arithmetic
+    (identical semantics under DuckDB `//` and Spark SQL `div`)."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((x {div_op} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((y {div_op} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+# (pred_id, x range, y range) — aligned square, misaligned square, y-only band
+_Z_PREDS = (
+    ("sq_aligned", 96, 111, 48, 63),
+    ("sq_misaligned", 100, 115, 52, 67),
+    ("y_band_only", 0, 255, 32, 39),
+)
+
+# x: multiplicative-hash key bucket (event_id is assigned in time order,
+# so a plain modulo would correlate x with the time dimension and starve
+# the test squares at small SFs); y: 3-hour time bin over the fixture's
+# 30-day span.
+_Z_DIMS_SQL = """
+  SELECT (event_id * 2654435761) % 256 AS x,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 10800000000 AS y
+  FROM events
+"""
+
+
+@query(
+    "ext_zorder_layout",
+    tier="C",
+    oracle=f"""
+    WITH dims AS ({_Z_DIMS_SQL}),
+    coded AS (
+      SELECT x, y, ({_z16_sql('//')}) AS z FROM dims),
+    files AS (
+      SELECT x, y, z // {_Z_CELL} AS zfile, (x * 256 + y) // {_Z_CELL} AS lfile
+      FROM coded)
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+    (SELECT '{pid}' AS pred_id,
+            CAST(count(*) AS BIGINT)                AS n_rows,
+            CAST(count(DISTINCT zfile) AS BIGINT)   AS z_files,
+            CAST(count(DISTINCT lfile) AS BIGINT)   AS linear_files
+     FROM files WHERE x BETWEEN {xl} AND {xh} AND y BETWEEN {yl} AND {yh})"""
+        for pid, xl, xh, yl, yh in _Z_PREDS
+    ),
+)
+def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout with MEASURED pruning: interleave
+    two 8-bit dimensions (a key hash and a 3-hour time bin) into a 16-bit
+    z-value, partition the key space into equal 64-cell files under BOTH
+    the z-order and the lexicographic (x, y) layout, and count how many
+    files each layout's reader must touch for three predicate shapes. The
+    numbers are the whole argument for OPTIMIZE ZORDER at 100 TB: an
+    aligned 16x16 square touches 4 z-files vs 16 linear files, the
+    misaligned square ~9 vs ~17, and the y-only band is the rout (32 vs
+    256 — a predicate on the TRAILING dimension of a lexicographic sort
+    touches every leading-dimension run, the classic single-sort-key
+    failure) — the measured counts are part of the hash-checked result,
+    not prose. The interleave is pure integer
+    arithmetic (no shift builtins), identical text under DuckDB `//` and
+    Spark `div`.
+
+    Scale shape: one projection + ONE aggregate pass (the three predicates
+    fold into conditional distinct-counts, unpivoted with stack) — no
+    joins, no second scan. In production z would be a stored sort column;
+    this key is the layout-planning measurement.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dims = ev.selectExpr(
+        "(event_id * 2654435761) % 256 AS x",
+        "(unix_micros(ts) - unix_micros(TIMESTAMP '2024-01-01')) div 10800000000 AS y",
+    )
+    coded = dims.selectExpr("x", "y", f"({_z16_sql('div')}) AS z")
+    files = coded.selectExpr(
+        "x", "y", f"z div {_Z_CELL} AS zfile", f"(x * 256 + y) div {_Z_CELL} AS lfile"
+    )
+    aggs = []
+    for pid, xl, xh, yl, yh in _Z_PREDS:
+        pred = f"x BETWEEN {xl} AND {xh} AND y BETWEEN {yl} AND {yh}"
+        aggs += [
+            F.expr(f"count_if({pred})").cast("long").alias(f"n_{pid}"),
+            F.expr(f"count(DISTINCT CASE WHEN {pred} THEN zfile END)")
+            .cast("long")
+            .alias(f"z_{pid}"),
+            F.expr(f"count(DISTINCT CASE WHEN {pred} THEN lfile END)")
+            .cast("long")
+            .alias(f"l_{pid}"),
+        ]
+    one = files.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{pid}', n_{pid}, z_{pid}, l_{pid}" for pid, *_ in _Z_PREDS
+    )
+    return one.selectExpr(
+        f"stack({len(_Z_PREDS)}, {stack_args}) AS (pred_id, n_rows, z_files, linear_files)"
+    )

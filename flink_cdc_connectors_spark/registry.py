@@ -95,6 +95,8 @@ _CHECK_FIRST = (
     "ext_url_dedup",
     "ext_dedup_lines",
     "ext_dedup_keeper_quality",
+    "ext_zorder_layout",
+    "join_skew_salted",
     "cdc_jdbc_snapshot",
     "cdc_jdbc_incremental",
     "cdc_upsert_sink",

@@ -435,3 +435,23 @@ def test_gtid_failover_bounds_broadcast(spark, sf_dir):
     df = Q["cdc_gtid_failover"].builder(spark, sf_dir)
     assert has_broadcast_join(df)
     assert shuffle_count(df) <= 3
+
+
+def test_zorder_layout_single_pass(spark, sf_dir):
+    """The layout measurement must be one scan + one aggregate (predicates
+    as conditional counts) — no joins, no repeated scans."""
+    df = Q["ext_zorder_layout"].builder(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_salted_join_salt_in_join_keys(spark, sf_dir):
+    """The skew salt must actually be part of the join partitioning —
+    SortMergeJoin on (k, __salt), not a broadcast that hides the skew."""
+    import re
+
+    df = Q["join_skew_salted"].builder(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    m = re.search(r"SortMergeJoin \[k#\d+L?, __salt#\d+\]", plan)
+    assert m, f"salted SMJ not found in plan:\n{plan[:2000]}"

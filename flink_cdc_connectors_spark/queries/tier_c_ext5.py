@@ -487,3 +487,121 @@ def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.selectExpr(
         f"stack({len(_Z_PREDS)}, {stack_args}) AS (pred_id, n_rows, z_files, linear_files)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio modality: binary PCM round trip + windowed DSP features
+# ---------------------------------------------------------------------------
+
+_AU_WIN = 256  # samples per analysis window
+_AU_DOCS = 500  # corpus slice carrying audio payloads
+
+# Deterministic synthetic signal: sample i of doc d is
+#   s(d, i) = ((d*31 + i*17) % 256) - 128   (signed 8-bit PCM range)
+# and doc d carries n(d) = 512 + (d%3)*256 samples (ragged: 2-4 windows).
+# The SPARK pipeline round-trips this through a real binary column
+# (np.int8 pack -> BinaryType -> np.frombuffer decode); the oracle
+# computes features from the formula directly — a single byte lost or
+# sign-flipped in the codec cannot hash-match.
+_AU_SAMPLES_SQL = f"""
+  SELECT doc_id, i, ((doc_id * 31 + i * 17) % 256) - 128 AS s
+  FROM (SELECT doc_id, 512 + (doc_id % 3) * 256 AS n FROM documents
+        WHERE doc_id < {_AU_DOCS}),
+       unnest(generate_series(0, CAST(n - 1 AS INT))) AS t(i)
+"""
+
+
+@query(
+    "ext_multimodal_audio",
+    tier="C",
+    oracle=f"""
+    WITH samples AS ({_AU_SAMPLES_SQL}),
+    lagged AS (
+      SELECT doc_id, i // {_AU_WIN} AS win_id, i, s,
+             lag(s) OVER (PARTITION BY doc_id, i // {_AU_WIN} ORDER BY i) AS prev_s
+      FROM samples)
+    SELECT doc_id, CAST(win_id AS INT) AS win_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           round(sqrt(avg(CAST(s * s AS DOUBLE))), 4) AS rms,
+           CAST(count(*) FILTER (WHERE prev_s IS NOT NULL AND s * prev_s < 0) AS BIGINT)
+             AS zero_cross,
+           CAST(max(abs(s)) AS BIGINT) AS peak
+    FROM lagged
+    GROUP BY 1, 2
+    """,
+)
+def ext_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality END TO END through a real binary column: signed-8-bit
+    PCM payloads are PACKED into BinaryType (np.int8.tobytes inside an
+    Arrow-batched mapInPandas — the ingest side), then a second
+    mapInPandas DECODES the bytes (np.frombuffer) and computes windowed
+    DSP features: RMS, zero crossings, peak per 256-sample window. Unlike
+    the image/video keys (whose decoder is a documented stub — the codec
+    libraries are not in the container), the audio codec is REAL
+    arithmetic, so the whole byte round trip is value-checked against the
+    formula-level DuckDB oracle: one corrupted, reordered, or sign-flipped
+    byte fails the hash.
+
+    Scale shape: both mapInPandas stages are map-only (no shuffle — the
+    per-doc payload is self-contained, the 100 TB pattern for media
+    columns); windows explode inside the decode batch in numpy; the only
+    exchange is the final (doc, window) feature aggregate being returned
+    ordered for stable hashing. Payloads here are KB-sized; real audio is
+    MB-sized with identical plumbing — batch size, not row count, is the
+    Arrow knob that matters.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _AU_DOCS)
+        .select("doc_id", (512 + (F.col("doc_id") % 3) * 256).cast("int").alias("n"))
+    )
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("audio", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            out = []
+            for d, n in zip(pdf["doc_id"], pdf["n"]):
+                i = np.arange(int(n), dtype=np.int64)
+                s = ((int(d) * 31 + i * 17) % 256 - 128).astype(np.int8)
+                out.append(s.tobytes())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "audio": out})
+
+    feat_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("win_id", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_cross", T.LongType()),
+            T.StructField("peak", T.LongType()),
+        ]
+    )
+
+    def decode_features(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "win_id", "n_samples", "rms", "zero_cross", "peak")}
+            for d, blob in zip(pdf["doc_id"], pdf["audio"]):
+                s = np.frombuffer(blob, dtype=np.int8).astype(np.int64)
+                for w in range(0, len(s), _AU_WIN):
+                    win = s[w : w + _AU_WIN]
+                    rows["doc_id"].append(int(d))
+                    rows["win_id"].append(w // _AU_WIN)
+                    rows["n_samples"].append(len(win))
+                    rows["rms"].append(round(float(np.sqrt(np.mean(win.astype(np.float64) ** 2))), 4))
+                    rows["zero_cross"].append(int(np.sum(win[1:] * win[:-1] < 0)))
+                    rows["peak"].append(int(np.max(np.abs(win))))
+            yield pd.DataFrame(rows)
+
+    audio = docs.mapInPandas(encode, schema=enc_schema)
+    return audio.mapInPandas(decode_features, schema=feat_schema)

@@ -97,6 +97,7 @@ _CHECK_FIRST = (
     "ext_dedup_keeper_quality",
     "ext_zorder_layout",
     "join_skew_salted",
+    "ext_multimodal_audio",
     "cdc_jdbc_snapshot",
     "cdc_jdbc_incremental",
     "cdc_upsert_sink",

@@ -455,3 +455,13 @@ def test_salted_join_salt_in_join_keys(spark, sf_dir):
     plan = explain_str(df, "simple")
     m = re.search(r"SortMergeJoin \[k#\d+L?, __salt#\d+\]", plan)
     assert m, f"salted SMJ not found in plan:\n{plan[:2000]}"
+
+
+def test_audio_pipeline_is_map_only(spark, sf_dir):
+    """Media processing must stay map-only: per-row payloads are
+    self-contained, so encode -> binary -> decode-features has ZERO
+    exchanges."""
+    df = Q["ext_multimodal_audio"].builder(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    plan = explain_str(df, "simple")
+    assert plan.count("MapInPandas") == 2

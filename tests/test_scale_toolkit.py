@@ -64,3 +64,37 @@ def test_salted_aggregate_rejects_non_decomposable(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     with pytest.raises(ValueError, match="non-decomposable"):
         salted_aggregate(li, ["l_returnflag"], {"l_quantity": "avg"})
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """The salt must actually spread the hot key: the 70%-hot fact key's
+    rows land in ~salt_buckets distinct (key, salt) groups with no group
+    holding more than ~2x the even share — the property that bounds the
+    worst reducer at scale."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_connectors_spark.operators.scale import salted_join
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.select(
+        F.when(F.col("event_id") % 10 < 7, F.lit(1)).otherwise(F.col("user_id")).alias("k"),
+        "event_id",
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    buckets = 8
+    joined = salted_join(
+        fact, dim.hint("merge"), "k", salt_buckets=buckets, salt_from=F.xxhash64("event_id")
+    )
+    # re-derive the salt the operator used to inspect the distribution
+    salted = fact.withColumn("s", F.abs(F.xxhash64("event_id") % buckets).cast("int"))
+    hot = salted.filter(F.col("k") == 1).groupBy("s").count().collect()
+    n_hot = sum(r["count"] for r in hot)
+    assert len(hot) == buckets, "hot key not spread across all salt values"
+    even = n_hot / buckets
+    assert max(r["count"] for r in hot) < 2 * even
+    # and results still equal the plain join
+    plain = fact.join(dim, "k").count()
+    assert joined.count() == plain

@@ -1216,3 +1216,41 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+@query(
+    "set_ops_bag",
+    tier="B",
+    oracle="""
+    WITH l AS (SELECT o_custkey AS k, o_orderpriority AS p FROM orders),
+    r AS (SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT 'except_all' AS op, k, p FROM
+      (SELECT k, p FROM l EXCEPT ALL SELECT o_custkey, o_orderpriority FROM r)
+    UNION ALL
+    SELECT 'intersect_all', k, p FROM
+      (SELECT k, p FROM l INTERSECT ALL SELECT o_custkey, o_orderpriority FROM r)
+    """,
+)
+def set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantic set operations — EXCEPT ALL / INTERSECT ALL preserve
+    MULTIPLICITIES (a row appearing 5 times on the left and 2 on the right
+    survives EXCEPT ALL 3 times), which the distinct flavors already
+    covered by set_except/set_intersect cannot express; Flink SQL supports
+    both bag forms, and changelog arithmetic (insertions minus
+    retractions) is exactly multiset difference. The left side is the
+    orders (custkey, priority) multiset, the right a 1-in-3 slice — every
+    surviving multiplicity is the difference/minimum of real duplicate
+    counts, hash-checked row-for-row.
+
+    Spark plans exceptAll/intersectAll as a count-aggregate + generate
+    replay (sum of signed counts, then re-expand) — one shuffle per
+    operand pair on the row value, no join explosion on duplicate keys.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    left = o.select(F.col("o_custkey").alias("k"), F.col("o_orderpriority").alias("p"))
+    right = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_custkey").alias("k"), F.col("o_orderpriority").alias("p")
+    )
+    ex = left.exceptAll(right).select(F.lit("except_all").alias("op"), "k", "p")
+    ix = left.intersectAll(right).select(F.lit("intersect_all").alias("op"), "k", "p")
+    return ex.unionByName(ix)

@@ -98,6 +98,7 @@ _CHECK_FIRST = (
     "ext_zorder_layout",
     "join_skew_salted",
     "ext_multimodal_audio",
+    "set_ops_bag",
     "cdc_jdbc_snapshot",
     "cdc_jdbc_incremental",
     "cdc_upsert_sink",

@@ -546,7 +546,12 @@ def cdc_mongo_changestream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the k state rides inside a struct: the struct is non-null when an
     # action happened even when the value it carries is NULL.
     is_full = F.col("mongo_op").isin("insert", "replace")
-    val_action = F.when(is_full, F.col("fd_cents")).otherwise(F.col("uf_cents"))
+    # Both field states ride inside structs: a full image legitimately sets
+    # a field to NULL, and a bare last(..., ignorenulls) would skip that
+    # action and retain the stale pre-image (the oracle's fold would not).
+    val_action = F.when(
+        is_full, F.struct(F.col("fd_cents").alias("v"))
+    ).when(F.col("uf_cents").isNotNull(), F.struct(F.col("uf_cents").alias("v")))
     k_action = F.when(
         is_full | (F.col("mongo_op") == "update"),
         F.struct(
@@ -570,7 +575,7 @@ def cdc_mongo_changestream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.filter((F.col("__rn") == 1) & (F.col("mongo_op") != "delete")).select(
         "user_id",
         F.col("event_id").alias("last_eid"),
-        F.col("__v_run").alias("value_cents"),
+        F.col("__v_run.v").alias("value_cents"),
         F.col("__k_run.k").alias("props_k"),
     )
 

@@ -26,10 +26,10 @@ from flink_cdc_connectors_spark.queries.tier_c import (
     _WITH_COPIES_SQL,
 )
 from flink_cdc_connectors_spark.registry import query
+from flink_cdc_connectors_spark.sources.loaders import fan_out, load_table
 
 # eval predicate with the alias the decontaminate oracle's join uses
 _EVAL_PRED_SQL_S = _EVAL_PRED_SQL.replace("doc_id", "s.doc_id")
-from flink_cdc_connectors_spark.sources.loaders import fan_out, load_table
 
 # Knuth's multiplicative-hash constant: the same bigint arithmetic runs on
 # both engines (doc_id * C stays < 2^63 for any plausible doc_id), giving a

@@ -446,7 +446,8 @@ def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     files each layout's reader must touch for three predicate shapes. The
     numbers are the whole argument for OPTIMIZE ZORDER at 100 TB: an
     aligned 16x16 square touches 4 z-files vs 16 linear files, the
-    misaligned square ~9 vs ~17, and the y-only band is the rout (32 vs
+    misaligned square 9 vs 32 (it
+    crosses a linear y-block boundary, doubling the linear count), and the y-only band is the rout (32 vs
     256 — a predicate on the TRAILING dimension of a lexicographic sort
     touches every leading-dimension run, the classic single-sort-key
     failure) — the measured counts are part of the hash-checked result,

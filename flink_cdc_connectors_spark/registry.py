@@ -84,6 +84,9 @@ def query(key: str, tier: str, oracle: str | None = None) -> Callable[[QueryFn],
 # (sketch outputs with no SQL form) sit at the very tail.
 _CHECK_FIRST = (
     # -- 0: new round-3 keys (no driver row can exist yet) ----------------
+    # late-round additions (capture formats, curation, layout, skew, bag
+    # ops, audio) lead; with them the 27 round-3 keys + sections 1-3 fill
+    # 48 of the ~50-key budget
     "cdc_logminer_redo",
     "cdc_capture_sqlserver",
     "cdc_capture_db2",

@@ -241,3 +241,50 @@ def test_patch_fold_redelivery_is_idempotent(events):
     again = list(fn((1,), iter([_mk_pdf(rows)]), state))
     assert state._t == before
     assert again == []
+
+
+# ---------------------------------------------------------------------------
+# Curation-key invariants
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.from_regex(
+        r"(https?://)?(www\.)?[a-z]{2,8}\.example\.com(/[a-z0-9]{1,6}){0,3}/?"
+        r"(\?(utm_[a-z]{1,6}=[a-z0-9]{0,4}&?|ref=[0-9]{1,2}&?){0,3})?(#[a-z0-9]{0,5})?",
+        fullmatch=True,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_url_canonicalization_is_idempotent(url):
+    """canon(canon(u)) == canon(u): the regex chain must be a projection
+    onto its own image — a second pass changing anything means the chain's
+    step order leaves residue (e.g. a trailing '?' that only strips after
+    a utm removal exposes it)."""
+    import re
+
+    from flink_cdc_connectors_spark.queries.tier_c_ext5 import _CANON_STEPS
+
+    def canon(u: str) -> str:
+        c = u.lower()
+        for pat, rep in _CANON_STEPS:
+            c = re.sub(pat, rep, c)
+        return c
+
+    once = canon(url)
+    assert canon(once) == once, (url, once, canon(once))
+
+
+def test_bloom_has_no_false_negatives(duck, sf_dir):
+    """Structural Bloom invariant on the oracle output: every exact hit is
+    bloom-positive (n_bloom >= n_exact per doc, and no doc with exact hits
+    is missing from the flagged set)."""
+    from flink_cdc_connectors_spark.registry import all_queries
+
+    df = duck.execute(all_queries()["ext_bloom_decontaminate"].oracle).fetchdf()
+    assert (df.n_bloom >= df.n_exact).all()
+    exact = duck.execute(
+        all_queries()["ext_decontaminate"].oracle
+    ).fetchdf()
+    # every doc the exact key flags must appear in the bloom key's output
+    assert set(exact.doc_id) <= set(df.doc_id)

@@ -91,10 +91,15 @@ class TableDef:
     watermark: tuple[str, str] | None  # (column, expression) — informational
     options: dict[str, str]
 
+    def dialect(self) -> str:
+        """Type-resolution dialect from the connector option (mysql-cdc ->
+        'mysql'); unknown/absent connectors resolve with MySQL rules."""
+        return self.options.get("connector", "mysql-cdc").removesuffix("-cdc")
+
     def spark_schema(self) -> T.StructType:
         return T.StructType(
             [
-                T.StructField(n, map_source_type(d), nullable=True)
+                T.StructField(n, map_source_type(d, self.dialect()), nullable=True)
                 for n, d in self.columns
             ]
         )
@@ -277,14 +282,16 @@ def create_cdc_table(
                 df = df.filter(F.expr(pred))
         cols = []
         for name, decl in tdef.columns:
-            target = map_source_type(decl)
+            target = map_source_type(decl, tdef.dialect())
             if name in df.columns:
                 cols.append(F.col(name).cast(target).alias(name))
             else:
                 cols.append(F.lit(None).cast(target).alias(name))
         for name, decl, key in tdef.metadata_columns:
             cols.append(
-                _metadata_col(key, t, cfg, df).cast(map_source_type(decl)).alias(name)
+                _metadata_col(key, t, cfg, df)
+                .cast(map_source_type(decl, tdef.dialect()))
+                .alias(name)
             )
         parts.append(df.select(*cols))
     out = parts[0]

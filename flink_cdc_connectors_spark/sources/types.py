@@ -35,15 +35,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _TYPE_RE = re.compile(
-    r"^\s*(?P<base>[a-zA-Z_ ]+?)\s*(?:\((?P<args>[^)]*)\))?"
+    r"^\s*(?P<base>[a-zA-Z_ ]+?[0-9]?)\s*(?:\((?P<args>[^)]*)\))?"
     r"\s*(?P<unsigned>unsigned)?\s*(?:zerofill)?\s*$",
     re.IGNORECASE,
 )
 
 
-def map_source_type(decl: str) -> T.DataType:
+def map_source_type(decl: str, dialect: str = "mysql") -> T.DataType:
     """Source DDL type declaration -> Spark DataType (the discovery-time
-    mapping, MySqlTypeUtils.fromDbzColumn analog)."""
+    mapping, MySqlTypeUtils.fromDbzColumn analog).
+
+    ``dialect`` resolves the declarations whose meaning differs by
+    database: MySQL REAL is DOUBLE (mysql-cdc.md type table) while
+    Postgres REAL/FLOAT4 is FLOAT (postgres-cdc.md:355-359)."""
     m = _TYPE_RE.match(decl)
     if not m:
         raise ValueError(f"unparseable type declaration: {decl!r}")
@@ -54,6 +58,9 @@ def map_source_type(decl: str) -> T.DataType:
 
     if base in ("bit", "tinyint") and n == 1:
         return T.BooleanType()
+    if base == "bit":
+        # BIT(n>1) -> BINARY(ceil(n/8)) per mysql-cdc.md's type table
+        return T.BinaryType()
     if base == "boolean":
         return T.BooleanType()
     if base == "tinyint":
@@ -62,15 +69,20 @@ def map_source_type(decl: str) -> T.DataType:
         return T.IntegerType() if unsigned else T.ShortType()
     if base in ("int", "integer", "mediumint"):
         return T.LongType() if unsigned else T.IntegerType()
-    if base in ("bigint", "serial"):
+    if base == "serial":
+        # SERIAL is an alias for BIGINT UNSIGNED -> DECIMAL(20, 0)
+        return T.DecimalType(20, 0)
+    if base == "bigint":
         return T.DecimalType(20, 0) if unsigned else T.LongType()
     if base in ("decimal", "numeric", "fixed"):
         p = n or 10
         s = int(args[1]) if len(args) > 1 else 0
         return T.DecimalType(p, s) if p <= 38 else T.StringType()
-    if base in ("float", "real"):
+    if base == "real":
+        return T.DoubleType() if dialect == "mysql" else T.FloatType()
+    if base in ("float", "float4"):
         return T.FloatType()
-    if base in ("double", "double precision"):
+    if base in ("double", "double precision", "float8"):
         return T.DoubleType()
     # "string" is the Flink SQL spelling (the reference's DDLs declare
     # STRING columns, README.md:27-56) — same lattice point as varchar

@@ -155,3 +155,97 @@ def test_schema_history_versioning(spark):
         SchemaHistory().apply_ddl("app", "t", 0, "ALTER TABLE t ADD COLUMN c INT")
     with pytest.raises(ValueError, match="unsupported DDL"):
         h.apply_ddl("app", "users", 400, "TRUNCATE TABLE users")
+
+
+def test_mysql_doc_type_table_mapping():
+    """Every concrete row of the reference's mysql-cdc.md Data Type Mapping
+    table must agree with map_source_type (parameterized rows tested with
+    concrete (p, s)/(n) substitutions; the geometry VALUE-example rows and
+    the 'where p <= 38' annotation rows are not type rows)."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_connectors_spark.sources.types import map_source_type
+
+    # (MySQL declaration, expected Spark type) — transcribed 1:1 from the
+    # doc table with p=10, s=2, n=16 where the table uses placeholders
+    expected = [
+        ("TINYINT", T.ByteType()),
+        ("SMALLINT", T.ShortType()),
+        ("TINYINT UNSIGNED", T.ShortType()),
+        ("INT", T.IntegerType()),
+        ("MEDIUMINT", T.IntegerType()),
+        ("SMALLINT UNSIGNED", T.IntegerType()),
+        ("BIGINT", T.LongType()),
+        ("INT UNSIGNED", T.LongType()),
+        ("MEDIUMINT UNSIGNED", T.LongType()),
+        ("BIGINT UNSIGNED", T.DecimalType(20, 0)),
+        ("SERIAL", T.DecimalType(20, 0)),
+        ("FLOAT", T.FloatType()),
+        ("FLOAT UNSIGNED", T.FloatType()),
+        ("REAL", T.DoubleType()),
+        ("DOUBLE", T.DoubleType()),
+        ("DOUBLE PRECISION", T.DoubleType()),
+        ("NUMERIC(10, 2)", T.DecimalType(10, 2)),
+        ("DECIMAL(10, 2)", T.DecimalType(10, 2)),
+        ("DECIMAL(10, 2) UNSIGNED", T.DecimalType(10, 2)),
+        ("FIXED(10, 2)", T.DecimalType(10, 2)),
+        ("DECIMAL(45, 2)", T.StringType()),  # 38 < p <= 65 -> STRING
+        ("BOOLEAN", T.BooleanType()),
+        ("TINYINT(1)", T.BooleanType()),
+        ("BIT(1)", T.BooleanType()),
+        ("BIT(9)", T.BinaryType()),  # BINARY(ceil(n/8))
+        ("DATE", T.DateType()),
+        ("CHAR(16)", T.StringType()),
+        ("VARCHAR(255)", T.StringType()),
+        ("BINARY(16)", T.BinaryType()),
+        ("VARBINARY(32)", T.BinaryType()),
+        ("TINYTEXT", T.StringType()),
+        ("TEXT", T.StringType()),
+        ("MEDIUMTEXT", T.StringType()),
+        ("LONGTEXT", T.StringType()),
+        ("TINYBLOB", T.BinaryType()),
+        ("BLOB", T.BinaryType()),
+        ("MEDIUMBLOB", T.BinaryType()),
+        ("LONGBLOB", T.BinaryType()),
+        ("YEAR", T.IntegerType()),
+        ("ENUM", T.StringType()),
+        ("JSON", T.StringType()),
+        ("SET", T.ArrayType(T.StringType())),
+        ("GEOMETRY", T.StringType()),
+        ("POINT", T.StringType()),
+        ("POLYGON", T.StringType()),
+        ("GEOMETRYCOLLECTION", T.StringType()),
+    ]
+    for decl, want in expected:
+        got = map_source_type(decl)
+        assert got == want, f"{decl}: {got} != {want}"
+    # TIMESTAMP/DATETIME land on the timestamp lattice point (Spark has no
+    # parameterized precision); TIME has no Spark type -> millis-of-day int
+    assert isinstance(map_source_type("TIMESTAMP(3)"), T.TimestampNTZType)
+    assert isinstance(map_source_type("DATETIME(6)"), T.TimestampNTZType)
+    assert isinstance(map_source_type("TIME(3)"), T.IntegerType)
+
+
+def test_dialect_resolves_real_per_connector():
+    """MySQL REAL is DOUBLE (mysql-cdc.md) but Postgres REAL/FLOAT4 is
+    FLOAT (postgres-cdc.md:355-359) — the dialect parameter must resolve
+    the conflict, and the DDL surface must thread the connector through."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_connectors_spark.sources.ddl import parse_create_table
+    from flink_cdc_connectors_spark.sources.types import map_source_type
+
+    assert map_source_type("REAL", "mysql") == T.DoubleType()
+    assert map_source_type("REAL", "postgres") == T.FloatType()
+    assert map_source_type("FLOAT4", "postgres") == T.FloatType()
+    assert map_source_type("FLOAT8", "postgres") == T.DoubleType()
+
+    pg = parse_create_table(
+        """CREATE TABLE t (r REAL, PRIMARY KEY (r) NOT ENFORCED)
+           WITH ('connector' = 'postgres-cdc')"""
+    )
+    assert pg.spark_schema()["r"].dataType == T.FloatType()
+    my = parse_create_table(
+        """CREATE TABLE t (r REAL) WITH ('connector' = 'mysql-cdc')"""
+    )
+    assert my.spark_schema()["r"].dataType == T.DoubleType()

@@ -34,11 +34,130 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_TYPE_RE = re.compile(
-    r"^\s*(?P<base>[a-zA-Z_ ]+?[0-9]?)\s*(?:\((?P<args>[^)]*)\))?"
-    r"\s*(?P<unsigned>unsigned)?\s*(?:zerofill)?\s*$",
+# Declaration shape: WORDS [ (args) ] [ WORDS ] — e.g. "INT UNSIGNED",
+# "TIMESTAMP(6) WITH LOCAL TIME ZONE", "DECIMAL(10,2) UNSIGNED ZEROFILL",
+# "FLOAT4", "SYS.XMLTYPE". Parsed imperatively (a single regex with lazy
+# groups mis-splits multi-word bases).
+_DECL_RE = re.compile(
+    r"^\s*(?P<head>[a-zA-Z_.][a-zA-Z_. 0-9]*?)\s*"
+    r"(?:\((?P<args>[^)]*)\)\s*(?P<tail>[a-zA-Z_ ]*))?\s*$",
     re.IGNORECASE,
 )
+
+
+
+# Declarations whose meaning differs by source database — transcribed from
+# each connector doc's Data Type Mapping table (the per-dialect analog of
+# MySqlTypeUtils/OracleTypeUtils/... fromDbzColumn). Checked row-by-row by
+# tests/test_types_and_config.py::test_*_doc_type_table_mapping.
+def _dialect_type(base, args, n, dialect):
+    d = dialect.lower().removesuffix("-cdc")
+    # --- MongoDB: BSON type names, a disjoint namespace (mongodb-cdc.md) --
+    if d in ("mongo", "mongodb"):
+        bson = {
+            "int": T.LongType(),          # Int -> BIGINT per the doc table
+            "long": T.LongType(),
+            "double": T.DoubleType(),
+            "decimal128": T.DecimalType(38, 18),
+            "boolean": T.BooleanType(),
+            "date": T.TimestampType(),     # TIMESTAMP_LTZ(3)
+            "timestamp": T.TimestampType(),
+            "string": T.StringType(),
+            "objectid": T.StringType(),
+            "uuid": T.StringType(),
+            "symbol": T.StringType(),
+            "md5": T.StringType(),
+            "javascript": T.StringType(),
+            "regex": T.StringType(),
+            "bindata": T.BinaryType(),
+        }
+        if base in bson:
+            return bson[base]
+    # --- Oracle: NUMBER precision tiers, DATE carries time (oracle-cdc.md)
+    if d == "oracle":
+        if base == "number":
+            p = n
+            sc = int(args[1]) if len(args) > 1 and args[1].lstrip("-").isdigit() else 0
+            if p is not None and sc <= 0:
+                span = p - sc
+                if p == 1:
+                    return T.BooleanType()   # NUMBER(1) -> BOOLEAN
+                if span < 3:
+                    return T.ByteType()
+                if span < 5:
+                    return T.ShortType()
+                if span < 10:
+                    return T.IntegerType()
+                if span < 19:
+                    return T.LongType()
+                if span <= 38:
+                    return T.DecimalType(span, 0)
+                return T.StringType()
+            if p is not None and sc > 0:
+                return T.DecimalType(p, sc) if p <= 38 else T.StringType()
+            return T.DecimalType(38, 18)     # unconstrained NUMBER
+        if base == "date":
+            return T.TimestampNTZType()      # Oracle DATE has a time part
+        if base in ("binary_float",):
+            return T.FloatType()
+        if base in ("binary_double",):
+            return T.DoubleType()
+        if base in ("nchar", "nvarchar2", "varchar2", "nclob", "xmltype", "sys.xmltype"):
+            return T.StringType()
+        if base == "rowid":
+            return T.BinaryType()
+        if base in ("interval day to second", "interval year to month"):
+            return T.LongType()
+        if base.startswith("timestamp") and "time zone" in base:
+            return T.TimestampType()      # WITH [LOCAL] TIME ZONE
+    # --- SQL Server (sqlserver-cdc.md) --------------------------------
+    if d == "sqlserver":
+        if base == "tinyint":
+            return T.ShortType()             # T-SQL tinyint is 0..255
+        if base in ("float", "real"):
+            return T.DoubleType()            # doc maps both to DOUBLE
+        if base == "bit":
+            return T.BooleanType()
+        if base == "money":
+            return T.DecimalType(19, 4)
+        if base == "smallmoney":
+            return T.DecimalType(10, 4)
+        if base in ("nvarchar", "nchar", "ntext", "xml"):
+            return T.StringType()
+        if base in ("datetime", "datetime2", "smalldatetime"):
+            return T.TimestampNTZType()
+        if base == "datetimeoffset":
+            return T.TimestampType()
+    # --- Postgres (postgres-cdc.md) -----------------------------------
+    if d in ("postgres", "postgresql"):
+        if base in ("real", "float4"):
+            return T.FloatType()
+        if base == "float8":
+            return T.DoubleType()
+        if base in ("int2", "smallserial", "serial2"):
+            return T.ShortType()
+        if base == "serial":
+            return T.IntegerType()
+        if base == "bigserial":
+            return T.LongType()
+        if base in ("character", "character varying"):
+            return T.StringType()
+    # --- Db2 (db2-cdc.md) ---------------------------------------------
+    if d == "db2":
+        if base == "real":
+            return T.FloatType()
+        if base in ("clob", "dbclob"):
+            return T.BinaryType()            # doc maps CLOB/DBCLOB -> BYTES
+        if base in ("vargraphic", "xml"):
+            return T.StringType()
+    # --- TiDB / OceanBase: TIMESTAMP is LTZ (tidb/oceanbase-cdc.md) ----
+    if d in ("tidb", "oceanbase"):
+        if base == "timestamp":
+            return T.TimestampType()
+        if base == "real":
+            # tidb follows MySQL (REAL=DOUBLE); oceanbase's table says FLOAT
+            return T.DoubleType() if d == "tidb" else T.FloatType()
+    return None
 
 
 def map_source_type(decl: str, dialect: str = "mysql") -> T.DataType:
@@ -48,13 +167,23 @@ def map_source_type(decl: str, dialect: str = "mysql") -> T.DataType:
     ``dialect`` resolves the declarations whose meaning differs by
     database: MySQL REAL is DOUBLE (mysql-cdc.md type table) while
     Postgres REAL/FLOAT4 is FLOAT (postgres-cdc.md:355-359)."""
-    m = _TYPE_RE.match(decl)
+    m = _DECL_RE.match(decl)
     if not m:
         raise ValueError(f"unparseable type declaration: {decl!r}")
-    base = " ".join(m.group("base").lower().split())
     args = [a.strip() for a in (m.group("args") or "").split(",") if a.strip()]
-    unsigned = bool(m.group("unsigned"))
+    # words before the parens + words after them form the full name;
+    # UNSIGNED/ZEROFILL modifiers are stripped off wherever they appear
+    words = (m.group("head").lower().split()) + (
+        (m.group("tail") or "").lower().split()
+    )
+    unsigned = "unsigned" in words
+    words = [w for w in words if w not in ("unsigned", "zerofill")]
+    base = " ".join(words)
     n = int(args[0]) if args and args[0].isdigit() else None
+
+    resolved = _dialect_type(base, args, n, dialect)
+    if resolved is not None:
+        return resolved
 
     if base in ("bit", "tinyint") and n == 1:
         return T.BooleanType()
@@ -87,7 +216,7 @@ def map_source_type(decl: str, dialect: str = "mysql") -> T.DataType:
     # "string" is the Flink SQL spelling (the reference's DDLs declare
     # STRING columns, README.md:27-56) — same lattice point as varchar
     if base in ("char", "varchar", "string", "text", "tinytext", "mediumtext",
-                "longtext", "enum", "json"):
+                "longtext", "enum", "json", "clob"):
         return T.StringType()
     if base == "set":
         return T.ArrayType(T.StringType())
@@ -95,9 +224,10 @@ def map_source_type(decl: str, dialect: str = "mysql") -> T.DataType:
         return T.BinaryType()
     if base == "date":
         return T.DateType()
-    if base == "time":
+    if base in ("time", "time without timezone", "time without time zone"):
         return T.IntegerType()  # millis-of-day convention (no TIME in Spark)
-    if base in ("datetime", "timestamp"):
+    if base in ("datetime", "timestamp", "timestamp without timezone",
+                "timestamp without time zone"):
         return T.TimestampNTZType()
     if base in ("timestamp with time zone", "timestamptz", "timestamp_ltz"):
         return T.TimestampType()

@@ -249,3 +249,205 @@ def test_dialect_resolves_real_per_connector():
         """CREATE TABLE t (r REAL) WITH ('connector' = 'mysql-cdc')"""
     )
     assert my.spark_schema()["r"].dataType == T.DoubleType()
+
+
+def _check_rows(dialect, rows):
+    from flink_cdc_connectors_spark.sources.types import map_source_type
+
+    for decl, want in rows:
+        got = map_source_type(decl, dialect)
+        assert got == want, f"[{dialect}] {decl}: {got} != {want}"
+
+
+def test_postgres_doc_type_table_mapping():
+    """postgres-cdc.md Data Type Mapping, concrete rows (p=10, s=2, n=16)."""
+    from pyspark.sql import types as T
+
+    _check_rows(
+        "postgres",
+        [
+            ("SMALLINT", T.ShortType()),
+            ("INT2", T.ShortType()),
+            ("SMALLSERIAL", T.ShortType()),
+            ("SERIAL2", T.ShortType()),
+            ("INTEGER", T.IntegerType()),
+            ("SERIAL", T.IntegerType()),
+            ("BIGINT", T.LongType()),
+            ("BIGSERIAL", T.LongType()),
+            ("REAL", T.FloatType()),
+            ("FLOAT4", T.FloatType()),
+            ("FLOAT8", T.DoubleType()),
+            ("DOUBLE PRECISION", T.DoubleType()),
+            ("NUMERIC(10, 2)", T.DecimalType(10, 2)),
+            ("DECIMAL(10, 2)", T.DecimalType(10, 2)),
+            ("BOOLEAN", T.BooleanType()),
+            ("DATE", T.DateType()),
+            ("TIME WITHOUT TIMEZONE", T.IntegerType()),
+            ("TIMESTAMP WITHOUT TIMEZONE", T.TimestampNTZType()),
+            ("CHAR(16)", T.StringType()),
+            ("CHARACTER(16)", T.StringType()),
+            ("VARCHAR(16)", T.StringType()),
+            ("CHARACTER VARYING(16)", T.StringType()),
+            ("TEXT", T.StringType()),
+            ("BYTEA", T.BinaryType()),
+        ],
+    )
+
+
+def test_oracle_doc_type_table_mapping():
+    """oracle-cdc.md: NUMBER precision tiers, DATE carries time, interval
+    types, national/char LOBs."""
+    from pyspark.sql import types as T
+
+    _check_rows(
+        "oracle",
+        [
+            ("NUMBER(2, 0)", T.ByteType()),      # p - s < 3
+            ("NUMBER(4, 0)", T.ShortType()),     # p - s < 5
+            ("NUMBER(9)", T.IntegerType()),      # p - s < 10
+            ("NUMBER(18, 0)", T.LongType()),     # p - s < 19
+            ("NUMBER(25, 0)", T.DecimalType(25, 0)),  # 19 <= p - s <= 38
+            ("NUMBER(10, 2)", T.DecimalType(10, 2)),  # s > 0
+            ("NUMBER(1)", T.BooleanType()),
+            ("FLOAT", T.FloatType()),
+            ("BINARY_FLOAT", T.FloatType()),
+            ("DOUBLE PRECISION", T.DoubleType()),
+            ("BINARY_DOUBLE", T.DoubleType()),
+            ("DATE", T.TimestampNTZType()),      # Oracle DATE has time
+            ("TIMESTAMP(6)", T.TimestampNTZType()),
+            ("TIMESTAMP(6) WITH TIME ZONE", T.TimestampType()),
+            ("TIMESTAMP(6) WITH LOCAL TIME ZONE", T.TimestampType()),
+            ("CHAR(16)", T.StringType()),
+            ("NCHAR(16)", T.StringType()),
+            ("NVARCHAR2(16)", T.StringType()),
+            ("VARCHAR(16)", T.StringType()),
+            ("VARCHAR2(16)", T.StringType()),
+            ("CLOB", T.StringType()),
+            ("NCLOB", T.StringType()),
+            ("XMLType", T.StringType()),
+            ("SYS.XMLTYPE", T.StringType()),
+            ("BLOB", T.BinaryType()),
+            ("ROWID", T.BinaryType()),
+            ("INTERVAL DAY TO SECOND", T.LongType()),
+            ("INTERVAL YEAR TO MONTH", T.LongType()),
+        ],
+    )
+
+
+def test_sqlserver_doc_type_table_mapping():
+    """sqlserver-cdc.md: tinyint is unsigned (SMALLINT), float/real are
+    DOUBLE, money types are decimals, datetimeoffset is LTZ."""
+    from pyspark.sql import types as T
+
+    _check_rows(
+        "sqlserver",
+        [
+            ("char(16)", T.StringType()),
+            ("varchar(16)", T.StringType()),
+            ("nvarchar(16)", T.StringType()),
+            ("nchar(16)", T.StringType()),
+            ("text", T.StringType()),
+            ("ntext", T.StringType()),
+            ("xml", T.StringType()),
+            ("decimal(10, 2)", T.DecimalType(10, 2)),
+            ("money", T.DecimalType(19, 4)),
+            ("smallmoney", T.DecimalType(10, 4)),
+            ("float", T.DoubleType()),
+            ("real", T.DoubleType()),
+            ("bit", T.BooleanType()),
+            ("int", T.IntegerType()),
+            ("tinyint", T.ShortType()),
+            ("smallint", T.ShortType()),
+            ("bigint", T.LongType()),
+            ("date", T.DateType()),
+            ("time(3)", T.IntegerType()),
+            ("datetime2", T.TimestampNTZType()),
+            ("datetime", T.TimestampNTZType()),
+            ("smalldatetime", T.TimestampNTZType()),
+            ("datetimeoffset", T.TimestampType()),
+        ],
+    )
+
+
+def test_db2_doc_type_table_mapping():
+    """db2-cdc.md: REAL is FLOAT; CLOB/DBCLOB land on BYTES."""
+    from pyspark.sql import types as T
+
+    _check_rows(
+        "db2",
+        [
+            ("SMALLINT", T.ShortType()),
+            ("INTEGER", T.IntegerType()),
+            ("BIGINT", T.LongType()),
+            ("REAL", T.FloatType()),
+            ("DOUBLE", T.DoubleType()),
+            ("NUMERIC(10, 2)", T.DecimalType(10, 2)),
+            ("DECIMAL(10, 2)", T.DecimalType(10, 2)),
+            ("DATE", T.DateType()),
+            ("TIME", T.IntegerType()),
+            ("TIMESTAMP(6)", T.TimestampNTZType()),
+            ("CHAR(16)", T.StringType()),
+            ("VARCHAR(16)", T.StringType()),
+            ("BINARY(16)", T.BinaryType()),
+            ("VARBINARY(16)", T.BinaryType()),
+            ("BLOB", T.BinaryType()),
+            ("CLOB", T.BinaryType()),
+            ("DBCLOB", T.BinaryType()),
+            ("VARGRAPHIC", T.StringType()),
+            ("XML", T.StringType()),
+        ],
+    )
+
+
+def test_tidb_oceanbase_doc_type_table_mapping():
+    """tidb/oceanbase-cdc.md: MySQL-family EXCEPT TIMESTAMP is LTZ, and
+    REAL diverges between the two (TiDB: DOUBLE like MySQL; OceanBase's
+    table: FLOAT)."""
+    from pyspark.sql import types as T
+
+    for d in ("tidb", "oceanbase"):
+        _check_rows(
+            d,
+            [
+                ("TINYINT", T.ByteType()),
+                ("BIGINT UNSIGNED", T.DecimalType(20, 0)),
+                ("TIMESTAMP", T.TimestampType()),    # LTZ, unlike mysql
+                ("TIMESTAMP(3)", T.TimestampType()),
+                ("DATETIME(3)", T.TimestampNTZType()),
+                ("BIT(9)", T.BinaryType()),
+                ("SET", T.ArrayType(T.StringType())),
+                ("YEAR", T.IntegerType()),
+            ],
+        )
+    from flink_cdc_connectors_spark.sources.types import map_source_type
+
+    assert map_source_type("REAL", "tidb") == T.DoubleType()
+    assert map_source_type("REAL", "oceanbase") == T.FloatType()
+
+
+def test_mongodb_doc_type_table_mapping():
+    """mongodb-cdc.md: BSON scalar names (schema-dependent Object/Array/
+    DBPointer/GeoJSON rows need per-document schemas and are out of the
+    scalar lattice)."""
+    from pyspark.sql import types as T
+
+    _check_rows(
+        "mongodb",
+        [
+            ("Int", T.LongType()),
+            ("Long", T.LongType()),
+            ("Double", T.DoubleType()),
+            ("Decimal128", T.DecimalType(38, 18)),
+            ("Boolean", T.BooleanType()),
+            ("Date", T.TimestampType()),
+            ("Timestamp", T.TimestampType()),
+            ("String", T.StringType()),
+            ("ObjectId", T.StringType()),
+            ("UUID", T.StringType()),
+            ("Symbol", T.StringType()),
+            ("MD5", T.StringType()),
+            ("JavaScript", T.StringType()),
+            ("Regex", T.StringType()),
+            ("BinData", T.BinaryType()),
+        ],
+    )

@@ -231,11 +231,28 @@ def to_source_config(tdef: TableDef) -> SourceConfig:
 # metadata key -> column builder (MySqlReadableMetadata.java:33-70); the
 # simulation binds database_name to the config's database pattern (a
 # concrete name in the docs' DDLs) and op_ts to the row's event time.
-def _metadata_col(key: str, table: str, cfg: SourceConfig, df: DataFrame):
+def _metadata_col(
+    key: str,
+    table: str,
+    cfg: SourceConfig,
+    df: DataFrame,
+    options: dict[str, str] | None = None,
+):
+    """Virtual metadata column values — the union of every connector's
+    ReadableMetadata surface: MySQL exposes database/table/op_ts
+    (MySqlReadableMetadata.java:33-70); Postgres/Oracle/SQLServer/Db2 add
+    schema_name (SqlServerReadableMetadata.java); MongoDB names the table
+    axis collection_name; OceanBase adds tenant_name (its DDL examples use
+    `tenant STRING METADATA FROM 'tenant_name'`, oceanbase-cdc.md)."""
+    opts = options or {}
     if key == "database_name":
         return F.lit(cfg.database_pattern)
-    if key == "table_name":
+    if key in ("table_name", "collection_name"):
         return F.lit(table)
+    if key == "schema_name":
+        return F.lit(opts.get("schema-name"))
+    if key == "tenant_name":
+        return F.lit(opts.get("tenant-name"))
     if key == "op_ts":
         return F.col("ts") if "ts" in df.columns else F.lit(None).cast("timestamp")
     raise ValueError(f"unsupported metadata key: {key!r}")
@@ -289,7 +306,7 @@ def create_cdc_table(
                 cols.append(F.lit(None).cast(target).alias(name))
         for name, decl, key in tdef.metadata_columns:
             cols.append(
-                _metadata_col(key, t, cfg, df)
+                _metadata_col(key, t, cfg, df, tdef.options)
                 .cast(map_source_type(decl, tdef.dialect()))
                 .alias(name)
             )

@@ -328,3 +328,60 @@ def test_reference_doc_ddl_examples_parse_verbatim():
     } <= connectors, connectors
     # the complete examples (the common case) validate end to end
     assert fully_valid >= 15, f"only {fully_valid} of {len(stmts)} validated"
+
+
+def test_metadata_keys_cover_all_connector_surfaces(spark, sf_dir):
+    """The METADATA key set must cover every connector family's readable
+    metadata: schema_name (Postgres/Oracle/SQLServer/Db2), collection_name
+    (MongoDB's table axis), tenant_name (OceanBase's DDL examples use it),
+    alongside the MySQL trio — each materializes as a typed column from
+    the binding."""
+    from flink_cdc_connectors_spark.sources.ddl import create_cdc_table
+
+    df = create_cdc_table(
+        spark,
+        """CREATE TABLE meta_probe (
+             o_orderkey BIGINT,
+             db STRING METADATA FROM 'database_name' VIRTUAL,
+             sch STRING METADATA FROM 'schema_name' VIRTUAL,
+             tbl STRING METADATA FROM 'table_name' VIRTUAL,
+             ts0 TIMESTAMP METADATA FROM 'op_ts' VIRTUAL,
+             PRIMARY KEY (o_orderkey) NOT ENFORCED
+           ) WITH ('connector' = 'postgres-cdc', 'hostname' = 'h',
+                   'username' = 'u', 'password' = 'p',
+                   'database-name' = 'appdb', 'schema-name' = 'public',
+                   'table-name' = 'orders')""",
+        sf_dir=sf_dir,
+        register_view=False,
+    )
+    row = df.first()
+    assert row["db"] == "appdb" and row["sch"] == "public" and row["tbl"] == "orders"
+
+    mongo = create_cdc_table(
+        spark,
+        """CREATE TABLE coll_probe (
+             o_orderkey BIGINT,
+             coll STRING METADATA FROM 'collection_name' VIRTUAL,
+             PRIMARY KEY (o_orderkey) NOT ENFORCED
+           ) WITH ('connector' = 'mongodb-cdc', 'hosts' = 'h:27017',
+                   'database-name' = 'appdb', 'collection' = 'orders',
+                   'table-name' = 'orders')""",
+        sf_dir=sf_dir,
+        register_view=False,
+    )
+    assert mongo.first()["coll"] == "orders"
+
+    ob = create_cdc_table(
+        spark,
+        """CREATE TABLE tenant_probe (
+             o_orderkey BIGINT,
+             tenant STRING METADATA FROM 'tenant_name' VIRTUAL,
+             PRIMARY KEY (o_orderkey) NOT ENFORCED
+           ) WITH ('connector' = 'oceanbase-cdc', 'scan.startup.mode' = 'initial',
+                   'username' = 'u', 'password' = 'p',
+                   'tenant-name' = 'sys', 'logproxy.host' = 'h',
+                   'logproxy.port' = '2983', 'table-name' = 'orders')""",
+        sf_dir=sf_dir,
+        register_view=False,
+    )
+    assert ob.first()["tenant"] == "sys"

@@ -196,3 +196,90 @@ def test_streaming_patch_fold_matches_batch_mongo_key(spark, sf_dir, tmp_path):
             assert s_k == b_k, uid
     # the scenario actually exercises removals
     assert batch["props_k"].isna().sum() > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream_dir):
+    """Flink's INTERVAL JOIN as a real watermarked stream-stream join:
+    'signup' events join subsequent same-user events within 2 hours
+    (a.ts in [s.ts, s.ts + 2h]) — both sides unbounded, both watermarked,
+    so Spark can bound the join state and clean it up (the Structured
+    Streaming state-retention analog of Flink's interval-join state TTL).
+    The drained result must equal the batch range join over the same log."""
+    static_events = spark.read.parquet(events_stream_dir)
+    schema = static_events.schema
+
+    def side(name):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(events_stream_dir)
+            .withWatermark("ts", "1 hour")
+        )
+
+    from pyspark.sql import functions as F
+
+    signups = (
+        side("s")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("s_eid"),
+            F.col("ts").alias("s_ts"),
+        )
+    )
+    follows = side("f").select(
+        "user_id", F.col("event_id").alias("f_eid"), F.col("ts").alias("f_ts"), "value"
+    )
+    joined = signups.join(
+        follows,
+        (F.col("s_user") == F.col("user_id"))
+        & (F.col("f_ts") >= F.col("s_ts"))
+        & (F.col("f_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS"))
+        & (F.col("f_eid") != F.col("s_eid")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("interval_join_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), f"stream did not terminate: {q.exception()}"
+
+    got = (
+        spark.table("interval_join_sink")
+        .groupBy("s_user")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .toPandas()
+        .set_index("s_user")
+        .sort_index()
+    )
+    b = static_events
+    bs = b.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("event_id").alias("s_eid"), F.col("ts").alias("s_ts")
+    )
+    bf = b.select("user_id", F.col("event_id").alias("f_eid"), F.col("ts").alias("f_ts"), "value")
+    want = (
+        bs.join(
+            bf,
+            (F.col("s_user") == F.col("user_id"))
+            & (F.col("f_ts") >= F.col("s_ts"))
+            & (F.col("f_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS"))
+            & (F.col("f_eid") != F.col("s_eid")),
+        )
+        .groupBy("s_user")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .toPandas()
+        .set_index("s_user")
+        .sort_index()
+    )
+    assert len(want) > 0
+    assert list(got.index) == list(want.index)
+    assert (got["n_pairs"] == want["n_pairs"]).all()
+    assert (got["sum_value"] - want["sum_value"]).abs().max() < 1e-6

@@ -141,7 +141,7 @@ def parse_create_table(ddl: str) -> TableDef:
 # oracle  OracleTableSourceFactory.java:134-142
 # sqlserver SqlServerTableFactory.java:138-147
 # db2     Db2TableSourceFactory.java (hostname/db/schema/table/user/pass)
-# tidb    TiDBTableSourceFactory.java (database/table/pd.addresses)
+# tidb    TDBSourceOptions.java:54-66 (database/table/pd-addresses)
 # oceanbase OceanBaseTableSourceFactory.java (startup/user/pass/tenant/logproxy)
 REQUIRED_OPTIONS: dict[str, frozenset[str]] = {
     "mysql-cdc": frozenset(
@@ -160,12 +160,116 @@ REQUIRED_OPTIONS: dict[str, frozenset[str]] = {
     "db2-cdc": frozenset(
         {"hostname", "username", "password", "database-name", "schema-name", "table-name"}
     ),
-    "tidb-cdc": frozenset({"database-name", "table-name", "pd.addresses"}),
+    "tidb-cdc": frozenset({"database-name", "table-name", "pd-addresses"}),
     "oceanbase-cdc": frozenset(
         {"scan.startup.mode", "username", "password", "tenant-name",
          "logproxy.host", "logproxy.port"}
     ),
 }
+
+
+# Per-connector SUPPORTED option names — the factory's
+# requiredOptions() + optionalOptions(), transcribed from each doc's
+# Connector Options table and the *SourceOptions.java definitions. The
+# reference's FactoryUtil rejects any option a factory does not consume
+# ("Unsupported options"); validate_options mirrors that so a typo like
+# 'table-nmae' fails loudly instead of silently binding everything.
+_COMMON_OPTIONS = frozenset(
+    {
+        "connector",
+        "scan.startup.mode",
+        "scan.startup.timestamp-millis",
+        "scan.incremental.snapshot.enabled",
+        "scan.incremental.snapshot.chunk.size",
+        "scan.snapshot.fetch.size",
+        "server-time-zone",
+        "server-id",
+        "heartbeat.interval",
+        "connect.timeout",
+        "connect.max-retries",
+        "connection.pool.size",
+        "chunk-meta.group.size",
+        "chunk-key.even-distribution.factor.upper-bound",
+        "chunk-key.even-distribution.factor.lower-bound",
+        "scan.incremental.close-idle-reader.enabled",
+    }
+)
+SUPPORTED_OPTIONS: dict[str, frozenset[str]] = {
+    "mysql-cdc": _COMMON_OPTIONS
+    | frozenset(
+        {
+            "hostname", "port", "username", "password", "database-name",
+            "table-name",
+            "scan.startup.specific-offset.file",
+            "scan.startup.specific-offset.pos",
+            "scan.startup.specific-offset.gtid-set",
+            "scan.startup.specific-offset.skip-events",
+            "scan.startup.specific-offset.skip-rows",
+        }
+    ),
+    "postgres-cdc": _COMMON_OPTIONS
+    | frozenset(
+        {
+            "hostname", "port", "username", "password", "database-name",
+            "schema-name", "table-name", "slot.name",
+            "decoding.plugin.name", "changelog-mode",
+        }
+    ),
+    "mongodb-cdc": _COMMON_OPTIONS
+    | frozenset(
+        {
+            "hosts", "username", "password", "database", "collection",
+            "database-name", "table-name",  # engine aliases for the axes
+            "connection.options", "copy.existing", "copy.existing.queue.size",
+            "batch.size", "poll.max.batch.size", "poll.await.time.ms",
+            "heartbeat.interval.ms", "scan.incremental.snapshot.chunk.size.mb",
+        }
+    ),
+    "oracle-cdc": _COMMON_OPTIONS
+    | frozenset(
+        {
+            "hostname", "port", "username", "password", "database-name",
+            "schema-name", "table-name", "url",
+        }
+    ),
+    "sqlserver-cdc": _COMMON_OPTIONS
+    | frozenset(
+        {
+            "hostname", "port", "username", "password", "database-name",
+            "schema-name", "table-name",
+        }
+    ),
+    "db2-cdc": _COMMON_OPTIONS
+    | frozenset(
+        {
+            "hostname", "port", "username", "password", "database-name",
+            "schema-name", "table-name",
+        }
+    ),
+    "tidb-cdc": _COMMON_OPTIONS
+    | frozenset(
+        {
+            "database-name", "table-name", "pd-addresses", "host-mapping",
+            "tikv.grpc.timeout_in_ms", "tikv.grpc.scan_timeout_in_ms",
+            "tikv.batch_get_concurrency", "tikv.batch_put_concurrency",
+            "tikv.batch_scan_concurrency", "tikv.batch_delete_concurrency",
+        }
+    ),
+    "oceanbase-cdc": _COMMON_OPTIONS
+    | frozenset(
+        {
+            "scan.startup.timestamp", "username", "password", "tenant-name",
+            "database-name", "table-name", "table-list", "hostname", "port",
+            "logproxy.host", "logproxy.port", "logproxy.client.id",
+            "rootserver-list", "config-url", "working-mode",
+        }
+    ),
+}
+
+# Option namespaces passed through to the underlying engine verbatim
+# (Flink forwards 'debezium.*' to the embedded Debezium and
+# 'jdbc.properties.*' to the driver — never validated by the factory).
+_PASSTHROUGH_PREFIXES = ("debezium.", "jdbc.properties.", "properties.")
 
 
 def validate_options(tdef: TableDef) -> None:
@@ -175,6 +279,20 @@ def validate_options(tdef: TableDef) -> None:
     connector = tdef.options.get("connector", "")
     if not connector.endswith("-cdc"):
         raise ValueError(f"not a CDC connector: {connector!r}")
+    supported = SUPPORTED_OPTIONS.get(connector)
+    if supported is not None:
+        unknown = {
+            k
+            for k in tdef.options
+            if k not in supported
+            and not k.startswith(_PASSTHROUGH_PREFIXES)
+        }
+        if unknown:
+            raise ValueError(
+                f"Unsupported options for connector '{connector}': "
+                f"{', '.join(sorted(unknown))} (FactoryUtil-style rejection; "
+                f"debezium.*/jdbc.properties.* pass through)"
+            )
     required = REQUIRED_OPTIONS.get(connector)
     if required is not None:
         missing = sorted(required - tdef.options.keys())
@@ -202,11 +320,15 @@ def to_source_config(tdef: TableDef) -> SourceConfig:
         kw["password"] = o["password"]
     if "database-name" in o:
         kw["database_pattern"] = o["database-name"]
+    elif "database" in o:  # MongoDB's spelling (MongoDBSourceOptions.java:51)
+        kw["database_pattern"] = o["database"]
     if "table-name" in o:
         kw["table_pattern"] = o["table-name"]
+    elif "collection" in o:  # MongoDB's table axis (MongoDBSourceOptions.java:57)
+        kw["table_pattern"] = o["collection"]
     else:
-        # no table binding declared (e.g. mongodb-cdc requires only
-        # 'hosts'); create_cdc_table/create_cdc_stream reject this clearly
+        # no table binding declared (mongodb-cdc requires only 'hosts');
+        # create_cdc_table/create_cdc_stream reject this clearly
         kw["table_pattern"] = None
     if "scan.startup.mode" in o:
         kw["startup_mode"] = o["scan.startup.mode"]

@@ -385,3 +385,31 @@ def test_metadata_keys_cover_all_connector_surfaces(spark, sf_dir):
         register_view=False,
     )
     assert ob.first()["tenant"] == "sys"
+
+
+def test_unsupported_options_rejected_factoryutil_style():
+    """A typo'd option must fail loudly (FactoryUtil 'Unsupported options'
+    analog), while debezium.*/jdbc.properties.* namespaces pass through to
+    the underlying engine unvalidated — exactly the reference's rule."""
+    import pytest
+
+    from flink_cdc_connectors_spark.sources.ddl import (
+        parse_create_table,
+        validate_options,
+    )
+
+    def ddl(extra):
+        return parse_create_table(
+            f"""CREATE TABLE t (id BIGINT, PRIMARY KEY (id) NOT ENFORCED)
+                WITH ('connector' = 'mysql-cdc', 'hostname' = 'h',
+                      'username' = 'u', 'password' = 'p',
+                      'database-name' = 'd', 'table-name' = 't', {extra})"""
+        )
+
+    with pytest.raises(ValueError, match="Unsupported options.*table-nmae"):
+        validate_options(ddl("'table-nmae' = 'oops'"))
+    # passthrough namespaces are never validated
+    validate_options(ddl("'debezium.snapshot.mode' = 'never'"))
+    validate_options(ddl("'jdbc.properties.useSSL' = 'false'"))
+    # the doc's own full option set validates
+    validate_options(ddl("'scan.startup.specific-offset.gtid-set' = 'a:1-4'"))

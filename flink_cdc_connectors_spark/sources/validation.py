@@ -176,3 +176,64 @@ class ReplicationSlotRegistry:
         """Slots no live source owns — the WAL-retention leak the reference
         warns operators about."""
         return sorted(k for k in self.slots if k not in active_sources)
+
+
+@dataclass(frozen=True)
+class ServerIdRange:
+    """MySQL replica server-id range, inclusive bounds
+    (ServerIdRange.java:30-90): each source subtask registers with its own
+    server id (start + subtask), so the range must be at least as large as
+    the source parallelism — the reference throws at subtask assignment
+    time; here the same rule is a checkable precondition."""
+
+    start: int
+    end: int
+
+    @classmethod
+    def parse(cls, text: str) -> "ServerIdRange":
+        t = text.strip()
+        if "-" in t:
+            lo, hi = (p.strip() for p in t.split("-", 1))
+            r = cls(int(lo), int(hi))
+        else:
+            r = cls(int(t), int(t))
+        if r.end < r.start:
+            raise ValidationError(
+                f"server-id range '{text}' is empty: the 'server-id' must be "
+                f"a range like '5400-6400', and the range must be larger than "
+                f"the parallelism."
+            )
+        return r
+
+    @property
+    def size(self) -> int:
+        return self.end - self.start + 1
+
+    def server_id(self, subtask: int) -> int:
+        if subtask < 0:
+            raise ValidationError(f"Subtask ID {subtask} shouldn't be a negative number.")
+        if subtask >= self.size:
+            raise ValidationError(
+                f"Subtask ID {subtask} is out of server id range {self}, "
+                f"please adjust the server id range to make the number of "
+                f"server id larger than the source parallelism."
+            )
+        return self.start + subtask
+
+    def __str__(self) -> str:
+        return str(self.start) if self.start == self.end else f"{self.start}-{self.end}"
+
+
+def validate_server_id_range(server_id: str, parallelism: int) -> ServerIdRange:
+    """Pre-flight form of the reference's assignment-time check: the
+    declared range must cover every reader (MySqlSourceOptions.java:77-101
+    '... the range must be larger than the parallelism')."""
+    r = ServerIdRange.parse(server_id)
+    if r.size < parallelism:
+        raise ValidationError(
+            f"The server-id range {r} covers {r.size} server ids but the "
+            f"source parallelism is {parallelism}; every reader registers as "
+            f"its own replica, so the range must be at least as large as the "
+            f"parallelism."
+        )
+    return r

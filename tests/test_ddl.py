@@ -413,3 +413,28 @@ def test_unsupported_options_rejected_factoryutil_style():
     validate_options(ddl("'jdbc.properties.useSSL' = 'false'"))
     # the doc's own full option set validates
     validate_options(ddl("'scan.startup.specific-offset.gtid-set' = 'a:1-4'"))
+
+
+def test_server_id_range_covers_parallelism():
+    """ServerIdRange semantics (ServerIdRange.java:30-90): inclusive
+    bounds, per-subtask assignment start+i, out-of-range subtasks and
+    too-small ranges rejected with the reference's message shape."""
+    import pytest
+
+    from flink_cdc_connectors_spark.sources.validation import (
+        ServerIdRange,
+        ValidationError,
+        validate_server_id_range,
+    )
+
+    r = validate_server_id_range("5400-5408", parallelism=8)
+    assert r.size == 9
+    assert [r.server_id(i) for i in (0, 8)] == [5400, 5408]
+    single = ServerIdRange.parse("5400")
+    assert single.size == 1 and str(single) == "5400"
+    with pytest.raises(ValidationError, match="out of server id range"):
+        r.server_id(9)
+    with pytest.raises(ValidationError, match="at least as large as the"):
+        validate_server_id_range("5400-5403", parallelism=8)
+    with pytest.raises(ValidationError, match="range.*empty|must be a range"):
+        ServerIdRange.parse("5408-5400")

@@ -952,9 +952,10 @@ def cdc_sql_ddl_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers via postgres-cdc, exactly the split of
     docs/content/quickstart/mysql-postgres-tutorial.md:263-267 — then one
     spark.sql join across the registered views. The postgres DDL carries
-    connector-specific options (slot.name, decoding.plugin.name); unknown
-    options pass through the parser untouched, as Flink's factories
-    ignore options they don't own."""
+    connector-specific options (slot.name, decoding.plugin.name); options a
+    factory does not consume are REJECTED (FactoryUtil "Unsupported
+    options" — ddl.validate_options), with debezium.*/jdbc.properties.*
+    namespaces passing through verbatim."""
     from flink_cdc_connectors_spark.sources.ddl import create_cdc_table
 
     create_cdc_table(

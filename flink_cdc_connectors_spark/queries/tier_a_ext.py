@@ -413,11 +413,15 @@ def cdc_capture_db2(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- wins over ALL actions equals last-action at/after the last base):
     --   updates: eid%3=0 -> set value, REMOVE k; eid%3=1 -> set k only;
     --            eid%3=2 -> set both
+    -- update value-actions require a non-NULL value: the JSON wire form
+    -- omits NULL fields from updatedFields, so "update sets value to NULL"
+    -- is inexpressible (removedFields is the NULL channel); full images DO
+    -- set NULLs (the whole document replaces)
     val_actions AS (
       SELECT user_id, ts, event_id, cents AS v
       FROM stream
       WHERE mongo_op IN ('insert', 'replace')
-         OR (mongo_op = 'update' AND event_id % 3 <> 1)),
+         OR (mongo_op = 'update' AND event_id % 3 <> 1 AND cents IS NOT NULL)),
     k_actions AS (
       SELECT user_id, ts, event_id,
              CASE WHEN mongo_op = 'update' AND event_id % 3 = 0

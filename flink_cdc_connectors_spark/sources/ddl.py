@@ -169,99 +169,104 @@ REQUIRED_OPTIONS: dict[str, frozenset[str]] = {
 
 
 # Per-connector SUPPORTED option names — the factory's
-# requiredOptions() + optionalOptions(), transcribed from each doc's
-# Connector Options table and the *SourceOptions.java definitions. The
-# reference's FactoryUtil rejects any option a factory does not consume
-# ("Unsupported options"); validate_options mirrors that so a typo like
-# 'table-nmae' fails loudly instead of silently binding everything.
-_COMMON_OPTIONS = frozenset(
-    {
-        "connector",
-        "scan.startup.mode",
-        "scan.startup.timestamp-millis",
-        "scan.incremental.snapshot.enabled",
-        "scan.incremental.snapshot.chunk.size",
-        "scan.snapshot.fetch.size",
-        "server-time-zone",
-        "server-id",
-        "heartbeat.interval",
-        "connect.timeout",
-        "connect.max-retries",
-        "connection.pool.size",
-        "chunk-meta.group.size",
-        "chunk-key.even-distribution.factor.upper-bound",
-        "chunk-key.even-distribution.factor.lower-bound",
-        "scan.incremental.close-idle-reader.enabled",
-    }
-)
+# requiredOptions() + optionalOptions(), transcribed per connector from its
+# doc's Connector Options table and the *SourceOptions.java definitions
+# (no shared pool: granting one connector's options to another would
+# accept exactly the porting mistakes this validation exists to catch).
+# The reference's FactoryUtil rejects any option a factory does not
+# consume ("Unsupported options"); validate_options mirrors that so a
+# typo like 'table-nmae' fails loudly instead of silently binding
+# everything.
 SUPPORTED_OPTIONS: dict[str, frozenset[str]] = {
-    "mysql-cdc": _COMMON_OPTIONS
-    | frozenset(
+    # MySqlSourceOptions.java:30-247 / mysql-cdc.md Connector Options
+    "mysql-cdc": frozenset(
         {
-            "hostname", "port", "username", "password", "database-name",
-            "table-name",
+            "connector", "hostname", "port", "username", "password",
+            "database-name", "table-name", "server-id", "server-time-zone",
+            "scan.startup.mode", "scan.startup.timestamp-millis",
             "scan.startup.specific-offset.file",
             "scan.startup.specific-offset.pos",
             "scan.startup.specific-offset.gtid-set",
             "scan.startup.specific-offset.skip-events",
             "scan.startup.specific-offset.skip-rows",
+            "scan.incremental.snapshot.enabled",
+            "scan.incremental.snapshot.chunk.size",
+            "scan.snapshot.fetch.size",
+            "chunk-meta.group.size",
+            "chunk-key.even-distribution.factor.upper-bound",
+            "chunk-key.even-distribution.factor.lower-bound",
+            "connect.timeout", "connect.max-retries", "connection.pool.size",
+            "heartbeat.interval",
         }
     ),
-    "postgres-cdc": _COMMON_OPTIONS
-    | frozenset(
+    # PostgreSQLTableFactory.java / postgres-cdc.md
+    "postgres-cdc": frozenset(
         {
-            "hostname", "port", "username", "password", "database-name",
-            "schema-name", "table-name", "slot.name",
+            "connector", "hostname", "port", "username", "password",
+            "database-name", "schema-name", "table-name", "slot.name",
             "decoding.plugin.name", "changelog-mode",
         }
     ),
-    "mongodb-cdc": _COMMON_OPTIONS
-    | frozenset(
+    # MongoDBSourceOptions.java:27-130 / mongodb-cdc.md; database-name and
+    # table-name are ENGINE aliases for the database/collection axes (our
+    # binding names), accepted alongside the canonical spellings
+    "mongodb-cdc": frozenset(
         {
-            "hosts", "username", "password", "database", "collection",
-            "database-name", "table-name",  # engine aliases for the axes
+            "connector", "hosts", "username", "password", "database",
+            "collection", "database-name", "table-name",
             "connection.options", "copy.existing", "copy.existing.queue.size",
             "batch.size", "poll.max.batch.size", "poll.await.time.ms",
-            "heartbeat.interval.ms", "scan.incremental.snapshot.chunk.size.mb",
+            "heartbeat.interval.ms", "scan.incremental.snapshot.enabled",
+            "scan.incremental.snapshot.chunk.size.mb",
         }
     ),
-    "oracle-cdc": _COMMON_OPTIONS
-    | frozenset(
+    # OracleSourceOptions / oracle-cdc.md
+    "oracle-cdc": frozenset(
         {
-            "hostname", "port", "username", "password", "database-name",
-            "schema-name", "table-name", "url",
+            "connector", "hostname", "port", "username", "password", "url",
+            "database-name", "schema-name", "table-name",
+            "scan.startup.mode", "scan.incremental.snapshot.enabled",
+            "scan.incremental.snapshot.chunk.size", "scan.snapshot.fetch.size",
+            "connect.max-retries", "connection.pool.size",
         }
     ),
-    "sqlserver-cdc": _COMMON_OPTIONS
-    | frozenset(
+    # SqlServerSourceOptions / sqlserver-cdc.md
+    "sqlserver-cdc": frozenset(
         {
-            "hostname", "port", "username", "password", "database-name",
-            "schema-name", "table-name",
+            "connector", "hostname", "port", "username", "password",
+            "database-name", "schema-name", "table-name", "server-time-zone",
+            "scan.startup.mode",
         }
     ),
-    "db2-cdc": _COMMON_OPTIONS
-    | frozenset(
+    # Db2TableSourceFactory / db2-cdc.md
+    "db2-cdc": frozenset(
         {
-            "hostname", "port", "username", "password", "database-name",
-            "schema-name", "table-name",
+            "connector", "hostname", "port", "username", "password",
+            "database-name", "schema-name", "table-name", "server-time-zone",
+            "scan.startup.mode",
         }
     ),
-    "tidb-cdc": _COMMON_OPTIONS
-    | frozenset(
+    # TDBSourceOptions.java:54-96 / tidb-cdc.md
+    "tidb-cdc": frozenset(
         {
-            "database-name", "table-name", "pd-addresses", "host-mapping",
+            "connector", "database-name", "table-name", "pd-addresses",
+            "scan.startup.mode", "host-mapping",
             "tikv.grpc.timeout_in_ms", "tikv.grpc.scan_timeout_in_ms",
             "tikv.batch_get_concurrency", "tikv.batch_put_concurrency",
             "tikv.batch_scan_concurrency", "tikv.batch_delete_concurrency",
         }
     ),
-    "oceanbase-cdc": _COMMON_OPTIONS
-    | frozenset(
+    # OceanBaseTableSourceFactory / oceanbase-cdc.md (its timestamp option
+    # is 'scan.startup.timestamp' in SECONDS — the MySQL-spelled
+    # 'scan.startup.timestamp-millis' must NOT pass here)
+    "oceanbase-cdc": frozenset(
         {
-            "scan.startup.timestamp", "username", "password", "tenant-name",
-            "database-name", "table-name", "table-list", "hostname", "port",
+            "connector", "scan.startup.mode", "scan.startup.timestamp",
+            "username", "password", "tenant-name", "database-name",
+            "table-name", "table-list", "hostname", "port",
             "logproxy.host", "logproxy.port", "logproxy.client.id",
             "rootserver-list", "config-url", "working-mode",
+            "server-time-zone", "connect.timeout",
         }
     ),
 }
@@ -269,7 +274,7 @@ SUPPORTED_OPTIONS: dict[str, frozenset[str]] = {
 # Option namespaces passed through to the underlying engine verbatim
 # (Flink forwards 'debezium.*' to the embedded Debezium and
 # 'jdbc.properties.*' to the driver — never validated by the factory).
-_PASSTHROUGH_PREFIXES = ("debezium.", "jdbc.properties.", "properties.")
+_PASSTHROUGH_PREFIXES = ("debezium.", "jdbc.properties.")
 
 
 def validate_options(tdef: TableDef) -> None:
@@ -279,20 +284,6 @@ def validate_options(tdef: TableDef) -> None:
     connector = tdef.options.get("connector", "")
     if not connector.endswith("-cdc"):
         raise ValueError(f"not a CDC connector: {connector!r}")
-    supported = SUPPORTED_OPTIONS.get(connector)
-    if supported is not None:
-        unknown = {
-            k
-            for k in tdef.options
-            if k not in supported
-            and not k.startswith(_PASSTHROUGH_PREFIXES)
-        }
-        if unknown:
-            raise ValueError(
-                f"Unsupported options for connector '{connector}': "
-                f"{', '.join(sorted(unknown))} (FactoryUtil-style rejection; "
-                f"debezium.*/jdbc.properties.* pass through)"
-            )
     required = REQUIRED_OPTIONS.get(connector)
     if required is not None:
         missing = sorted(required - tdef.options.keys())
@@ -300,6 +291,22 @@ def validate_options(tdef: TableDef) -> None:
             raise ValueError(
                 f"One or more required options are missing for connector "
                 f"'{connector}': {', '.join(missing)}"
+            )
+    # FactoryUtil validates declared options FIRST, then rejects unconsumed
+    # keys — same order here so a truncated+typo'd DDL reports the missing
+    # required options, not the typo
+    supported = SUPPORTED_OPTIONS.get(connector)
+    if supported is not None:
+        unknown = {
+            k
+            for k in tdef.options
+            if k not in supported and not k.startswith(_PASSTHROUGH_PREFIXES)
+        }
+        if unknown:
+            raise ValueError(
+                f"Unsupported options for connector '{connector}': "
+                f"{', '.join(sorted(unknown))} (FactoryUtil-style rejection; "
+                f"debezium.*/jdbc.properties.* pass through)"
             )
 
 

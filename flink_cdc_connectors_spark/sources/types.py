@@ -51,11 +51,11 @@ _DECL_RE = re.compile(
 # MySqlTypeUtils/OracleTypeUtils/... fromDbzColumn). Checked row-by-row by
 # tests/test_types_and_config.py::test_*_doc_type_table_mapping.
 def _dialect_type(base, args, n, dialect):
-    d = dialect.lower().removesuffix("-cdc")
+    d = dialect  # already normalized by map_source_type
     # --- MongoDB: BSON type names, a disjoint namespace (mongodb-cdc.md) --
     if d in ("mongo", "mongodb"):
         bson = {
-            "int": T.LongType(),          # Int -> BIGINT per the doc table
+            "int": T.IntegerType(),       # Int -> INT (mongodb-cdc.md:460-462)
             "long": T.LongType(),
             "double": T.DoubleType(),
             "decimal128": T.DecimalType(38, 18),
@@ -181,7 +181,8 @@ def map_source_type(decl: str, dialect: str = "mysql") -> T.DataType:
     base = " ".join(words)
     n = int(args[0]) if args and args[0].isdigit() else None
 
-    resolved = _dialect_type(base, args, n, dialect)
+    dialect_n = dialect.lower().removesuffix("-cdc")
+    resolved = _dialect_type(base, args, n, dialect_n)
     if resolved is not None:
         return resolved
 
@@ -208,7 +209,9 @@ def map_source_type(decl: str, dialect: str = "mysql") -> T.DataType:
         s = int(args[1]) if len(args) > 1 else 0
         return T.DecimalType(p, s) if p <= 38 else T.StringType()
     if base == "real":
-        return T.DoubleType() if dialect == "mysql" else T.FloatType()
+        # MySQL rules are the default for unknown dialects (TableDef.dialect
+        # contract); only the dialects whose docs say FLOAT got it above
+        return T.DoubleType()
     if base in ("float", "float4"):
         return T.FloatType()
     if base in ("double", "double precision", "float8"):

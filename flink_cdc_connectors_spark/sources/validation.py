@@ -192,11 +192,17 @@ class ServerIdRange:
     @classmethod
     def parse(cls, text: str) -> "ServerIdRange":
         t = text.strip()
-        if "-" in t:
-            lo, hi = (p.strip() for p in t.split("-", 1))
-            r = cls(int(lo), int(hi))
-        else:
-            r = cls(int(t), int(t))
+        try:
+            if "-" in t:
+                lo, hi = (p.strip() for p in t.split("-", 1))
+                r = cls(int(lo), int(hi))
+            else:
+                r = cls(int(t), int(t))
+        except ValueError:
+            raise ValidationError(
+                f"server-id '{text}' is not a number or a range like "
+                f"'5400-6400'."
+            ) from None
         if r.end < r.start:
             raise ValidationError(
                 f"server-id range '{text}' is empty: the 'server-id' must be "

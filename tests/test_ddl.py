@@ -438,3 +438,45 @@ def test_server_id_range_covers_parallelism():
         validate_server_id_range("5400-5403", parallelism=8)
     with pytest.raises(ValidationError, match="range.*empty|must be a range"):
         ServerIdRange.parse("5408-5400")
+
+
+def test_option_sets_are_per_connector():
+    """Granting one connector's options to another would accept exactly the
+    porting mistakes unsupported-option validation exists to catch: the
+    MySQL-spelled 'scan.startup.timestamp-millis' must fail on
+    oceanbase-cdc (its option is 'scan.startup.timestamp', in seconds),
+    and 'server-id' must fail everywhere but MySQL. A truncated DDL that
+    ALSO carries a typo reports the missing required options first
+    (FactoryUtil validates declared options before unconsumed keys)."""
+    import pytest
+
+    from flink_cdc_connectors_spark.sources.ddl import (
+        parse_create_table,
+        validate_options,
+    )
+
+    ob = parse_create_table(
+        """CREATE TABLE t (id BIGINT) WITH (
+             'connector' = 'oceanbase-cdc', 'scan.startup.mode' = 'timestamp',
+             'username' = 'u', 'password' = 'p', 'tenant-name' = 'sys',
+             'logproxy.host' = 'h', 'logproxy.port' = '2983',
+             'scan.startup.timestamp-millis' = '1700000000000')"""
+    )
+    with pytest.raises(ValueError, match="Unsupported options.*timestamp-millis"):
+        validate_options(ob)
+
+    pg = parse_create_table(
+        """CREATE TABLE t (id BIGINT) WITH (
+             'connector' = 'postgres-cdc', 'hostname' = 'h', 'username' = 'u',
+             'password' = 'p', 'database-name' = 'd', 'schema-name' = 's',
+             'table-name' = 't', 'server-id' = '5400')"""
+    )
+    with pytest.raises(ValueError, match="Unsupported options.*server-id"):
+        validate_options(pg)
+
+    truncated_and_typod = parse_create_table(
+        """CREATE TABLE t (id BIGINT) WITH (
+             'connector' = 'mysql-cdc', 'hostname' = 'h', 'table-nmae' = 't')"""
+    )
+    with pytest.raises(ValueError, match="required options are missing"):
+        validate_options(truncated_and_typod)

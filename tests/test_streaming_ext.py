@@ -201,17 +201,19 @@ def test_streaming_patch_fold_matches_batch_mongo_key(spark, sf_dir, tmp_path):
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream_dir):
     """Flink's INTERVAL JOIN as a real watermarked stream-stream join:
     'signup' events join subsequent same-user events within 2 hours
-    (a.ts in [s.ts, s.ts + 2h]) — both sides unbounded, both watermarked,
-    so Spark can bound the join state and clean it up (the Structured
-    Streaming state-retention analog of Flink's interval-join state TTL).
-    The drained result must equal the batch range join over the same log."""
+    (a.ts in [s.ts, s.ts + 2h]); both sides are unbounded and watermarked,
+    which is what lets Spark bound the join state. The drained result must
+    equal the batch range join over the same log. NB: one availableNow
+    drain (no maxFilesPerTrigger) — the fixture's files each span the full
+    30-day range, so ANY multi-batch split would advance the watermark
+    past earlier batches' rows and evict join state mid-drain; per-file
+    time ordering, not this test, is what real deployments rely on."""
     static_events = spark.read.parquet(events_stream_dir)
     schema = static_events.schema
 
-    def side(name):
+    def side():
         return (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 2)
             .parquet(events_stream_dir)
             .withWatermark("ts", "1 hour")
         )
@@ -219,7 +221,7 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream_
     from pyspark.sql import functions as F
 
     signups = (
-        side("s")
+        side()
         .filter(F.col("event_type") == "signup")
         .select(
             F.col("user_id").alias("s_user"),
@@ -227,7 +229,7 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream_
             F.col("ts").alias("s_ts"),
         )
     )
-    follows = side("f").select(
+    follows = side().select(
         "user_id", F.col("event_id").alias("f_eid"), F.col("ts").alias("f_ts"), "value"
     )
     joined = signups.join(

@@ -434,7 +434,7 @@ def test_mongodb_doc_type_table_mapping():
     _check_rows(
         "mongodb",
         [
-            ("Int", T.LongType()),
+            ("Int", T.IntegerType()),   # mongodb-cdc.md:460-462
             ("Long", T.LongType()),
             ("Double", T.DoubleType()),
             ("Decimal128", T.DecimalType(38, 18)),

@@ -37,6 +37,22 @@ REPLICAS = 10
 # (1M) the dedup queries use for their planted pairs
 SHIFT = 100_000
 
+# events-based keys probed against the replicated events fixture: the
+# capture-format decodes (per-key lag windows — key count scales, window
+# depth constant), commit-order framing, GTID containment, z-order
+# layout, and the salted skew join (customer dim copied verbatim)
+EVENTS_FAMILY = [
+    "cdc_logminer_redo",
+    "cdc_capture_sqlserver",
+    "cdc_capture_db2",
+    "cdc_mongo_changestream",
+    "cdc_postgres_wal2json",
+    "cdc_oceanbase_commit_order",
+    "cdc_gtid_failover",
+    "ext_zorder_layout",
+    "join_skew_salted",
+]
+
 FAMILY = [
     "ext_dedup_exact_text",
     "ext_dedup_minhash",
@@ -97,6 +113,34 @@ def build_fixture(spark) -> None:
         eout = eout.unionByName(r)
     eout.repartition(32).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
 
+    # events: replicas get fresh keys (user_id shift) and fresh offsets
+    # (event_id shift) with the SAME time distribution — key count scales
+    # 10x, per-key window depth stays constant (the realistic growth mode)
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    emax = ev.agg(F.max("event_id")).first()[0] + 1
+    umax = ev.agg(F.max("user_id")).first()[0] + 1
+    vreps = []
+    for k in range(REPLICAS):
+        vreps.append(
+            ev.select(
+                (F.col("event_id") + k * emax).alias("event_id"),
+                "ts",
+                (F.col("user_id") + k * umax).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    vout = vreps[0]
+    for r in vreps[1:]:
+        vout = vout.unionByName(r)
+    vout.repartition(32).write.mode("overwrite").parquet(f"{DST}/events.parquet")
+    # dims used by the events family, copied verbatim (dimension tables do
+    # not scale with the fact side)
+    spark.read.parquet(f"{SRC}/customer.parquet").write.mode("overwrite").parquet(
+        f"{DST}/customer.parquet"
+    )
+
 
 def time_query(spark, builder, sf_dir: str) -> float:
     t0 = time.monotonic()
@@ -118,7 +162,7 @@ def main() -> None:
         build_fixture(spark)
     queries = all_queries()
     results = {}
-    for key in FAMILY:
+    for key in FAMILY + EVENTS_FAMILY:
         b = queries[key].builder
         time_query(spark, b, SRC)  # warm the plan family / JIT
         t01 = time_query(spark, b, SRC)

@@ -1254,3 +1254,65 @@ def set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = left.exceptAll(right).select(F.lit("except_all").alias("op"), "k", "p")
     ix = left.intersectAll(right).select(F.lit("intersect_all").alias("op"), "k", "p")
     return ex.unionByName(ix)
+
+
+@query(
+    "agg_continuous_rollup",
+    tier="B",
+    oracle="""
+    SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous aggregate (TimescaleDB's continuous
+    aggregates / Druid rollup segments): the time range BEFORE the
+    materialization watermark is served from a PRECOMPUTED hourly rollup
+    of partial aggregates, the tail after it from raw events, and the
+    query-time merge combines the two with the partial-aggregate algebra
+    (counts add; sums add; distinct-user merges via a per-branch key set —
+    the one aggregate whose partials are NOT scalars, which is why real
+    rollups store HLL sketches for it; the fixture-sized key sets make the
+    exact form feasible here and the oracle hash-checks the merge). The
+    result must equal the direct aggregate over the whole range — the
+    correctness contract of every continuous-aggregate implementation.
+
+    Scale: at 100 TB the rollup branch is a materialized table maintained
+    incrementally (one tiny partition per closed hour) and queries pay
+    only the raw tail scan — this key demonstrates the merge algebra is
+    exact, which is what makes that storage trade safe."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = (F.unix_micros("ts") / 3_600_000_000).cast("long").alias("hour_id")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    wm = ev.agg(F.expr("percentile_cont(0.8) WITHIN GROUP (ORDER BY unix_micros(ts))")).first()[0]
+    closed = ev.filter(F.unix_micros("ts") <= wm)
+    tail = ev.filter(F.unix_micros("ts") > wm)
+    # the "materialized" branch: hourly partials as a rollup table would
+    # store them (count, sum, and the distinct-key partial)
+    rollup = closed.groupBy(hour).agg(
+        F.count("*").alias("p_n"),
+        F.sum(cents).alias("p_sum"),
+        F.collect_set("user_id").alias("p_users"),
+    )
+    tail_p = tail.groupBy(hour).agg(
+        F.count("*").alias("p_n"),
+        F.sum(cents).alias("p_sum"),
+        F.collect_set("user_id").alias("p_users"),
+    )
+    # query-time merge: combine partials per hour (an hour can appear in
+    # both branches when the watermark falls inside it)
+    return (
+        rollup.unionByName(tail_p)
+        .groupBy("hour_id")
+        .agg(
+            F.sum("p_n").alias("n_events"),
+            F.sum("p_sum").alias("sum_cents"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("p_users"))))
+            .cast("long")
+            .alias("n_users"),
+        )
+    )

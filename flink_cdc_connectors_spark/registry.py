@@ -85,8 +85,8 @@ def query(key: str, tier: str, oracle: str | None = None) -> Callable[[QueryFn],
 _CHECK_FIRST = (
     # -- 0: new round-3 keys (no driver row can exist yet) ----------------
     # late-round additions (capture formats, curation, layout, skew, bag
-    # ops, audio) lead; with them the 27 round-3 keys + sections 1-3 fill
-    # 48 of the ~50-key budget
+    # ops, audio, continuous rollup) lead; with them the 28 round-3 keys +
+    # sections 1-3 fill 49 of the ~50-key budget
     "cdc_logminer_redo",
     "cdc_capture_sqlserver",
     "cdc_capture_db2",
@@ -102,6 +102,7 @@ _CHECK_FIRST = (
     "join_skew_salted",
     "ext_multimodal_audio",
     "set_ops_bag",
+    "agg_continuous_rollup",
     "cdc_jdbc_snapshot",
     "cdc_jdbc_incremental",
     "cdc_upsert_sink",

@@ -465,3 +465,11 @@ def test_audio_pipeline_is_map_only(spark, sf_dir):
     assert shuffle_count(df) == 0
     plan = explain_str(df, "simple")
     assert plan.count("MapInPandas") == 2
+
+
+def test_continuous_rollup_merge_is_two_aggregates(spark, sf_dir):
+    """Rollup + tail partials then one merge: two hash exchanges, no
+    single-partition stage (the watermark is a plan-time scalar)."""
+    df = Q["agg_continuous_rollup"].builder(spark, sf_dir)
+    assert shuffle_count(df) <= 3
+    assert not has_single_partition_exchange(df)

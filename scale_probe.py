@@ -116,9 +116,11 @@ def build_fixture(spark) -> None:
     # events: replicas get fresh keys (user_id shift) and fresh offsets
     # (event_id shift) with the SAME time distribution — key count scales
     # 10x, per-key window depth stays constant (the realistic growth mode)
-    ev = spark.read.parquet(f"{SRC}/events.parquet")
-    emax = ev.agg(F.max("event_id")).first()[0] + 1
-    umax = ev.agg(F.max("user_id")).first()[0] + 1
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    ev = load_table(spark, SRC, "events")  # normalizes the NANOS-ts variant
+    mx = ev.agg(F.max("event_id"), F.max("user_id")).first()
+    emax, umax = mx[0] + 1, mx[1] + 1
     vreps = []
     for k in range(REPLICAS):
         vreps.append(
@@ -158,7 +160,9 @@ def time_query(spark, builder, sf_dir: str) -> float:
 
 def main() -> None:
     spark = get_spark(app_name="scale_probe")
-    if "--rebuild" in sys.argv or not os.path.isdir(f"{DST}/documents.parquet"):
+    # events.parquet is the NEWEST fixture artifact — a cache built by the
+    # pre-events probe has documents but not events, and must rebuild
+    if "--rebuild" in sys.argv or not os.path.isdir(f"{DST}/events.parquet"):
         build_fixture(spark)
     queries = all_queries()
     results = {}

@@ -288,3 +288,42 @@ def test_bloom_has_no_false_negatives(duck, sf_dir):
     ).fetchdf()
     # every doc the exact key flags must appear in the bloom key's output
     assert set(exact.doc_id) <= set(df.doc_id)
+
+
+@given(
+    st.sampled_from(["insert", "update", "delete"]),
+    st.integers(min_value=0, max_value=10**12),
+    st.integers(min_value=-(10**10), max_value=10**12),
+)
+@settings(max_examples=300, deadline=None)
+def test_logminer_redo_regexes_round_trip(op, uid, cents):
+    """The redo-SQL generate/parse pair must round-trip any (op, key,
+    value) the log can carry — including negative and 13-digit cents —
+    through the exact regex strings the Spark key uses (pure-Python
+    replication; Spark and Python share the regex dialect for these
+    patterns)."""
+    import re
+
+    if op == "insert":
+        redo = (
+            f"insert into \"APP\".\"EVENTS\"(\"USER_ID\",\"VALUE_CENTS\") "
+            f"values ('{uid}','{cents}');"
+        )
+    elif op == "update":
+        redo = f"update \"APP\".\"EVENTS\" set \"VALUE_CENTS\" = '{cents}' where \"USER_ID\" = '{uid}';"
+    else:
+        redo = f"delete from \"APP\".\"EVENTS\" where \"USER_ID\" = '{uid}';"
+
+    got_op = re.match(r"^(insert|update|delete)", redo).group(1)
+    assert got_op == op
+    if got_op == "insert":
+        got_uid = re.search(r"values \('([0-9]+)'", redo).group(1)
+        got_cents = re.search(r"values \('[0-9]+','(-?[0-9]+)'\)", redo).group(1)
+    else:
+        got_uid = re.search(r'"USER_ID" = \'([0-9]+)\'', redo).group(1)
+        got_cents = None
+        if got_op == "update":
+            got_cents = re.search(r'"VALUE_CENTS" = \'(-?[0-9]+)\'', redo).group(1)
+    assert int(got_uid) == uid
+    if got_op != "delete":
+        assert int(got_cents) == cents

@@ -38,3 +38,39 @@ def test_oracle_nonempty_at_driver_sf(key, duck01):
         f"SELECT count(*) FROM ({QUERIES[key].oracle})"
     ).fetchone()[0]
     assert n > 0, f"{key}: oracle selects 0 rows at {DRIVER_SF_DIR} — vacuous driver pass"
+
+
+def test_capture_formats_converge_on_identical_state(duck):
+    """Every capture model describes the SAME database, so the formats
+    that reconstruct full latest state must agree exactly: LogMiner
+    redo-text parsing, SQL Server capture-table replay, and the MongoDB
+    change-stream patch fold all yield the same live-user set, the same
+    final values, and the same last offset per user (compared through
+    their oracles — each side is already hash-checked against its Spark
+    twin, so this closes the triangle). The ONE principled divergence is
+    part of the assertion: MongoDB is a PARTIAL-image capture, so when a
+    user's last event is a k-only patch (event_id % 3 == 1), its final
+    value is the previous value-setting action's — full-image models carry
+    the last row's value regardless. Every other user must match
+    exactly."""
+    from flink_cdc_connectors_spark.registry import all_queries
+
+    qs = all_queries()
+    lm = duck.execute(qs["cdc_logminer_redo"].oracle).fetchdf().set_index("user_id")
+    ss = duck.execute(qs["cdc_capture_sqlserver"].oracle).fetchdf().set_index("user_id")
+    mg = duck.execute(qs["cdc_mongo_changestream"].oracle).fetchdf().set_index("user_id")
+
+    assert sorted(lm.index) == sorted(ss.index) == sorted(mg.index)
+    diverged = 0
+    for uid in lm.index:
+        assert lm.loc[uid, "last_scn"] == ss.loc[uid, "last_lsn"] == mg.loc[uid, "last_eid"]
+        assert lm.loc[uid, "value_cents"] == ss.loc[uid, "value_cents"]
+        last_eid = int(lm.loc[uid, "last_scn"])
+        # mongo op mapping: replace (eid%97==0) and insert carry the full
+        # image; update with eid%3==1 patches k only and leaves value
+        if last_eid % 3 == 1 and last_eid % 97 != 0:
+            diverged += mg.loc[uid, "value_cents"] != lm.loc[uid, "value_cents"]
+        else:
+            assert lm.loc[uid, "value_cents"] == mg.loc[uid, "value_cents"], uid
+    # the partial-image divergence must actually occur (non-vacuous)
+    assert diverged > 0

@@ -74,3 +74,31 @@ def test_capture_formats_converge_on_identical_state(duck):
             assert lm.loc[uid, "value_cents"] == mg.loc[uid, "value_cents"], uid
     # the partial-image divergence must actually occur (non-vacuous)
     assert diverged > 0
+
+
+def test_commit_order_visibility_diverges_from_statement_order(duck):
+    """Commit-order visibility must MEAN something: against the
+    statement-order latest state (LogMiner oracle), the OceanBase
+    commit-framed replay must (a) reorder the winning event for at least
+    one user touched by interleaved transactions, and (b) differ in the
+    live-user set (an uncommitted tail can swallow a delete, keeping a
+    user alive that statement order kills — or vice versa). Both effects
+    are asserted non-vacuous."""
+    from flink_cdc_connectors_spark.registry import all_queries
+
+    qs = all_queries()
+    stmt = duck.execute(qs["cdc_logminer_redo"].oracle).fetchdf().set_index("user_id")
+    com = (
+        duck.execute(qs["cdc_oceanbase_commit_order"].oracle)
+        .fetchdf()
+        .set_index("user_id")
+    )
+    common = sorted(set(stmt.index) & set(com.index))
+    assert common
+    reordered = sum(
+        int(stmt.loc[u, "last_scn"]) != int(com.loc[u, "last_eid"]) for u in common
+    )
+    assert reordered > 0, "commit order never changed a winner — vacuous framing"
+    assert set(stmt.index) != set(com.index), (
+        "live sets identical — the uncommitted tail dropped nothing observable"
+    )

@@ -102,3 +102,16 @@ def test_commit_order_visibility_diverges_from_statement_order(duck):
     assert set(stmt.index) != set(com.index), (
         "live sets identical — the uncommitted tail dropped nothing observable"
     )
+
+
+def test_bag_set_ops_preserve_real_multiplicities(duck):
+    """set_ops_bag must exercise BAG semantics, not degenerate to the
+    distinct flavors: both EXCEPT ALL and INTERSECT ALL outputs must
+    contain at least one row with multiplicity > 1 (at sf0.001 the maxima
+    are 7 and 4)."""
+    from flink_cdc_connectors_spark.registry import all_queries
+
+    df = duck.execute(all_queries()["set_ops_bag"].oracle).fetchdf()
+    mult = df.groupby(["op", "k", "p"]).size()
+    assert mult.loc["except_all"].max() > 1
+    assert mult.loc["intersect_all"].max() > 1

@@ -1066,16 +1066,20 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recoverable by construction — a recall floor of 1/k per query."""
     from flink_cdc_connectors_spark.functions import vectors as V
 
-    # The corpus feeds all six ANN pipelines below — cache it (tiny: 2x
-    # table rows of 64-double arrays) so the scan+union+repartition runs
-    # once, not once per method.
+    # The corpus feeds all six ANN pipelines below — local-checkpointed
+    # (tiny: 2x table rows of 64-double arrays, the same partitions a
+    # cache() would pin) so the scan+union+repartition runs once AND its
+    # lineage analyzes once: this DataFrame is embedded ~10x in the final
+    # union's tree, and each unionByName/join schema resolution re-walks
+    # the whole subtree when it is a plain cache (measured: several
+    # seconds of driver-side analysis for the full recall plan).
     base = (
         # per-row L2 norm precomputed once: every pipeline's candidate
         # cosine becomes one dot + a multiply instead of three array folds
         # (per-pair cost dominates; same win as ext_dedup_embedding_lsh)
         _emb_corpus_with_copies(spark, sf_dir)
         .withColumn("nrm", V.l2_norm(F.col("e")))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     queries = base.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _COPY_OFFSET)
@@ -1090,9 +1094,16 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn") <= k
         )
 
-    # exact ground truth: brute-force cosine over the whole corpus — CACHED
-    # (tiny: #queries x 10 rows) because every method() below reads it
-    # twice; without the cache the most expensive scan re-runs 8x.
+    # exact ground truth: brute-force cosine over the whole corpus —
+    # LOCAL-CHECKPOINTED, not just cached (tiny: #queries x 10 rows).
+    # Every method() below references it TWICE (truth count + semi-join
+    # probe), so the returned union's logical tree embeds this subtree 10
+    # times; with a plain cache() Catalyst still re-ANALYZES the full
+    # brute-force lineage at every reference, and measured builder time was
+    # 4.5-6.6 s of pure driver-side analysis before any job ran. The eager
+    # checkpoint truncates the lineage to a LogicalRDD — the exact-truth
+    # job runs once up front (it ran anyway as the cache fill) and the five
+    # recall branches analyze against a 2-column leaf.
     exact = (
         topk(
             base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id")).select(
@@ -1102,7 +1113,7 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("q_id", "vec_id")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     # SRP-LSH: candidates restricted to the query's bucket
     sig = base.withColumn("bucket", V.srp_bucket(F.col("e")))

@@ -473,3 +473,19 @@ def test_continuous_rollup_merge_is_two_aggregates(spark, sf_dir):
     df = Q["agg_continuous_rollup"].builder(spark, sf_dir)
     assert shuffle_count(df) <= 3
     assert not has_single_partition_exchange(df)
+
+
+def test_ann_recall_reads_only_checkpoint_leaves(spark, sf_dir):
+    """ext_ann_recall's corpus and exact-truth frames are EAGER local
+    checkpoints, not caches: the 5-method union embeds each subtree ~10x,
+    and with a plain cache() Catalyst re-analyzes the full brute-force
+    lineage at every schema resolution (measured 4.5-6.6 s of driver-side
+    build time before any job ran). Pin the shape: every leaf of the final
+    plan must be a checkpointed-RDD scan — a parquet scan appearing here
+    means a reference re-derived the corpus and the analysis tax is back."""
+    df = Q["ext_ann_recall"].builder(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "ExistingRDD" in plan, f"no checkpoint leaf:\n{plan[:2000]}"
+    assert "FileScan" not in plan and "parquet" not in plan.lower(), (
+        f"parquet scan leaked back into the recall plan:\n{plan[:2000]}"
+    )

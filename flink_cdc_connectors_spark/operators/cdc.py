@@ -562,3 +562,141 @@ def offset_filter(
         & (F.col(offset) > cw["hw"])
     )
     return changelog.join(cw, cond, "inner").drop("chunk_lo", "chunk_hi", "hw")
+
+
+def get_chunk_key_column(
+    primary_keys: list[str],
+    chunk_key_column: str | None = None,
+    *,
+    table_id: str = "<table>",
+    rowid_fallback: str | None = None,
+) -> str:
+    """Resolve the snapshot split column — ``ChunkUtils.getChunkKeyColumn``.
+
+    The ``scan.incremental.snapshot.chunk.key-column`` option lets users of
+    composite/string primary keys split on a chosen indexed member instead
+    of the first PK column (reference MySqlSourceOptions.java:240-247;
+    mysql ChunkUtils.java:51-79; oracle ChunkUtils.java:37-58).
+
+    Semantics transcribed from both reference variants:
+      - a chosen column must be a member of the (possibly composite)
+        primary key — anything else raises the reference's
+        ValidationException wording;
+      - unset -> the FIRST primary-key column;
+      - no primary key at all -> error (mysql ChunkUtils.java:53-59),
+        unless the dialect has a physical-address pseudo-column to fall
+        back on (``rowid_fallback="ROWID"`` — the Oracle default,
+        oracle ChunkUtils.java:56-58).
+    """
+    if chunk_key_column is not None:
+        if chunk_key_column in primary_keys:
+            return chunk_key_column
+        raise ValueError(
+            f"Chunk key column '{chunk_key_column}' doesn't exist in the "
+            f"primary key [{','.join(primary_keys)}] of the table {table_id}."
+        )
+    if primary_keys:
+        return primary_keys[0]
+    if rowid_fallback is not None:
+        return rowid_fallback
+    raise ValueError(
+        "Incremental snapshot for tables requires primary key, "
+        f"but table {table_id} doesn't have primary key."
+    )
+
+
+def split_vector_chunks(
+    df: DataFrame,
+    key: str,
+    size_col: str | Column,
+    max_chunk_bytes: int,
+    target_buckets: int = 10_000,
+) -> DataFrame:
+    """MongoDB ``splitVector`` chunk assignment — the default split strategy
+    for privileged unsharded deployments (SplitVectorSplitStrategy.java:69-
+    137: ``db.runCommand({splitVector: ns, keyPattern: {_id: 1},
+    maxChunkSize})`` returns split keys bounding ~maxChunkSize-byte chunks
+    of the _id index; MongoUtils.splitVector).
+
+    Declarative equivalent: a split key falls wherever the cumulative
+    document size in key order crosses a ``max_chunk_bytes`` multiple, so
+    chunk_id = floor(exclusive-prefix-bytes / max_chunk_bytes) — computed
+    with the bucketed distributed prefix sum (:func:`global_running_sum`,
+    never a single-partition window). When the whole collection fits in
+    one chunk the result is a single chunk_id 0 — the reference's
+    empty-splitKeys -> SingleSplitStrategy path (SplitVectorSplitStrategy
+    .java:100-104, SingleSplitStrategy.java:49-66) falls out of the same
+    formula. Requires ``key`` unique (Mongo's _id is).
+
+    Scale: one bucketed shuffle; boundaries are never collected to the
+    driver — at 100 TB the chunk count is data-sized (total/64 MB) and
+    stays distributed, unlike boundary-walk splitters.
+    """
+    sized = df.withColumn("__doc_bytes", F.col(size_col) if isinstance(size_col, str) else size_col)
+    pre = global_running_sum(
+        sized, key, "__doc_bytes", out_col="__pre", exclusive=True,
+        target_buckets=target_buckets,
+    )
+    return (
+        pre.withColumn("chunk_id", F.floor(F.col("__pre") / F.lit(max_chunk_bytes)).cast("int"))
+        .drop("__pre", "__doc_bytes")
+    )
+
+
+def sharded_chunks(
+    df: DataFrame,
+    key: str,
+    chunk_ranges: list[tuple[int | None, int | None]],
+) -> DataFrame:
+    """Sharded-cluster chunk assignment — chunks come from pre-existing
+    cluster metadata, not data statistics (ShardedSplitStrategy.java:69-127
+    reads ``config.collections`` + ``config.chunks`` and emits one split
+    per chunk document's {min, max}).
+
+    ``chunk_ranges``: the coordinator-side chunk list, ordered, as
+    half-open ``[min, max)`` pairs with ``None`` for the BSON MinKey/MaxKey
+    end caps. Contiguity is validated (each max must equal the next min —
+    a gap or overlap means torn metadata and a wrong snapshot). Rows are
+    assigned by a boundary search over the <= #chunks interior bounds
+    (pure projection, no shuffle — same shape as :func:`region_chunks`).
+
+    An empty chunk list means the collection isn't actually sharded; the
+    reference falls back to the sample splitter
+    (ShardedSplitStrategy.java:78-83, 98-103) — callers dispatch via
+    :func:`mongo_generate_chunks`, which owns that fallback.
+    """
+    if not chunk_ranges:
+        raise ValueError("empty chunk metadata; dispatch via mongo_generate_chunks")
+    if chunk_ranges[0][0] is not None or chunk_ranges[-1][1] is not None:
+        raise ValueError("chunk metadata must be capped by MinKey/MaxKey (None) bounds")
+    for (_, hi), (lo, _) in zip(chunk_ranges, chunk_ranges[1:]):
+        if hi != lo:
+            raise ValueError(f"non-contiguous chunk metadata: max {hi} != next min {lo}")
+    bounds = [int(hi) for _, hi in chunk_ranges[:-1]]
+    return df.withColumn(
+        "chunk_id",
+        F.size(F.filter(F.lit(bounds), lambda b: F.col(key) >= b)).cast("int"),
+    )
+
+
+def mongo_generate_chunks(
+    df: DataFrame,
+    key: str,
+    *,
+    chunk_ranges: list[tuple[int | None, int | None]] | None = None,
+    size_col: str | Column | None = None,
+    max_chunk_bytes: int | None = None,
+    num_chunks: int = 4,
+    sample_mod: int = 20,
+) -> DataFrame:
+    """MongoDB split-strategy dispatch (MongoDBChunkSplitter.java:38-45 +
+    the per-strategy fallbacks): a sharded collection splits from its
+    cluster chunk metadata; otherwise ``splitVector`` (needs the privilege
+    = here, a size column); an unauthorized/failed splitVector falls back
+    to the 5%-sample bucket splitter (SplitVectorSplitStrategy.java:78-98).
+    """
+    if chunk_ranges:
+        return sharded_chunks(df, key, chunk_ranges)
+    if size_col is not None and max_chunk_bytes is not None:
+        return split_vector_chunks(df, key, size_col, max_chunk_bytes)
+    return sample_bucket_chunks(df, key, num_chunks, sample_mod=sample_mod)

@@ -842,3 +842,182 @@ def cdc_gtid_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("seq").alias("max_seq"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+@query(
+    "cdc_chunk_key_column",
+    tier="A",
+    oracle="""
+    WITH stats AS (
+      SELECT min(event_id) AS lo, max(event_id) AS hi, count(*) AS cnt
+      FROM events
+    ),
+    step AS (
+      SELECT greatest(CAST(floor(1000.0 * (hi - lo + 1) / cnt) AS BIGINT), 1) AS s,
+             lo FROM stats
+    )
+    SELECT CAST((event_id - step.lo) // step.s AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT)        AS n_rows,
+           min(event_id)                   AS key_lo,
+           max(event_id)                   AS key_hi,
+           CAST(sum(user_id) AS BIGINT)    AS user_checksum
+    FROM events, step
+    GROUP BY 1
+    """,
+)
+def cdc_chunk_key_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-chosen snapshot split column via
+    ``scan.incremental.snapshot.chunk.key-column`` — the composite-PK
+    escape hatch (MySqlSourceOptions.java:240-247; resolution semantics
+    mysql ChunkUtils.java:51-79 / oracle ChunkUtils.java:37-58: the chosen
+    column must be a member of the primary key, default = first PK column).
+
+    End-to-end through the DDL surface: the declaration below carries a
+    COMPOSITE primary key ``(user_id, event_id)`` whose first column
+    (``user_id``, ~150 distinct values at sf0.01) would make terrible
+    chunks; the option selects ``event_id`` — dense, unique, indexed — and
+    the resolved column drives the evenly-sized split
+    (operators/cdc.py::even_chunks). The per-chunk count/min/max plus a
+    user_id checksum prove the split is a complete, disjoint tiling of the
+    table in the CHOSEN column's order.
+
+    Scale: resolution is metadata-only; the split itself stays the pure
+    projection of the even-chunk fast path — one MIN/MAX/COUNT aggregate,
+    no per-chunk queries, no shuffle beyond the final per-chunk rollup.
+    """
+    from flink_cdc_connectors_spark.operators.cdc import (
+        even_chunks,
+        get_chunk_key_column,
+    )
+    from flink_cdc_connectors_spark.sources.ddl import (
+        parse_create_table,
+        to_source_config,
+    )
+
+    ddl = """
+    CREATE TABLE events_src (
+      user_id BIGINT,
+      event_id BIGINT,
+      ts TIMESTAMP(3),
+      event_type STRING,
+      value DOUBLE,
+      PRIMARY KEY (user_id, event_id) NOT ENFORCED
+    ) WITH (
+      'connector' = 'mysql-cdc',
+      'hostname' = 'localhost',
+      'username' = 'cdc',
+      'password' = '***',
+      'database-name' = 'app',
+      'table-name' = 'events',
+      'scan.incremental.snapshot.chunk.size' = '1000',
+      'scan.incremental.snapshot.chunk.key-column' = 'event_id'
+    )
+    """
+    tdef = parse_create_table(ddl)
+    cfg = to_source_config(tdef)
+    split_col = get_chunk_key_column(
+        tdef.primary_keys, cfg.chunk_key_column, table_id=tdef.name
+    )
+    e = load_table(spark, sf_dir, "events")
+    return (
+        even_chunks(e, split_col, chunk_size=cfg.snapshot_chunk_size)
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(split_col).alias("key_lo"),
+            F.max(split_col).alias("key_hi"),
+            F.sum("user_id").cast("bigint").alias("user_checksum"),
+        )
+    )
+
+
+@query(
+    "cdc_chunk_split_vector",
+    tier="A",
+    oracle="""
+    WITH sized AS (
+      SELECT event_id, user_id, length(props) + 64 AS doc_bytes FROM events
+    ),
+    sv AS (
+      SELECT CAST(floor(coalesce(sum(doc_bytes) OVER (
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / 65536) AS INT) AS chunk_id,
+             event_id, user_id, doc_bytes
+      FROM sized
+    ),
+    sh AS (
+      SELECT CAST(len(list_filter([5, 40, 400], b -> user_id >= b)) AS INT)
+               AS chunk_id,
+             event_id, user_id, doc_bytes
+      FROM sized
+    )
+    SELECT 'splitVector' AS strategy, chunk_id,
+           CAST(count(*) AS BIGINT)      AS n_rows,
+           CAST(sum(doc_bytes) AS BIGINT) AS chunk_bytes,
+           min(event_id)                 AS key_lo,
+           max(event_id)                 AS key_hi
+    FROM sv GROUP BY 2
+    UNION ALL
+    SELECT 'sharded', chunk_id,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(doc_bytes) AS BIGINT),
+           min(event_id), max(event_id)
+    FROM sh GROUP BY 2
+    """,
+)
+def cdc_chunk_split_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MongoDB's two metadata-driven split strategies, dispatched the way
+    ``MongoDBChunkSplitter.generateSplits`` does (MongoDBChunkSplitter
+    .java:38-45): a sharded collection splits on its pre-existing
+    ``config.chunks`` ranges, an unsharded privileged deployment uses
+    ``splitVector`` (SplitVectorSplitStrategy.java:69-137 — split keys
+    bounding ~maxChunkSize bytes of the _id index; here 64 KB against the
+    events fixture's doc sizes).
+
+    splitVector half: chunk_id = floor(exclusive-prefix-bytes / 64 KB) in
+    _id order — the bucketed distributed prefix sum
+    (operators/cdc.py::split_vector_chunks), no single-partition window,
+    boundaries never collected. sharded half: the coordinator-side chunk
+    list [MinKey,5),[5,40),[40,400),[400,MaxKey) assigns by broadcast
+    boundary search (::sharded_chunks — contiguity + end-cap validation,
+    ShardedSplitStrategy.java:69-127). Per-chunk n_rows/bytes/min/max
+    prove both tilings complete and disjoint against the oracle's window
+    replay. The sample-splitter fallbacks (unauthorized splitVector,
+    unsharded metadata) are pinned by the operator unit tests.
+
+    Scale: splitVector is ONE bucketed shuffle over the collection;
+    sharded is shuffle-free; chunk counts are data-sized and never
+    driver-materialized.
+    """
+    from flink_cdc_connectors_spark.operators.cdc import mongo_generate_chunks
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.length("props") + F.lit(64)).alias("doc_bytes"),
+    )
+    agg_cols = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_bytes").cast("bigint").alias("chunk_bytes"),
+        F.min("event_id").alias("key_lo"),
+        F.max("event_id").alias("key_hi"),
+    ]
+    sv = (
+        mongo_generate_chunks(
+            e, "event_id", size_col="doc_bytes", max_chunk_bytes=65536
+        )
+        .groupBy("chunk_id")
+        .agg(*agg_cols)
+        .select(F.lit("splitVector").alias("strategy"), "*")
+    )
+    sh = (
+        mongo_generate_chunks(
+            e, "user_id",
+            chunk_ranges=[(None, 5), (5, 40), (40, 400), (400, None)],
+        )
+        .groupBy("chunk_id")
+        .agg(*agg_cols)
+        .select(F.lit("sharded").alias("strategy"), "*")
+    )
+    return sv.unionByName(sh)

@@ -42,6 +42,22 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # Files of the small fixtures should still fan out across cores.
         .config("spark.sql.files.maxPartitionBytes", "64m")
+        # A suite/session that executes 100+ DISTINCT plans churns Spark's
+        # generated-class cache (spark.sql.codegen.cache.maxEntries is a
+        # 100-entry LRU): a plan warmed early is evicted by the time it
+        # re-runs and pays full Janino compile + HotSpot JIT again —
+        # measured ~8-16 s for the heaviest envelope-codec plan
+        # (cdc_multi_table_route: ~4.5 s analysis + ~4 s compile at
+        # sf0.01, the round-3 driver bench's unexplained 21 s outlier).
+        # Keep every plan of a long-lived session compiled, and give the
+        # JIT enough code cache that compiled methods aren't flushed
+        # (default ReservedCodeCacheSize=240m fills under whole-stage
+        # codegen churn; Spark's own tuning guide recommends raising it).
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -191,6 +191,7 @@ SUPPORTED_OPTIONS: dict[str, frozenset[str]] = {
             "scan.startup.specific-offset.skip-rows",
             "scan.incremental.snapshot.enabled",
             "scan.incremental.snapshot.chunk.size",
+            "scan.incremental.snapshot.chunk.key-column",
             "scan.snapshot.fetch.size",
             "chunk-meta.group.size",
             "chunk-key.even-distribution.factor.upper-bound",
@@ -226,7 +227,9 @@ SUPPORTED_OPTIONS: dict[str, frozenset[str]] = {
             "connector", "hostname", "port", "username", "password", "url",
             "database-name", "schema-name", "table-name",
             "scan.startup.mode", "scan.incremental.snapshot.enabled",
-            "scan.incremental.snapshot.chunk.size", "scan.snapshot.fetch.size",
+            "scan.incremental.snapshot.chunk.size",
+            "scan.incremental.snapshot.chunk.key-column",
+            "scan.snapshot.fetch.size",
             "connect.max-retries", "connection.pool.size",
         }
     ),
@@ -345,6 +348,12 @@ def to_source_config(tdef: TableDef) -> SourceConfig:
         kw["startup_timestamp_ms"] = int(o["scan.startup.timestamp-millis"])
     if "scan.incremental.snapshot.chunk.size" in o:
         kw["snapshot_chunk_size"] = int(o["scan.incremental.snapshot.chunk.size"])
+    if "scan.incremental.snapshot.chunk.key-column" in o:
+        # factory passthrough (MySqlTableSourceFactory.java:147-149 /
+        # OracleTableSourceFactory.java:89-91); PK-membership validation
+        # happens at split planning (operators/cdc.py::get_chunk_key_column)
+        # where the table's primary key is known, as in ChunkUtils
+        kw["chunk_key_column"] = o["scan.incremental.snapshot.chunk.key-column"]
     if "scan.snapshot.fetch.size" in o:
         kw["fetch_size"] = int(o["scan.snapshot.fetch.size"])
     if "server-time-zone" in o:

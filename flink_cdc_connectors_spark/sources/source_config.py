@@ -51,6 +51,11 @@ class SourceConfig:
     # 'slot.name'; PostgreSQLSource Builder default "flink"). None for
     # connectors without slot semantics.
     slot_name: str | None = None
+    # scan.incremental.snapshot.chunk.key-column (MySqlSourceOptions.java:
+    # 240-247; JdbcSourceOptions.java:106-113): user-chosen snapshot split
+    # column, validated against the table's primary key at resolution time
+    # (operators/cdc.py::get_chunk_key_column). None = first PK column.
+    chunk_key_column: str | None = None
 
     def __post_init__(self) -> None:
         if self.startup_mode not in STARTUP_MODES:

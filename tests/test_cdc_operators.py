@@ -301,3 +301,143 @@ def test_global_running_sum_matches_single_partition_truth(spark):
     # one-row global-agg SinglePartition exchanges are legitimate in the
     # lazy operator; the anti-pattern is a data-wide single-partition window
     assert not has_single_partition_window(out)
+
+
+# -- chunk key-column resolution (ChunkUtils.getChunkKeyColumn) ------------
+
+
+def test_chunk_key_column_default_is_first_pk():
+    from flink_cdc_connectors_spark.operators.cdc import get_chunk_key_column
+
+    assert get_chunk_key_column(["a", "b"]) == "a"
+
+
+def test_chunk_key_column_chosen_composite_member():
+    from flink_cdc_connectors_spark.operators.cdc import get_chunk_key_column
+
+    assert get_chunk_key_column(["a", "b"], "b") == "b"
+
+
+def test_chunk_key_column_rejects_non_pk():
+    """The reference's ValidationException: chosen column must be a PK
+    member (mysql ChunkUtils.java:61-75)."""
+    from flink_cdc_connectors_spark.operators.cdc import get_chunk_key_column
+
+    with pytest.raises(ValueError, match="doesn't exist in the primary key"):
+        get_chunk_key_column(["a", "b"], "c", table_id="db.t")
+
+
+def test_chunk_key_column_requires_pk():
+    from flink_cdc_connectors_spark.operators.cdc import get_chunk_key_column
+
+    with pytest.raises(ValueError, match="requires primary key"):
+        get_chunk_key_column([])
+
+
+def test_chunk_key_column_oracle_rowid_fallback():
+    """No PK + ROWID dialect -> the physical-address pseudo-column
+    (oracle ChunkUtils.java:56-58)."""
+    from flink_cdc_connectors_spark.operators.cdc import get_chunk_key_column
+
+    assert get_chunk_key_column([], rowid_fallback="ROWID") == "ROWID"
+
+
+def test_ddl_chunk_key_column_threads_to_config():
+    from flink_cdc_connectors_spark.sources.ddl import (
+        parse_create_table,
+        to_source_config,
+    )
+
+    ddl = """
+    CREATE TABLE t (a BIGINT, b BIGINT, PRIMARY KEY (a, b) NOT ENFORCED)
+    WITH ('connector' = 'mysql-cdc', 'hostname' = 'h', 'username' = 'u',
+          'password' = 'p', 'database-name' = 'd', 'table-name' = 't',
+          'scan.incremental.snapshot.chunk.key-column' = 'b')
+    """
+    cfg = to_source_config(parse_create_table(ddl))
+    assert cfg.chunk_key_column == "b"
+
+
+# -- MongoDB splitVector / sharded split strategies ------------------------
+
+
+def test_split_vector_chunk_sizes_bounded(spark):
+    """Every chunk's byte size stays within max_chunk_bytes + one doc
+    (splitVector splits where cumulative size crosses the limit)."""
+    from flink_cdc_connectors_spark.operators.cdc import split_vector_chunks
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.lit(100) + (F.col("id") % 7) * 10).alias("bytes")
+    )
+    out = split_vector_chunks(df, "k", "bytes", max_chunk_bytes=4000)
+    per = out.groupBy("chunk_id").agg(
+        F.sum("bytes").alias("b"), F.min("k").alias("lo"), F.max("k").alias("hi")
+    ).collect()
+    assert sum(r["b"] for r in per) == df.agg(F.sum("bytes")).first()[0]
+    max_doc = 160
+    for r in per:
+        assert r["b"] <= 4000 + max_doc
+    # chunks tile the key space contiguously in key order
+    ordered = sorted(per, key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in ordered] == list(range(len(ordered)))
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["hi"] < b["lo"]
+
+
+def test_split_vector_small_collection_single_chunk(spark):
+    """Total size under the limit -> one chunk (the reference's empty
+    splitKeys -> SingleSplitStrategy path)."""
+    from flink_cdc_connectors_spark.operators.cdc import split_vector_chunks
+
+    df = spark.range(0, 10).select(F.col("id").alias("k"), F.lit(10).alias("bytes"))
+    out = split_vector_chunks(df, "k", "bytes", max_chunk_bytes=1_000_000)
+    assert out.select("chunk_id").distinct().collect()[0]["chunk_id"] == 0
+    assert out.count() == 10
+
+
+def test_sharded_chunks_assignment_and_end_caps(spark):
+    from flink_cdc_connectors_spark.operators.cdc import sharded_chunks
+
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    out = sharded_chunks(df, "k", [(None, 10), (10, 50), (50, None)])
+    got = {
+        r["chunk_id"]: r["n"]
+        for r in out.groupBy("chunk_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {0: 10, 1: 40, 2: 50}
+
+
+def test_sharded_chunks_validates_metadata(spark):
+    from flink_cdc_connectors_spark.operators.cdc import sharded_chunks
+
+    df = spark.range(0, 10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="non-contiguous"):
+        sharded_chunks(df, "k", [(None, 10), (20, None)])
+    with pytest.raises(ValueError, match="MinKey/MaxKey"):
+        sharded_chunks(df, "k", [(0, 10), (10, None)])
+    with pytest.raises(ValueError, match="empty chunk metadata"):
+        sharded_chunks(df, "k", [])
+
+
+def test_mongo_dispatch_fallback_to_sample(spark):
+    """No shard metadata + no splitVector privilege (no size column) ->
+    sample splitter, the reference's double fallback
+    (MongoDBChunkSplitter.java:38-45 + SplitVectorSplitStrategy.java:78-98).
+    """
+    from flink_cdc_connectors_spark.operators.cdc import mongo_generate_chunks
+
+    df = spark.range(0, 400).withColumnRenamed("id", "k")
+    out = mongo_generate_chunks(df, "k", num_chunks=4)
+    assert out.count() == 400
+    assert out.select("chunk_id").distinct().count() == 4
+
+
+def test_mongo_dispatch_prefers_sharded_metadata(spark):
+    from flink_cdc_connectors_spark.operators.cdc import mongo_generate_chunks
+
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    out = mongo_generate_chunks(
+        df, "k", chunk_ranges=[(None, 50), (50, None)],
+        size_col=F.lit(1), max_chunk_bytes=10,
+    )
+    assert out.select("chunk_id").distinct().count() == 2

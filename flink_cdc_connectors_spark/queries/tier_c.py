@@ -235,9 +235,19 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Signature is a pure PROJECTION: min over the doc's shingle array per
     # hash-family member (functions/text.py::minhash_signature) — no
     # explode, no groupBy, zero shuffle until the band join.
+    # Eager localCheckpoint, not cache(): the band self-join below scans
+    # this frame from BOTH sides in concurrently-running stages, and cache
+    # blocks aren't published until a partition finishes — so a cached
+    # frame pays the regex-split + 3-gram assembly TWICE per run (profiled
+    # at sf1: 16.9 s of 22.6 s total was the double shingle build). The
+    # eager checkpoint materializes exactly one scan up front; signature
+    # build and Jaccard verify then both read checkpoint blocks.
+    # (local-mode note: checkpoint blocks are not rebuildable on executor
+    # loss — the right trade for this single-JVM harness; on a cluster
+    # with dynamic allocation use reliable checkpoint/cache instead.)
     sh_arr = corpus.select(
         "doc_id", T.shingles(T.words(F.col("text"))).alias("sh")
-    ).cache()
+    ).localCheckpoint(eager=True)
     sig = sh_arr.select("doc_id", *T.minhash_signature(F.col("sh"), 16))
     # LSH: 4 bands of 4 rows; band signature = xxhash64 of the band minhashes
     bands = sig.select(
@@ -302,9 +312,12 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = fan_out(docs.select("doc_id", "text").unionByName(near))
     # Corpus-scale fingerprint path: explode -> codegen'd per-bit SUM
     # aggregates (functions/text.py::simhash_df) instead of the interpreted
-    # HOF fold — same 64-bit output, ~10x cheaper per token. Cached because
-    # the band self-join below reads the fingerprints twice.
-    fp = T.simhash_df(corpus, "doc_id", T.words(F.col("text"))).cache()
+    # HOF fold — same 64-bit output, ~10x cheaper per token. Eagerly
+    # checkpointed (not cached) because the band self-join below scans the
+    # fingerprints from both sides in concurrent stages — with cache() the
+    # tokenize+explode+64-bit vote runs twice before any block publishes
+    # (same double-compute as ext_dedup_minhash's shingle frame).
+    fp = T.simhash_df(corpus, "doc_id", T.words(F.col("text"))).localCheckpoint(eager=True)
     # 4 bands of 16 bits each: band_value = bits [16b, 16b+16)
     bands = fp.select(
         "doc_id",

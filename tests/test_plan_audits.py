@@ -134,11 +134,21 @@ def test_sampled_chunks_no_full_table_shuffle(spark, sf_dir):
 def test_simhash_aggregate_is_partial(spark, sf_dir):
     """The corpus-scale SimHash must show map-side partial aggregation
     (explode -> partial_sum -> exchange -> final), never a single-partition
-    window."""
-    df = Q["ext_dedup_simhash"].builder(spark, sf_dir)
-    plan = explain_str(df)
-    assert "partial" in plan.lower()
-    assert not has_single_partition_exchange(df)
+    window. Since the round-4 double-scan fix the query eagerly
+    localCheckpoints the fingerprint frame (the band self-join would
+    otherwise compute it twice), so the aggregate's shape is audited on
+    the fingerprint operator's own plan; the full query is still audited
+    for single-partition exchanges."""
+    from flink_cdc_connectors_spark.functions import text as T
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = T.simhash_df(docs, "doc_id", T.words(F.col("text")))
+    assert "partial" in explain_str(fp).lower()
+    assert not has_single_partition_exchange(fp)
+    assert not has_single_partition_exchange(
+        Q["ext_dedup_simhash"].builder(spark, sf_dir)
+    )
 
 
 def test_distribution_windows_stay_partitioned(spark, sf_dir):

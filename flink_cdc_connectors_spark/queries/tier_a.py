@@ -357,17 +357,50 @@ def cdc_startup_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Non-ASCII rows planted into cdc_deserialize_envelope's slice — the
+# MysqlConnectorCharsetITCase analog at the driver gate: multibyte CJK,
+# accents and astral-plane emoji must survive encode -> JSON wire ->
+# decode, through BOTH the after image (insert/update) and the BEFORE
+# image (the delete's payload carries the prior row's props).
+_CHARSET_ROWS = [
+    (10_000_000_001, "2026-01-01 00:00:01", 9_990_001, "signup", 1.25,
+     "café 中文 テスト 😀"),
+    (10_000_000_002, "2026-01-01 00:00:02", 9_990_001, "click", 2.5,
+     "ünïcode ✓ 한국어 données"),
+    (10_000_000_003, "2026-01-01 00:00:03", 9_990_001, "error", 0.0, "{}"),
+]
+_CHARSET_VALUES_SQL = ", ".join(
+    f"({eid}, TIMESTAMP '{ts}', {uid}, '{et}', {val}, '{props}')"
+    for eid, ts, uid, et, val, props in _CHARSET_ROWS
+)
+
+
 @query(
     "cdc_deserialize_envelope",
     tier="A",
     oracle=f"""
-    WITH binlog AS ({_BINLOG_SQL})
+    WITH events_plus AS (
+      SELECT * FROM events
+      UNION ALL
+      SELECT * FROM (VALUES {_CHARSET_VALUES_SQL})
+        t(event_id, ts, user_id, event_type, value, props)
+    ),
+    binlog AS (
+      SELECT event_id, ts, user_id, value, props,
+             {op_sql("event_type")} AS app_op,
+             lag(value) OVER w AS prev_value,
+             lag(props) OVER w AS prev_props,
+             lag({op_sql("event_type")}) OVER w AS prev_op
+      FROM events_plus
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
     SELECT CASE WHEN app_op = 'delete' THEN 'delete'
                 WHEN {_BINLOG_LIVE_SQL} THEN 'update'
                 ELSE 'insert' END AS op,
            user_id,
            round(CASE WHEN app_op = 'delete' THEN prev_value ELSE value END, 2)
                AS value_r,
+           CASE WHEN app_op = 'delete' THEN prev_props ELSE props END AS props,
            event_id,
            epoch_ms(ts) AS op_ts_ms
     FROM binlog
@@ -381,14 +414,34 @@ def cdc_deserialize_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     changelog rows, op mapped per RowDataDebeziumDeserializeSchema:118-158
     (READ/CREATE from after, DELETE from before, UPDATE from after). The
     oracle restates the generator's state machine in SQL, so DELETE rows
-    surface the PRIOR image — the upsert-mode -D payload."""
+    surface the PRIOR image — the upsert-mode -D payload.
+
+    The slice additionally plants a three-event non-ASCII key (CJK,
+    accents, emoji — see ``_CHARSET_ROWS``): its insert and update carry
+    multibyte ``props`` through the after image and its delete surfaces
+    the multibyte prior image, so a codec that mangles charsets anywhere
+    on the wire breaks the value hash (the
+    MysqlConnectorCharsetITCase.java contract)."""
     e = load_table(spark, sf_dir, "events")
-    raw = events_to_debezium_json(e)
+    planted = spark.createDataFrame(
+        [
+            (eid, ts, uid, et, val, props)
+            for eid, ts, uid, et, val, props in _CHARSET_ROWS
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    raw = events_to_debezium_json(e.unionByName(planted.select(*e.columns)))
     rows = parse_debezium_json(raw)
     return rows.select(
         "op",
         "user_id",
         F.round("value", 2).alias("value_r"),
+        "props",
         "event_id",
         F.unix_millis("op_ts").alias("op_ts_ms"),
     )

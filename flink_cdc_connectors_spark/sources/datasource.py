@@ -39,6 +39,13 @@ from pyspark.sql.types import StructType
 from flink_cdc_connectors_spark.sources.offsets import BinlogOffset
 from flink_cdc_connectors_spark.sources.schema_history import SchemaHistory
 
+# Version stamp of the DSv2 offset/checkpoint JSON (the reference versions
+# its split & pending-splits-state serializers and asserts savepoint
+# restore across releases — MySqlCompatibilityITCase.java, tools/).
+# v0 = unversioned round-3 documents (migrated on restore); v1 adds the
+# stamp itself. Bump on ANY field change and extend _migrate_offset.
+OFFSET_FORMAT_VERSION = 1
+
 SCHEMA_DDL = (
     "op string, user_id bigint, value double, props string, "
     "ts timestamp, event_id bigint"
@@ -258,13 +265,45 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         # and as the composite BinlogOffset form (BinlogOffset.java shape:
         # kind/gtids/server_id/ts/file/pos/skips); restore prefers the
         # composite so checkpoints from a multi-component log (GTID sets,
-        # rotated files) flow through the same ordering logic.
+        # rotated files) flow through the same ordering logic. The "v"
+        # stamp versions the checkpoint document itself (the reference
+        # versions its split/state serializers and tests savepoint
+        # compatibility across releases — MySqlCompatibilityITCase.java);
+        # restore migrates older stamps and REJECTS newer ones.
         return {
+            "v": OFFSET_FORMAT_VERSION,
             "phase": phase,
             "hw": hw,
             "off": off,
             "binlog": BinlogOffset.specific(file="binlog.000001", pos=off).to_dict(),
         }
+
+    @staticmethod
+    def _migrate_offset(d: dict) -> dict:
+        """Versioned restore (the savepoint-compatibility contract,
+        MySqlCompatibilityITCase.java / the reference's versioned split
+        serializers): a checkpoint written by an OLDER engine migrates
+        forward; one written by a NEWER engine fails loudly instead of
+        being misread (a serializer reading past its known fields
+        silently corrupts restart positions — the reference bumps the
+        serializer version for exactly this reason)."""
+        v = d.get("v", 0)
+        if v > OFFSET_FORMAT_VERSION:
+            raise ValueError(
+                f"offset checkpoint format v{v} is newer than this engine's "
+                f"v{OFFSET_FORMAT_VERSION}; upgrade the engine or restart "
+                f"from a fresh checkpoint"
+            )
+        if v == 0:
+            # v0 = pre-versioning (round-3) checkpoints: same scalar
+            # fields, no stamp, composite binlog form optional
+            d = dict(d)
+            d["v"] = OFFSET_FORMAT_VERSION
+            if not d.get("binlog"):
+                d["binlog"] = BinlogOffset.specific(
+                    file="binlog.000001", pos=d["off"]
+                ).to_dict()
+        return d
 
     @staticmethod
     def _off(d: dict) -> int:
@@ -285,6 +324,11 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         return self._offset_dict("stream", self.hw, self.max_off)
 
     def partitions(self, start: dict, end: dict):
+        # Spark hands back whatever offset JSON the checkpoint holds —
+        # possibly written by an older (or newer) engine build; migrate
+        # or reject BEFORE reading any field it may lack.
+        start = self._migrate_offset(start)
+        end = self._migrate_offset(end)
         parts: list[InputPartition] = []
         chunk_plan = tuple(self._chunk_plan(start["hw"]))
         if start["phase"] == "snapshot":

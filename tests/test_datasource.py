@@ -252,3 +252,50 @@ def test_dsv2_schema_history_add_column_mid_stream(spark, sf_dir, tmp_path):
     assert post.filter(F.col("event_type").isNull()).count() == 0
     # and the evolved rows keep the pinned op/value columns intact
     assert post.filter(F.col("user_id").isNull()).count() == 0
+
+
+def test_dsv2_offset_documents_are_versioned():
+    """Every offset document the reader emits carries the format stamp
+    (the reference's versioned split serializers)."""
+    from pyspark.sql.types import StructType
+
+    r = datasource.CdcBinlogStreamReader(StructType([]), {"path": EVENTS})
+    assert r.initialOffset()["v"] == datasource.OFFSET_FORMAT_VERSION
+    assert r.latestOffset()["v"] == datasource.OFFSET_FORMAT_VERSION
+
+
+def test_dsv2_restores_v0_unversioned_checkpoint():
+    """A round-3 (pre-versioning) checkpoint document — no "v" stamp, no
+    composite binlog form — restores by migration, the
+    MySqlCompatibilityITCase analog: planning from it yields the same
+    partitions as the current-format equivalent."""
+    from pyspark.sql.types import StructType
+
+    r = datasource.CdcBinlogStreamReader(StructType([]), {"path": EVENTS})
+    cur_start, cur_end = r.initialOffset(), r.latestOffset()
+    v0_start = {"phase": cur_start["phase"], "hw": cur_start["hw"], "off": cur_start["off"]}
+    v0_end = {"phase": cur_end["phase"], "hw": cur_end["hw"], "off": cur_end["off"]}
+
+    def spans(parts):
+        return [
+            (type(p).__name__,) + tuple(
+                getattr(p, a) for a in ("lo", "hi", "start", "end") if hasattr(p, a)
+            )
+            for p in parts
+        ]
+
+    assert spans(r.partitions(v0_start, v0_end)) == spans(
+        r.partitions(cur_start, cur_end)
+    )
+
+
+def test_dsv2_rejects_newer_checkpoint_format():
+    """A checkpoint stamped by a NEWER engine must fail loudly, never be
+    misread (the reason the reference bumps serializer versions)."""
+    from pyspark.sql.types import StructType
+
+    r = datasource.CdcBinlogStreamReader(StructType([]), {"path": EVENTS})
+    start = r.initialOffset()
+    future = dict(r.latestOffset(), v=datasource.OFFSET_FORMAT_VERSION + 1)
+    with pytest.raises(ValueError, match="newer than this engine"):
+        r.partitions(start, future)

@@ -105,3 +105,101 @@ def test_ogg_envelope_shape(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+# -- charset round trips (MysqlConnectorCharsetITCase.java analog) ----------
+#
+# The reference drives tables declared in utf8mb4/latin1/gbk/big5/... and
+# asserts captured values match the inserted ones once decoded
+# (MysqlConnectorCharsetITCase.java parameterizes over column charsets).
+# In this engine everything on the wire is JSON over UTF-8 — the invariant
+# to pin is that NO codec corrupts non-ASCII payloads: multibyte CJK,
+# astral-plane emoji (JSON \u surrogate pairs), latin1-typical accents,
+# and JSON-hostile characters (quotes, backslashes, control chars) must
+# round-trip every encode->parse pair identically. wal2json's positional
+# columnvalues arrays ride the same to_json/from_json machinery pinned
+# here (its encoder is inline in cdc_postgres_wal2json).
+
+CHARSET_PROPS = [
+    "plain ascii",
+    "café naïve über straße",  # latin1 accents
+    "你好世界 测试",  # CJK (simplified)
+    "漢字カタカナひらがな",  # kanji+kana
+    "한국어 테스트",  # hangul
+    "\U0001f600\U0001f680 emoji \U0001f409",  # astral plane (surrogate pairs in JSON)
+    "mixed é中\U0001f600 end",
+    'quotes " and \\ backslash / slash',
+    "tab\tnewline\nreturn\r end",
+    "\x1b[0m ansi \x1f unit-sep",  # control chars must escape, not corrupt
+]
+
+
+def _charset_events(spark):
+    rows = [
+        (i + 1, 100 + i, "click" if i % 2 else "signup", float(i), p)
+        for i, p in enumerate(CHARSET_PROPS)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "value double, props string"
+    )
+    return df.select(
+        "event_id",
+        F.timestamp_millis(F.col("event_id") * 1000).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "codec", ["debezium", "changelog", "canal", "maxwell", "ogg"]
+)
+def test_charset_round_trip(spark, codec):
+    """Every wire codec returns non-ASCII payload strings IDENTICAL to the
+    source (insert in any charset, capture, decode, compare)."""
+    e = _charset_events(spark)
+    if codec == "debezium":
+        from flink_cdc_connectors_spark.sources.envelope import (
+            events_to_debezium_json,
+            parse_debezium_json,
+        )
+
+        decoded = parse_debezium_json(events_to_debezium_json(e))
+        kind_col, ins = "op", "insert"
+    else:
+        enc, dec = {
+            "changelog": (events_to_changelog_json, parse_changelog_json),
+            "canal": (events_to_canal_json, parse_canal_json),
+            "maxwell": (events_to_maxwell_json, parse_maxwell_json),
+            "ogg": (events_to_ogg_json, parse_ogg_json),
+        }[codec]
+        decoded = dec(enc(e))
+        kind_col, ins = "row_kind", "+I"
+    # every source row is an insert of a distinct user -> its insert image
+    # must carry the exact original props string
+    got = {
+        r["user_id"]: r["props"]
+        for r in decoded.filter(F.col(kind_col) == ins).collect()
+    }
+    want = {100 + i: p for i, p in enumerate(CHARSET_PROPS)}
+    assert got == want, {
+        k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]
+    }
+
+
+def test_charset_wire_bytes_are_valid_utf8_json(spark):
+    """The raw envelope strings themselves parse as JSON and survive a
+    byte-level encode/decode — no mojibake at the transport layer."""
+    import json as _json
+
+    from flink_cdc_connectors_spark.sources.envelope import (
+        events_to_debezium_json,
+    )
+
+    e = _charset_events(spark)
+    for r in events_to_debezium_json(e).collect():
+        doc = _json.loads(r["value"].encode("utf-8").decode("utf-8"))
+        payload = doc["after"] or doc["before"]
+        assert payload["props"] in CHARSET_PROPS

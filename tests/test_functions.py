@@ -221,3 +221,103 @@ def test_md5_minhash_stable_over_cache(spark, sf_dir):
             assert got == truth
     finally:
         sh.unpersist()
+
+
+# -- WKB -> GeoJSON (MySqlDeserializationConverterFactory.java:80-112) ------
+
+
+def _wkb_point(x, y, little=True, srid=None):
+    import struct as _s
+
+    e = "<" if little else ">"
+    t = 1 | (0x20000000 if srid is not None else 0)
+    b = bytes([1 if little else 0]) + _s.pack(e + "I", t)
+    if srid is not None:
+        b += _s.pack(e + "I", srid)
+    return b + _s.pack(e + "dd", x, y)
+
+
+def test_wkb_point_to_geojson():
+    import json
+
+    from flink_cdc_connectors_spark.functions.spatial import wkb_to_geojson
+
+    got = json.loads(wkb_to_geojson(_wkb_point(1.0, 2.0)))
+    assert got == {"type": "Point", "coordinates": [1.0, 2.0], "srid": 0}
+
+
+def test_wkb_big_endian_and_struct_srid_precedence():
+    import json
+
+    from flink_cdc_connectors_spark.functions.spatial import wkb_to_geojson
+
+    # big-endian blob; the Debezium struct's srid wins over the default
+    got = json.loads(wkb_to_geojson(_wkb_point(3.5, -7.25, little=False), srid=4326))
+    assert got == {"type": "Point", "coordinates": [3.5, -7.25], "srid": 4326}
+
+
+def test_wkb_ewkb_embedded_srid():
+    import json
+
+    from flink_cdc_connectors_spark.functions.spatial import wkb_to_geojson
+
+    got = json.loads(wkb_to_geojson(_wkb_point(0.0, 1.0, srid=3857)))
+    assert got["srid"] == 3857
+
+
+def test_wkb_polygon_and_collection():
+    import json
+    import struct as _s
+
+    from flink_cdc_connectors_spark.functions.spatial import wkb_to_geojson
+
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]
+    poly = bytes([1]) + _s.pack("<I", 3) + _s.pack("<I", 1) + _s.pack("<I", len(ring))
+    for x, y in ring:
+        poly += _s.pack("<dd", x, y)
+    got = json.loads(wkb_to_geojson(poly))
+    assert got["type"] == "Polygon"
+    assert got["coordinates"] == [[list(p) for p in ring]]
+
+    coll = bytes([1]) + _s.pack("<I", 7) + _s.pack("<I", 2) + _wkb_point(1, 2) + _wkb_point(3, 4)
+    got = json.loads(wkb_to_geojson(coll))
+    assert got["type"] == "GeometryCollection"
+    assert [g["coordinates"] for g in got["geometries"]] == [[1.0, 2.0], [3.0, 4.0]]
+    assert "coordinates" not in got  # collections carry 'geometries' only
+
+
+def test_wkb_multipoint_flattens_member_coordinates():
+    import json
+    import struct as _s
+
+    from flink_cdc_connectors_spark.functions.spatial import wkb_to_geojson
+
+    mp = bytes([1]) + _s.pack("<I", 4) + _s.pack("<I", 2) + _wkb_point(1, 2) + _wkb_point(3, 4)
+    got = json.loads(wkb_to_geojson(mp))
+    assert got == {"type": "MultiPoint", "coordinates": [[1.0, 2.0], [3.0, 4.0]], "srid": 0}
+
+
+def test_wkb_malformed_fails_loudly():
+    import pytest as _pytest
+
+    from flink_cdc_connectors_spark.functions.spatial import wkb_to_geojson
+
+    with _pytest.raises(ValueError):
+        wkb_to_geojson(b"\x05\x01\x00\x00\x00")  # bad byte-order flag
+    with _pytest.raises(ValueError):
+        wkb_to_geojson(_wkb_point(1, 2)[:-4])  # truncated coords
+    with _pytest.raises(ValueError):
+        wkb_to_geojson(_wkb_point(1, 2) + b"\x00")  # trailing bytes
+
+
+def test_geometry_to_geojson_column(spark):
+    import json
+
+    from flink_cdc_connectors_spark.functions.spatial import geometry_to_geojson
+
+    rows = [(_wkb_point(1.0, 2.0), 4326), (None, None), (_wkb_point(5.0, 6.0, little=False), None)]
+    df = spark.createDataFrame(rows, "wkb binary, srid int")
+    got = [r["geo"] for r in df.select(geometry_to_geojson("wkb", "srid").alias("geo")).collect()]
+    assert json.loads(got[0])["srid"] == 4326
+    assert got[1] is None
+    assert json.loads(got[2]) == {"type": "Point", "coordinates": [5.0, 6.0], "srid": 0}

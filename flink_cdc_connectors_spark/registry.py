@@ -70,82 +70,29 @@ def query(key: str, tier: str, oracle: str | None = None) -> Callable[[QueryFn],
 # instead, the ordering is a no-op.  Everything not listed follows in
 # sorted order.
 #
-# Round-3 set (VERDICT r2 "Next round" #1/#2/#6), strongest-evidence-need
-# first:
-#   1. the 10 oracle-bearing keys with NO driver row in r1 or r2 (they hit
-#      the 50-key cap both rounds; all pass local parity),
-#   2. the 4 keys whose only driver row was a vacuous 0=0 pass, now
-#      de-vacuated (each compares real rows at every SF),
-#   3. the 4 keys upgraded from rows-only to hash-checkable oracles this
-#      round (HLL-audit flag; SRP/IVF literal constants shared with the
-#      oracle SQL),
-#   4. refresh of round-1-only greens, oldest evidence first.
-# Keys with green r2 rows sit past the cap; the remaining rows-only keys
-# (sketch outputs with no SQL form) sit at the very tail.
+# Round-4 set (VERDICT r3 "Next round" #2/#4/#8): after round 3 every one
+# of the 142 keys had at least one green driver row, so the budget now
+# covers (0) the two new round-4 keys, (1) the four keys whose
+# implementation changed this round, (2) the 43 keys whose only row is
+# from round 1 — the oldest evidence — and (3) the round-3 perf-watch
+# key. 47 listed + the first ~3 sorted r2/r3 greens fill the budget.
 _CHECK_FIRST = (
-    # -- 0: new round-3 keys (no driver row can exist yet) ----------------
-    # late-round additions (capture formats, curation, layout, skew, bag
-    # ops, audio, continuous rollup) lead; with them the 28 round-3 keys +
-    # sections 1-3 fill 49 of the ~50-key budget
-    "cdc_logminer_redo",
-    "cdc_capture_sqlserver",
-    "cdc_capture_db2",
-    "cdc_mongo_changestream",
-    "cdc_postgres_wal2json",
-    "cdc_oceanbase_commit_order",
-    "cdc_gtid_failover",
-    "ext_bloom_decontaminate",
-    "ext_url_dedup",
-    "ext_dedup_lines",
-    "ext_dedup_keeper_quality",
-    "ext_zorder_layout",
-    "join_skew_salted",
-    "ext_multimodal_audio",
-    "set_ops_bag",
-    "agg_continuous_rollup",
-    "cdc_jdbc_snapshot",
-    "cdc_jdbc_incremental",
-    "cdc_upsert_sink",
-    "stream_dedup_keep_first",
-    "stream_topn_changelog",
-    "join_lookup",
-    "ext_tfidf",
-    "ext_kmeans_spherical",
-    "ext_semdedup",
-    "stream_e2e_windowed",
+    # -- 0: new round-4 keys (no driver row can exist yet) ----------------
+    "cdc_chunk_key_column",
+    "cdc_chunk_split_vector",
+    # -- 1: implementations changed in round 4 (stale prior evidence) -----
+    # envelope round-trip gained the planted non-ASCII charset rows and a
+    # props output column; the sketch dedups switched their shared frames
+    # to eager localCheckpoint; the DSv2 source gained offset versioning
+    "cdc_deserialize_envelope",
+    "ext_dedup_minhash",
+    "ext_dedup_simhash",
     "cdc_dsv2_stream",
-    "stream_window_join",
-    # -- 1: oracle-bearing, never driver-checked --------------------------
-    "agg_percentiles",
-    "agg_string_agg",
-    "explode_unnest",
-    "map_ops",
-    "pivot_agg",
-    "subquery_scalar",
-    "subquery_in_correlated",
-    "subquery_not_in",
-    "window_first_last",
-    "window_ntile_dist",
-    # -- 2: de-vacuated (r1 rows were 0=0) --------------------------------
-    "ext_dedup_embedding",
-    "ext_multimodal_cols",
-    "join_anti",
-    "set_except",
-    # -- 3: rows-only -> hash-checkable upgrades (round 3) ----------------
-    "agg_approx_distinct",
-    "ext_dedup_embedding_lsh",
-    "ext_sim_search_lsh",
-    "ext_sim_search_ivf",
-    # round-3 additions: full-replay oracles (ANN recall / IVF-PQ / the
-    # md5-family MinHash recall measurement)
-    "ext_ann_recall",
-    "ext_sim_search_pq",
-    "ext_minhash_recall",
-    # -- 4: round-1-only greens, refreshed under the remaining budget -----
-    "cdc_retract_agg",
+    # -- 2: the 43 keys whose only driver row is from round 1 (oldest
+    # evidence; VERDICT r3 item #8) minus the three already listed above -
+    "agg_distinct",
     "agg_global",
     "agg_groupby",
-    "agg_distinct",
     "agg_having",
     "agg_rollup",
     "array_ops",
@@ -154,7 +101,6 @@ _CHECK_FIRST = (
     "cdc_chunk_split_even",
     "cdc_chunk_split_uneven",
     "cdc_dedup_exact",
-    "cdc_deserialize_envelope",
     "cdc_metadata_columns",
     "cdc_offset_filter",
     "cdc_snapshot_scan",
@@ -184,7 +130,10 @@ _CHECK_FIRST = (
     "scalar_typecast",
     "scan_project",
     "set_distinct_union",
-    # -- r2 greens follow in sorted order; rows-only keys at the tail -----
+    # -- 3: the round-3 perf-watch key, re-evidenced after the codegen-
+    # cache fix ----------------------------------------------------------
+    "cdc_multi_table_route",
+    # -- r2/r3 greens follow in sorted order; rows-only keys at the tail --
 )
 
 

@@ -142,9 +142,14 @@ class StreamPartition(InputPartition):
 
 def _duck(path: str, sql: str):
     import duckdb
+    import os
 
+    # Real datasets are DIRECTORIES of part files (every engine's writer
+    # emits them that way); a single .parquet file is the small-fixture
+    # special case. Glob directories so the source reads both shapes.
+    src = os.path.join(path, "*.parquet") if os.path.isdir(path) else path
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW log AS SELECT * FROM '{path}'")
+    con.execute(f"CREATE VIEW log AS SELECT * FROM '{src}'")
     return con.execute(sql)
 
 

@@ -1090,6 +1090,11 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-row L2 norm precomputed once: every pipeline's candidate
         # cosine becomes one dot + a multiply instead of three array folds
         # (per-pair cost dominates; same win as ext_dedup_embedding_lsh)
+        # local-mode note (r3 ADVICE): checkpoint blocks are NOT
+        # rebuildable on executor loss and localCheckpoint is documented
+        # unsafe with dynamic allocation — the right trade in this
+        # single-JVM harness; a cluster deployment with dynamic allocation
+        # should swap these for reliable checkpoint/cache.
         _emb_corpus_with_copies(spark, sf_dir)
         .withColumn("nrm", V.l2_norm(F.col("e")))
         .localCheckpoint(eager=True)

@@ -606,3 +606,167 @@ def ext_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     audio = docs.mapInPandas(encode, schema=enc_schema)
     return audio.mapInPandas(decode_features, schema=feat_schema)
+
+
+# --- image modality: a REAL uncompressed codec --------------------------
+#
+# Like the audio key, the image path avoids the absent codec libraries by
+# using a format whose decode is pure arithmetic: 24-bpp uncompressed BMP
+# (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, BGR byte order,
+# rows padded to 4 bytes) — a real wire format any image tool can open,
+# parsed with struct/np.frombuffer alone. The synthetic pixel formula
+#   channel(d, x, y, c) = (d*7 + x*3 + y*5 + c*11) % 256   (c: 0=B,1=G,2=R)
+# is replayed by the oracle directly, so one wrong byte, a missed row
+# flip (BMP stores bottom-up!), or mishandled row padding fails the hash
+# — the row0 feature is vertically asymmetric precisely to catch the
+# flip, and widths cycle 8..11 so every padding width 0..3 occurs.
+_IMG_DOCS = 200
+
+
+@query(
+    "ext_multimodal_image",
+    tier="C",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 8 + (doc_id % 4) AS w, 6 + (doc_id % 2) * 4 AS h
+      FROM documents WHERE doc_id < {_IMG_DOCS}
+    ),
+    px AS (
+      SELECT doc_id, w, h, x, y,
+             (doc_id * 7 + x * 3 + y * 5) % 256        AS b,
+             (doc_id * 7 + x * 3 + y * 5 + 11) % 256   AS g,
+             (doc_id * 7 + x * 3 + y * 5 + 22) % 256   AS r
+      FROM dims,
+           unnest(generate_series(0, CAST(w - 1 AS INT))) t1(x),
+           unnest(generate_series(0, CAST(h - 1 AS INT))) t2(y)
+    )
+    SELECT doc_id,
+           CAST(w AS INT)  AS width,
+           CAST(h AS INT)  AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           round(avg(r), 4) AS mean_r,
+           round(avg(g), 4) AS mean_g,
+           round(avg(b), 4) AS mean_b,
+           CAST(sum(CASE WHEN y = 0
+                THEN (299 * r + 587 * g + 114 * b) // 1000 END) AS BIGINT)
+             AS row0_luma_sum,
+           CAST(sum((299 * r + 587 * g + 114 * b) // 1000) AS BIGINT)
+             AS luma_sum
+    FROM px GROUP BY 1, 2, 3, 4
+    """,
+)
+def ext_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image modality END TO END through a REAL codec: deterministic RGB
+    images are ENCODED into genuine 24-bpp BMP files (14-byte file header,
+    40-byte info header, bottom-up padded BGR rows — bytes any image
+    viewer opens) inside an Arrow mapInPandas, carried as a BinaryType
+    column, then a second mapInPandas PARSES the format back (magic,
+    pixel-array offset, dimensions, bpp/compression validation, row
+    un-padding, bottom-up flip) and computes per-image features. The
+    formula-level oracle makes the byte round trip hash-checked: a missed
+    row flip breaks ``row0_luma_sum``, mishandled padding breaks every
+    mean (widths cycle through all four pad widths), a BGR/RGB swap
+    breaks the channel means.
+
+    Scale shape: identical to the audio codec — two map-only stages, no
+    shuffle (media payloads are self-contained per row); real corpora
+    swap the synthetic generator for a parquet/tar reader and the BMP
+    parser for turbojpeg/ffmpeg behind the same batch iterator, with
+    Arrow batch size as the only knob. Compressed formats (JPEG/PNG)
+    stay stubbed in ``ext_multimodal_decode`` — their codecs aren't in
+    the container; THIS key proves the full binary-column contract on a
+    format whose decode is pure arithmetic."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _IMG_DOCS)
+        .select(
+            "doc_id",
+            (8 + (F.col("doc_id") % 4)).cast("int").alias("w"),
+            (6 + (F.col("doc_id") % 2) * 4).cast("int").alias("h"),
+        )
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            blobs = []
+            for d, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                d, w, h = int(d), int(w), int(h)
+                x = np.arange(w, dtype=np.int64)[None, :, None]
+                y = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.array([0, 11, 22], dtype=np.int64)[None, None, :]
+                px = ((d * 7 + x * 3 + y * 5 + c) % 256).astype(np.uint8)  # (h,w,BGR)
+                row_bytes = w * 3
+                pad = (-row_bytes) % 4
+                stride = row_bytes + pad
+                rows = np.zeros((h, stride), dtype=np.uint8)
+                rows[:, :row_bytes] = px.reshape(h, row_bytes)
+                pixel_array = rows[::-1].tobytes()  # bottom-up storage
+                file_size = 54 + len(pixel_array)
+                header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+                info = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_array),
+                    2835, 2835, 0, 0,
+                )
+                blobs.append(header + info + pixel_array)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "image": blobs})
+
+    feat_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_pixels", T.LongType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+            T.StructField("row0_luma_sum", T.LongType()),
+            T.StructField("luma_sum", T.LongType()),
+        ]
+    )
+
+    def decode_features(batches):
+        for pdf in batches:
+            rows = {f.name: [] for f in feat_schema.fields}
+            for d, blob in zip(pdf["doc_id"], pdf["image"]):
+                magic, _fsize, _r1, _r2, off = struct.unpack_from("<2sIHHI", blob, 0)
+                if magic != b"BM":
+                    raise ValueError("not a BMP payload")
+                hsize, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
+                if hsize != 40 or bpp != 24 or comp != 0:
+                    raise ValueError(f"unsupported BMP variant ({hsize},{bpp},{comp})")
+                bottom_up = h > 0
+                h = abs(h)
+                stride = (w * 3 + 3) & ~3
+                arr = np.frombuffer(blob, dtype=np.uint8, count=h * stride, offset=off)
+                px = arr.reshape(h, stride)[:, : w * 3]
+                if bottom_up:
+                    px = px[::-1]
+                img = px.reshape(h, w, 3).astype(np.int64)  # BGR
+                b, g, r = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+                luma = (299 * r + 587 * g + 114 * b) // 1000
+                rows["doc_id"].append(int(d))
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
+                rows["n_pixels"].append(int(w) * int(h))
+                rows["mean_r"].append(round(float(r.sum()) / (w * h), 4))
+                rows["mean_g"].append(round(float(g.sum()) / (w * h), 4))
+                rows["mean_b"].append(round(float(b.sum()) / (w * h), 4))
+                rows["row0_luma_sum"].append(int(luma[0].sum()))
+                rows["luma_sum"].append(int(luma.sum()))
+            yield pd.DataFrame(rows)
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("image", T.BinaryType()),
+        ]
+    )
+    images = fan_out(docs).mapInPandas(encode, schema=enc_schema)
+    return images.mapInPandas(decode_features, schema=feat_schema)

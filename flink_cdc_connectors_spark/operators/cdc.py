@@ -56,14 +56,23 @@ def changelog_normalize(
     return out
 
 
-def even_chunks(df: DataFrame, key: str, chunk_size: int) -> DataFrame:
+def even_chunks(
+    df: DataFrame,
+    key: str,
+    chunk_size: int,
+    factor_lower: float = 0.05,
+    factor_upper: float = 1000.0,
+) -> DataFrame:
     """Evenly-sized key-range chunk assignment (the fast path).
 
     The reference splits a table into fixed key-width chunks when the key is
     evenly distributed: distributionFactor = (max-min+1)/rowCount within
-    [0.05, 1000] -> chunks [min+i*step, min+(i+1)*step) (reference
-    MySqlChunkSplitter.java:201-302, 354-422; defaults
-    SourceOptions.java:92-113).
+    the configured bounds -> chunks [min+i*step, min+(i+1)*step) (reference
+    MySqlChunkSplitter.java:201-302, 354-422; bound defaults + the
+    ``chunk-key.even-distribution.factor.{upper,lower}-bound`` options
+    SourceOptions.java:92-113 — thread
+    ``SourceConfig.distribution_factor_{lower,upper}`` here when driven
+    from DDL).
 
     Spark-side this is a pure projection — chunk_id = floor((key-min)/step)
     — no per-chunk boundary queries at all; min/max come from one aggregate.
@@ -75,7 +84,7 @@ def even_chunks(df: DataFrame, key: str, chunk_size: int) -> DataFrame:
     ).first()
     # distributionFactor guard, as in calculateDistributionFactor (:354-375)
     factor = (hi - lo + 1) / max(cnt, 1)
-    if not (0.05 <= factor <= 1000.0):
+    if not (factor_lower <= factor <= factor_upper):
         raise ValueError(f"uneven key distribution (factor={factor}); use uneven_chunks")
     step = max(int(chunk_size * factor), 1)
     return df.withColumn("chunk_id", F.floor((F.col(key) - F.lit(lo)) / F.lit(step)))

@@ -356,6 +356,16 @@ def to_source_config(tdef: TableDef) -> SourceConfig:
         kw["chunk_key_column"] = o["scan.incremental.snapshot.chunk.key-column"]
     if "scan.snapshot.fetch.size" in o:
         kw["fetch_size"] = int(o["scan.snapshot.fetch.size"])
+    # even-split guard bounds (SourceOptions.java:99-113; MySqlChunkSplitter
+    # falls back to uneven splitting outside them)
+    if "chunk-key.even-distribution.factor.upper-bound" in o:
+        kw["distribution_factor_upper"] = float(
+            o["chunk-key.even-distribution.factor.upper-bound"]
+        )
+    if "chunk-key.even-distribution.factor.lower-bound" in o:
+        kw["distribution_factor_lower"] = float(
+            o["chunk-key.even-distribution.factor.lower-bound"]
+        )
     if "server-time-zone" in o:
         kw["server_time_zone"] = o["server-time-zone"]
     if "slot.name" in o:

@@ -441,3 +441,32 @@ def test_mongo_dispatch_prefers_sharded_metadata(spark):
         size_col=F.lit(1), max_chunk_bytes=10,
     )
     assert out.select("chunk_id").distinct().count() == 2
+
+
+def test_even_chunks_configurable_factor_bounds(spark):
+    """The even-split guard bounds are the chunk-key.even-distribution
+    options, not constants (SourceOptions.java:99-113): widening the upper
+    bound accepts a sparse key the defaults reject."""
+    df = spark.createDataFrame([(i * 5000,) for i in range(10)], "k long")
+    with pytest.raises(ValueError, match="uneven key distribution"):
+        even_chunks(df, "k", chunk_size=2)
+    out = even_chunks(df, "k", chunk_size=2, factor_upper=10_000.0)
+    assert out.count() == 10
+
+
+def test_ddl_distribution_factor_bounds_thread_to_config():
+    from flink_cdc_connectors_spark.sources.ddl import (
+        parse_create_table,
+        to_source_config,
+    )
+
+    ddl = """
+    CREATE TABLE t (a BIGINT, PRIMARY KEY (a) NOT ENFORCED)
+    WITH ('connector' = 'mysql-cdc', 'hostname' = 'h', 'username' = 'u',
+          'password' = 'p', 'database-name' = 'd', 'table-name' = 't',
+          'chunk-key.even-distribution.factor.upper-bound' = '50.0',
+          'chunk-key.even-distribution.factor.lower-bound' = '0.5')
+    """
+    cfg = to_source_config(parse_create_table(ddl))
+    assert cfg.distribution_factor_upper == 50.0
+    assert cfg.distribution_factor_lower == 0.5

@@ -545,3 +545,13 @@ def test_ann_recall_reads_only_checkpoint_leaves(spark, sf_dir):
     assert not scan_lines, (
         f"parquet scan leaked back into the recall plan:\n{scan_lines}"
     )
+
+
+def test_video_pipeline_is_map_only(spark, sf_dir):
+    """The Y4M codec path: encode -> BinaryType -> parse/sample/features is
+    two MapInPandas stages and zero exchanges (1->N frame explode happens
+    inside the decode batch)."""
+    df = Q["ext_multimodal_video"].builder(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    plan = explain_str(df, "simple")
+    assert plan.count("MapInPandas") == 2

@@ -327,3 +327,95 @@ def test_logminer_redo_regexes_round_trip(op, uid, cents):
     assert int(got_uid) == uid
     if got_op != "delete":
         assert int(got_cents) == cents
+
+
+# -- WKB encode/parse round trip (functions/spatial.py) ---------------------
+#
+# Property: for ANY geometry tree built from finite coordinates, encoding
+# it to OGC WKB (either byte order, optional EWKB SRID) and parsing it
+# back yields the identical GeoJSON structure. The encoder here is an
+# independent reimplementation of the WKB WRITER spec, so a shared
+# misreading of the format would have to be made twice in mirrored form.
+
+import json as _json
+import struct as _struct
+
+_coord = st.floats(allow_nan=False, allow_infinity=False, width=32)
+_pt = st.tuples(_coord, _coord)
+_ring = st.lists(_pt, min_size=1, max_size=5)
+
+
+def _wkb_geom(kind, payload, little, srid=None):
+    e = "<" if little else ">"
+    code = {"Point": 1, "LineString": 2, "Polygon": 3, "MultiPoint": 4,
+            "MultiLineString": 5, "MultiPolygon": 6, "GeometryCollection": 7}[kind]
+    out = bytes([1 if little else 0])
+    out += _struct.pack(e + "I", code | (0x20000000 if srid is not None else 0))
+    if srid is not None:
+        out += _struct.pack(e + "I", srid)
+    if kind == "Point":
+        out += _struct.pack(e + "dd", *payload)
+    elif kind == "LineString":
+        out += _struct.pack(e + "I", len(payload))
+        for p in payload:
+            out += _struct.pack(e + "dd", *p)
+    elif kind == "Polygon":
+        out += _struct.pack(e + "I", len(payload))
+        for ring in payload:
+            out += _struct.pack(e + "I", len(ring))
+            for p in ring:
+                out += _struct.pack(e + "dd", *p)
+    else:  # multi*/collection: nested full geometries
+        out += _struct.pack(e + "I", len(payload))
+        for sub in payload:
+            out += sub
+    return out
+
+
+_geometry = st.deferred(
+    lambda: st.one_of(
+        st.tuples(st.just("Point"), _pt),
+        st.tuples(st.just("LineString"), _ring),
+        st.tuples(st.just("Polygon"), st.lists(_ring, min_size=1, max_size=3)),
+    )
+)
+
+
+@given(
+    geom=_geometry,
+    little=st.booleans(),
+    srid=st.one_of(st.none(), st.integers(min_value=0, max_value=10_000)),
+)
+@settings(max_examples=60, deadline=None)
+def test_wkb_round_trip_property(geom, little, srid):
+    from flink_cdc_connectors_spark.functions.spatial import wkb_to_geojson
+
+    kind, payload = geom
+    blob = _wkb_geom(kind, payload, little, srid)
+    got = _json.loads(wkb_to_geojson(blob))
+    assert got["type"] == kind
+    assert got["srid"] == (srid or 0)
+    if kind == "Point":
+        want = list(payload)
+    elif kind == "LineString":
+        want = [list(p) for p in payload]
+    else:
+        want = [[list(p) for p in ring] for ring in payload]
+    assert got["coordinates"] == want
+
+
+@given(
+    pts=st.lists(st.tuples(_pt, st.booleans()), min_size=1, max_size=4),
+    little=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_wkb_collection_round_trip_property(pts, little):
+    """Collections nest full geometries each with its OWN byte-order flag —
+    mixed-endian members must parse."""
+    from flink_cdc_connectors_spark.functions.spatial import wkb_to_geojson
+
+    members = [_wkb_geom("Point", p, lp) for p, lp in pts]
+    blob = _wkb_geom("GeometryCollection", members, little)
+    got = _json.loads(wkb_to_geojson(blob))
+    assert got["type"] == "GeometryCollection"
+    assert [g["coordinates"] for g in got["geometries"]] == [list(p) for p, _ in pts]

@@ -31,6 +31,10 @@ from __future__ import annotations
 import json
 import struct
 
+# Module-level so the Arrow UDF's `pd.Series` type hints (strings under
+# future-annotations) resolve against the function's globals.
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -131,8 +135,17 @@ def geometry_to_geojson(wkb_col: Column | str, srid_col: Column | str | None = N
     the reference applies to every Point/Geometry-schema field
     (MySqlDeserializationConverterFactory.createStringConverter).
     """
-    import pandas as pd
+    import sys
+
+    from pyspark import cloudpickle
     from pyspark.sql.functions import pandas_udf
+
+    # The UDF closure references this module's parser functions; without
+    # this they pickle BY REFERENCE and executor Python workers launched
+    # outside the repo (driver cwd elsewhere, no PYTHONPATH) fail with
+    # ModuleNotFoundError — the same self-containment fix as
+    # sources/datasource.py::register (ships the code inside the pickle).
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
     @pandas_udf(T.StringType())
     def _decode(wkb: pd.Series, srid: pd.Series) -> pd.Series:

@@ -1021,3 +1021,79 @@ def cdc_chunk_split_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("sharded").alias("strategy"), "*")
     )
     return sv.unionByName(sh)
+
+
+@query(
+    "cdc_spatial_decode",
+    tier="A",
+    oracle="""
+    SELECT user_id,
+           'Point' AS geo_type,
+           CAST(user_id * 2 AS DOUBLE)       AS x,
+           CAST(user_id * 3 + 1 AS DOUBLE)   AS y,
+           CAST(user_id % 4096 AS BIGINT)    AS srid
+    FROM (SELECT DISTINCT user_id FROM events)
+    """,
+)
+def cdc_spatial_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRY value decode END TO END: the capture layer delivers MySQL
+    geometry columns as Debezium ``{wkb: bytes, srid: int}`` structs and
+    the reference converts them to GeoJSON strings
+    (MySqlDeserializationConverterFactory.java:80-112,
+    ``OGCGeometry.fromBinary(wkb).asGeoJson()`` + the srid member). Here a
+    deterministic POINT per user (x = 2·id, y = 3·id+1, srid = id mod
+    4096) is ENCODED into real little-endian OGC WKB bytes (struct.pack in
+    an Arrow batch — the ingest side), decoded with the engine's
+    vectorized converter (functions/spatial.py::geometry_to_geojson), and
+    the resulting GeoJSON is then re-PARSED with JVM-side JSON path
+    extraction — so the oracle's plain arithmetic can only match if the
+    WKB bytes, the binary parse, the GeoJSON shape, and the srid
+    precedence are all correct.
+
+    Scale: encode and decode are map-only (one Arrow hop each for the
+    binary column); the only exchange is the DISTINCT on the key — and at
+    100 TB geometry decode stays a projection beside the other payload
+    converters."""
+    import struct
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("wkb", T.BinaryType()),
+            T.StructField("srid", T.IntegerType()),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            blobs, srids = [], []
+            for u in pdf["user_id"]:
+                u = int(u)
+                blobs.append(
+                    b"\x01" + struct.pack("<I", 1)
+                    + struct.pack("<dd", float(u * 2), float(u * 3 + 1))
+                )
+                srids.append(u % 4096)
+            yield pd.DataFrame(
+                {"user_id": pdf["user_id"], "wkb": blobs, "srid": srids}
+            )
+
+    from flink_cdc_connectors_spark.functions.spatial import geometry_to_geojson
+
+    wire = users.mapInPandas(encode, schema=enc_schema)
+    decoded = wire.select(
+        "user_id", geometry_to_geojson("wkb", "srid").alias("geojson")
+    )
+    return decoded.select(
+        "user_id",
+        F.get_json_object("geojson", "$.type").alias("geo_type"),
+        F.get_json_object("geojson", "$.coordinates[0]").cast("double").alias("x"),
+        F.get_json_object("geojson", "$.coordinates[1]").cast("double").alias("y"),
+        F.get_json_object("geojson", "$.srid").cast("bigint").alias("srid"),
+    )

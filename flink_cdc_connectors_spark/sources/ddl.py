@@ -344,6 +344,12 @@ def to_source_config(tdef: TableDef) -> SourceConfig:
         kw["startup_mode"] = o["scan.startup.mode"]
     if "scan.startup.specific-offset.pos" in o:
         kw["startup_offset"] = int(o["scan.startup.specific-offset.pos"])
+    if "scan.startup.specific-offset.gtid-set" in o:
+        kw["startup_gtid_set"] = o["scan.startup.specific-offset.gtid-set"]
+    if "scan.startup.specific-offset.skip-events" in o:
+        kw["startup_skip_events"] = int(o["scan.startup.specific-offset.skip-events"])
+    if "scan.startup.specific-offset.skip-rows" in o:
+        kw["startup_skip_rows"] = int(o["scan.startup.specific-offset.skip-rows"])
     if "scan.startup.timestamp-millis" in o:
         kw["startup_timestamp_ms"] = int(o["scan.startup.timestamp-millis"])
     if "scan.incremental.snapshot.chunk.size" in o:

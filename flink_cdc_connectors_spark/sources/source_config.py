@@ -40,7 +40,16 @@ class SourceConfig:
     # table-name option (legal for mongodb-cdc), rejected at binding time
     table_pattern: str | None = ".*"
     startup_mode: str = "initial"  # :137-185
-    startup_offset: int | None = None  # specific-offset value
+    startup_offset: int | None = None  # specific-offset file/pos value
+    # specific-offset's GTID form (MySqlSourceOptions.java:160-166
+    # 'scan.startup.specific-offset.gtid-set'): the reference accepts
+    # EITHER a binlog file/pos pair OR a GTID set for this mode; the set
+    # string is validated by parsing (offsets.py::GtidSet wire format).
+    startup_gtid_set: str | None = None
+    # events/rows to skip past the resolved offset
+    # (:168-181, BinlogOffset skip components)
+    startup_skip_events: int = 0
+    startup_skip_rows: int = 0
     startup_timestamp_ms: int | None = None  # timestamp mode
     snapshot_chunk_size: int = 8096  # scan.incremental.snapshot.chunk.size (SourceOptions.java:92-98)
     fetch_size: int = 1024  # scan.snapshot.fetch.size (:110-115)
@@ -62,8 +71,22 @@ class SourceConfig:
             raise ValueError(
                 f"startup mode must be one of {STARTUP_MODES}, got {self.startup_mode!r}"
             )
-        if self.startup_mode == "specific-offset" and self.startup_offset is None:
-            raise ValueError("specific-offset mode requires startup_offset")
+        if (
+            self.startup_mode == "specific-offset"
+            and self.startup_offset is None
+            and self.startup_gtid_set is None
+        ):
+            raise ValueError(
+                "specific-offset mode requires startup_offset (file/pos) "
+                "or startup_gtid_set"
+            )
+        if self.startup_gtid_set is not None:
+            # parse-validate the wire format (uuid:a-b[,uuid:c-d...])
+            from flink_cdc_connectors_spark.sources.offsets import GtidSet
+
+            GtidSet(self.startup_gtid_set)
+        if self.startup_skip_events < 0 or self.startup_skip_rows < 0:
+            raise ValueError("skip-events/skip-rows must be non-negative")
         if self.startup_mode == "timestamp" and self.startup_timestamp_ms is None:
             raise ValueError("timestamp mode requires startup_timestamp_ms")
         if self.snapshot_chunk_size <= 0:

@@ -451,3 +451,42 @@ def test_mongodb_doc_type_table_mapping():
             ("BinData", T.BinaryType()),
         ],
     )
+
+
+def test_specific_offset_accepts_gtid_set_form():
+    """specific-offset startup accepts EITHER file/pos OR a GTID set
+    (MySqlSourceOptions.java:150-166); the set string is parse-validated."""
+    from flink_cdc_connectors_spark.sources.ddl import (
+        parse_create_table,
+        to_source_config,
+    )
+
+    ddl = """
+    CREATE TABLE t (a BIGINT, PRIMARY KEY (a) NOT ENFORCED)
+    WITH ('connector' = 'mysql-cdc', 'hostname' = 'h', 'username' = 'u',
+          'password' = 'p', 'database-name' = 'd', 'table-name' = 't',
+          'scan.startup.mode' = 'specific-offset',
+          'scan.startup.specific-offset.gtid-set'
+            = '24da167-0c0c-11e8-8442-00059a3c7b00:1-19',
+          'scan.startup.specific-offset.skip-events' = '3',
+          'scan.startup.specific-offset.skip-rows' = '1')
+    """
+    cfg = to_source_config(parse_create_table(ddl))
+    assert cfg.startup_gtid_set.endswith(":1-19")
+    assert (cfg.startup_skip_events, cfg.startup_skip_rows) == (3, 1)
+    assert cfg.startup_offset is None
+
+
+def test_specific_offset_requires_pos_or_gtid():
+    import pytest as _pytest
+
+    from flink_cdc_connectors_spark.sources.source_config import SourceConfig
+
+    with _pytest.raises(ValueError, match="startup_offset .*or startup_gtid_set"):
+        SourceConfig(startup_mode="specific-offset")
+    # either form alone validates
+    SourceConfig(startup_mode="specific-offset", startup_offset=4)
+    SourceConfig(
+        startup_mode="specific-offset",
+        startup_gtid_set="24da167-0c0c-11e8-8442-00059a3c7b00:1-19",
+    )

@@ -419,3 +419,41 @@ def test_wkb_collection_round_trip_property(pts, little):
     got = _json.loads(wkb_to_geojson(blob))
     assert got["type"] == "GeometryCollection"
     assert [g["coordinates"] for g in got["geometries"]] == [list(p) for p, _ in pts]
+
+
+# -- splitVector chunking invariants (operators/cdc.py) ----------------------
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=60),
+    max_chunk=st.integers(min_value=64, max_value=2000),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_split_vector_chunks_invariants(spark, sizes, max_chunk):
+    """For ANY doc-size sequence: chunks tile the key order contiguously
+    from 0, every chunk's bytes stay within max_chunk_bytes + one doc
+    (splitVector splits where cumulative size crosses the limit), and no
+    row is lost or duplicated."""
+    from flink_cdc_connectors_spark.operators.cdc import split_vector_chunks
+
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "k long, bytes long")
+    out = split_vector_chunks(df, "k", "bytes", max_chunk_bytes=max_chunk).collect()
+    assert len(out) == len(sizes)
+    by_chunk: dict[int, list] = {}
+    for r in out:
+        by_chunk.setdefault(r["chunk_id"], []).append(r)
+    ids = sorted(by_chunk)
+    # chunk 0 always exists (first row's exclusive prefix is 0); ids may
+    # SKIP numbers when a jumbo doc larger than max_chunk_bytes spans
+    # several byte windows — labels stay ordered, chunks stay contiguous
+    assert ids[0] == 0
+    prev_hi = -1
+    for cid in ids:
+        ks = sorted(r["k"] for r in by_chunk[cid])
+        assert ks[0] == prev_hi + 1  # contiguous in key order, no gaps
+        prev_hi = ks[-1]
+        chunk_bytes = sum(r["bytes"] for r in by_chunk[cid])
+        assert chunk_bytes <= max_chunk + max(sizes)
+    assert prev_hi == len(sizes) - 1

@@ -709,3 +709,34 @@ def mongo_generate_chunks(
     if size_col is not None and max_chunk_bytes is not None:
         return split_vector_chunks(df, key, size_col, max_chunk_bytes)
     return sample_bucket_chunks(df, key, num_chunks, sample_mod=sample_mod)
+
+
+def next_meta_group_id(received_meta_num: int, meta_group_size: int) -> int:
+    """Incremental split-meta shipping — ``ChunkUtils.getNextMetaGroupId``
+    (mysql ChunkUtils.java:82-86): a stream reader holding
+    ``received_meta_num`` finished-snapshot-split records requests group
+    ``received_num // group_size`` next. With thousands of chunks the
+    coordinator ships metadata in bounded groups instead of one giant RPC
+    (chunk-meta.group.size, MySqlSourceOptions.java:198-203)."""
+    if meta_group_size <= 0:
+        raise ValueError("meta_group_size must be positive")
+    return received_meta_num // meta_group_size
+
+
+def next_meta_group(
+    all_meta: list,
+    received_meta_num: int,
+    meta_group_size: int,
+) -> list:
+    """The coordinator's answer to a meta-group request PLUS the reader's
+    partial-group dedup, as one deterministic function
+    (MySqlSourceReader.fillMetadataForBinlogSplit:327-368 +
+    getExistedSplitsOfLastGroup:401-420): group N is
+    ``all_meta[N*size:(N+1)*size]``, and any members of it the reader
+    already holds (a partially received last group, e.g. after a
+    checkpoint mid-group) are skipped so redelivery appends exactly the
+    missing records."""
+    gid = next_meta_group_id(received_meta_num, meta_group_size)
+    group = all_meta[gid * meta_group_size : (gid + 1) * meta_group_size]
+    already = received_meta_num % meta_group_size
+    return group[already:]

@@ -362,6 +362,8 @@ def to_source_config(tdef: TableDef) -> SourceConfig:
         kw["chunk_key_column"] = o["scan.incremental.snapshot.chunk.key-column"]
     if "scan.snapshot.fetch.size" in o:
         kw["fetch_size"] = int(o["scan.snapshot.fetch.size"])
+    if "chunk-meta.group.size" in o:
+        kw["split_meta_group_size"] = int(o["chunk-meta.group.size"])
     # even-split guard bounds (SourceOptions.java:99-113; MySqlChunkSplitter
     # falls back to uneven splitting outside them)
     if "chunk-key.even-distribution.factor.upper-bound" in o:

@@ -53,6 +53,10 @@ class SourceConfig:
     startup_timestamp_ms: int | None = None  # timestamp mode
     snapshot_chunk_size: int = 8096  # scan.incremental.snapshot.chunk.size (SourceOptions.java:92-98)
     fetch_size: int = 1024  # scan.snapshot.fetch.size (:110-115)
+    # chunk-meta.group.size (MySqlSourceOptions.java:198-203): split-meta
+    # records ship to stream readers in groups of this size
+    # (operators/cdc.py::next_meta_group_id / next_meta_group)
+    split_meta_group_size: int = 1000
     distribution_factor_upper: float = 1000.0  # chunk-key-even-distribution.factor.upper-bound (:99-113)
     distribution_factor_lower: float = 0.05
     server_time_zone: str = "UTC"  # MySqlSourceOptions.java:68-74

@@ -470,3 +470,45 @@ def test_ddl_distribution_factor_bounds_thread_to_config():
     cfg = to_source_config(parse_create_table(ddl))
     assert cfg.distribution_factor_upper == 50.0
     assert cfg.distribution_factor_lower == 0.5
+
+
+def test_meta_group_incremental_shipping():
+    """Replay the reader<->coordinator split-meta protocol: starting from
+    any interruption point, repeated next-group requests reconstruct the
+    full chunk-meta list exactly once (the partial-last-group dedup of
+    MySqlSourceReader.getExistedSplitsOfLastGroup)."""
+    from flink_cdc_connectors_spark.operators.cdc import (
+        next_meta_group,
+        next_meta_group_id,
+    )
+
+    metas = [f"split-{i}" for i in range(23)]
+    for start in (0, 1, 7, 8, 22, 23):  # incl. mid-group checkpoint points
+        received = list(metas[:start])
+        while len(received) < len(metas):
+            got = next_meta_group(metas, len(received), meta_group_size=8)
+            assert got, f"stalled at {len(received)}"
+            received.extend(got)
+        assert received == metas
+    assert next_meta_group_id(0, 8) == 0
+    assert next_meta_group_id(7, 8) == 0   # partial group -> re-request it
+    assert next_meta_group_id(8, 8) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        next_meta_group_id(1, 0)
+
+
+def test_ddl_meta_group_size_threads_to_config():
+    from flink_cdc_connectors_spark.sources.ddl import (
+        parse_create_table,
+        to_source_config,
+    )
+
+    ddl = """
+    CREATE TABLE t (a BIGINT, PRIMARY KEY (a) NOT ENFORCED)
+    WITH ('connector' = 'mysql-cdc', 'hostname' = 'h', 'username' = 'u',
+          'password' = 'p', 'database-name' = 'd', 'table-name' = 't',
+          'chunk-meta.group.size' = '64')
+    """
+    assert to_source_config(parse_create_table(ddl)).split_meta_group_size == 64

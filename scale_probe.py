@@ -51,6 +51,10 @@ EVENTS_FAMILY = [
     "cdc_gtid_failover",
     "ext_zorder_layout",
     "join_skew_salted",
+    # round-4 additions: splitVector byte chunking (bucketed prefix sum)
+    # and the WKB->GeoJSON decode (map-only, user-count scales)
+    "cdc_chunk_split_vector",
+    "cdc_spatial_decode",
 ]
 
 FAMILY = [

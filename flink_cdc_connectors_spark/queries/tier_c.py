@@ -192,7 +192,12 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = fan_out(docs.select("doc_id", "text").unionByName(near))
-    sh = _shingles(corpus).cache()
+    # eager checkpoint, not cache(): the a/b self-join below scans this
+    # frame from both sides in concurrently-running stages, so a cached
+    # frame computes the shingle explode twice (same double-compute as
+    # ext_dedup_minhash's shingle frame; see that key for the local-mode
+    # portability note)
+    sh = _shingles(corpus).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

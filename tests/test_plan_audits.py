@@ -555,3 +555,18 @@ def test_video_pipeline_is_map_only(spark, sf_dir):
     assert shuffle_count(df) == 0
     plan = explain_str(df, "simple")
     assert plan.count("MapInPandas") == 2
+
+
+def test_split_vector_no_single_partition_window(spark, sf_dir):
+    """splitVector's cumulative-byte chunking must ride the bucketed
+    prefix sum — never a global ORDER BY window (the single-partition
+    anti-pattern that would serialize a 100 TB collection)."""
+    df = Q["cdc_chunk_split_vector"].builder(spark, sf_dir)
+    assert not has_single_partition_window(df)
+
+
+def test_spatial_decode_is_map_only_plus_distinct(spark, sf_dir):
+    """Geometry decode is a projection beside the other converters: the
+    only exchange is the DISTINCT on the key."""
+    df = Q["cdc_spatial_decode"].builder(spark, sf_dir)
+    assert shuffle_count(df) <= 1

@@ -57,6 +57,17 @@ EVENTS_FAMILY = [
     "cdc_spatial_decode",
 ]
 
+# relational (TPC-H-shaped) keys probed against replicated fact tables:
+# lineitem/orders scale 10x with fresh orderkeys, the customer DIM stays
+# verbatim (facts grow, dims don't — per-custkey order counts deepen 10x,
+# the realistic growth mode for the fact⋈dim join and the per-key top-k)
+RELATIONAL_FAMILY = [
+    "agg_groupby",
+    "join_inner",
+    "topk_per_group",
+    "sort_limit",
+]
+
 FAMILY = [
     "ext_dedup_exact_text",
     "ext_dedup_minhash",
@@ -147,6 +158,37 @@ def build_fixture(spark) -> None:
         f"{DST}/customer.parquet"
     )
 
+    # relational facts: fresh order keys per replica (orderkeys shifted in
+    # LOCKSTEP across lineitem and orders so the FK relationship holds);
+    # o_custkey is NOT shifted — the customer dim stays fixed and each
+    # customer simply has 10x the orders, the realistic fact-growth mode
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    okey_span = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    oreps = [
+        orders.select(
+            (F.col("o_orderkey") + k * okey_span).alias("o_orderkey"),
+            *[c for c in orders.columns if c != "o_orderkey"],
+        )
+        for k in range(REPLICAS)
+    ]
+    oout = oreps[0]
+    for r in oreps[1:]:
+        oout = oout.unionByName(r)
+    oout.repartition(32).write.mode("overwrite").parquet(f"{DST}/orders.parquet")
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    lreps = [
+        li.select(
+            (F.col("l_orderkey") + k * okey_span).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        for k in range(REPLICAS)
+    ]
+    lout = lreps[0]
+    for r in lreps[1:]:
+        lout = lout.unionByName(r)
+    lout.repartition(32).write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+
 
 def time_query(spark, builder, sf_dir: str) -> float:
     t0 = time.monotonic()
@@ -164,13 +206,13 @@ def time_query(spark, builder, sf_dir: str) -> float:
 
 def main() -> None:
     spark = get_spark(app_name="scale_probe")
-    # events.parquet is the NEWEST fixture artifact — a cache built by the
-    # pre-events probe has documents but not events, and must rebuild
-    if "--rebuild" in sys.argv or not os.path.isdir(f"{DST}/events.parquet"):
+    # lineitem.parquet is the NEWEST fixture artifact — a cache built by a
+    # pre-relational probe has events but not the facts, and must rebuild
+    if "--rebuild" in sys.argv or not os.path.isdir(f"{DST}/lineitem.parquet"):
         build_fixture(spark)
     queries = all_queries()
     results = {}
-    for key in FAMILY + EVENTS_FAMILY:
+    for key in FAMILY + EVENTS_FAMILY + RELATIONAL_FAMILY:
         b = queries[key].builder
         time_query(spark, b, SRC)  # warm the plan family / JIT
         t01 = time_query(spark, b, SRC)

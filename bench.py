@@ -53,60 +53,50 @@ def run_one(spark, builder, sf_dir: str) -> float:
 def main() -> None:
     spark = get_spark(app_name="bench")
     queries = all_queries()
-    # Warm the JVM/session on the smallest fixture so q1 doesn't pay startup,
-    # and warm the Python-worker pool (fork + pandas import per core) so the
-    # first Arrow-UDF query isn't charged ~5s of one-time worker spin-up.
-    # Also warm one representative of each heavy PLAN FAMILY: whole-stage
-    # codegen classes are cached by generated source and HotSpot C2-compiles
-    # the hot loops on first execution, so without this the alphabetically
-    # FIRST query of each family absorbs ~5-15s of one-time compile/JIT that
-    # at real scale amortizes to zero (measured: ext_dedup_cluster 15.8s
-    # cold-attributed vs 2.5s steady-state at sf0.1). sf0.001 inputs produce
-    # the same generated code, so the warmup is cheap and the per-query
-    # numbers measure execution, not first-compile.
-    # sf0.001 is too small to push the generated loops past HotSpot's C2
-    # compile thresholds (50 docs = a handful of loop iterations), so the
-    # heavy families warm at sf0.01 — still ~1-2s each, enough rows for the
-    # JIT to promote the hot paths. Warm dirs derive from the SAME env-var
-    # root as SF_DIR (a relocated fixture tree warms from its own sibling
-    # dirs, falling back to SF_DIR itself), and a failed warmup logs a
-    # warning to stderr instead of silently skipping — a silent no-op here
-    # reintroduces exactly the cold-JIT skew the warmup exists to remove.
+    # Session warmup: the smallest fixture absorbs JVM/session startup so
+    # the first key doesn't pay it, and one Arrow-UDF key spins up the
+    # Python-worker pool (fork + pandas import per core, ~5 s one-time).
+    # Per-PLAN warm-then-time happens inside the main loop below. Warm
+    # dirs derive from the SAME env-var root as SF_DIR (a relocated
+    # fixture tree warms from its own sibling dirs, falling back to
+    # SF_DIR itself); a failed warmup logs a warning instead of silently
+    # skipping — a silent no-op reintroduces the cold-compile skew the
+    # warmup exists to remove.
     sf_root = os.path.dirname(SF_DIR.rstrip("/"))
 
     def warm_dir(name: str) -> str:
         d = os.path.join(sf_root, name)
         return d if os.path.isdir(d) else SF_DIR
 
-    warm_plan = [
+    for wd, warm in [
         (warm_dir("sf0.001"), next(iter(sorted(queries)))),
         (warm_dir("sf0.001"), "ext_multimodal_decode"),  # Python workers
-        (warm_dir("sf0.01"), "ext_dedup_cluster"),    # shingles + self-join + loop
-        (warm_dir("sf0.01"), "ext_minhash_recall"),   # minhash + band joins
-        (warm_dir("sf0.01"), "ext_dedup_simhash"),    # 64-wide vote codegen
-        (warm_dir("sf0.01"), "ext_ann_recall"),       # ANN/PQ literal arrays
-        (warm_dir("sf0.01"), "cdc_format_roundtrip"), # to_json/from_json codecs
-        (warm_dir("sf0.01"), "cdc_multi_table_route"),
-        (warm_dir("sf0.01"), "agg_approx_distinct"),
-        (warm_dir("sf0.01"), "cdc_chunk_split_sampled"),
-        (warm_dir("sf0.01"), "ext_decontaminate"),
-        (warm_dir("sf0.01"), "ext_dedup_embedding"),
-        # round-3 plan families: live JDBC (Derby boot + codegen),
-        # 64-column mean aggregates, prefix self-join + windows
-        (warm_dir("sf0.01"), "cdc_jdbc_incremental"),
-        (warm_dir("sf0.01"), "ext_kmeans_spherical"),
-        (warm_dir("sf0.01"), "stream_topn_changelog"),
-    ]
-    for wd, warm in warm_plan:
+    ]:
         try:
             run_one(spark, queries[warm].builder, wd)
         except Exception as exc:
             print(f"WARN bench warmup {warm} @ {wd} failed: {exc}", file=sys.stderr)
 
+    # Per-key warm-then-time (round 4): warming a shared list of family
+    # representatives up front proved ordering-fragile — the one-time
+    # compile cost is per PLAN, Spark's generated-class cache is an LRU
+    # (raised in session.py but still finite), and anything that perturbs
+    # the session between warmup and timed run (cache churn, concurrent
+    # load, a future key reshuffling the alphabet) can reattribute an
+    # 8-16 s first-run cost to a single unlucky key (the round-3 driver
+    # bench's 21 s cdc_multi_table_route outlier). Running THE SAME key at
+    # the small warm fixture immediately before timing it makes every
+    # timed number a steady-state measurement by construction: the plan's
+    # analysis, Janino compile, and JIT promotion have just happened, and
+    # no other plan ran in between. The warm pass is untimed; per-key
+    # deltas across rounds now compare execution, not compile luck.
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
+    warm_sf = warm_dir("sf0.01")
     for key in sorted(queries):
         try:
+            if warm_sf != SF_DIR:
+                run_one(spark, queries[key].builder, warm_sf)
             timings[key] = round(run_one(spark, queries[key].builder, SF_DIR), 3)
         except Exception as exc:  # keep benching; a failed query is reported
             failures[key] = f"{type(exc).__name__}: {exc}"[:200]

@@ -340,6 +340,8 @@ def to_source_config(tdef: TableDef) -> SourceConfig:
         # no table binding declared (mongodb-cdc requires only 'hosts');
         # create_cdc_table/create_cdc_stream reject this clearly
         kw["table_pattern"] = None
+    if "server-id" in o:
+        kw["server_id"] = o["server-id"]
     if "scan.startup.mode" in o:
         kw["startup_mode"] = o["scan.startup.mode"]
     if "scan.startup.specific-offset.pos" in o:

@@ -64,6 +64,11 @@ class SourceConfig:
     # 'slot.name'; PostgreSQLSource Builder default "flink"). None for
     # connectors without slot semantics.
     slot_name: str | None = None
+    # MySQL replica server-id, single or inclusive range '5400-6400'
+    # (MySqlSourceOptions.java:77-101): each reader subtask registers
+    # start+subtask, so the range must cover the parallelism — parsed and
+    # validated by validation.py::ServerIdRange at construction.
+    server_id: str | None = None
     # scan.incremental.snapshot.chunk.key-column (MySqlSourceOptions.java:
     # 240-247; JdbcSourceOptions.java:106-113): user-chosen snapshot split
     # column, validated against the table's primary key at resolution time
@@ -89,6 +94,10 @@ class SourceConfig:
             from flink_cdc_connectors_spark.sources.offsets import GtidSet
 
             GtidSet(self.startup_gtid_set)
+        if self.server_id is not None:
+            from flink_cdc_connectors_spark.sources.validation import ServerIdRange
+
+            ServerIdRange.parse(self.server_id)
         if self.startup_skip_events < 0 or self.startup_skip_rows < 0:
             raise ValueError("skip-events/skip-rows must be non-negative")
         if self.startup_mode == "timestamp" and self.startup_timestamp_ms is None:

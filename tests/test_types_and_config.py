@@ -490,3 +490,28 @@ def test_specific_offset_requires_pos_or_gtid():
         startup_mode="specific-offset",
         startup_gtid_set="24da167-0c0c-11e8-8442-00059a3c7b00:1-19",
     )
+
+
+def test_server_id_threads_and_validates():
+    """server-id threads from DDL and is parse-validated at config build
+    (ServerIdRange.java:30-90) — a malformed range fails construction, not
+    subtask assignment."""
+    import pytest as _pytest
+
+    from flink_cdc_connectors_spark.sources.ddl import (
+        parse_create_table,
+        to_source_config,
+    )
+    from flink_cdc_connectors_spark.sources.source_config import SourceConfig
+
+    ddl = """
+    CREATE TABLE t (a BIGINT, PRIMARY KEY (a) NOT ENFORCED)
+    WITH ('connector' = 'mysql-cdc', 'hostname' = 'h', 'username' = 'u',
+          'password' = 'p', 'database-name' = 'd', 'table-name' = 't',
+          'server-id' = '5400-5404')
+    """
+    assert to_source_config(parse_create_table(ddl)).server_id == "5400-5404"
+    with _pytest.raises(Exception, match="server-id"):
+        SourceConfig(server_id="5404-5400")
+    with _pytest.raises(Exception, match="server-id"):
+        SourceConfig(server_id="abc")

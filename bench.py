@@ -94,9 +94,17 @@ def main() -> None:
     failures: dict[str, str] = {}
     warm_sf = warm_dir("sf0.01")
     for key in sorted(queries):
+        # The warm pass ALWAYS runs — even when warm_sf resolves to
+        # SF_DIR itself (missing sibling fixture, or benching at sf0.01):
+        # then the first full-scale run is the warm and the second is
+        # timed, which is still a steady-state measurement, just at 2x
+        # wall. A warm failure degrades to a WARN (its own try): a key
+        # that only works at the timed SF must still get its timed run.
         try:
-            if warm_sf != SF_DIR:
-                run_one(spark, queries[key].builder, warm_sf)
+            run_one(spark, queries[key].builder, warm_sf)
+        except Exception as exc:
+            print(f"WARN bench warm {key} @ {warm_sf} failed: {exc}", file=sys.stderr)
+        try:
             timings[key] = round(run_one(spark, queries[key].builder, SF_DIR), 3)
         except Exception as exc:  # keep benching; a failed query is reported
             failures[key] = f"{type(exc).__name__}: {exc}"[:200]

@@ -109,6 +109,14 @@ def _parse_geometry(buf: bytes, off: int):
             parts.append(g)
         if name == "GeometryCollection":
             return {"type": name, "geometries": parts}, off, srid
+        # Multi* members must be the matching single type — a Point inside
+        # a MultiLineString is corrupt WKB, rejected loudly (the reference's
+        # OGCGeometry.fromBinary fails such blobs), never silently emitted
+        # as wrong-shaped coordinates.
+        member = name.removeprefix("Multi")
+        bad = [g["type"] for g in parts if g["type"] != member]
+        if bad:
+            raise ValueError(f"{name} WKB contains non-{member} members: {bad}")
         coords = [g["coordinates"] for g in parts]
     return {"type": name, "coordinates": coords}, off, srid
 

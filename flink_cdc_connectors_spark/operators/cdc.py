@@ -678,6 +678,16 @@ def sharded_chunks(
         raise ValueError("empty chunk metadata; dispatch via mongo_generate_chunks")
     if chunk_ranges[0][0] is not None or chunk_ranges[-1][1] is not None:
         raise ValueError("chunk metadata must be capped by MinKey/MaxKey (None) bounds")
+    # every INTERIOR bound must be a real integer split point: a missing
+    # (None) or non-numeric bound inside the list is torn metadata and
+    # must fail here as a validated rejection, not as a downstream
+    # TypeError (None == None would otherwise slip the contiguity check)
+    for lo, hi in ((r[0], r[1]) for r in chunk_ranges[1:-1]):
+        if not isinstance(lo, int) or not isinstance(hi, int):
+            raise ValueError(f"torn chunk metadata: interior bound ({lo}, {hi}) is not an integer split point")
+    if len(chunk_ranges) > 1:
+        if not isinstance(chunk_ranges[0][1], int) or not isinstance(chunk_ranges[-1][0], int):
+            raise ValueError("torn chunk metadata: interior bound is not an integer split point")
     for (_, hi), (lo, _) in zip(chunk_ranges, chunk_ranges[1:]):
         if hi != lo:
             raise ValueError(f"non-contiguous chunk metadata: max {hi} != next min {lo}")

@@ -920,7 +920,13 @@ def cdc_chunk_key_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = load_table(spark, sf_dir, "events")
     return (
-        even_chunks(e, split_col, chunk_size=cfg.snapshot_chunk_size)
+        even_chunks(
+            e,
+            split_col,
+            chunk_size=cfg.snapshot_chunk_size,
+            factor_lower=cfg.distribution_factor_lower,
+            factor_upper=cfg.distribution_factor_upper,
+        )
         .groupBy("chunk_id")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

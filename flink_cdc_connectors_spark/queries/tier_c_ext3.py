@@ -401,6 +401,12 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Compose the three signal oracles verbatim (one source of truth — the same
 # registry-nesting pattern ext_dedup_cluster uses for its edge list).
+# The owning modules must import FIRST: reading another module's
+# registration at import time otherwise depends on who imported US (a
+# test importing this module directly, before anything called
+# registry.all_queries(), hit a KeyError here).
+import flink_cdc_connectors_spark.queries.tier_c  # noqa: E402,F401
+import flink_cdc_connectors_spark.queries.tier_c_ext  # noqa: E402,F401
 from flink_cdc_connectors_spark.registry import _REGISTRY as _REG  # noqa: E402
 
 

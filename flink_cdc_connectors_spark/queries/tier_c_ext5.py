@@ -768,7 +768,10 @@ def ext_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("image", T.BinaryType()),
         ]
     )
-    images = fan_out(docs).mapInPandas(encode, schema=enc_schema)
+    # no fan_out: like the audio key, the codec path is genuinely
+    # map-only — the pruned doc-id scan's own partitioning carries the
+    # trivial per-row work, and the plan audit pins ZERO exchanges
+    images = docs.mapInPandas(encode, schema=enc_schema)
     return images.mapInPandas(decode_features, schema=feat_schema)
 
 
@@ -934,5 +937,6 @@ def ext_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("video", T.BinaryType()),
         ]
     )
-    videos = fan_out(docs).mapInPandas(encode, schema=enc_schema)
+    # no fan_out — see the image key: the plan audit pins zero exchanges
+    videos = docs.mapInPandas(encode, schema=enc_schema)
     return videos.mapInPandas(decode_features, schema=feat_schema)

@@ -83,13 +83,18 @@ class SourceConfig:
         if (
             self.startup_mode == "specific-offset"
             and self.startup_offset is None
-            and self.startup_gtid_set is None
+            and not (self.startup_gtid_set or "").strip()
         ):
             raise ValueError(
                 "specific-offset mode requires startup_offset (file/pos) "
-                "or startup_gtid_set"
+                "or a non-empty startup_gtid_set"
             )
         if self.startup_gtid_set is not None:
+            if not self.startup_gtid_set.strip():
+                # an empty set parses but positions the stream nowhere — a
+                # config with no usable startup position must fail at
+                # construction, not at stream start
+                raise ValueError("startup_gtid_set must be a non-empty GTID set")
             # parse-validate the wire format (uuid:a-b[,uuid:c-d...])
             from flink_cdc_connectors_spark.sources.offsets import GtidSet
 

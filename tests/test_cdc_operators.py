@@ -512,3 +512,16 @@ def test_ddl_meta_group_size_threads_to_config():
           'chunk-meta.group.size' = '64')
     """
     assert to_source_config(parse_create_table(ddl)).split_meta_group_size == 64
+
+
+def test_sharded_chunks_rejects_none_interior_bound(spark):
+    """Torn metadata with a missing interior bound fails as a validated
+    rejection, not a downstream TypeError (None == None would otherwise
+    pass the contiguity check)."""
+    from flink_cdc_connectors_spark.operators.cdc import sharded_chunks
+
+    df = spark.range(0, 10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="torn chunk metadata"):
+        sharded_chunks(df, "k", [(None, None), (None, 5), (5, None)])
+    with pytest.raises(ValueError, match="torn chunk metadata"):
+        sharded_chunks(df, "k", [(None, None), (None, None)])

@@ -321,3 +321,18 @@ def test_geometry_to_geojson_column(spark):
     assert json.loads(got[0])["srid"] == 4326
     assert got[1] is None
     assert json.loads(got[2]) == {"type": "Point", "coordinates": [5.0, 6.0], "srid": 0}
+
+
+def test_wkb_multi_rejects_mismatched_members():
+    """Corrupt Multi* WKB whose members are the wrong type fails loudly —
+    never silently emits wrong-shaped coordinates."""
+    import struct as _s
+
+    import pytest as _pytest
+
+    from flink_cdc_connectors_spark.functions.spatial import wkb_to_geojson
+
+    # MultiLineString (type 5) whose members are Points
+    bad = bytes([1]) + _s.pack("<I", 5) + _s.pack("<I", 2) + _wkb_point(1, 2) + _wkb_point(3, 4)
+    with _pytest.raises(ValueError, match="non-LineString members"):
+        wkb_to_geojson(bad)

@@ -482,8 +482,11 @@ def test_specific_offset_requires_pos_or_gtid():
 
     from flink_cdc_connectors_spark.sources.source_config import SourceConfig
 
-    with _pytest.raises(ValueError, match="startup_offset .*or startup_gtid_set"):
+    with _pytest.raises(ValueError, match="startup_offset .*startup_gtid_set"):
         SourceConfig(startup_mode="specific-offset")
+    # empty/whitespace GTID set = no usable position -> construction fails
+    with _pytest.raises(ValueError, match="startup_gtid_set"):
+        SourceConfig(startup_mode="specific-offset", startup_gtid_set="  ")
     # either form alone validates
     SourceConfig(startup_mode="specific-offset", startup_offset=4)
     SourceConfig(

@@ -373,3 +373,28 @@ def test_gtid_failover_query_agrees_with_gtidset_algebra(spark, sf_dir):
             want[r.server_uuid] += 1
     got = dict(zip(emitted_oracle.server_uuid, emitted_oracle.n_emitted))
     assert {k: int(v) for k, v in got.items()} == want
+
+
+def test_resume_token_reference_fixtures():
+    """The three resume tokens from the reference's own unit suite
+    (ResumeTokenUtilsTest.java:28-57 — BinData base64, hex v0, hex v1)
+    decode to the exact BsonTimestamps the reference asserts."""
+    import base64
+
+    from flink_cdc_connectors_spark.sources.offsets import (
+        bson_timestamp,
+        decode_resume_token_timestamp,
+    )
+
+    bin_tok = base64.b64decode(
+        "gmNXqzwAAAABRmRfaWQAZGNXqj41xq4H4ebHNwBaEATmzwG2DzpOl4tpOyYEG9zABA=="
+    )
+    assert decode_resume_token_timestamp(bin_tok) == bson_timestamp(1666689852, 1)
+    assert decode_resume_token_timestamp(
+        "826357B0840000000129295A1004461ECCED47A6420D9713A513565036074664"
+        "5F696400646357B05F35C6AE07E1E6C7390004"
+    ) == bson_timestamp(1666691204, 1)
+    assert decode_resume_token_timestamp(
+        "82612E8513000000012B022C0100296E5A1004A5093ABB38FE4B9EA67F01BB1A"
+        "96D812463C5F6964003C5F5F5F78000004"
+    ) == bson_timestamp(1630438675, 1)

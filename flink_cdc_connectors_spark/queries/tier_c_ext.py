@@ -727,3 +727,183 @@ def ext_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == 1, F.col("quality"))).alias("keeper_quality"),
         F.round(F.min("quality"), 4).alias("min_quality"),
     )
+
+
+def _duck_dedup_incremental_oracle() -> str:
+    from flink_cdc_connectors_spark.queries.tier_c import _SHINGLE_SQL
+
+    mins = ",".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(16))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {cols} AS band_sig FROM sig".format(
+            b=b, cols="||'|'||".join(f"mh{b * 4 + r}" for r in range(4))
+        )
+        for b in range(4)
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    near_c AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(string_split_regex(trim(text), '\\s+')[1:-2], ' ') AS text
+      FROM base WHERE doc_id % 5 <> 0
+        AND len(string_split_regex(trim(text), '\\s+')) > 12),
+    near_b AS (
+      SELECT doc_id + 2000000 AS doc_id,
+             array_to_string(string_split_regex(trim(text), '\\s+')[1:-2], ' ') AS text
+      FROM base WHERE doc_id % 5 = 0
+        AND len(string_split_regex(trim(text), '\\s+')) > 12),
+    corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL SELECT * FROM near_c
+      UNION ALL SELECT * FROM near_b),
+    is_batch AS (
+      SELECT doc_id,
+             (doc_id >= 1000000 OR doc_id % 5 = 0) AS b
+      FROM corpus),
+    shingled AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM shingled a JOIN shingled b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jpairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6),
+    sig AS (SELECT doc_id, {mins} FROM shingled GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT least(x.doc_id, y.doc_id) AS id_a,
+             greatest(x.doc_id, y.doc_id) AS id_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+       AND x.doc_id < y.doc_id
+      JOIN is_batch bx ON bx.doc_id = x.doc_id
+      JOIN is_batch by_ ON by_.doc_id = y.doc_id
+      WHERE bx.b OR by_.b),
+    verified AS (SELECT id_a, id_b FROM cand JOIN jpairs USING (id_a, id_b)),
+    batch_docs AS (SELECT doc_id FROM is_batch WHERE b),
+    dup_counts AS (
+      SELECT bd.doc_id,
+             CAST(count(*) FILTER (WHERE NOT other.b) AS BIGINT) AS n_corpus_dups,
+             CAST(count(*) FILTER (WHERE other.b
+                                   AND other.doc_id < bd.doc_id) AS BIGINT)
+               AS n_batch_dups
+      FROM batch_docs bd
+      LEFT JOIN (
+        SELECT id_a AS me, id_b AS them FROM verified
+        UNION ALL SELECT id_b, id_a FROM verified) v ON v.me = bd.doc_id
+      LEFT JOIN is_batch other ON other.doc_id = v.them
+      GROUP BY 1)
+    SELECT doc_id, n_corpus_dups, n_batch_dups,
+           CASE WHEN n_corpus_dups = 0 AND n_batch_dups = 0
+                THEN 1 ELSE 0 END AS keep
+    FROM dup_counts
+    """
+
+
+@query("ext_dedup_incremental", tier="C", oracle=_duck_dedup_incremental_oracle())
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup — the production shape every batch-mode
+    key skips: a NEW crawl batch is deduplicated against an EXISTING
+    corpus (whose MinHash band index is precomputed and stored) plus
+    itself, and the corpus is NEVER self-joined. A batch doc is dropped if
+    it near-dups (exact Jaccard >= 0.6 on LSH candidates) any corpus doc,
+    or an earlier-kept batch doc (min-id priority within the batch). The
+    fixture plants near-copies of corpus docs INTO the batch (re-crawled
+    content -> corpus dups) and near-copies of batch docs (intra-batch
+    dups), so both drop reasons occur and are separately counted.
+
+    Uses the md5-string MinHash family (functions/text.py::
+    minhash_signatures_md5) so the DuckDB oracle replays signatures,
+    banding, the asymmetric candidate join, and the verification —
+    hash-checked end to end, unlike the xxhash64 corpus-scale twin.
+
+    Scale: this is the daily-increment 100 TB pattern — per-increment
+    cost is O(batch) signatures + band joins against a STORED index
+    (here rebuilt in-query because parquet fixtures carry no state;
+    the join SHAPE is identical), never O(corpus^2); the batch self-join
+    is small-side x small-side."""
+    from flink_cdc_connectors_spark.functions import text as T
+
+    base = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    # drop the LAST word — the pairing DuckDB's [1:-2] slice expresses
+    # (same near-copy recipe as ext_minhash_recall, whose parity pins it)
+    drop_last = F.array_join(F.slice(words, 1, F.size(words) - 1), " ")
+    near_c = (
+        base.filter((F.col("doc_id") % 5 != 0) & (F.size(words) > 12))
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), drop_last.alias("text"))
+    )
+    near_b = (
+        base.filter((F.col("doc_id") % 5 == 0) & (F.size(words) > 12))
+        .select((F.col("doc_id") + 2_000_000).alias("doc_id"), drop_last.alias("text"))
+    )
+    all_docs = base.select("doc_id", "text").unionByName(near_c).unionByName(near_b)
+    batch_pred = (F.col("doc_id") >= 1_000_000) | (F.col("doc_id") % 5 == 0)
+
+    # one shingle frame for both sides (eager checkpoint: consumed by the
+    # band join's concurrent stages AND the verify joins)
+    sh = all_docs.select(
+        "doc_id", T.shingles(T.words(F.col("text"))).alias("sh"), batch_pred.alias("b")
+    ).localCheckpoint(eager=True)
+    sig = T.minhash_signatures_md5(sh, "doc_id", "sh", 16)
+    sig = sig.join(sh.select("doc_id", "b"), "doc_id")
+    bands = sig.select(
+        "doc_id",
+        "b",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("|", *[F.col(f"mh{bd * 4 + r}") for r in range(4)])
+                    for bd in range(4)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    # asymmetric candidate join: at least one side is the batch — the
+    # corpus never pairs with itself (the incremental-cost contract)
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_sig") == F.col("y.band_sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .filter(F.col("x.b") | F.col("y.b"))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
+    verified = cand.join(sa, "id_a").join(sb, "id_b").filter(jac >= 0.6).select("id_a", "id_b")
+    # per-batch-doc drop accounting: symmetrize pairs, classify the OTHER
+    # side (corpus, or an earlier batch doc)
+    sym = verified.select(
+        F.col("id_a").alias("me"), F.col("id_b").alias("them")
+    ).unionByName(verified.select(F.col("id_b").alias("me"), F.col("id_a").alias("them")))
+    other = sh.select(F.col("doc_id").alias("them"), F.col("b").alias("them_b"))
+    batch_docs = sh.filter("b").select("doc_id")
+    counts = (
+        batch_docs.join(sym, batch_docs.doc_id == sym.me, "left")
+        .join(other, "them", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.when(~F.col("them_b"), 1)).alias("n_corpus_dups"),
+            F.count(
+                F.when(F.col("them_b") & (F.col("them") < F.col("doc_id")), 1)
+            ).alias("n_batch_dups"),
+        )
+    )
+    return counts.select(
+        "doc_id",
+        "n_corpus_dups",
+        "n_batch_dups",
+        F.when((F.col("n_corpus_dups") == 0) & (F.col("n_batch_dups") == 0), 1)
+        .otherwise(0)
+        .alias("keep"),
+    )

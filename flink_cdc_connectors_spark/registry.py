@@ -72,10 +72,11 @@ def query(key: str, tier: str, oracle: str | None = None) -> Callable[[QueryFn],
 #
 # Round-4 set (VERDICT r3 "Next round" #2/#4/#8): after round 3 every one
 # of the 142 keys had at least one green driver row, so the budget now
-# covers (0) the five new round-4 keys, (1) the four keys whose
+# covers (0) the six new round-4 keys, (1) the four keys whose
 # implementation changed this round, (2) the 43 keys whose only row is
 # from round 1 — the oldest evidence — and (3) the round-3 perf-watch
-# key. The 50 listed keys exactly fill the budget.
+# key. 51 listed keys slightly overfill the ~50 budget; the tail-most
+# r1-only keys may slip to round 5, each still holding a green r1 row.
 _CHECK_FIRST = (
     # -- 0: new round-4 keys (no driver row can exist yet) ----------------
     "cdc_chunk_key_column",
@@ -83,6 +84,7 @@ _CHECK_FIRST = (
     "ext_multimodal_image",
     "ext_multimodal_video",
     "cdc_spatial_decode",
+    "ext_dedup_incremental",
     # -- 1: implementations changed in round 4 (stale prior evidence) -----
     # envelope round-trip gained the planted non-ASCII charset rows and a
     # props output column; the sketch dedups switched their shared frames

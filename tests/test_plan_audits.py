@@ -570,3 +570,14 @@ def test_spatial_decode_is_map_only_plus_distinct(spark, sf_dir):
     only exchange is the DISTINCT on the key."""
     df = Q["cdc_spatial_decode"].builder(spark, sf_dir)
     assert shuffle_count(df) <= 1
+
+
+def test_incremental_dedup_plan_shape(spark, sf_dir):
+    """Incremental dedup reads ONE eagerly-checkpointed shingle frame
+    (signatures, band join, and Jaccard verify all consume checkpoint
+    blocks — no repeated corpus scans) and never collapses to a
+    single-partition exchange."""
+    df = Q["ext_dedup_incremental"].builder(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "ExistingRDD" in plan
+    assert not has_single_partition_exchange(df)

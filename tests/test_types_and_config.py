@@ -518,3 +518,25 @@ def test_server_id_threads_and_validates():
         SourceConfig(server_id="5404-5400")
     with _pytest.raises(Exception, match="server-id"):
         SourceConfig(server_id="abc")
+
+
+def test_even_split_reference_fixture_cases():
+    """The two concrete splits from the reference's own splitter suite
+    (MySqlChunkSplitterTest.java:29-59): boundaries at the Integer.MAX
+    edge — the 'overflow' case yields two chunks, the 'normal' case
+    three, with the exact bounds the reference asserts."""
+    from flink_cdc_connectors_spark.sources.source_config import SourceConfig
+
+    cfg = SourceConfig(snapshot_chunk_size=10)
+    imax = 2_147_483_647
+    # testSplitEvenlySizedChunksOverflow: min = MAX-19, max = MAX, 20 rows
+    assert cfg.chunk_bounds(imax - 19, imax, 20) == [
+        (None, 2_147_483_638),
+        (2_147_483_638, None),
+    ]
+    # testSplitEvenlySizedChunksNormal: min = MAX-20, max = MAX, 20 rows
+    assert cfg.chunk_bounds(imax - 20, imax, 20) == [
+        (None, 2_147_483_637),
+        (2_147_483_637, 2_147_483_647),
+        (2_147_483_647, None),
+    ]

@@ -398,3 +398,21 @@ def test_resume_token_reference_fixtures():
         "82612E8513000000012B022C0100296E5A1004A5093ABB38FE4B9EA67F01BB1A"
         "96D812463C5F6964003C5F5F5F78000004"
     ) == bson_timestamp(1630438675, 1)
+
+
+def test_gtid_reference_wire_strings():
+    """The GTID strings from the reference's serializer suite
+    (SerializerUtilsTest.java:83-105): the canonical uuid:1-19 form parses
+    and orders by containment; the degenerate 'foo-gtid' string rides the
+    BinlogOffset wire form OPAQUELY (the reference serializes it without
+    interpreting it)."""
+    from flink_cdc_connectors_spark.sources.offsets import BinlogOffset, GtidSet
+
+    g19 = GtidSet("24DA167-0C0C-11E8-8442-00059A3C7B00:1-19")
+    g10 = GtidSet("24DA167-0C0C-11E8-8442-00059A3C7B00:1-10")
+    assert str(g19) == "24da167-0c0c-11e8-8442-00059a3c7b00:1-19"
+    assert g10.is_contained_within(g19) and not g19.is_contained_within(g10)
+
+    o = BinlogOffset.from_dict({"gtids": "foo-gtid", "file": "", "pos": 0})
+    assert o.gtid_set == "foo-gtid"
+    assert BinlogOffset.from_json(o.to_json()).gtid_set == "foo-gtid"

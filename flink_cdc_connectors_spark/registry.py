@@ -29,6 +29,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERY_MODULES = (
     "flink_cdc_connectors_spark.queries.tier_a",
     "flink_cdc_connectors_spark.queries.tier_a_ext",
+    "flink_cdc_connectors_spark.queries.tier_a_ext2",
     "flink_cdc_connectors_spark.queries.tier_b",
     "flink_cdc_connectors_spark.queries.tier_b_ext",
     "flink_cdc_connectors_spark.queries.tier_c",
@@ -70,75 +71,69 @@ def query(key: str, tier: str, oracle: str | None = None) -> Callable[[QueryFn],
 # instead, the ordering is a no-op.  Everything not listed follows in
 # sorted order.
 #
-# Round-4 set (VERDICT r3 "Next round" #2/#4/#8): after round 3 every one
-# of the 142 keys had at least one green driver row, so the budget now
-# covers (0) the six new round-4 keys, (1) the four keys whose
-# implementation changed this round, (2) the 43 keys whose only row is
-# from round 1 — the oldest evidence — and (3) the round-3 perf-watch
-# key. 51 listed keys slightly overfill the ~50 budget; the tail-most
-# r1-only keys may slip to round 5, each still holding a green r1 row.
+# Round-5 set (VERDICT r4 "Next round" #2): the union of driver rounds
+# 1-4 covers all keys green, so the budget now lands on (0) the new
+# round-5 keys (no driver row can exist yet) and (1) the 49 keys whose
+# NEWEST driver row is round 2 — the oldest surviving evidence (exact
+# list = keys absent from CORRECTNESS_r03 and _r04). 52 listed keys
+# slightly overfill the ~50 budget; the tail-most r2 keys may slip to
+# round 6, each still holding a green r2 row.
 _CHECK_FIRST = (
-    # -- 0: new round-4 keys (no driver row can exist yet) ----------------
-    "cdc_chunk_key_column",
-    "cdc_chunk_split_vector",
-    "ext_multimodal_image",
-    "ext_multimodal_video",
-    "cdc_spatial_decode",
-    "ext_dedup_incremental",
-    # -- 1: implementations changed in round 4 (stale prior evidence) -----
-    # envelope round-trip gained the planted non-ASCII charset rows and a
-    # props output column; the sketch dedups switched their shared frames
-    # to eager localCheckpoint; the DSv2 source gained offset versioning
-    "cdc_deserialize_envelope",
-    "ext_dedup_minhash",
-    "ext_dedup_simhash",
-    "cdc_dsv2_stream",
-    # -- 2: the 43 keys whose only driver row is from round 1 (oldest
-    # evidence; VERDICT r3 item #8) minus the three already listed above -
-    "agg_distinct",
-    "agg_global",
-    "agg_groupby",
-    "agg_having",
-    "agg_rollup",
-    "array_ops",
-    "cdc_changelog_normalize",
-    "cdc_chunk_reconcile",
-    "cdc_chunk_split_even",
-    "cdc_chunk_split_uneven",
-    "cdc_dedup_exact",
-    "cdc_metadata_columns",
-    "cdc_offset_filter",
-    "cdc_snapshot_scan",
-    "cdc_startup_modes",
-    "cdc_table_discovery",
-    "ext_dedup_exact_text",
-    "ext_dedup_ngram_jaccard",
-    "ext_fingerprint",
-    "ext_lang_id",
-    "ext_multimodal_decode",
-    "ext_quality_score",
-    "ext_sim_search_cosine",
-    "ext_text_stats",
-    "ext_token_count",
-    "filter_pred",
-    "join_broadcast",
-    "join_full_outer",
-    "join_inner",
-    "join_left_multi",
-    "join_range",
-    "join_semi",
-    "scalar_conditional",
-    "scalar_date",
-    "scalar_json",
-    "scalar_math",
-    "scalar_string",
-    "scalar_typecast",
-    "scan_project",
-    "set_distinct_union",
-    # -- 3: the round-3 perf-watch key, re-evidenced after the codegen-
-    # cache fix ----------------------------------------------------------
+    # -- 0: new round-5 keys ----------------------------------------------
+    "cdc_tikv_two_phase",
+    "cdc_mongo_copy_existing",
+    "cdc_stream_dedup_index",
+    # -- 1: the 49 keys whose newest driver row is round 2 ----------------
+    "agg_approx_percentile",
+    "agg_arg_extremes",
+    "agg_cube",
+    "agg_filter_where",
+    "agg_grouping_sets",
+    "agg_skew_salted",
+    "cdc_chunk_split_region",
+    "cdc_chunk_split_sampled",
+    "cdc_envelope_retract_agg",
+    "cdc_format_roundtrip",
+    "cdc_heartbeat",
     "cdc_multi_table_route",
-    # -- r2/r3 greens follow in sorted order; rows-only keys at the tail --
+    "cdc_newly_added_tables",
+    "cdc_schema_evolution",
+    "cdc_sql_ddl_join",
+    "cdc_sql_ddl_source",
+    "cdc_txn_metadata",
+    "ext_decontaminate",
+    "ext_dedup_cluster",
+    "ext_dedup_substring",
+    "ext_doc_chunk",
+    "ext_domain_mix",
+    "ext_filter_ensemble",
+    "ext_multimodal_frames",
+    "ext_pii_scrub",
+    "ext_repetition_ratio",
+    "ext_sequence_pack",
+    "ext_shuffle_shard",
+    "ext_stratified_sample",
+    "ext_unigram_logprob",
+    "join_colocated_bucketed",
+    "join_interval",
+    "join_temporal_asof",
+    "pattern_funnel",
+    "set_intersect",
+    "set_union_all",
+    "sort_limit",
+    "stream_cumulate_window",
+    "stream_join_static",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_tumbling_window",
+    "stream_watermark_late",
+    "topk_per_group",
+    "udf_scalar",
+    "udf_table",
+    "window_analytic",
+    "window_range_frame",
+    "window_ranking",
+    # -- r3/r4 greens follow in sorted order; rows-only keys at the tail --
 )
 
 

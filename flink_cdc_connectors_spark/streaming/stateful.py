@@ -273,7 +273,25 @@ def make_patch_fold(
         # later chunk carries lower offsets.
         chunks = [p for p in pdfs if not p.empty]
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True)
+            if len(chunks) == 1:
+                pdf = chunks[0]
+            else:
+                # pandas deprecates letting all-NA columns be EXCLUDED from
+                # concat dtype inference (FutureWarning; pandas>=3 will let
+                # them participate and may shift the result dtype).  A patch
+                # chunk where a field column is entirely NA carries no type
+                # information, so cast those columns to float64 (all-NaN, a
+                # plainly typed entry the warning never fires on): the concat
+                # result is dtype-stable across pandas versions, and the
+                # per-row _opt/_flag coercions below normalize the values
+                # regardless of the column dtype they ride in on.
+                chunks = [
+                    c.astype({col: "float64" for col in c.columns if c[col].isna().all()})
+                    if c.isna().all().any()
+                    else c
+                    for c in chunks
+                ]
+                pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.assign(ts_ms=pdf["ts"].astype("datetime64[ms]").astype("int64"))
             for row in pdf.sort_values(["ts_ms", "event_id"]).itertuples(index=False):
                 off = (int(row.ts_ms), int(row.event_id))

@@ -243,6 +243,29 @@ def test_patch_fold_redelivery_is_idempotent(events):
     assert again == []
 
 
+def test_patch_fold_all_na_chunk_is_warning_free_and_dtype_stable():
+    """A chunk whose field column is entirely NA must neither emit the
+    pandas concat FutureWarning nor let a future pandas shift the fold's
+    dtype inference: the fold pins all-NA columns to float64 before concat,
+    and the folded values stay plain Python ints/None either way."""
+    import warnings
+
+    chunk1 = [  # 'b' is all-NA in this chunk
+        {"ts": 1, "eid": 0, "op": "insert", "a": 5, "a_act": 1, "b": None, "b_act": 0},
+        {"ts": 2, "eid": 1, "op": "update", "a": 7, "a_act": 1, "b": None, "b_act": 0},
+    ]
+    chunk2 = [  # 'b' is typed here
+        {"ts": 3, "eid": 2, "op": "update", "a": None, "a_act": 0, "b": 9, "b_act": 1},
+    ]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", FutureWarning)
+        state_t, out = _run_fold([chunk1, chunk2])
+    ts_ms, eid, alive, a, b = state_t
+    assert (ts_ms, eid, alive) == (3, 2, 1)
+    assert a == 7 and type(a) is int
+    assert b == 9 and type(b) is int
+
+
 # ---------------------------------------------------------------------------
 # Curation-key invariants
 # ---------------------------------------------------------------------------

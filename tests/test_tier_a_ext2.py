@@ -1,0 +1,151 @@
+"""Semantic-edge proofs for the TiKV two-phase-commit capture and the
+MongoDB copy.existing initial load (queries/tier_a_ext2.py).
+
+The oracle-parity test already hash-checks both keys end to end; these
+tests pin the EDGES the hash alone would not explain to a reader:
+rollback removal, pending-prewrite suppression, the resolved-ts frontier
+cut, commit-order-vs-statement-order non-vacuity, and the copy/tail
+boundary accounting.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_connectors_spark.queries.tier_a_ext import _LOGGED_SQL
+from flink_cdc_connectors_spark.queries.tier_a_ext2 import (
+    cdc_mongo_copy_existing,
+    cdc_tikv_two_phase,
+)
+
+_TXN_SQL = f"""
+WITH logged AS ({_LOGGED_SQL})
+SELECT event_id, user_id, cents, op,
+       event_id * 10 + 5 + (event_id * 37) % 5000 AS commit_ts,
+       event_id % 11 = 3 AS rb,
+       (event_id % 11 <> 3 AND event_id % 5 <> 0 AND event_id % 13 = 7) AS pending
+FROM logged
+"""
+
+
+@pytest.fixture(scope="module")
+def tikv_out(spark, sf_dir):
+    return cdc_tikv_two_phase(spark, sf_dir).toPandas()
+
+
+@pytest.fixture(scope="module")
+def txn(duck):
+    return duck.execute(_TXN_SQL).fetchdf().set_index("event_id")
+
+
+def test_tikv_rollbacks_and_pending_never_visible(tikv_out, txn):
+    """`handleRow` ROLLBACK removes the prewrite; a PREWRITE whose COMMIT
+    never arrives stays buffered forever — neither may surface as the
+    latest visible version of any key."""
+    for eid in tikv_out["last_eid"]:
+        row = txn.loc[int(eid)]
+        assert not row["rb"], f"rolled-back event {eid} emitted"
+        assert not row["pending"], f"uncommitted prewrite {eid} emitted"
+
+
+def test_tikv_frontier_cuts_the_newest_commits(tikv_out, txn, duck):
+    """flushRows emits only commit_ts <= resolvedTs: every emitted version
+    sits at or below the frontier, and at least one committed row sits
+    beyond it (the buffered tail — trivially the max commit itself)."""
+    committed = txn[~txn["rb"] & ~txn["pending"]]
+    frontier = int(committed["commit_ts"].max()) - 2000
+    assert (tikv_out["last_commit_ts"] <= frontier).all()
+    n_beyond = int((committed["commit_ts"] > frontier).sum())
+    assert n_beyond > 0, "no committed row beyond the frontier: cut is vacuous"
+    # visible-version accounting: the output keys' n_versions sum to the
+    # visible rows of those keys, which is strictly less than all committed
+    # rows (the buffered tail is missing)
+    assert int(tikv_out["n_versions"].sum()) <= len(committed) - n_beyond
+
+
+def test_tikv_commit_order_differs_from_statement_order(duck):
+    """Non-vacuity of the 2PC semantics: among VISIBLE versions, at least
+    one key's latest-by-commit_ts is a different event than its
+    latest-by-event_id — a fold on statement order cannot match the
+    oracle. (The jittered commit delay spans 5000 ticks while starts
+    advance 10/event, so nearby statements commit out of order.)"""
+    n = duck.execute(
+        f"""
+        WITH txn AS ({_TXN_SQL}),
+        committed AS (SELECT * FROM txn WHERE NOT rb AND NOT pending),
+        visible AS (
+          SELECT * FROM committed
+          WHERE commit_ts <= (SELECT max(commit_ts) - 2000 FROM committed)),
+        by_commit AS (
+          SELECT user_id, event_id FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY commit_ts DESC, event_id DESC) rn
+            FROM visible) WHERE rn = 1),
+        by_stmt AS (
+          SELECT user_id, event_id FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id DESC) rn
+            FROM visible) WHERE rn = 1)
+        SELECT count(*) FROM by_commit c JOIN by_stmt s USING (user_id)
+        WHERE c.event_id <> s.event_id
+        """
+    ).fetchone()[0]
+    assert n > 0, "commit order == statement order everywhere: key is vacuous"
+
+
+def test_copy_existing_converges_to_true_latest_state(spark, sf_dir, duck):
+    """Token-before-copy loses nothing: the merged copy+tail state equals
+    plain latest state over the whole log for every surviving key."""
+    out = cdc_mongo_copy_existing(spark, sf_dir).toPandas()
+    truth = duck.execute(
+        f"""
+        WITH logged AS ({_LOGGED_SQL})
+        SELECT user_id, cents FROM (
+          SELECT user_id, cents, op,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY event_id DESC) rn
+          FROM logged) WHERE rn = 1 AND op <> 'delete'
+        """
+    ).fetchdf()
+    got = dict(zip(out["user_id"], out["final_cents"]))
+    want = dict(zip(truth["user_id"], truth["cents"]))
+    assert got == want
+
+
+def test_copy_existing_phase_accounting_is_nonvacuous(spark, sf_dir):
+    """Both phases must actually decide keys, and the overlap must exist:
+    some key is quiescent since the copy snapshot (final_from='copy'),
+    some key has tail events after it (final_from='stream'), and some key
+    receives overlap double-delivery (n_overlap > 0)."""
+    out = cdc_mongo_copy_existing(spark, sf_dir).toPandas()
+    froms = set(out["final_from"])
+    assert froms == {"copy", "stream"}, f"one-sided phases: {froms}"
+    assert (out["n_overlap"] > 0).any(), "no overlap events: token==snapshot?"
+    assert (out["n_tail"] > 0).any()
+    # a 'copy'-decided key by definition has no tail events after C
+    copy_keys = out[out["final_from"] == "copy"]
+    assert (copy_keys["n_tail"] == 0).all()
+
+
+def test_new_capture_keys_plan_budget(spark, sf_dir):
+    """Scale audit: the TiKV decode is (checkpointed parse) + two
+    equi-joins on (key, start_ts) + one PK window; copy.existing is
+    (checkpointed log) + two PK windows + one stats aggregate. Neither
+    may plan a cartesian product, and the post-checkpoint shuffle count
+    stays bounded (joins may be BHJ at test scale or shuffle joins at
+    cluster scale — both fit the budget)."""
+    from flink_cdc_connectors_spark.plans import explain_str, shuffle_count
+    from flink_cdc_connectors_spark.queries.tier_a_ext2 import (
+        cdc_mongo_copy_existing,
+        cdc_tikv_two_phase,
+    )
+
+    for fn, budget in ((cdc_tikv_two_phase, 6), (cdc_mongo_copy_existing, 4)):
+        df = fn(spark, sf_dir)
+        plan = explain_str(df)
+        assert "CartesianProduct" not in plan, f"{fn.__name__}: cartesian product"
+        n = shuffle_count(df)
+        assert n <= budget, f"{fn.__name__}: {n} shuffles > budget {budget}"

@@ -1,0 +1,399 @@
+"""CDC -> curation capstone: a changelog stream continuously maintains a
+near-dup index (the round-4 VERDICT "Next round" #3).
+
+Every other key exercises ONE half of the engine: the Tier-A keys prove
+changelog capture/normalize semantics, the Tier-C keys prove batch
+dedup/curation over a static corpus. Production training-data pipelines
+run the COMBINATION: a crawl/document store emits a CDC changelog, and a
+continuously-curated corpus keeps its MinHash band index in sync —
+inserts/updates get signatures and banded, deletes tombstone their
+bands, and curation verdicts read the maintained index, never a full
+recompute (the O(batch)-per-increment contract of
+``ext_dedup_incremental``, now driven by a real stream).
+
+``cdc_stream_dedup_index`` wires it end to end INSIDE the driver-checked
+key: the ``cdc_binlog`` DSv2 source (specific-offset startup, rate-
+limited by the ``debezium.max.batch.size`` passthrough so the tail
+arrives as genuine multi-micro-batch increments) streams the events
+changelog; ``foreachBatch`` folds each increment into a per-document
+changelog (latest-per-key, tombstones), computes md5-family MinHash
+signatures for JUST the changed docs, and MERGEs them into the stored
+index state (replace-on-update, remove-on-delete — the foreachBatch +
+storage-MERGE shape, here an epoch rewrite of small parquet state like
+``streaming/changelog.py``). After the drain, verdicts are computed FROM
+THE MAINTAINED STATE ONLY — the DuckDB oracle replays the whole log in
+one batch, so any state-maintenance bug (a lost tombstone, stale bands
+after an update, an out-of-order fold across batches) hash-mismatches.
+
+Reference anchors: the continuous pipeline shape is the reference's
+streaming-ETL story (`docs/content/quickstart/
+build-real-time-data-lake-tutorial.md` — CDC stream into a continuously
+maintained lake table); the rate-limited increments mirror the
+`debezium.max.batch.size` option every connector doc forwards.
+
+Scale notes: per increment the work is O(batch) — one window on the
+batch's doc keys, signatures for changed docs only, and a broadcast
+anti-join against state keyed by doc_id. The index state is
+bands+shingles per LIVE doc (the same footprint `ext_dedup_incremental`
+stores). The final verdict pass is the standard bounded-bucket band
+join. Nothing rescans the corpus per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from flink_cdc_connectors_spark.registry import query
+from flink_cdc_connectors_spark.sources.loaders import load_table
+
+_N_HASH = 16
+_N_BANDS = 4
+_BAND_W = 4
+_CORPUS_N = 200
+# Source-doc space narrower than the corpus so distinct doc keys can fold
+# to the SAME near-copy text (stream-vs-stream dups).  99, not 100: final
+# consecutive event ids hit distinct keys mod k, so each key's final
+# version lands in the LAST k tail ids; two same-src versions differ by a
+# multiple of 99 (< k, so pairs exist) and 3 | 99 keeps the
+# version % 3 == 0 near-copy condition satisfiable for both.
+# k itself stays in (99, tail): above the src modulus so same-src pairs
+# fit the version window, below the tail so keys fold multiple versions.
+_SRC_MOD = 99
+_STREAM_BASE = 1_000_000
+_JACCARD = 0.6
+
+
+def _duck_capstone_oracle() -> str:
+    from flink_cdc_connectors_spark.queries.tier_c import _SHINGLE_SQL
+
+    mins = ",".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(_N_HASH))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {cols} AS band_sig FROM sig".format(
+            b=b, cols="||'|'||".join(f"mh{b * _BAND_W + r}" for r in range(_BAND_W))
+        )
+        for b in range(_N_BANDS)
+    )
+    uniq = " || ' ' || ".join(
+        f"('u' || CAST(l.version AS VARCHAR) || '{ch}')" for ch in "abcdefg"
+    )
+    return f"""
+    WITH mx AS (SELECT max(event_id) AS m FROM events),
+    bnd AS (SELECT m, m * 8 // 10 AS p,
+                   greatest(150, (m - m * 8 // 10) // 10) AS k
+            FROM mx),
+    tail AS (
+      SELECT e.event_id,
+             CASE WHEN e.event_type = 'signup' THEN 'insert'
+                  WHEN e.event_type = 'error' THEN 'delete'
+                  ELSE 'update' END AS op,
+             {_STREAM_BASE} + e.event_id % b.k AS doc_key,
+             e.event_id % {_SRC_MOD} AS src
+      FROM events e, bnd b WHERE e.event_id > b.p),
+    folded AS (
+      SELECT * FROM (
+        SELECT t.*, row_number() OVER (PARTITION BY doc_key
+                                       ORDER BY event_id DESC) AS rn
+        FROM tail t) WHERE rn = 1),
+    live AS (SELECT doc_key, event_id AS version, src
+             FROM folded WHERE op <> 'delete'),
+    stream_docs AS (
+      SELECT l.doc_key AS doc_id, l.version,
+             CASE WHEN l.version % 3 = 0
+                   AND len(string_split_regex(trim(d.text), '\\s+')) > 12
+                  THEN array_to_string(
+                         string_split_regex(trim(d.text), '\\s+')[1:-2], ' ')
+                  ELSE {uniq}
+             END AS text
+      FROM live l JOIN documents d ON d.doc_id = l.src),
+    corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < {_CORPUS_N}
+      UNION ALL SELECT doc_id, text FROM stream_docs),
+    shingled AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY 1),
+    sig AS (SELECT doc_id, {mins} FROM shingled GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_x, y.doc_id AS id_y
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+      WHERE x.doc_id >= {_STREAM_BASE}
+        AND (y.doc_id < {_STREAM_BASE} OR y.doc_id < x.doc_id)),
+    common AS (
+      SELECT c.id_x, c.id_y, count(*) AS n_common
+      FROM cand c
+      JOIN shingled a ON a.doc_id = c.id_x
+      JOIN shingled b ON b.doc_id = c.id_y AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    verified AS (
+      SELECT id_x, id_y FROM common
+      JOIN sizes sa ON sa.doc_id = id_x
+      JOIN sizes sb ON sb.doc_id = id_y
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+            >= {_JACCARD}),
+    counts AS (
+      SELECT id_x AS doc_id,
+             CAST(count(*) FILTER (WHERE id_y < {_STREAM_BASE}) AS BIGINT)
+               AS n_corpus_dups,
+             CAST(count(*) FILTER (WHERE id_y >= {_STREAM_BASE}) AS BIGINT)
+               AS n_stream_dups
+      FROM verified GROUP BY 1)
+    SELECT s.doc_id, s.version,
+           coalesce(c.n_corpus_dups, 0) AS n_corpus_dups,
+           coalesce(c.n_stream_dups, 0) AS n_stream_dups,
+           CASE WHEN coalesce(c.n_corpus_dups, 0) = 0
+                 AND coalesce(c.n_stream_dups, 0) = 0
+                THEN 1 ELSE 0 END AS keep
+    FROM stream_docs s LEFT JOIN counts c USING (doc_id)
+    """
+
+
+def _bands_array() -> F.Column:
+    """mh0..mhN columns -> array<string> of band signatures (index = band
+    id).  Stored NESTED in the doc-state row so the whole index is ONE
+    parquet state dir — one write + one read per increment."""
+    return F.array(
+        *[
+            F.concat_ws("|", *[F.col(f"mh{b * _BAND_W + r}") for r in range(_BAND_W)])
+            for b in range(_N_BANDS)
+        ]
+    )
+
+
+def _explode_bands(docs: DataFrame) -> DataFrame:
+    """doc state (doc_id, ..., bands) -> (doc_id, band_id, band_sig)."""
+    return docs.select("doc_id", F.posexplode("bands").alias("band_id", "band_sig"))
+
+
+@query("cdc_stream_dedup_index", tier="C", oracle=_duck_capstone_oracle())
+def cdc_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-maintained dedup index == batch replay.
+
+    Pipeline inside this key:
+      1. Build the stored corpus index (docs < 200: shingle sets + banded
+         md5-MinHash signatures) as parquet state — the "existing corpus".
+      2. Bind the ``cdc_binlog`` DSv2 source at specific-offset P = 80% of
+         the log with ``debezium.max.batch.size`` sized for ~3 increments,
+         and drain it with a processingTime trigger until the expected
+         row count has been processed (availableNow plans its end offset
+         once, so a rate-limited run must drain by watermark instead).
+      3. Each ``foreachBatch`` increment: fold the raw changelog to
+         latest-per-doc-key (tombstones = op 'delete'), derive each live
+         version's text deterministically (near-copy of its source corpus
+         doc when version % 3 == 0 and the doc is long enough — a planted
+         corpus dup — else a unique 7-token doc), compute signatures for
+         ONLY the changed docs, and MERGE into state: touched keys'
+         previous rows (docs + bands) are anti-joined away, new rows
+         appended — replace-on-update, remove-on-delete.
+      4. After the drain, verdicts are computed from the MAINTAINED state
+         alone: banded candidates (a stream doc pairs with any corpus doc
+         or a lower-keyed stream doc), exact-Jaccard verification on the
+         stored shingle sets, per-doc dup counts and a keep flag.
+
+    The oracle replays the entire tail in one batch over the raw events
+    table; equality therefore proves the incremental fold across real
+    micro-batches (ordering, update replacement, tombstone removal)
+    converges to the batch answer. The builder additionally REFUSES to
+    answer if fewer than 2 non-empty micro-batches ran (a single-batch
+    drain would not have exercised incrementality).
+
+    Scale: state merge is a broadcast anti-join on the batch's touched
+    keys; signatures are computed for the batch only; the verdict pass is
+    the bounded-band-bucket join every dedup key uses. The only driver
+    scalars are max(event_id) (needed to compose the DDL) and the
+    expected-rows watermark — both bounded aggregates."""
+    import os
+    import shutil
+    import time
+    import uuid
+
+    from flink_cdc_connectors_spark.functions import text as TX
+    from flink_cdc_connectors_spark.sources.ddl import create_cdc_stream
+
+    events = load_table(spark, sf_dir, "events")
+    m = int(events.agg(F.max("event_id")).first()[0])
+    p = m * 8 // 10
+    k = max(150, (m - p) // 10)
+    batch_size = max(1, (m - p + 2) // 3)
+    expected = events.filter(F.col("event_id") > p).count()
+
+    # the 200-row source/corpus table is consumed by every increment's
+    # broadcast join — checkpoint once instead of re-reading per batch
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _CORPUS_N)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    scratch = os.path.join(
+        "/tmp/spark_graft_stream", f"pid{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)), f"dedupidx_{uuid.uuid4().hex[:8]}",
+    )
+    state = {"docs": None, "epoch": 0, "batches": 0, "rows": 0}
+
+    def _write_state(docs: DataFrame) -> None:
+        epoch = state["epoch"] + 1
+        dp = os.path.join(scratch, f"docs_v{epoch}")
+        docs.write.mode("overwrite").parquet(dp)
+        old = state["docs"]
+        state.update(docs=dp, epoch=epoch)
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
+
+    # ---- 1. stored corpus index (the pre-existing state) ----------------
+    corpus_sh = corpus.select(
+        "doc_id", TX.shingles(TX.words(F.col("text"))).alias("sh")
+    )
+    corpus_sig = TX.minhash_signatures_md5(corpus_sh, "doc_id", "sh", _N_HASH)
+    _write_state(
+        corpus_sh.withColumn("version", F.lit(-1).cast("long"))
+        .join(corpus_sig.select("doc_id", _bands_array().alias("bands")), "doc_id")
+        .select("doc_id", "version", "sh", "bands")
+    )
+
+    # ---- 3. the per-increment MERGE -------------------------------------
+    def fold_batch(bdf: DataFrame, batch_id: int) -> None:
+        t = bdf.select(
+            "event_id",
+            "op",
+            (F.lit(_STREAM_BASE) + F.col("event_id") % k).alias("doc_key"),
+            (F.col("event_id") % _SRC_MOD).alias("src"),
+        )
+        latest = (
+            t.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("doc_key").orderBy(F.col("event_id").desc())
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        n = bdf.count()
+        if n == 0:
+            return
+        touched = latest.select(F.col("doc_key").alias("doc_id"))
+        ups = latest.filter(F.col("op") != "delete").select(
+            "doc_key", F.col("event_id").alias("version"), "src"
+        )
+        joined = ups.join(
+            F.broadcast(corpus.withColumnRenamed("doc_id", "src")), "src"
+        )
+        raw_words = F.split(F.trim(F.col("text")), r"\s+")
+        near = F.array_join(F.slice(raw_words, 1, F.size(raw_words) - 1), " ")
+        uniq = F.concat_ws(
+            " ", *[F.concat(F.lit("u"), F.col("version").cast("string"), F.lit(ch))
+                   for ch in "abcdefg"]
+        )
+        new_sh = joined.select(
+            F.col("doc_key").alias("doc_id"),
+            "version",
+            TX.shingles(
+                TX.words(
+                    F.when(
+                        (F.col("version") % 3 == 0) & (F.size(raw_words) > 12), near
+                    ).otherwise(uniq)
+                )
+            ).alias("sh"),
+        )
+        new_docs = new_sh.join(
+            TX.minhash_signatures_md5(new_sh.select("doc_id", "sh"), "doc_id", "sh", _N_HASH)
+            .select("doc_id", _bands_array().alias("bands")),
+            "doc_id",
+        ).select("doc_id", "version", "sh", "bands")
+        prior = spark.read.parquet(state["docs"])
+        _write_state(
+            prior.join(F.broadcast(touched), "doc_id", "left_anti").unionByName(new_docs)
+        )
+        # counters advance only AFTER the merge is durably written — the
+        # drain watchdog stops the query the moment rows == expected, and
+        # an early increment would let it cut off the final batch's merge
+        state["batches"] += 1
+        state["rows"] += n
+
+    # ---- 2. bind + drain the rate-limited stream ------------------------
+    ddl = f"""
+    CREATE TABLE doc_changelog (event_id BIGINT, user_id BIGINT, value DOUBLE)
+    WITH ('connector' = 'mysql-cdc', 'hostname' = 'mysql',
+          'username' = 'cdc', 'password' = 'pw',
+          'database-name' = 'app', 'table-name' = 'events',
+          'scan.startup.mode' = 'specific-offset',
+          'scan.startup.specific-offset.pos' = '{p}',
+          'debezium.max.batch.size' = '{batch_size}')
+    """
+    stream = create_cdc_stream(spark, ddl, sf_dir)
+    ckpt = os.path.join(scratch, "ckpt")
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        while state["rows"] < expected:
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"cdc_stream_dedup_index: drained {state['rows']}/{expected} "
+                    "rows in 300s; refusing to answer from a partial index"
+                )
+            if not q.isActive:
+                raise RuntimeError(
+                    f"stream died mid-drain: {q.exception()}"
+                )
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    if state["batches"] < 2:
+        raise RuntimeError(
+            f"cdc_stream_dedup_index: only {state['batches']} non-empty "
+            "micro-batch(es) ran — the drain was not incremental"
+        )
+
+    # ---- 4. verdicts from the maintained state ONLY ---------------------
+    docs = spark.read.parquet(state["docs"])
+    bands = _explode_bands(docs)
+    sd = docs.filter(F.col("doc_id") >= _STREAM_BASE)
+    x = _explode_bands(sd).alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_sig") == F.col("y.band_sig"))
+            & (
+                (F.col("y.doc_id") < _STREAM_BASE)
+                | (F.col("y.doc_id") < F.col("x.doc_id"))
+            ),
+        )
+        .select(F.col("x.doc_id").alias("id_x"), F.col("y.doc_id").alias("id_y"))
+        .distinct()
+    )
+    sha = docs.select(F.col("doc_id").alias("id_x"), F.col("sh").alias("sh_x"))
+    shb = docs.select(F.col("doc_id").alias("id_y"), F.col("sh").alias("sh_y"))
+    n_common = F.size(F.array_intersect("sh_x", "sh_y"))
+    jac = n_common / (F.size("sh_x") + F.size("sh_y") - n_common)
+    verified = cand.join(sha, "id_x").join(shb, "id_y").filter(jac >= _JACCARD)
+    counts = verified.groupBy("id_x").agg(
+        F.count(F.when(F.col("id_y") < _STREAM_BASE, 1)).alias("n_corpus_dups"),
+        F.count(F.when(F.col("id_y") >= _STREAM_BASE, 1)).alias("n_stream_dups"),
+    )
+    result = (
+        sd.select("doc_id", "version")
+        .join(counts, sd.doc_id == counts.id_x, "left")
+        .select(
+            "doc_id",
+            "version",
+            F.coalesce("n_corpus_dups", F.lit(0)).alias("n_corpus_dups"),
+            F.coalesce("n_stream_dups", F.lit(0)).alias("n_stream_dups"),
+            F.when(
+                (F.coalesce("n_corpus_dups", F.lit(0)) == 0)
+                & (F.coalesce("n_stream_dups", F.lit(0)) == 0),
+                1,
+            )
+            .otherwise(0)
+            .alias("keep"),
+        )
+    )
+    rows = result.collect()  # drain eagerly so the scratch state can go
+    shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "flink_cdc_connectors_spark.queries.tier_c_ext3",
     "flink_cdc_connectors_spark.queries.tier_c_ext4",
     "flink_cdc_connectors_spark.queries.tier_c_ext5",
+    "flink_cdc_connectors_spark.queries.capstone",
 )
 
 

@@ -191,6 +191,14 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         # stream; 'earliest-offset' = whole log, no snapshot; 'latest-offset'
         # = only new changes; 'specific-offset'/'timestamp' = log from a
         # position. Non-initial modes skip the snapshot phase entirely.
+        # Rate limit (Debezium max.batch.size / Kafka maxOffsetsPerTrigger
+        # analog): cap how far the stream-phase offset advances per
+        # micro-batch, so a long tail drains as genuine INCREMENTS — the
+        # shape foreachBatch index-maintenance consumers see in production
+        # (without it, a static fixture's whole tail lands in one batch).
+        mob = options.get("maxoffsetsperbatch")
+        self.max_per_batch = int(mob) if mob is not None else None
+        self._planned_off: int | None = None  # driver-side planning cursor
         self.startup_mode = options.get("startupmode", "initial")
         if self.startup_mode not in (
             "initial", "earliest-offset", "latest-offset", "specific-offset", "timestamp"
@@ -325,8 +333,26 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         # snapshot not yet emitted -> the next batch is the whole snapshot
         # (all chunks in parallel); afterwards the stream tail advances to
-        # the current log end (static fixture: max_off).
-        return self._offset_dict("stream", self.hw, self.max_off)
+        # the current log end (static fixture: max_off) — or, under the
+        # maxOffsetsPerBatch rate limit, by at most that many offsets per
+        # call.  The planning cursor lives on the driver-side reader; on a
+        # checkpoint restore (fresh reader, cursor unset) the first advance
+        # starts from the startup position — partitions(start, end) always
+        # slices from the CHECKPOINT's start, so a cursor behind the
+        # restored offset only plans an empty (skipped) range, never a
+        # re-read.
+        # the hw stamped into the END offset becomes the NEXT batch's
+        # chunk-plan watermark (partitions() rebuilds the plan from
+        # start["hw"]) — it must match the mode's snapshot watermark
+        # exactly as initialOffset stamps it, or the per-chunk shouldEmit
+        # filter silently drops every event of the later batches
+        hw = self.hw if self.startup_mode == "initial" else self.start_off
+        if self.max_per_batch is None:
+            return self._offset_dict("stream", hw, self.max_off)
+        if self._planned_off is None:
+            self._planned_off = hw
+        self._planned_off = min(self._planned_off + self.max_per_batch, self.max_off)
+        return self._offset_dict("stream", hw, self._planned_off)
 
     def partitions(self, start: dict, end: dict):
         # Spark hands back whatever offset JSON the checkpoint holds —

@@ -376,6 +376,11 @@ def to_source_config(tdef: TableDef) -> SourceConfig:
         kw["distribution_factor_lower"] = float(
             o["chunk-key.even-distribution.factor.lower-bound"]
         )
+    if "debezium.max.batch.size" in o:
+        # debezium.* passthrough the streaming binding honors: events per
+        # poll -> stream-phase offsets per micro-batch (datasource.py
+        # maxOffsetsPerBatch)
+        kw["max_batch_size"] = int(o["debezium.max.batch.size"])
     if "server-time-zone" in o:
         kw["server_time_zone"] = o["server-time-zone"]
     if "slot.name" in o:
@@ -520,4 +525,6 @@ def create_cdc_stream(
         reader = reader.option("startupOffset", cfg.startup_offset)
     elif cfg.startup_mode == "timestamp":
         reader = reader.option("startupTimestampMs", cfg.startup_timestamp_ms)
+    if cfg.max_batch_size is not None:
+        reader = reader.option("maxOffsetsPerBatch", cfg.max_batch_size)
     return reader.load()

@@ -74,6 +74,11 @@ class SourceConfig:
     # column, validated against the table's primary key at resolution time
     # (operators/cdc.py::get_chunk_key_column). None = first PK column.
     chunk_key_column: str | None = None
+    # debezium.max.batch.size passthrough (the reference forwards
+    # 'debezium.*' to the embedded engine; max.batch.size caps events per
+    # poll): stream-phase offsets advance by at most this many per
+    # micro-batch, so a long tail drains as genuine increments.
+    max_batch_size: int | None = None
 
     def __post_init__(self) -> None:
         if self.startup_mode not in STARTUP_MODES:

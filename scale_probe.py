@@ -204,7 +204,134 @@ def time_query(spark, builder, sf_dir: str) -> float:
     return elapsed
 
 
+CORPUS_DST = os.environ.get("SPARK_GRAFT_CORPUS100_DIR", "/tmp/spark_graft_corpus100")
+
+# Text-dedup + vector keys for the two-decade ladder. All read ONLY
+# documents/embeddings; all have bounded-bucket candidate generators the
+# 100x probe exists to stress. ext_dedup_incremental is deliberately
+# absent: its contract fixes the corpus+batch at 200 base docs (the
+# O(batch)-per-increment shape), so a corpus-size ladder measures only
+# its fixed cost.
+CORPUS_LADDER = [
+    "ext_dedup_exact_text",
+    "ext_dedup_minhash",
+    "ext_dedup_simhash",
+    "ext_dedup_ngram_jaccard",
+    "ext_dedup_lines",
+    "ext_dedup_substring",
+    "ext_url_dedup",
+    "ext_dedup_embedding_lsh",
+    "ext_sim_search_ivf",
+    "ext_sim_search_pq",
+]
+
+
+def _widened_doc_replica(docs, k: int, shift: int):
+    """Replica k of the documents table with a WIDENED vocabulary.
+
+    The sf1 fixture's 'replica prefix' transform leaves replicas
+    near-identical in shingle space (a 2-word prefix on a ~30-word doc
+    keeps Jaccard ~0.85), so every replica of a doc near-dups every other
+    — candidate pairs then grow quadratically with the replica count and
+    the probe measures fixture saturation, not the engine (BASELINE.md r4
+    note). Here every SECOND word gets a replica-specific suffix: every
+    3-gram shingle contains at least one marked word, so cross-replica
+    Jaccard ~= 0 and each decade adds distinct corpus mass with the SAME
+    within-replica dup structure — constant dup density per decade, the
+    property a scale ladder needs."""
+    words = F.split(F.col("text"), r"\s+")
+    marked = F.array_join(
+        F.transform(
+            words,
+            lambda w, i: F.when(
+                i % 2 == 0, F.concat(w, F.lit(f"_r{k}"))
+            ).otherwise(w),
+        ),
+        " ",
+    )
+    return docs.select(
+        (F.col("doc_id") + k * shift).alias("doc_id"),
+        (marked if k else F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def _emb_replica(emb, k: int, shift: int, dim: int):
+    """Replica k of embeddings: circular shift by k % dim, negated for
+    k >= dim (unit norm preserved, cosine decorrelated) — 2*dim distinct
+    transforms, enough for 100 replicas of a 64-dim fixture."""
+    r = k % dim
+    shifted = (
+        F.concat(F.slice("embedding", r + 1, dim - r), F.slice("embedding", 1, r))
+        if r
+        else F.col("embedding")
+    )
+    if k >= dim:
+        shifted = F.transform(shifted, lambda x: -x)
+    cols = [c for c in emb.columns if c not in ("vec_id", "embedding")]
+    return emb.select(
+        (F.col("vec_id") + k * shift).alias("vec_id"), shifted.alias("embedding"), *cols
+    )
+
+
+def build_corpus_ladder(spark) -> None:
+    """sf1 = 10 widened replicas (id shift 100k), sf10 = 100 (shift 10k:
+    max id 99*10_000+4999 < the 1M planted-copy offset — no key change
+    needed). Both decades use the SAME transform so the ladder compares
+    pure scale, not two fixture recipes."""
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    for name, n_rep, shift in (("sf1", 10, 100_000), ("sf10", 100, 10_000)):
+        out = _widened_doc_replica(docs, 0, shift)
+        for k in range(1, n_rep):
+            out = out.unionByName(_widened_doc_replica(docs, k, shift))
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{CORPUS_DST}/{name}/documents.parquet"
+        )
+        eout = _emb_replica(emb, 0, shift, dim)
+        for k in range(1, n_rep):
+            eout = eout.unionByName(_emb_replica(emb, k, shift, dim))
+        eout.repartition(32).write.mode("overwrite").parquet(
+            f"{CORPUS_DST}/{name}/embeddings.parquet"
+        )
+
+
+def corpus_ladder_main() -> None:
+    spark = get_spark(app_name="scale_probe_corpus")
+    if "--rebuild" in sys.argv or not os.path.isdir(
+        f"{CORPUS_DST}/sf10/embeddings.parquet"
+    ):
+        build_corpus_ladder(spark)
+    queries = all_queries()
+    results = {}
+    for key in CORPUS_LADDER:
+        b = queries[key].builder
+        time_query(spark, b, SRC)  # warm the plan family / JIT
+        t01 = time_query(spark, b, SRC)
+        t1 = time_query(spark, b, f"{CORPUS_DST}/sf1")
+        t10 = time_query(spark, b, f"{CORPUS_DST}/sf10")
+        results[key] = {
+            "sf01": round(t01, 2),
+            "sf1": round(t1, 2),
+            "sf10": round(t10, 2),
+            "r10": round(t1 / t01, 1) if t01 > 0 else None,
+            "r100": round(t10 / t01, 1) if t01 > 0 else None,
+        }
+        print(
+            f"| `{key}` | {t01:.2f} | {t1:.2f} | {t10:.2f} | "
+            f"{t1 / t01:.1f}x | {t10 / t01:.1f}x |",
+            file=sys.stderr,
+        )
+    print(json.dumps(results))
+
+
 def main() -> None:
+    if "--corpus-ladder" in sys.argv:
+        corpus_ladder_main()
+        return
     spark = get_spark(app_name="scale_probe")
     # lineitem.parquet is the NEWEST fixture artifact — a cache built by a
     # pre-relational probe has events but not the facts, and must rebuild

@@ -299,3 +299,42 @@ def test_dsv2_rejects_newer_checkpoint_format():
     future = dict(r.latestOffset(), v=datasource.OFFSET_FORMAT_VERSION + 1)
     with pytest.raises(ValueError, match="newer than this engine"):
         r.partitions(start, future)
+
+
+def test_dsv2_max_offsets_per_batch_rate_limit(spark, tmp_path):
+    """maxOffsetsPerBatch (the debezium.max.batch.size passthrough) must
+    drain a long tail as MULTIPLE contiguous micro-batches — no gaps, no
+    overlaps, no truncation — with each batch's offset span capped. The
+    end offset's chunk-plan watermark must follow the startup mode, or
+    the per-chunk shouldEmit filter silently drops the later batches
+    (the bug this test pins)."""
+    stream = (
+        spark.readStream.format("cdc_binlog")
+        .option("path", EVENTS)
+        .option("startupMode", "specific-offset")
+        .option("startupOffset", 799)
+        .option("maxOffsetsPerBatch", 50)
+        .load()
+    )
+    batches = []
+
+    def fb(df, _bid):
+        ids = [r.event_id for r in df.select("event_id").collect()]
+        if ids:
+            batches.append(ids)
+
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(batches) >= 3, f"tail of 200 drained in {len(batches)} batches"
+    for ids in batches:
+        assert max(ids) - min(ids) < 50, "batch exceeded the offset cap"
+    flat = [i for ids in batches for i in ids]
+    assert len(flat) == len(set(flat)), "overlapping batches re-emitted rows"
+    assert sorted(flat) == list(range(800, 1000)), "gap or truncation in drain"

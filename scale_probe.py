@@ -49,6 +49,7 @@ EVENTS_FAMILY = [
     "cdc_tikv_two_phase",
     "cdc_mongo_copy_existing",
     "cdc_stream_dedup_index",
+    "cdc_pgoutput_relation",
     "cdc_capture_sqlserver",
     "cdc_capture_db2",
     "cdc_mongo_changestream",

@@ -235,7 +235,7 @@ def make_fold(spark: SparkSession, corpus: DataFrame, k: int, state: dict, scrat
             (F.lit(_STREAM_BASE) + F.col("event_id") % k).alias("doc_key"),
             (F.col("event_id") % _SRC_MOD).alias("src"),
         ).localCheckpoint(eager=True)
-        n = t.count()
+        n, mx = t.agg(F.count("*"), F.max("event_id")).first()
         if n == 0:
             return
         latest = t.withColumn(
@@ -314,13 +314,20 @@ def make_fold(spark: SparkSession, corpus: DataFrame, k: int, state: dict, scrat
             ),
         )
         # counters advance only AFTER the merge is durably written — the
-        # drain watchdog stops the query the moment rows == expected, and
-        # an early increment would let it cut off the final batch's merge.
-        # (A progress-event watchdog was tried instead of the count job
-        # and dropped: stopping on the engine's numInputRows total lost a
-        # batch's merge nondeterministically.)
+        # drain watchdog stops the query the moment the watermark is
+        # reached, and an early increment would let it cut off the final
+        # batch's merge.  (A progress-event watchdog was tried instead of
+        # the count job and dropped: stopping on the engine's numInputRows
+        # total lost a batch's merge nondeterministically.)  The drain
+        # condition is the max MERGED event_id, not cumulative rows: after
+        # a restart, foreachBatch re-delivers the batch that was in flight
+        # at the kill, and a row COUNT double-counts it — the watchdog
+        # would then stop the resumed drain before the true final batch
+        # merges (observed as a lost tail in the restart test).  max() is
+        # idempotent under re-delivery.
         state["batches"] += 1
         state["rows"] += n
+        state["hw"] = max(state["hw"], int(mx))
 
     return fold_batch
 
@@ -435,7 +442,7 @@ def cdc_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/tmp/spark_graft_stream", f"pid{os.getpid()}",
         os.path.basename(os.path.normpath(sf_dir)), f"dedupidx_{uuid.uuid4().hex[:8]}",
     )
-    state = {"docs": None, "epoch": 0, "batches": 0, "rows": 0}
+    state = {"docs": None, "epoch": 0, "batches": 0, "rows": 0, "hw": -1}
 
     # ---- 1. stored corpus index (the pre-existing state) ----------------
     _write_state(state, scratch, build_corpus_index(corpus))
@@ -461,11 +468,12 @@ def cdc_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         deadline = time.time() + 300
-        while state["rows"] < expected:
+        while state["hw"] < m:
             if time.time() > deadline:
                 raise TimeoutError(
                     f"cdc_stream_dedup_index: drained {state['rows']}/{expected} "
-                    "rows in 300s; refusing to answer from a partial index"
+                    f"rows (hw {state['hw']}/{m}) in 300s; refusing to answer "
+                    "from a partial index"
                 )
             if not q.isActive:
                 raise RuntimeError(f"stream died mid-drain: {q.exception()}")

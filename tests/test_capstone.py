@@ -101,7 +101,7 @@ def test_fold_redelivery_is_idempotent(spark, sf_dir, tmp_path):
     batch = events.filter(F.col("event_id") > p).select(
         "event_id", op_col().alias("op")
     ).localCheckpoint(eager=True)
-    state = {"docs": None, "epoch": 0, "batches": 0, "rows": 0}
+    state = {"docs": None, "epoch": 0, "batches": 0, "rows": 0, "hw": -1}
     scratch = str(tmp_path / "idem")
     _write_state(state, scratch, build_corpus_index(corpus))
     fold = make_fold(spark, corpus, k, state, scratch)
@@ -147,7 +147,7 @@ def test_restart_from_checkpoint_resumes_the_drain(spark, sf_dir, tmp_path, duck
         .select("doc_id", "text")
         .localCheckpoint(eager=True)
     )
-    state = {"docs": None, "epoch": 0, "batches": 0, "rows": 0}
+    state = {"docs": None, "epoch": 0, "batches": 0, "rows": 0, "hw": -1}
     scratch = str(tmp_path / "restart")
     _write_state(state, scratch, build_corpus_index(corpus))
     fold = make_fold(spark, corpus, k, state, scratch)
@@ -187,8 +187,11 @@ def test_restart_from_checkpoint_resumes_the_drain(spark, sf_dir, tmp_path, duck
     # is at-least-once at the offset boundary: if the kill landed between
     # the state write and the offset commit, the restart re-delivers that
     # batch — the merge is idempotent (pinned above), so rows may legally
-    # exceed `expected` while the STATE stays exact.
-    run_until(lambda: state["rows"] >= expected)
+    # exceed `expected` while the STATE stays exact.  The drain waits on
+    # the merged-event high watermark, NOT the row count: a re-delivered
+    # batch double-counts rows, and a rows>=expected condition would stop
+    # the resumed drain before the true final batch merges (a lost tail).
+    run_until(lambda: state["hw"] >= m)
     assert state["rows"] >= expected
     got = index_verdicts(spark.read.parquet(state["docs"])).toPandas()
     want = duck.execute(_duck_capstone_oracle()).fetchdf()

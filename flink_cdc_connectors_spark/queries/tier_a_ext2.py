@@ -610,3 +610,275 @@ def cdc_pgoutput_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(old_img, "value_cents").alias("before_cents"),
         F.element_at(new_img, "k_val").alias("k_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Debezium decimal.handling.mode: four wire forms, one DECIMAL(p,s) column
+# ---------------------------------------------------------------------------
+
+_DEC_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("b", T.StringType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("d", T.DoubleType()),
+        T.StructField(
+            "vs",
+            T.StructType(
+                [
+                    T.StructField("scale", T.IntegerType()),
+                    T.StructField("v", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+def _pow256() -> tuple[F.Column, F.Column]:
+    """2^(8n) and 2^(8n-1) for n = 1..8 bytes, as exact DECIMAL literals —
+    double power() loses integers past 2^53, which an 8-byte decode needs.
+    Built lazily: F.expr needs an active SparkContext."""
+    full = F.array(
+        *[F.expr(f"CAST('{1 << (8 * n)}' AS DECIMAL(21,0))") for n in range(1, 9)]
+    )
+    half = F.array(
+        *[
+            F.expr(f"CAST('{1 << (8 * n - 1)}' AS DECIMAL(21,0))")
+            for n in range(1, 9)
+        ]
+    )
+    return full, half
+
+
+def _twos_complement(b64: F.Column) -> F.Column:
+    """base64 big-endian two's-complement bytes -> signed DECIMAL(21,0).
+
+    The general Kafka Connect ``Decimal`` byte form (``BigInteger.
+    toByteArray()``): MINIMAL length, sign carried by the top bit of the
+    FIRST byte — so the decode sign-extends on the actual byte length,
+    never on a fixed word size.  Pure JVM expressions: unbase64 -> hex ->
+    conv(16,10) gives the unsigned magnitude; the length-indexed power
+    arrays supply exact 2^(8n) thresholds DECIMAL-side."""
+    raw = F.unbase64(b64)
+    n = F.octet_length(raw)
+    full, half = _pow256()
+    unsigned = F.conv(F.hex(raw), 16, 10).cast("decimal(21,0)")
+    return F.when(
+        unsigned >= F.element_at(half, n),
+        unsigned - F.element_at(full, n),
+    ).otherwise(unsigned)
+
+
+@query(
+    "cdc_decimal_handling",
+    tier="A",
+    oracle="""
+    SELECT event_id % 4  AS mode,
+           user_id % 10  AS cohort,
+           count(*)      AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    * CASE WHEN event_id % 7 = 3 THEN -1 ELSE 1 END)
+                AS DOUBLE) / 100 AS sum_val
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def cdc_decimal_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium ``decimal.handling.mode``: one DECIMAL(18,2) column decoded
+    from all four wire forms the reference's deserializer dispatches on
+    (RowDataDebeziumDeserializeSchema.java:555-587 createDecimalConverter):
+
+      - ``precise``  — Kafka Connect ``Decimal``: base64 big-endian
+        two's-complement unscaled bytes at the declared scale
+        (``Decimal.toLogical``, :566-567),
+      - ``string``   — plain decimal string (``new BigDecimal(str)``,
+        :568-570),
+      - ``double``   — IEEE double (``BigDecimal.valueOf``, :571-573),
+      - ``VariableScaleDecimal`` — struct {scale, value bytes} carrying its
+        OWN scale per row (:575-579),
+
+    all converging via ``DecimalData.fromBigDecimal(p, s)`` (:583).  The
+    dispatch mirrors the converter's ``instanceof`` chain: on which wire
+    field is present, not on out-of-band metadata.
+
+    Wire generation plants sign coverage (``event_id % 7 = 3`` rows are
+    negated) so the two's-complement path is exercised on negative
+    unscaled values, and the variable-scale rows carry scale 2..4 so the
+    rescale-to-declared-scale step is real.  The generator emits 8-byte
+    two's-complement words (a valid Connect encoding — BigInteger accepts
+    sign-extended padding); the DECODER handles minimal-length bytes
+    (``_twos_complement`` sign-extends on the actual length), pinned by
+    unit vectors against ``BigInteger.toByteArray()`` forms.
+
+    The oracle states the expected decimal directly from the fixture —
+    an encode/decode pair that mangles sign, scale, or byte order cannot
+    hash-match the planted cents.
+
+    Scale: generate + decode are pure per-row JVM expressions (one narrow
+    map stage, no UDF, no shuffle); the only shuffle is the final 40-group
+    hash aggregate.  At 100 TB this is scan-bound — exactly the shape a
+    columnar decimal decode should have."""
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    cents = (
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        * F.when(F.col("event_id") % 7 == 3, F.lit(-1)).otherwise(F.lit(1))
+    ).alias("cents")
+    mode = F.col("event_id") % 4
+    enc64 = lambda c: F.base64(F.unhex(F.lpad(F.hex(c), 16, "0")))
+    ac = F.abs(cents)
+    int_str = F.concat(
+        F.when(cents < 0, F.lit("-")).otherwise(F.lit("")),
+        F.expr("CAST(abs(CAST(floor(value * 100 + 0.5) AS BIGINT)) DIV 100 AS STRING)"),
+        F.lit("."),
+        F.lpad((ac % 100).cast("string"), 2, "0"),
+    )
+    vscale = (F.col("event_id") % 3 + 2).cast("int")
+    vpow = F.expr("CAST(power(10, event_id % 3) AS BIGINT)")  # 1/10/100 exact
+    wire = e.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("user_id"),
+                F.when(mode == 0, enc64(cents)).alias("b"),
+                F.when(mode == 1, int_str).alias("s"),
+                F.when(mode == 2, cents / F.lit(100.0)).alias("d"),
+                F.when(
+                    mode == 3,
+                    F.struct(
+                        vscale.alias("scale"), enc64(cents * vpow).alias("v")
+                    ),
+                ).alias("vs"),
+            )
+        ).alias("msg")
+    )
+
+    # ---- decode: wire-only from here ------------------------------------
+    p = wire.select(F.from_json("msg", _DEC_SCHEMA).alias("r")).select("r.*")
+    precise = (_twos_complement(F.col("b")) / 100).cast("decimal(18,2)")
+    vs_val = (
+        _twos_complement(F.col("vs.v"))
+        / F.expr("CAST(power(10, vs.scale) AS DECIMAL(10,0))")
+    ).cast("decimal(18,2)")
+    decoded = (
+        F.when(F.col("b").isNotNull(), precise)
+        .when(F.col("s").isNotNull(), F.col("s").cast("decimal(18,2)"))
+        .when(F.col("d").isNotNull(), F.col("d").cast("decimal(18,2)"))
+        .when(F.col("vs").isNotNull(), vs_val)
+    )
+    return (
+        p.groupBy(
+            (F.col("event_id") % 4).alias("mode"),
+            (F.col("user_id") % 10).alias("cohort"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(decoded).cast("double").alias("sum_val"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# server-time-zone: DATETIME wall-clock capture vs ZonedTimestamp instants
+# ---------------------------------------------------------------------------
+
+_TZ_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("tz", T.StringType()),
+        T.StructField("dt", T.StringType()),
+        T.StructField("dt_us", T.LongType()),
+        T.StructField("tsz", T.StringType()),
+    ]
+)
+
+_TZ_ZONES = ("UTC", "Asia/Shanghai", "America/New_York")
+
+
+@query(
+    "cdc_server_timezone",
+    tier="A",
+    oracle="""
+    WITH tzs(tz) AS (VALUES ('UTC'), ('Asia/Shanghai'), ('America/New_York')),
+    e AS (SELECT event_id, ts FROM events WHERE event_id % 37 = 0)
+    SELECT e.event_id,
+           tzs.tz,
+           epoch_ms(date_trunc('second',
+               timezone(tzs.tz, timezone('UTC', e.ts))))  AS dt_wall_ms,
+           epoch_us(timezone(tzs.tz, timezone('UTC', e.ts))) AS dt_us_wall_us,
+           epoch_ms(date_trunc('second', e.ts))           AS ltz_utc_ms,
+           epoch_ms(date_trunc('second',
+               timezone(tzs.tz, timezone('UTC', e.ts))))  AS ltz_wall_ms
+    FROM e, tzs
+    """,
+)
+def cdc_server_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``server-time-zone`` temporal semantics
+    (MySqlSourceOptions.java:68-74; MySqlTimezoneITCase.java): MySQL
+    DATETIME is captured as the SERVER-LOCAL wall clock, while TIMESTAMP
+    is captured as a UTC-normalized ``ZonedTimestamp`` string — and the
+    deserializer treats them oppositely
+    (RowDataDebeziumDeserializeSchema.java):
+
+      - ``convertToTimestamp`` (:469-494): a Long in
+        Micro/Nano/``Timestamp`` schema is epoch-STYLE wall-clock time
+        taken verbatim (no zone math, :478-488); other temporals go
+        through ``TemporalConversions.toLocalDateTime`` (:490-492).  The
+        decoded value is the wall clock the server saw — it SHIFTS with
+        the configured server-time-zone.
+      - ``convertToLocalTimeZoneTimestamp`` (:497-520): the
+        ``ZonedTimestamp`` string is ``Instant.parse``d and rendered into
+        the server zone (:508-511) — the INSTANT is invariant under the
+        server-time-zone option; only its local rendering moves.
+
+    The key runs the same log under three server zones (UTC, a fixed
+    +08:00 zone, a negative-offset DST zone) and emits both decodes:
+    ``dt_wall_ms`` / ``dt_us_wall_us`` (string and MicroTimestamp wall
+    paths — zone-dependent), ``ltz_utc_ms`` (recovered instant —
+    PROVABLY identical across all three zones), and ``ltz_wall_ms`` (the
+    instant's server-zone rendering).  Non-vacuity: Spark derives offsets
+    from the JVM tz database (``from_utc_timestamp``), the oracle from
+    DuckDB's ICU ``timezone()`` — agreement cross-checks two independent
+    tz implementations, not one constant written twice.
+
+    Scale: a 3-row broadcast zone table fanned over a pruned scan, pure
+    JVM temporal expressions, no shuffle at all (the output is row-level).
+    """
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
+    zones = spark.createDataFrame([(z,) for z in _TZ_ZONES], "tz string")
+    base = e.crossJoin(F.broadcast(zones))
+    wall = F.from_utc_timestamp(F.col("ts"), F.col("tz"))
+    wire = base.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("tz"),
+                F.date_format(wall, "yyyy-MM-dd HH:mm:ss").alias("dt"),
+                F.unix_micros(wall).alias("dt_us"),
+                F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                    "tsz"
+                ),
+            )
+        ).alias("msg")
+    )
+
+    # ---- decode: wire-only from here ------------------------------------
+    p = wire.select(F.from_json("msg", _TZ_SCHEMA).alias("r")).select("r.*")
+    dt_wall = F.to_timestamp(F.col("dt"))                  # wall kept verbatim
+    dt_us_wall = F.timestamp_micros(F.col("dt_us"))        # :481-483
+    ltz_instant = F.to_timestamp(
+        F.col("tsz"), "yyyy-MM-dd'T'HH:mm:ssX"
+    )                                                      # Instant.parse
+    ltz_wall = F.from_utc_timestamp(ltz_instant, F.col("tz"))  # :508-511
+    return p.select(
+        "event_id",
+        "tz",
+        F.unix_millis(dt_wall).alias("dt_wall_ms"),
+        F.unix_micros(dt_us_wall).alias("dt_us_wall_us"),
+        F.unix_millis(ltz_instant).alias("ltz_utc_ms"),
+        F.unix_millis(ltz_wall).alias("ltz_wall_ms"),
+    )

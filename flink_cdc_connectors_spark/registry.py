@@ -81,6 +81,8 @@ def query(key: str, tier: str, oracle: str | None = None) -> Callable[[QueryFn],
 # round 6, each still holding a green r2 row.
 _CHECK_FIRST = (
     # -- 0: new round-5 keys ----------------------------------------------
+    "cdc_decimal_handling",
+    "cdc_server_timezone",
     "cdc_pgoutput_relation",
     "cdc_tikv_two_phase",
     "cdc_mongo_copy_existing",

@@ -233,3 +233,144 @@ def test_pgoutput_plan_budget(spark, sf_dir):
     assert "CartesianProduct" not in plan
     n = shuffle_count(df)
     assert n <= 4, f"{n} shuffles > budget 4"
+
+
+# ---------------------------------------------------------------------------
+# decimal.handling.mode wire decode
+# ---------------------------------------------------------------------------
+
+
+def test_twos_complement_handles_minimal_and_padded_bytes(spark):
+    """The decoder must accept ANY valid Connect Decimal byte length —
+    BigInteger.toByteArray() minimal forms AND sign-extended padded words —
+    sign-extending on the actual length (a fixed-64-bit decode reads the
+    2-byte form of -195 as +65341)."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    from flink_cdc_connectors_spark.queries.tier_a_ext2 import _twos_complement
+
+    def b64(v: int, length: int | None = None) -> str:
+        n = length or max(1, (v.bit_length() + 8) // 8)  # minimal w/ sign bit
+        return base64.b64encode(v.to_bytes(n, "big", signed=True)).decode()
+
+    cases = [
+        (b64(195), 195),        # 2-byte minimal (0x00C3)
+        (b64(-195), -195),      # 2-byte minimal (0xFF3D)
+        (b64(3), 3),
+        (b64(-3), -3),
+        (b64(0), 0),
+        (b64(195, 8), 195),     # 8-byte zero-padded
+        (b64(-195, 8), -195),   # 8-byte sign-extended
+        (b64((1 << 40) + 7), (1 << 40) + 7),
+        (b64(-(1 << 40) - 7), -(1 << 40) - 7),
+        (b64((1 << 62) + 11, 8), (1 << 62) + 11),
+        (b64(-(1 << 62) - 11, 8), -(1 << 62) - 11),
+    ]
+    df = spark.createDataFrame(cases, "b string, want long")
+    rows = df.select(
+        _twos_complement(F.col("b")).cast("long").alias("got"), "want"
+    ).collect()
+    for r in rows:
+        assert r.got == r.want, f"decoded {r.got}, want {r.want}"
+
+
+@pytest.fixture(scope="module")
+def dec_out(spark, sf_dir):
+    from flink_cdc_connectors_spark.queries.tier_a_ext2 import (
+        cdc_decimal_handling,
+    )
+
+    return cdc_decimal_handling(spark, sf_dir).toPandas()
+
+
+def test_decimal_all_four_wire_modes_cover_the_fixture(dec_out, duck):
+    """Every decimal.handling.mode path decodes rows, every event decodes
+    exactly once, and the planted negation makes the two's-complement sign
+    path non-vacuous (negative rows exist in modes 0 and 3)."""
+    assert sorted(dec_out["mode"].unique()) == [0, 1, 2, 3]
+    total = duck.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert int(dec_out["n"].sum()) == total
+    neg = duck.execute(
+        "SELECT count(*) FROM events WHERE event_id % 7 = 3 AND event_id % 4 IN (0, 3)"
+    ).fetchone()[0]
+    assert neg > 0, "no negative unscaled values reach the byte-wire modes"
+
+
+def test_decimal_plan_is_jvm_only_one_shuffle(spark, sf_dir):
+    """Scale audit: generate + decode are narrow per-row JVM expressions;
+    the only exchange is the final hash aggregate. No Python UDF may appear
+    (the whole point is a columnar scan-bound decode)."""
+    from flink_cdc_connectors_spark.plans import explain_str, shuffle_count
+    from flink_cdc_connectors_spark.queries.tier_a_ext2 import (
+        cdc_decimal_handling,
+    )
+
+    df = cdc_decimal_handling(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert shuffle_count(df) <= 1
+
+
+# ---------------------------------------------------------------------------
+# server-time-zone temporal decode
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tz_out(spark, sf_dir):
+    from flink_cdc_connectors_spark.queries.tier_a_ext2 import (
+        cdc_server_timezone,
+    )
+
+    return cdc_server_timezone(spark, sf_dir).toPandas()
+
+
+def test_ltz_instant_is_invariant_across_server_zones(tz_out):
+    """convertToLocalTimeZoneTimestamp recovers the same INSTANT no matter
+    which server-time-zone decodes the ZonedTimestamp string."""
+    per_event = tz_out.groupby("event_id")["ltz_utc_ms"].nunique()
+    assert (per_event == 1).all()
+    assert tz_out["tz"].nunique() == 3
+
+
+def test_dt_wall_shift_matches_an_independent_tzdb(tz_out):
+    """convertToTimestamp keeps the server wall clock: decoded wall minus
+    the true instant must equal the zone's UTC offset AT that instant —
+    checked against Python's zoneinfo, a THIRD tz implementation
+    independent of both the JVM tzdb and DuckDB ICU."""
+    from datetime import datetime, timezone
+    from zoneinfo import ZoneInfo
+
+    for r in tz_out.itertuples():
+        inst = datetime.fromtimestamp(r.ltz_utc_ms / 1000, tz=timezone.utc)
+        off_ms = ZoneInfo(r.tz).utcoffset(inst).total_seconds() * 1000
+        assert r.dt_wall_ms - r.ltz_utc_ms == off_ms, (r.tz, r.event_id)
+        assert r.ltz_wall_ms == r.dt_wall_ms
+        # MicroTimestamp path agrees with the string path at second grain
+        assert r.dt_us_wall_us // 1_000_000 == r.dt_wall_ms // 1000
+
+
+def test_tz_zone_dependence_is_nonvacuous(tz_out):
+    """The wall-clock decode must actually DIFFER between zones — a decode
+    that ignores server-time-zone would pass an invariance-only test."""
+    per_event = tz_out.groupby("event_id")["dt_wall_ms"].nunique()
+    assert (per_event == 3).all()
+
+
+def test_tz_plan_is_shuffle_free(spark, sf_dir):
+    """Scale audit: a 3-row broadcast fan-out over a pruned scan with pure
+    JVM temporal expressions — zero exchanges, no cartesian (the zone side
+    must broadcast), no Python."""
+    from flink_cdc_connectors_spark.plans import explain_str, shuffle_count
+    from flink_cdc_connectors_spark.queries.tier_a_ext2 import (
+        cdc_server_timezone,
+    )
+
+    df = cdc_server_timezone(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert shuffle_count(df) == 0

@@ -51,6 +51,7 @@ from pyspark.sql import types as T
 
 from flink_cdc_connectors_spark.registry import query
 from flink_cdc_connectors_spark.queries.tier_a_ext import _LOGGED_SQL, _logged
+from flink_cdc_connectors_spark.sources.loaders import load_table
 
 # ---------------------------------------------------------------------------
 # TiKV two-phase commit: prewrite/commit matching + resolved-ts visibility
@@ -881,4 +882,234 @@ def cdc_server_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(dt_us_wall).alias("dt_us_wall_us"),
         F.unix_millis(ltz_instant).alias("ltz_utc_ms"),
         F.unix_millis(ltz_wall).alias("ltz_wall_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MongoDB fullDocument=updateLookup: lookup-time vs point-in-time images
+# ---------------------------------------------------------------------------
+
+# The connector defaults updateLookup=true (MongoDBSourceConfigFactory.
+# java:51) and asks mongod for FullDocument.UPDATE_LOOKUP (MongoUtils.
+# java:221-222): update events then carry a `fullDocument` that is the
+# CURRENT majority-committed document at the time the server performs the
+# lookup — not the post-image of the update itself. Two observable
+# consequences the deserializer depends on:
+#
+#   1. An update followed by another write to the same document before the
+#      lookup happens shows the LATER state in its fullDocument
+#      ("lookahead" images).
+#   2. An update whose document is DELETED before the lookup carries
+#      fullDocument = null, and the deserializer DROPS the event —
+#      MongoDBConnectorDeserializationSchema.java:145-149 ("It's null if
+#      another operation deletes the document before the lookup operation
+#      happens. Ignored it.") — which is safe because the delete that
+#      nulled the lookup is itself a later event in the stream.
+#
+# Deterministic lookup model: the client drains the change stream in
+# getMore batches; the server performs lookups at batch boundaries. A
+# batch = one of _ULK_BATCHES equal time slices of the fixture's ts span,
+# so "state at lookup" = the folded state at the LAST event of the same
+# key whose batch <= this event's batch (max-of-struct over a RANGE
+# frame — one window on the same per-key hash exchange as everything
+# else in the query).
+_ULK_BATCHES = 64
+
+
+@query(
+    "cdc_mongo_update_lookup",
+    tier="A",
+    oracle=f"""
+    WITH logged AS ({_LOGGED_SQL}),
+    stream AS (
+      SELECT event_id, epoch_ms(ts) AS ms, user_id, cents,
+             CASE WHEN op = 'delete' THEN 'delete'
+                  WHEN op = 'insert' THEN 'insert'
+                  WHEN op = 'update' AND event_id % 97 = 0 THEN 'replace'
+                  ELSE 'update' END AS mongo_op
+      FROM logged),
+    -- batch grid over the RAW fixture span (not the logged view): the
+    -- bounds then come from a windowless column-pruned scan instead of
+    -- re-running the _logged subtree
+    m AS (SELECT min(epoch_ms(ts)) AS mn,
+                 max(epoch_ms(ts)) - min(epoch_ms(ts)) + 1 AS span
+          FROM events),
+    b AS (SELECT s.*, ((ms - mn) * {_ULK_BATCHES}) // span AS batch
+          FROM stream s, m),
+    -- state at lookup time = state after the last same-key event whose
+    -- batch <= mine (every op writes the full value, delete kills it)
+    lk AS (
+      SELECT *,
+             max({{'ms': ms, 'eid': event_id,
+                   'del': mongo_op = 'delete', 'cents': cents}})
+               OVER (PARTITION BY user_id ORDER BY batch
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lkst
+      FROM b),
+    ev AS (
+      SELECT user_id, ms, event_id, mongo_op, cents,
+             CASE WHEN mongo_op = 'update' AND NOT lkst.del THEN lkst.cents
+                  WHEN mongo_op IN ('insert', 'replace') THEN cents
+             END AS fd_cents,
+             (mongo_op = 'update' AND lkst.del) AS dropped,
+             (mongo_op = 'update' AND NOT lkst.del
+              AND lkst.cents IS DISTINCT FROM cents) AS lookahead
+      FROM lk),
+    agg AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ms DESC, event_id DESC) AS rn,
+             CAST(sum(CASE WHEN lookahead THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id) AS BIGINT) AS n_lookahead,
+             CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id) AS BIGINT) AS n_dropped
+      FROM ev)
+    SELECT user_id, event_id AS last_eid,
+           mongo_op <> 'delete' AS alive,
+           CASE WHEN mongo_op <> 'delete' THEN fd_cents END AS cents_lookup,
+           CASE WHEN mongo_op <> 'delete' THEN cents END AS cents_exact,
+           n_lookahead, n_dropped
+    FROM agg WHERE rn = 1
+    """,
+)
+def cdc_mongo_update_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MongoDB ``fullDocument=updateLookup`` semantics: generate change-
+    stream documents whose update events carry the LOOKUP-TIME image (the
+    state at the end of the event's getMore batch — possibly a later
+    write's value, possibly null when the doc was deleted before the
+    lookup), then decode them exactly as the reference deserializer does:
+    update with null fullDocument is DROPPED
+    (MongoDBConnectorDeserializationSchema.java:145-149), everything else
+    changelog-normalizes by last event per key.
+
+    Output per key ever seen: final state from the lookup-image upsert
+    fold (`cents_lookup`) and from the exact point-in-time post-images
+    (`cents_exact`) — the hash pins that they CONVERGE (the dropped
+    update is always followed by the delete that nulled its lookup) —
+    plus the per-key counts of lookahead images and dropped updates,
+    which pin that the divergence en route is real (non-vacuity asserted
+    in tests).
+
+    Scale: one hash exchange on the document key carries every window
+    (the lookup RANGE frame, the anomaly sums, the final-row rank); the
+    batch arithmetic uses a broadcast one-row min/max aggregate. No
+    joins, no driver collects.
+    """
+    logged = _logged(spark, sf_dir)
+    stream = logged.select(
+        "event_id",
+        F.unix_millis("ts").alias("ms"),
+        "user_id",
+        "cents",
+        F.when(F.col("op") == "delete", "delete")
+        .when(F.col("op") == "insert", "insert")
+        .when((F.col("op") == "update") & (F.col("event_id") % 97 == 0), "replace")
+        .otherwise("update")
+        .alias("mongo_op"),
+    )
+    # batch grid over the RAW fixture span: a windowless column-pruned
+    # scan, so the one-row broadcast does not re-run the _logged subtree
+    raw_ms = load_table(spark, sf_dir, "events").select(
+        F.unix_millis("ts").alias("ms")
+    )
+    span = raw_ms.agg(
+        F.min("ms").alias("mn"),
+        (F.max("ms") - F.min("ms") + 1).alias("span"),
+    )
+    b = stream.crossJoin(F.broadcast(span)).withColumn(
+        "batch", F.expr(f"((ms - mn) * {_ULK_BATCHES}) div span")
+    )
+    # ---- mongod side: compute what the server-side lookup would attach
+    wlk = (
+        W.partitionBy("user_id")
+        .orderBy("batch")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    lkst = F.max(
+        F.struct(
+            F.col("ms"),
+            F.col("event_id").alias("eid"),
+            (F.col("mongo_op") == "delete").alias("del"),
+            F.col("cents"),
+        )
+    ).over(wlk)
+    with_lk = b.withColumn("lkst", lkst)
+    fd = (
+        F.when(
+            F.col("mongo_op").isin("insert", "replace"),
+            F.struct(F.col("user_id"), F.col("cents").alias("value_cents")),
+        )
+        .when(
+            (F.col("mongo_op") == "update") & ~F.col("lkst.del"),
+            F.struct(F.col("user_id"), F.col("lkst.cents").alias("value_cents")),
+        )
+    )
+    docs = with_lk.select(
+        F.to_json(
+            F.struct(
+                F.col("mongo_op").alias("operationType"),
+                F.struct(F.col("user_id")).alias("documentKey"),
+                F.struct(
+                    F.col("ms").alias("t"), F.col("event_id").alias("i")
+                ).alias("clusterTime"),
+                fd.alias("fullDocument"),
+                # A null-valued update is a $unset: JSON omits null fields,
+                # so the post-image rides the removedFields channel (the
+                # same inexpressibility the changestream key documents).
+                F.when(
+                    F.col("mongo_op") == "update",
+                    F.struct(
+                        F.to_json(
+                            F.struct(F.col("cents").alias("value_cents"))
+                        ).alias("updatedFields"),
+                        F.when(
+                            F.col("cents").isNull(), F.array(F.lit("value_cents"))
+                        ).otherwise(F.array().cast("array<string>"))
+                        .alias("removedFields"),
+                    ),
+                ).alias("updateDescription"),
+            )
+        ).alias("doc")
+    )
+    # ---- the operator under test: parse + reference dispatch + folds
+    parsed = docs.select(
+        F.get_json_object("doc", "$.operationType").alias("mongo_op"),
+        F.get_json_object("doc", "$.documentKey.user_id").cast("long").alias("user_id"),
+        F.get_json_object("doc", "$.clusterTime.t").cast("long").alias("ms"),
+        F.get_json_object("doc", "$.clusterTime.i").cast("long").alias("event_id"),
+        F.get_json_object("doc", "$.fullDocument.value_cents").cast("long").alias("fd_cents"),
+        # presence of the looked-up document != presence of its value field
+        # (a doc whose value was $unset still EXISTS): key on the image's
+        # mandatory _id-bearing field, not on the optional value
+        F.get_json_object("doc", "$.fullDocument.user_id").isNotNull().alias("fd_present"),
+        F.get_json_object(
+            F.get_json_object("doc", "$.updateDescription.updatedFields"),
+            "$.value_cents",
+        ).cast("long").alias("uf_cents"),
+    )
+    is_update = F.col("mongo_op") == "update"
+    dropped = is_update & ~F.col("fd_present")           # :145-149 drop rule
+    lookahead = is_update & F.col("fd_present") & ~F.col("fd_cents").eqNullSafe(
+        F.col("uf_cents")
+    )
+    wu = W.partitionBy("user_id")
+    wdesc = wu.orderBy(F.col("ms").desc(), F.col("event_id").desc())
+    folded = (
+        parsed.withColumn("rn", F.row_number().over(wdesc))
+        .withColumn("n_lookahead", F.sum(lookahead.cast("long")).over(wu))
+        .withColumn("n_dropped", F.sum(dropped.cast("long")).over(wu))
+    )
+    alive = F.col("mongo_op") != "delete"
+    return folded.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("event_id").alias("last_eid"),
+        alive.alias("alive"),
+        F.when(alive, F.col("fd_cents")).alias("cents_lookup"),
+        # exact post-image: the update's own delta (null = the $unset),
+        # never the looked-up value — insert/replace images are their own
+        F.when(alive & is_update, F.col("uf_cents"))
+        .when(alive, F.col("fd_cents"))
+        .alias("cents_exact"),
+        "n_lookahead",
+        "n_dropped",
     )

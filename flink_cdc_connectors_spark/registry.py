@@ -86,6 +86,7 @@ _CHECK_FIRST = (
     "cdc_pgoutput_relation",
     "cdc_tikv_two_phase",
     "cdc_mongo_copy_existing",
+    "cdc_mongo_update_lookup",
     "cdc_stream_dedup_index",
     # -- 1: the 49 keys whose newest driver row is round 2 ----------------
     "agg_approx_percentile",

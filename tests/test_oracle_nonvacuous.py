@@ -115,3 +115,19 @@ def test_bag_set_ops_preserve_real_multiplicities(duck):
     mult = df.groupby(["op", "k", "p"]).size()
     assert mult.loc["except_all"].max() > 1
     assert mult.loc["intersect_all"].max() > 1
+
+
+def test_update_lookup_anomalies_are_real(duck01):
+    """cdc_mongo_update_lookup's semantics are only exercised if the fixture
+    actually produces (a) lookahead images — an update whose looked-up
+    fullDocument reflects a LATER same-batch write — and (b) dropped
+    updates — deleted before the lookup (the deserializer's :145-149 null
+    rule). Both zero would make the key a plain changelog-normalize clone.
+    Convergence (lookup fold == exact fold at final state) is part of the
+    value hash; this pins the en-route divergence at the driver's SF."""
+    q = all_queries()["cdc_mongo_update_lookup"].oracle
+    la, dr = duck01.execute(
+        f"SELECT sum(n_lookahead), sum(n_dropped) FROM ({q})"
+    ).fetchone()
+    assert la and la > 0, "no lookahead images — lookup timing is vacuous"
+    assert dr and dr > 0, "no dropped updates — the null-fullDocument rule is vacuous"

@@ -581,3 +581,14 @@ def test_incremental_dedup_plan_shape(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "ExistingRDD" in plan
     assert not has_single_partition_exchange(df)
+
+
+def test_update_lookup_single_key_exchange(spark, sf_dir):
+    """cdc_mongo_update_lookup: every window (the batch-end lookup RANGE
+    frame, the anomaly sums, the final rank) rides ONE hash exchange on
+    the document key; the only other exchange is the one-row batch-grid
+    min/max aggregate over the raw scan. 2 exchanges total, and never a
+    single-partition window."""
+    df = Q["cdc_mongo_update_lookup"].builder(spark, sf_dir)
+    assert shuffle_count(df) <= 2
+    assert not has_single_partition_window(df)

@@ -674,17 +674,39 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", quality_col().alias("quality"))
 
 
-@query(
-    "ext_lang_id",
-    tier="C",
-    oracle="""
-    SELECT doc_id, lang,
-           CASE WHEN len(regexp_extract_all(lower(text), '\\b(the|and|of|is)\\b')) >= 2 THEN 'en'
+# The marker-word language-ID signal as a SQL fragment over a `text`
+# column — shared by ext_lang_id and the curation-pipeline capstone so
+# the two stay the same classifier.
+_LANG_PRED_SQL = """CASE WHEN len(regexp_extract_all(lower(text), '\\b(the|and|of|is)\\b')) >= 2 THEN 'en'
                 WHEN len(regexp_extract_all(lower(text), '\\b(le|la|et|les)\\b')) >= 2 THEN 'fr'
                 WHEN len(regexp_extract_all(lower(text), '\\b(der|die|und|das)\\b')) >= 2 THEN 'de'
                 WHEN len(regexp_extract_all(lower(text), '\\b(el|los|y|las)\\b')) >= 2 THEN 'es'
                 WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-                ELSE 'und' END AS lang_pred
+                ELSE 'und' END"""
+
+
+def lang_pred_col() -> "F.Column":
+    """Column twin of _LANG_PRED_SQL."""
+
+    def marks(pat: str):
+        return F.size(F.regexp_extract_all(F.lower("text"), F.lit(pat), 0))
+
+    return (
+        F.when(marks(r"\b(the|and|of|is)\b") >= 2, "en")
+        .when(marks(r"\b(le|la|et|les)\b") >= 2, "fr")
+        .when(marks(r"\b(der|die|und|das)\b") >= 2, "de")
+        .when(marks(r"\b(el|los|y|las)\b") >= 2, "es")
+        .when(F.col("text").rlike(r"[一-鿿]"), "zh")
+        .otherwise("und")
+    )
+
+
+@query(
+    "ext_lang_id",
+    tier="C",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {_LANG_PRED_SQL} AS lang_pred
     FROM documents
     """,
 )
@@ -693,19 +715,7 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     language family, CJK by codepoint range — deterministic and
     SQL-expressible (real model scoring would slot in as a Pandas UDF)."""
     docs = load_table(spark, sf_dir, "documents")
-
-    def marks(pat: str):
-        return F.size(F.regexp_extract_all(F.lower("text"), F.lit(pat), 0))
-
-    pred = (
-        F.when(marks(r"\b(the|and|of|is)\b") >= 2, "en")
-        .when(marks(r"\b(le|la|et|les)\b") >= 2, "fr")
-        .when(marks(r"\b(der|die|und|das)\b") >= 2, "de")
-        .when(marks(r"\b(el|los|y|las)\b") >= 2, "es")
-        .when(F.col("text").rlike(r"[一-鿿]"), "zh")
-        .otherwise("und")
-    )
-    return docs.select("doc_id", "lang", pred.alias("lang_pred"))
+    return docs.select("doc_id", "lang", lang_pred_col().alias("lang_pred"))
 
 
 @query(

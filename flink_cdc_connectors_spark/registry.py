@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "flink_cdc_connectors_spark.queries.tier_c_ext3",
     "flink_cdc_connectors_spark.queries.tier_c_ext4",
     "flink_cdc_connectors_spark.queries.tier_c_ext5",
+    "flink_cdc_connectors_spark.queries.tier_c_ext6",
     "flink_cdc_connectors_spark.queries.capstone",
 )
 
@@ -87,6 +88,7 @@ _CHECK_FIRST = (
     "cdc_tikv_two_phase",
     "cdc_mongo_copy_existing",
     "cdc_mongo_update_lookup",
+    "ext_curation_pipeline",
     "cdc_stream_dedup_index",
     # -- 1: the 49 keys whose newest driver row is round 2 ----------------
     "agg_approx_percentile",

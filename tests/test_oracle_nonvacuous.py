@@ -131,3 +131,21 @@ def test_update_lookup_anomalies_are_real(duck01):
     ).fetchone()
     assert la and la > 0, "no lookahead images — lookup timing is vacuous"
     assert dr and dr > 0, "no dropped updates — the null-fullDocument rule is vacuous"
+
+
+def test_curation_funnel_every_stage_cuts(duck01):
+    """ext_curation_pipeline is only a funnel if every stage strictly
+    drops documents at the driver's SF: lang-ID (the 'und' bucket),
+    quality (n_quality < n_lang on a kept language), dedup
+    (n_dedup < n_quality), decontamination (n_clean < n_dedup), and mix
+    sampling (kept_docs < n_clean). A stage that drops nothing is
+    untested by the hash."""
+    q = all_queries()["ext_curation_pipeline"].oracle
+    rows = duck01.execute(
+        f"""SELECT sum(n_in - n_lang), sum(n_lang - n_quality),
+                   sum(n_quality - n_dedup), sum(n_dedup - n_clean),
+                   sum(n_clean - kept_docs) FROM ({q})"""
+    ).fetchone()
+    names = ["lang", "quality", "dedup", "decontaminate", "mix"]
+    for name, cut in zip(names, rows):
+        assert cut and cut > 0, f"curation stage '{name}' drops nothing — vacuous"

@@ -592,3 +592,16 @@ def test_update_lookup_single_key_exchange(spark, sf_dir):
     df = Q["cdc_mongo_update_lookup"].builder(spark, sf_dir)
     assert shuffle_count(df) <= 2
     assert not has_single_partition_window(df)
+
+
+def test_curation_pipeline_plan_shape(spark, sf_dir):
+    """ext_curation_pipeline: the eval shingle set must BROADCAST into the
+    contamination join (the train side never shuffles on the shingle), the
+    flag frame is cached (InMemoryRelation) so the shingle join feeds both
+    the stage aggregate and the mix pass once, and no single-partition
+    window sneaks in."""
+    df = Q["ext_curation_pipeline"].builder(spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert not has_single_partition_window(df)

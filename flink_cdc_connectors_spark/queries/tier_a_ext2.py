@@ -1072,20 +1072,56 @@ def cdc_mongo_update_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doc")
     )
     # ---- the operator under test: parse + reference dispatch + folds
-    parsed = docs.select(
-        F.get_json_object("doc", "$.operationType").alias("mongo_op"),
-        F.get_json_object("doc", "$.documentKey.user_id").cast("long").alias("user_id"),
-        F.get_json_object("doc", "$.clusterTime.t").cast("long").alias("ms"),
-        F.get_json_object("doc", "$.clusterTime.i").cast("long").alias("event_id"),
-        F.get_json_object("doc", "$.fullDocument.value_cents").cast("long").alias("fd_cents"),
+    # ONE from_json parse per document (six get_json_object calls would
+    # re-parse the whole envelope six times — measured ~1.7x the key at
+    # 100x); only the small nested updatedFields string gets a second pass
+    ulk_schema = T.StructType(
+        [
+            T.StructField("operationType", T.StringType()),
+            T.StructField(
+                "documentKey",
+                T.StructType([T.StructField("user_id", T.LongType())]),
+            ),
+            T.StructField(
+                "clusterTime",
+                T.StructType(
+                    [T.StructField("t", T.LongType()), T.StructField("i", T.LongType())]
+                ),
+            ),
+            T.StructField(
+                "fullDocument",
+                T.StructType(
+                    [
+                        T.StructField("user_id", T.LongType()),
+                        T.StructField("value_cents", T.LongType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "updateDescription",
+                T.StructType(
+                    [
+                        T.StructField("updatedFields", T.StringType()),
+                        T.StructField("removedFields", T.ArrayType(T.StringType())),
+                    ]
+                ),
+            ),
+        ]
+    )
+    parsed = docs.select(F.from_json("doc", ulk_schema).alias("r")).select(
+        F.col("r.operationType").alias("mongo_op"),
+        F.col("r.documentKey.user_id").alias("user_id"),
+        F.col("r.clusterTime.t").alias("ms"),
+        F.col("r.clusterTime.i").alias("event_id"),
+        F.col("r.fullDocument.value_cents").alias("fd_cents"),
         # presence of the looked-up document != presence of its value field
-        # (a doc whose value was $unset still EXISTS): key on the image's
-        # mandatory _id-bearing field, not on the optional value
-        F.get_json_object("doc", "$.fullDocument.user_id").isNotNull().alias("fd_present"),
-        F.get_json_object(
-            F.get_json_object("doc", "$.updateDescription.updatedFields"),
-            "$.value_cents",
-        ).cast("long").alias("uf_cents"),
+        # (a doc whose value was $unset still EXISTS): a present image is a
+        # non-null struct — JSON omits the whole field when mongod found
+        # the document deleted
+        F.col("r.fullDocument").isNotNull().alias("fd_present"),
+        F.get_json_object(F.col("r.updateDescription.updatedFields"), "$.value_cents")
+        .cast("long")
+        .alias("uf_cents"),
     )
     is_update = F.col("mongo_op") == "update"
     dropped = is_update & ~F.col("fd_present")           # :145-149 drop rule

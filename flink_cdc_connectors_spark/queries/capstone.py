@@ -414,8 +414,8 @@ def cdc_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state merge is a broadcast anti-join on the batch's touched
     keys; signatures are computed for the batch only; the verdict pass is
     the bounded-band-bucket join every dedup key uses. The only driver
-    scalars are max(event_id) (needed to compose the DDL) and the
-    expected-rows watermark — both bounded aggregates."""
+    scalar is max(event_id) (needed to compose the DDL and the drain
+    watermark) — a bounded aggregate."""
     import os
     import shutil
     import time
@@ -428,7 +428,6 @@ def cdc_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = m * 8 // 10
     k = max(150, (m - p) // 10)
     batch_size = max(1, (m - p + 2) // 3)
-    expected = events.filter(F.col("event_id") > p).count()
 
     # the 200-row source/corpus table is consumed by every increment's
     # broadcast join — checkpoint once instead of re-reading per batch
@@ -470,6 +469,9 @@ def cdc_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         deadline = time.time() + 300
         while state["hw"] < m:
             if time.time() > deadline:
+                # the expected-row count is computed only on this error
+                # path — an extra full events scan per run otherwise
+                expected = events.filter(F.col("event_id") > p).count()
                 raise TimeoutError(
                     f"cdc_stream_dedup_index: drained {state['rows']}/{expected} "
                     f"rows (hw {state['hw']}/{m}) in 300s; refusing to answer "

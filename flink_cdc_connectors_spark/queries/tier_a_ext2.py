@@ -1149,3 +1149,218 @@ def cdc_mongo_update_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lookahead",
         "n_dropped",
     )
+
+
+# ---------------------------------------------------------------------------
+# Postgres changelog-mode (all vs upsert) + REPLICA IDENTITY before-images
+# ---------------------------------------------------------------------------
+
+_CLM_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("ms", T.LongType()),
+        T.StructField("eid", T.LongType()),
+        T.StructField("key", T.StructType([T.StructField("user_id", T.LongType())])),
+        T.StructField(
+            "before",
+            T.StructType(
+                [
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("cents", T.LongType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "after",
+            T.StructType(
+                [
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("cents", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+# value-derived grouping so UPDATEs genuinely MOVE rows between groups —
+# the case where a retract stream must emit -U at the OLD group and +U at
+# the new one, and an upsert stream must rely on key materialization
+_CLM_GROUPS = 5
+
+
+@query(
+    "cdc_changelog_mode_upsert",
+    tier="A",
+    oracle=f"""
+    WITH logged AS ({_LOGGED_SQL}),
+    g AS (
+      SELECT user_id, ts, event_id, op, cents, prev_cents,
+             abs(coalesce(cents, -1)) % {_CLM_GROUPS}      AS g_after,
+             abs(coalesce(prev_cents, -1)) % {_CLM_GROUPS} AS g_before
+      FROM logged),
+    -- changelog-mode=all on the REPLICA IDENTITY FULL wire: signed
+    -- retract-stream contributions (+I/+U at the after group, -U/-D at
+    -- the BEFORE group, which an update may have left)
+    contrib AS (
+      SELECT g_after AS grp, 1 AS dn, coalesce(cents, 0) AS ds
+      FROM g WHERE op IN ('insert', 'update')
+      UNION ALL
+      SELECT g_before AS grp, -1 AS dn, -coalesce(prev_cents, 0) AS ds
+      FROM g WHERE op IN ('update', 'delete')),
+    allmode AS (
+      SELECT grp, CAST(sum(dn) AS BIGINT) AS n_all,
+             CAST(sum(ds) AS BIGINT) AS sum_all
+      FROM contrib GROUP BY 1 HAVING sum(dn) <> 0),
+    -- changelog-mode=upsert on the DEFAULT-identity wire: befores are
+    -- gone (update.before = null, delete.before = PK only), the sink
+    -- materializes latest-per-key and aggregates live rows
+    latest AS (
+      SELECT user_id, op, cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM g),
+    upsert AS (
+      SELECT abs(coalesce(cents, -1)) % {_CLM_GROUPS} AS grp,
+             CAST(count(*) AS BIGINT) AS n_upsert,
+             CAST(sum(coalesce(cents, 0)) AS BIGINT) AS sum_upsert
+      FROM latest WHERE rn = 1 AND op <> 'delete' GROUP BY 1),
+    -- PostgresValueValidator.java:40-46: in all-mode an UPDATE whose
+    -- before row is NULL (identity not FULL) is REJECTED; count what
+    -- all-mode would reject on the DEFAULT wire, by the after group
+    reject AS (
+      SELECT g_after AS grp, CAST(count(*) AS BIGINT) AS n_reject
+      FROM g WHERE op = 'update' GROUP BY 1)
+    SELECT u.grp, a.n_all, a.sum_all, u.n_upsert, u.sum_upsert,
+           coalesce(r.n_reject, 0) AS n_reject
+    FROM upsert u
+    JOIN allmode a ON u.grp = a.grp
+    LEFT JOIN reject r ON u.grp = r.grp
+    """,
+)
+def cdc_changelog_mode_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postgres ``changelog-mode`` semantics (postgres-cdc.md option table:
+    ``all`` = retract stream using all RowKinds, requires REPLICA IDENTITY
+    FULL; ``upsert`` = idempotent upsert stream on the primary key, the
+    documented path when FULL "is not an option"), plus the validator
+    gate: ``PostgresValueValidator.java:40-46`` REJECTS an UPDATE/DELETE
+    whose before row is null (``testExceptionForReplicaIdentity``,
+    ``replica_identity.sql``).
+
+    Two wires are generated from the same log: the FULL-identity wire
+    (update/delete carry complete before images) and the DEFAULT-identity
+    wire (update.before = null, delete.before = PK only — what Postgres
+    logs without ``ALTER TABLE .. REPLICA IDENTITY FULL``). The key
+    decodes both with one ``from_json`` pass each and proves:
+
+    - all-mode on the FULL wire (signed +I/+U/-U/-D contributions, the
+      -U/-D retraction landing at the BEFORE image's group — updates move
+      rows between value-derived groups) converges to
+    - upsert-mode on the DEFAULT wire (latest-per-key materialization of
+      after images, tombstone on delete, then aggregate),
+      per group: n_all == n_upsert, sum_all == sum_upsert in the hash;
+    - all-mode on the DEFAULT wire is NOT decodable: n_reject counts the
+      updates whose null before the validator would throw on.
+
+    Scale: the FULL/all path is ONE exploded-contribution hash aggregate
+    (map-side combinable, no window, no state); the upsert path is the
+    standard per-PK window + group aggregate; the final join stitches
+    three ≤{_CLM_GROUPS}-row aggregates."""
+    logged = _logged(spark, sf_dir)
+    base = logged.select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+        "op",
+        "cents",
+        "prev_cents",
+    )
+
+    def envelope(default_identity: bool) -> F.Column:
+        before_full = F.when(
+            F.col("op").isin("update", "delete"),
+            F.struct(F.col("user_id"), F.col("prev_cents").alias("cents")),
+        )
+        # DEFAULT identity: update.before omitted entirely, delete.before
+        # carries the PK columns only
+        before_def = F.when(
+            F.col("op") == "delete",
+            F.struct(F.col("user_id"), F.lit(None).cast("long").alias("cents")),
+        )
+        return F.to_json(
+            F.struct(
+                F.col("op"),
+                F.col("ms"),
+                F.col("event_id").alias("eid"),
+                F.struct(F.col("user_id")).alias("key"),
+                (before_def if default_identity else before_full).alias("before"),
+                F.when(
+                    F.col("op").isin("insert", "update"),
+                    F.struct(F.col("user_id"), F.col("cents")),
+                ).alias("after"),
+            )
+        )
+
+    wire = base.select(
+        envelope(False).alias("w_full"), envelope(True).alias("w_default")
+    )
+    p_full = wire.select(F.from_json("w_full", _CLM_SCHEMA).alias("r")).select("r.*")
+    p_def = wire.select(F.from_json("w_default", _CLM_SCHEMA).alias("r")).select("r.*")
+
+    grp_of = lambda c: F.abs(F.coalesce(c, F.lit(-1))) % _CLM_GROUPS  # noqa: E731
+
+    # ---- changelog-mode=all on the FULL wire: signed retract aggregate
+    adds = p_full.filter(F.col("op").isin("insert", "update")).select(
+        grp_of(F.col("after.cents")).alias("grp"),
+        F.lit(1).alias("dn"),
+        F.coalesce(F.col("after.cents"), F.lit(0)).alias("ds"),
+    )
+    retracts = p_full.filter(F.col("op").isin("update", "delete")).select(
+        grp_of(F.col("before.cents")).alias("grp"),
+        F.lit(-1).alias("dn"),
+        (-F.coalesce(F.col("before.cents"), F.lit(0))).alias("ds"),
+    )
+    allmode = (
+        adds.unionByName(retracts)
+        .groupBy("grp")
+        .agg(
+            F.sum("dn").cast("long").alias("n_all"),
+            F.sum("ds").cast("long").alias("sum_all"),
+        )
+        .filter(F.col("n_all") != 0)
+    )
+
+    # ---- changelog-mode=upsert on the DEFAULT wire: key materialization
+    wdesc = W.partitionBy(F.col("key.user_id")).orderBy(
+        F.col("ms").desc(), F.col("eid").desc()
+    )
+    upsert = (
+        p_def.withColumn("rn", F.row_number().over(wdesc))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .groupBy(grp_of(F.col("after.cents")).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_upsert"),
+            F.sum(F.coalesce(F.col("after.cents"), F.lit(0))).cast("long").alias(
+                "sum_upsert"
+            ),
+        )
+    )
+
+    # ---- the validator gate on the DEFAULT wire in all-mode ------------
+    reject = (
+        p_def.filter((F.col("op") == "update") & F.col("before").isNull())
+        .groupBy(grp_of(F.col("after.cents")).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_reject"))
+    )
+
+    return (
+        upsert.join(allmode, "grp")
+        .join(reject, "grp", "left")
+        .select(
+            "grp",
+            "n_all",
+            "sum_all",
+            "n_upsert",
+            "sum_upsert",
+            F.coalesce("n_reject", F.lit(0)).alias("n_reject"),
+        )
+    )

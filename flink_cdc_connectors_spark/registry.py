@@ -88,6 +88,7 @@ _CHECK_FIRST = (
     "cdc_tikv_two_phase",
     "cdc_mongo_copy_existing",
     "cdc_mongo_update_lookup",
+    "cdc_changelog_mode_upsert",
     "ext_curation_pipeline",
     "cdc_stream_dedup_index",
     # -- 1: the 49 keys whose newest driver row is round 2 ----------------

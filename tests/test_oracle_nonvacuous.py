@@ -149,3 +149,24 @@ def test_curation_funnel_every_stage_cuts(duck01):
     names = ["lang", "quality", "dedup", "decontaminate", "mix"]
     for name, cut in zip(names, rows):
         assert cut and cut > 0, f"curation stage '{name}' drops nothing — vacuous"
+
+
+def test_changelog_mode_retraction_moves_groups(duck01):
+    """cdc_changelog_mode_upsert's all-mode is only a real retract stream
+    if updates MOVE rows between groups (the -U retraction then lands at a
+    different group than the +U) — otherwise a naive insert-only fold
+    would pass. Also pin that the validator path rejects something."""
+    moved = duck01.execute(
+        """WITH logged AS (SELECT event_id, user_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                 lag(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_cents
+               FROM events)
+           SELECT count(*) FROM logged
+           WHERE prev_cents IS NOT NULL
+             AND abs(coalesce(cents, -1)) % 5 <> abs(coalesce(prev_cents, -1)) % 5"""
+    ).fetchone()[0]
+    assert moved > 0, "no update changes its group — retraction untested"
+    q = all_queries()["cdc_changelog_mode_upsert"].oracle
+    rej = duck01.execute(f"SELECT sum(n_reject) FROM ({q})").fetchone()[0]
+    assert rej and rej > 0, "validator rejection path is vacuous"

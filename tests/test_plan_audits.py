@@ -605,3 +605,13 @@ def test_curation_pipeline_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     assert not has_single_partition_window(df)
+
+
+def test_changelog_mode_all_path_is_stateless_aggregate(spark, sf_dir):
+    """cdc_changelog_mode_upsert: the retract path must be a plain
+    exploded-contribution hash aggregate — the whole key needs only the
+    _logged lag window, the upsert PK window, and the small group
+    aggregates; no single-partition exchange or window anywhere."""
+    df = Q["cdc_changelog_mode_upsert"].builder(spark, sf_dir)
+    assert not has_single_partition_window(df)
+    assert not has_single_partition_exchange(df)

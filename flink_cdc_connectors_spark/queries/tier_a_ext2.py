@@ -1303,8 +1303,17 @@ def cdc_changelog_mode_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire = base.select(
         envelope(False).alias("w_full"), envelope(True).alias("w_default")
     )
-    p_full = wire.select(F.from_json("w_full", _CLM_SCHEMA).alias("r")).select("r.*")
-    p_def = wire.select(F.from_json("w_default", _CLM_SCHEMA).alias("r")).select("r.*")
+    # ONE generation+parse pass: the four aggregate consumers below (adds,
+    # retracts, upsert, reject) are separate subtrees of one join plan and
+    # Catalyst does not CSE across joins — without the checkpoint the
+    # _logged window + double to_json ran ~4x (measured 3.3 s -> ~1.4 s
+    # at sf0.1)
+    parsed = wire.select(
+        F.from_json("w_full", _CLM_SCHEMA).alias("rf"),
+        F.from_json("w_default", _CLM_SCHEMA).alias("rd"),
+    ).localCheckpoint(eager=True)
+    p_full = parsed.select("rf.*")
+    p_def = parsed.select("rd.*")
 
     grp_of = lambda c: F.abs(F.coalesce(c, F.lit(-1))) % _CLM_GROUPS  # noqa: E731
 

@@ -802,21 +802,25 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded memory) is the production path; this key certifies its error
     at the data sizes where exact is still computable."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    # one DOUBLE cast up front + array-form percentiles: the exact
+    # percentile over DECIMAL sorted decimals per group and evaluated the
+    # two quantiles separately (measured 2.7 s -> 1.3 s at sf0.1); the
+    # 0.5% tolerance band is orders of magnitude above the cast's ulp
+    agg = li.select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("p")
+    ).groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.expr("percentile(l_extendedprice, 0.50)").alias("e50"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("e95"),
-        F.expr("approx_percentile(l_extendedprice, 0.50, 10000)").alias("a50"),
-        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("a95"),
+        F.expr("percentile(p, array(0.50, 0.95))").alias("e"),
+        F.expr("approx_percentile(p, array(0.50, 0.95), 10000)").alias("a"),
     )
     tol = lambda a, e: F.when(  # noqa: E731
-        (F.abs(F.col(a) - F.col(e)) / F.col(e)) < 0.005, F.lit(1)
+        (F.abs(a - e) / e) < 0.005, F.lit(1)
     ).otherwise(F.lit(0))
     return agg.select(
         "l_returnflag",
         "n_rows",
-        tol("a50", "e50").alias("p50_within_half_pct"),
-        tol("a95", "e95").alias("p95_within_half_pct"),
+        tol(F.col("a")[0], F.col("e")[0]).alias("p50_within_half_pct"),
+        tol(F.col("a")[1], F.col("e")[1]).alias("p95_within_half_pct"),
     )
 
 
@@ -1066,17 +1070,28 @@ def stream_e2e_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_cdc_connectors_spark.streaming.changelog import read_changelog_stream
 
     e = load_table(spark, sf_dir, "events")
+    # The envelope-JSON seed is INPUT GENERATION, not the operator under
+    # test — share it across processes (keyed by the fixture row count so
+    # a driver testdata refresh reseeds) the same way the scale-probe
+    # fixtures are cached. Seeding builds in a unique tmp dir and
+    # publishes with an atomic rename, so a concurrent session either
+    # wins the rename or discards its tmp — readers never see a torn dir.
     scratch = os.path.join(
-        "/tmp/spark_graft_stream", f"pid{os.getpid()}",
+        "/tmp/spark_graft_stream", "shared",
         os.path.basename(os.path.normpath(sf_dir)),
     )
     env_dir = os.path.join(scratch, "events_json")
     n = e.count()
-    marker = os.path.join(scratch, f".seeded_{n}")
+    marker = os.path.join(env_dir, f".seeded_{n}")
     if not os.path.exists(marker):
-        shutil.rmtree(scratch, ignore_errors=True)
-        events_to_debezium_json(e).repartition(8).write.mode("overwrite").text(env_dir)
-        open(marker, "w").close()
+        tmp = f"{env_dir}.tmp_{uuid.uuid4().hex[:8]}"
+        events_to_debezium_json(e).repartition(8).write.mode("overwrite").text(tmp)
+        open(os.path.join(tmp, f".seeded_{n}"), "w").close()
+        shutil.rmtree(env_dir, ignore_errors=True)  # stale fixture, if any
+        try:
+            os.rename(tmp, env_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # another session won
 
     stream = read_changelog_stream(spark, env_dir, max_files_per_trigger=3)
     agg = (
@@ -1090,17 +1105,21 @@ def stream_e2e_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"e2e_{uuid.uuid4().hex[:8]}"
+    # checkpoint stays PER-RUN (the seed dir is shared) and is removed
+    # after the drain so the shared scratch does not accumulate state
+    ckpt = os.path.join(scratch, "ckpt", name)
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", os.path.join(scratch, "ckpt", name))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
         "op",

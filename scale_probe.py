@@ -50,6 +50,13 @@ EVENTS_FAMILY = [
     "cdc_mongo_copy_existing",
     "cdc_stream_dedup_index",
     "cdc_pgoutput_relation",
+    # round-5 deserializer/mode keys: decimal wire decode, two-zone
+    # temporal decode, updateLookup batch-boundary images, changelog-mode
+    # retract-vs-upsert convergence
+    "cdc_decimal_handling",
+    "cdc_server_timezone",
+    "cdc_mongo_update_lookup",
+    "cdc_changelog_mode_upsert",
     "cdc_capture_sqlserver",
     "cdc_capture_db2",
     "cdc_mongo_changestream",
@@ -231,6 +238,8 @@ CORPUS_LADDER = [
     "ext_dedup_embedding_lsh",
     "ext_sim_search_ivf",
     "ext_sim_search_pq",
+    # round-5: the chained curation funnel (broadcast eval-set join)
+    "ext_curation_pipeline",
 ]
 
 

@@ -104,6 +104,19 @@ def main() -> None:
             run_one(spark, queries[key].builder, warm_sf)
         except Exception as exc:
             print(f"WARN bench warm {key} @ {warm_sf} failed: {exc}", file=sys.stderr)
+        # SECOND warm pass at the TIMED scale (round 5): one small-fixture
+        # warm leaves heavy-codegen keys mid-JIT — measured
+        # ext_kmeans_spherical 18.0 / 6.5 / 3.8 / 3.5 s across consecutive
+        # identical sf0.1 runs, i.e. the first full-scale run is C2-tiering
+        # the generated aggregate loops, and a single-warm protocol times
+        # run #2's lottery (per-key 2-4x swings across bench runs with
+        # DIFFERENT victims each time). Warming once at SF_DIR moves every
+        # timed number to the steady-state plateau. Untimed, so it only
+        # costs wall clock.
+        try:
+            run_one(spark, queries[key].builder, SF_DIR)
+        except Exception:
+            pass  # the timed attempt below reports the real failure
         try:
             timings[key] = round(run_one(spark, queries[key].builder, SF_DIR), 3)
         except Exception as exc:  # keep benching; a failed query is reported

@@ -800,6 +800,7 @@ def cdc_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     state-replay oracle. Sums ride DECIMAL(18,2) (money-safe associative
     addition) and surface as DOUBLE."""
     from flink_cdc_connectors_spark.sources.formats import (
+        _staged,
         events_to_canal_json,
         events_to_changelog_json,
         events_to_maxwell_json,
@@ -811,6 +812,11 @@ def cdc_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "events")
+    # ONE state replay for all four formats: the encoders each derive the
+    # same per-key staged frame, and the four union branches are separate
+    # subtrees (no CSE across a union) — without this the lag window ran
+    # 4x. Eagerly checkpointed so every branch reads checkpoint blocks.
+    staged = _staged(e).localCheckpoint(eager=True)
     signed = F.when(
         F.col("row_kind").isin("-U", "-D"),
         -F.col("value").cast("decimal(18,2)"),
@@ -827,14 +833,20 @@ def cdc_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from_json is the CPU term, so decode wants the session's full width
     # (real log streams arrive over many partitions; the fixture's single
     # row group doesn't). Measured 4.7 -> ~2 s at sf0.1.
-    canal = summarize(parse_canal_json(fan_out(events_to_canal_json(e))), "canal-json")
+    canal = summarize(
+        parse_canal_json(fan_out(events_to_canal_json(e, staged=staged))), "canal-json"
+    )
     clog = summarize(
-        parse_changelog_json(fan_out(events_to_changelog_json(e))), "changelog-json"
+        parse_changelog_json(fan_out(events_to_changelog_json(e, staged=staged))),
+        "changelog-json",
     )
     maxwell = summarize(
-        parse_maxwell_json(fan_out(events_to_maxwell_json(e))), "maxwell-json"
+        parse_maxwell_json(fan_out(events_to_maxwell_json(e, staged=staged))),
+        "maxwell-json",
     )
-    ogg = summarize(parse_ogg_json(fan_out(events_to_ogg_json(e))), "ogg-json")
+    ogg = summarize(
+        parse_ogg_json(fan_out(events_to_ogg_json(e, staged=staged))), "ogg-json"
+    )
     return canal.unionByName(clog).unionByName(maxwell).unionByName(ogg)
 
 

@@ -65,10 +65,14 @@ def _staged(events: DataFrame) -> DataFrame:
     )
 
 
-def events_to_changelog_json(events: DataFrame) -> DataFrame:
+def events_to_changelog_json(events: DataFrame, staged: DataFrame | None = None) -> DataFrame:
     """Fixture events -> changelog-json wire records (one JSON per
-    changelog ROW; UPDATE emits the -U/+U pair as two records)."""
-    s = _staged(events)
+    changelog ROW; UPDATE emits the -U/+U pair as two records).
+
+    ``staged``: optionally pass a pre-computed (possibly materialized)
+    ``_staged`` frame so multi-format callers run the per-key state
+    replay ONCE instead of once per format."""
+    s = _staged(events) if staged is None else staged
     rows = (
         F.when(
             F.col("__app_op") == "delete",
@@ -118,11 +122,13 @@ def parse_changelog_json(
 
 
 def events_to_canal_json(
-    events: DataFrame, db: str = "app", table: str = "events"
+    events: DataFrame, db: str = "app", table: str = "events",
+    staged: DataFrame | None = None,
 ) -> DataFrame:
     """Fixture events -> Canal JSON (one envelope per binlog EVENT;
-    ``data``/``old`` are single-element arrays of the full row images)."""
-    s = _staged(events)
+    ``data``/``old`` are single-element arrays of the full row images).
+    ``staged``: see events_to_changelog_json."""
+    s = _staged(events) if staged is None else staged
     ctype = (
         F.when(F.col("__app_op") == "delete", F.lit("DELETE"))
         .when(F.col("__live"), F.lit("UPDATE"))
@@ -210,15 +216,17 @@ def parse_canal_json(
 
 
 def events_to_maxwell_json(
-    events: DataFrame, db: str = "app", table: str = "events"
+    events: DataFrame, db: str = "app", table: str = "events",
+    staged: DataFrame | None = None,
 ) -> DataFrame:
     """Fixture events -> Maxwell JSON (one envelope per binlog EVENT):
     ``{"database","table","type":"insert|update|delete","ts":<epoch s>,
     "xid","data":{full new row},"old":{CHANGED columns' old values}}``.
     Maxwell's ``old`` is sparse — only columns whose value changed — which
     ``to_json``'s null-dropping produces naturally from a struct whose
-    unchanged fields are null."""
-    s = _staged(events)
+    unchanged fields are null.
+    ``staged``: see events_to_changelog_json."""
+    s = _staged(events) if staged is None else staged
     mtype = (
         F.when(F.col("__app_op") == "delete", F.lit("delete"))
         .when(F.col("__live"), F.lit("update"))
@@ -252,14 +260,16 @@ def events_to_maxwell_json(
 
 
 def events_to_ogg_json(
-    events: DataFrame, db: str = "APP", table: str = "EVENTS"
+    events: DataFrame, db: str = "APP", table: str = "EVENTS",
+    staged: DataFrame | None = None,
 ) -> DataFrame:
     """Fixture events -> Ogg (GoldenGate) JSON, the shape Flink's
     ``ogg-json`` format consumes: one envelope per EVENT; ``op_type`` is
     I/U/D; ``op_ts``/``current_ts`` are formatted timestamps; ``pos`` is a
     zero-padded, lexically ordered trail position (the GoldenGate analog of
-    a binlog offset)."""
-    s = _staged(events)
+    a binlog offset).
+    ``staged``: see events_to_changelog_json."""
+    s = _staged(events) if staged is None else staged
     otype = (
         F.when(F.col("__app_op") == "delete", F.lit("D"))
         .when(F.col("__live"), F.lit("U"))

@@ -480,3 +480,130 @@ def test_split_vector_chunks_invariants(spark, sizes, max_chunk):
         chunk_bytes = sum(r["bytes"] for r in by_chunk[cid])
         assert chunk_bytes <= max_chunk + max(sizes)
     assert prev_hi == len(sizes) - 1
+
+
+# --- round 5: updateLookup + changelog-mode convergence theorems ----------
+#
+# Pure-Python reference models (no Spark per example, so hypothesis can
+# run hundreds of interleavings). These pin the THEOREMS the two keys'
+# value hashes rely on; the keys themselves pin the Spark/DuckDB
+# implementations of the same semantics at fixture scale.
+
+_r5_logs = st.lists(
+    st.tuples(
+        st.sampled_from(["insert", "update", "delete"]),
+        st.integers(min_value=0, max_value=5),            # doc/user key
+        st.one_of(st.none(), st.integers(0, 999)),         # value (nullable)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _valid_log(raw):
+    """The _logged state machine: first op for a key (or the op after its
+    delete) is an insert, a delete of a dead key is dropped, everything
+    else is an update. Returns [(op, key, value, position)]."""
+    alive: dict[int, bool] = {}
+    out = []
+    for i, (op, k, v) in enumerate(raw):
+        live = alive.get(k, False)
+        if op == "delete":
+            if not live:
+                continue
+            out.append(("delete", k, v, i))
+            alive[k] = False
+        else:
+            out.append(("update" if live else "insert", k, v, i))
+            alive[k] = True
+    return out
+
+
+@given(_r5_logs, st.integers(min_value=1, max_value=7))
+@settings(max_examples=200, deadline=None)
+def test_update_lookup_converges_for_any_batching(raw, width):
+    """cdc_mongo_update_lookup's convergence theorem: for ANY valid log
+    and ANY order-respecting batch partition, folding the lookup-time
+    images (update fullDocument = state at the end of the event's batch;
+    null when deleted before lookup -> event DROPPED, the
+    MongoDBConnectorDeserializationSchema.java:145-149 rule) reaches the
+    same final state as the exact point-in-time fold — and every dropped
+    update is justified by a later same-batch delete of its key."""
+    log = _valid_log(raw)
+    # exact fold (point-in-time post-images)
+    exact: dict[int, object] = {}
+    for op, k, v, _ in log:
+        if op == "delete":
+            exact.pop(k, None)
+        else:
+            exact[k] = v
+    # lookup images: state of key k after the last event of k within
+    # batches <= this event's batch (batch = fixed-width slice of the log)
+    def state_at(key, upto_exclusive):
+        s, present = None, False
+        for op, k, v, _ in log[:upto_exclusive]:
+            if k != key:
+                continue
+            if op == "delete":
+                present = False
+                s = None
+            else:
+                present = True
+                s = v
+        return present, s
+
+    folded: dict[int, object] = {}
+    for idx, (op, k, v, _) in enumerate(log):
+        if op == "insert":
+            folded[k] = v
+        elif op == "delete":
+            folded.pop(k, None)
+        else:  # update: attach the lookup image
+            batch_end = ((idx // width) + 1) * width  # end of my batch
+            present, lk = state_at(k, min(batch_end, len(log)))
+            if not present:
+                # dropped — justified only by a later same-batch delete
+                later = log[idx + 1 : min(batch_end, len(log))]
+                assert any(
+                    o == "delete" and kk == k for o, kk, _, _ in later
+                ), "update dropped without a later same-batch delete"
+                continue
+            folded[k] = lk
+    assert folded == exact
+
+
+@given(_r5_logs, st.integers(min_value=2, max_value=7))
+@settings(max_examples=200, deadline=None)
+def test_retract_mode_equals_upsert_mode_for_any_grouping(raw, mod):
+    """cdc_changelog_mode_upsert's convergence theorem: signed retract
+    contributions (+I/+U at the after image's group, -U/-D at the BEFORE
+    image's group) telescope to the upsert materialization's per-group
+    (count, sum) for ANY valid log and ANY value-derived grouping."""
+    from collections import Counter
+
+    log = _valid_log(raw)
+    grp = lambda v: abs(v if v is not None else -1) % mod  # noqa: E731
+    n, s = Counter(), Counter()
+    state: dict[int, object] = {}
+    present: dict[int, bool] = {}
+    for op, k, v, _ in log:
+        if op in ("insert", "update"):
+            n[grp(v)] += 1
+            s[grp(v)] += v or 0
+        if op in ("update", "delete"):
+            pv = state[k]  # valid log: key is live, before image exists
+            n[grp(pv)] -= 1
+            s[grp(pv)] -= pv or 0
+        if op == "delete":
+            present[k] = False
+        else:
+            state[k] = v
+            present[k] = True
+    # upsert side: aggregate over final live rows
+    n2, s2 = Counter(), Counter()
+    for k, live in present.items():
+        if live:
+            n2[grp(state[k])] += 1
+            s2[grp(state[k])] += state[k] or 0
+    assert {g: c for g, c in n.items() if c} == dict(n2)
+    assert {g: c for g, c in s.items() if n[g]} == {g: s2[g] for g in n2}

@@ -519,29 +519,62 @@ def cdc_mongo_changestream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doc"),
     )
     # ---- the operator under test: parse + patch-fold
+    # ONE from_json parse per change-stream document — seven
+    # get_json_object calls re-parsed the whole envelope seven times (the
+    # codec lesson pinned at 100x by cdc_mongo_update_lookup); only the
+    # small nested updatedFields string gets a second pass.
+    cs_schema = T.StructType(
+        [
+            T.StructField("operationType", T.StringType()),
+            T.StructField(
+                "documentKey",
+                T.StructType([T.StructField("user_id", T.LongType())]),
+            ),
+            T.StructField(
+                "fullDocument",
+                T.StructType(
+                    [
+                        T.StructField("user_id", T.LongType()),
+                        T.StructField("value_cents", T.LongType()),
+                        T.StructField("props_k", T.LongType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "updateDescription",
+                T.StructType(
+                    [
+                        T.StructField("updatedFields", T.StringType()),
+                        T.StructField("removedFields", T.ArrayType(T.StringType())),
+                    ]
+                ),
+            ),
+        ]
+    )
     parsed = docs.select(
+        "event_id", "ts", F.from_json("doc", cs_schema).alias("r")
+    ).select(
         "event_id",
         "ts",
-        F.get_json_object("doc", "$.operationType").alias("mongo_op"),
-        F.get_json_object("doc", "$.documentKey.user_id").cast("long").alias("user_id"),
-        F.get_json_object("doc", "$.fullDocument.value_cents").cast("long").alias("fd_cents"),
-        F.get_json_object("doc", "$.fullDocument.props_k").cast("long").alias("fd_k"),
+        F.col("r.operationType").alias("mongo_op"),
+        F.col("r.documentKey.user_id").alias("user_id"),
+        F.col("r.fullDocument.value_cents").alias("fd_cents"),
+        F.col("r.fullDocument.props_k").alias("fd_k"),
         # updatedFields is a JSON string embedded in the envelope (mongo's
         # extended-JSON nesting); absent keys -> NULL
-        F.get_json_object(
-            F.get_json_object("doc", "$.updateDescription.updatedFields"),
-            "$.value_cents",
-        ).cast("long").alias("uf_cents"),
-        F.get_json_object(
-            F.get_json_object("doc", "$.updateDescription.updatedFields"),
-            "$.props_k",
-        ).cast("long").alias("uf_k"),
-        F.coalesce(
-            F.get_json_object("doc", "$.updateDescription.removedFields"),
-            F.lit("[]"),
-        ).alias("removed_json"),
-    ).withColumn(
-        "removes_k", F.col("removed_json").contains('"props_k"')
+        F.get_json_object(F.col("r.updateDescription.updatedFields"), "$.value_cents")
+        .cast("long")
+        .alias("uf_cents"),
+        F.get_json_object(F.col("r.updateDescription.updatedFields"), "$.props_k")
+        .cast("long")
+        .alias("uf_k"),
+        F.array_contains(
+            F.coalesce(
+                F.col("r.updateDescription.removedFields"),
+                F.array().cast("array<string>"),
+            ),
+            "props_k",
+        ).alias("removes_k"),
     )
     # Single-pass running-state fold: every window below shares ONE hash
     # exchange on the parsed key (a full image sets every field, so

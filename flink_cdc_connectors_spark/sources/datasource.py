@@ -43,8 +43,10 @@ from flink_cdc_connectors_spark.sources.schema_history import SchemaHistory
 # its split & pending-splits-state serializers and asserts savepoint
 # restore across releases — MySqlCompatibilityITCase.java, tools/).
 # v0 = unversioned round-3 documents (migrated on restore); v1 adds the
-# stamp itself. Bump on ANY field change and extend _migrate_offset.
-OFFSET_FORMAT_VERSION = 1
+# stamp itself; v2 adds "dlv" — the delivered watermark (the highest
+# position any COMMITTED batch has covered, as known when the document
+# was planned). Bump on ANY field change and extend _migrate_offset.
+OFFSET_FORMAT_VERSION = 2
 
 SCHEMA_DDL = (
     "op string, user_id bigint, value double, props string, "
@@ -199,6 +201,21 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         mob = options.get("maxoffsetsperbatch")
         self.max_per_batch = int(mob) if mob is not None else None
         self._planned_off: int | None = None  # driver-side planning cursor
+        # Delivered watermark: the highest position this reader KNOWS a
+        # committed batch has covered. Learned only from committed
+        # evidence — commit(end) calls, and the start/dlv fields of the
+        # checkpoint documents Spark hands to partitions() (a batch's
+        # START is always the previous batch's committed end; a document's
+        # "dlv" stamp was itself derived from committed knowledge when
+        # planned). Spark's Python streaming API gives latestOffset() no
+        # view of the restored position, so after a restart the planning
+        # cursor can momentarily sit BEHIND the checkpoint — the reference
+        # never has this problem because its enumerator state restores
+        # wholesale (MySqlSourceEnumerator / HybridPendingSplitsState).
+        # This watermark is the restore-safe floor: partitions() never
+        # plans a stream range below it, so a transiently regressed offset
+        # document can never re-emit delivered events.
+        self._seen = -1
         self.startup_mode = options.get("startupmode", "initial")
         if self.startup_mode not in (
             "initial", "earliest-offset", "latest-offset", "specific-offset", "timestamp"
@@ -273,7 +290,7 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
     # -- offsets (HybridPendingSplitsState analog) -------------------------
 
     @staticmethod
-    def _offset_dict(phase: str, hw: int, off: int) -> dict:
+    def _offset_dict(phase: str, hw: int, off: int, dlv: int = -1) -> dict:
         # The offset JSON carries the position both as the scalar event_id
         # and as the composite BinlogOffset form (BinlogOffset.java shape:
         # kind/gtids/server_id/ts/file/pos/skips); restore prefers the
@@ -288,6 +305,7 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
             "phase": phase,
             "hw": hw,
             "off": off,
+            "dlv": dlv,
             "binlog": BinlogOffset.specific(file="binlog.000001", pos=off).to_dict(),
         }
 
@@ -316,6 +334,16 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
                 d["binlog"] = BinlogOffset.specific(
                     file="binlog.000001", pos=d["off"]
                 ).to_dict()
+        if "dlv" not in d:
+            # v0/v1 documents predate the delivered watermark. Migrate to
+            # "unknown" (-1), NOT to the document's own position: an END
+            # document of a pending WAL batch is not yet delivered, and a
+            # floor at its own offset would skip the whole replay range
+            # (data loss). A START document's committed floor is already
+            # carried by its "off" field, so -1 loses nothing.
+            d = dict(d)
+            d["v"] = OFFSET_FORMAT_VERSION
+            d["dlv"] = -1
         return d
 
     @staticmethod
@@ -335,12 +363,24 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         # (all chunks in parallel); afterwards the stream tail advances to
         # the current log end (static fixture: max_off) — or, under the
         # maxOffsetsPerBatch rate limit, by at most that many offsets per
-        # call.  The planning cursor lives on the driver-side reader; on a
-        # checkpoint restore (fresh reader, cursor unset) the first advance
-        # starts from the startup position — partitions(start, end) always
-        # slices from the CHECKPOINT's start, so a cursor behind the
-        # restored offset only plans an empty (skipped) range, never a
-        # re-read.
+        # call.  The planning cursor lives on the driver-side reader.
+        # latestOffset() takes no start offset in the Python API (and is
+        # called BEFORE initialOffset even on a fresh query), so on a
+        # checkpoint RESTORE a fresh reader cannot see the committed
+        # position when it first plans — blindly advancing from the
+        # startup position would regress the offset log and re-emit
+        # already-delivered ranges on the batches after the regression.
+        # Three guards make the rate-limited path restore-safe:
+        #   (a) the FIRST rate-limited plan is a non-advancing ANCHOR at
+        #       max(startup position, delivered watermark) — it may still
+        #       sit behind a restored checkpoint, but it never plans data;
+        #   (b) partitions(start, end) clamps the cursor and the delivered
+        #       watermark forward to every committed position the
+        #       checkpoint documents show (start offsets and dlv stamps),
+        #       so planning recovers on the next call;
+        #   (c) stream ranges never slice below the delivered watermark
+        #       (see partitions()), so even a transiently regressed WAL
+        #       pair replayed after a second crash re-emits nothing.
         # the hw stamped into the END offset becomes the NEXT batch's
         # chunk-plan watermark (partitions() rebuilds the plan from
         # start["hw"]) — it must match the mode's snapshot watermark
@@ -348,11 +388,17 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         # filter silently drops every event of the later batches
         hw = self.hw if self.startup_mode == "initial" else self.start_off
         if self.max_per_batch is None:
-            return self._offset_dict("stream", hw, self.max_off)
+            return self._offset_dict("stream", hw, self.max_off, dlv=self._seen)
         if self._planned_off is None:
-            self._planned_off = hw
+            # guard (a): non-advancing anchor — fresh query: batch 0 plans
+            # (startup, startup] (empty tail; the snapshot phase, if any,
+            # still runs); restore: the anchor may sit behind the
+            # checkpoint, but it plans no data, and partitions() clamps
+            # the cursor forward before the next advance.
+            self._planned_off = max(hw, self._seen)
+            return self._offset_dict("stream", hw, self._planned_off, dlv=self._seen)
         self._planned_off = min(self._planned_off + self.max_per_batch, self.max_off)
-        return self._offset_dict("stream", hw, self._planned_off)
+        return self._offset_dict("stream", hw, self._planned_off, dlv=self._seen)
 
     def partitions(self, start: dict, end: dict):
         # Spark hands back whatever offset JSON the checkpoint holds —
@@ -360,6 +406,21 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         # or reject BEFORE reading any field it may lack.
         start = self._migrate_offset(start)
         end = self._migrate_offset(end)
+        # guard (b): committed evidence in the checkpoint documents. A
+        # genuine batch slice's START is the previous batch's committed
+        # end, and a "dlv" stamp was derived from committed knowledge when
+        # its document was planned. end["off"] is NOT evidence (it may be
+        # the pending WAL batch being replayed right now) — and neither is
+        # start["off"] of a DEGENERATE (start == end) call: on restore
+        # with a pending batch, Spark first issues a recovery call
+        # partitions(pending_end, pending_end) whose offsets are
+        # uncommitted; taking that as the floor would empty the actual
+        # replay that follows (data loss, not just a dupe).
+        self._seen = max(self._seen, start["dlv"], end["dlv"])
+        if self._off(start) != self._off(end):
+            self._seen = max(self._seen, self._off(start))
+        if self._planned_off is None or self._planned_off < self._seen:
+            self._planned_off = max(self._seen, self._off(end))
         parts: list[InputPartition] = []
         chunk_plan = tuple(self._chunk_plan(start["hw"]))
         if start["phase"] == "snapshot":
@@ -371,7 +432,17 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         # (MySqlHybridSplitAssigner.createBinlogSplit:189-227); shouldEmit
         # drops events a chunk's backfill already covered.
         min_hw = min((hw for _, _, hw in chunk_plan), default=start["hw"])
-        stream_from = min_hw if start["phase"] == "snapshot" else self._off(start)
+        # guard (c): a stream range never slices below the delivered
+        # watermark — a transiently regressed start (the anchor batch
+        # after a restore, or its WAL replay after a second crash) plans
+        # an empty range instead of re-emitting delivered events. The
+        # snapshot->stream transition keeps min_hw (chunk backfill overlap
+        # is handled by shouldEmit, not by this floor).
+        stream_from = (
+            min_hw
+            if start["phase"] == "snapshot"
+            else max(self._off(start), self._seen)
+        )
         end_off = self._off(end)
         if end_off > stream_from:
             # One StreamPartition per schema-uniform sub-range: a range is
@@ -433,7 +504,10 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
                 break
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the checkpoint; nothing external to ack
+        # offsets live in the checkpoint; nothing external to ack — but a
+        # committed end IS delivered evidence for the watermark (guard (c))
+        end = self._migrate_offset(end)
+        self._seen = max(self._seen, self._off(end), end["dlv"])
 
 
 class CdcBinlogDataSource(DataSource):
@@ -446,7 +520,18 @@ class CdcBinlogDataSource(DataSource):
     per-chunk shouldEmit filter — the DBLog concurrent-DML scenario),
     ``startupMode`` (initial | earliest-offset | latest-offset |
     specific-offset + ``startupOffset`` | timestamp + ``startupTimestampMs``
-    — StartupMode.java:24-33; non-initial modes skip the snapshot phase).
+    — StartupMode.java:24-33; non-initial modes skip the snapshot phase),
+    ``maxOffsetsPerBatch`` (cap on how far the stream-phase offset advances
+    per micro-batch — the debezium max.batch.size / Kafka
+    maxOffsetsPerTrigger analog; restart-safe: a crash inside a
+    rate-limited drain resumes with at most Spark's own documented
+    replay of the single pending batch, never a regression).
+
+    Known limit: Spark's Python streaming API does not implement
+    ``Trigger.AvailableNow`` (the engine logs "does not support
+    Trigger.AvailableNow. Falling back to single batch") — a bounded drain
+    of a rate-limited stream therefore uses a processing-time trigger with
+    ``processAllAvailable()``/``stop()``, not availableNow.
     """
 
     @classmethod

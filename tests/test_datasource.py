@@ -301,6 +301,109 @@ def test_dsv2_rejects_newer_checkpoint_format():
         r.partitions(start, future)
 
 
+def test_dsv2_crash_mid_drain_exactly_once(spark, tmp_path):
+    """The reference's flagship exactly-once claim (mysql-cdc.md:554-557)
+    under its actual failure mode: a crash INSIDE a rate-limited
+    multi-batch drain (Spark's Python API has no Trigger.AvailableNow —
+    the engine falls back to single-batch — so the bounded drain IS the
+    processing-time rate-limited stream). The sink dies after delivering
+    2 of 4 capped batches; the restart must finish the drain with at most
+    Spark's own documented replay of the single pending batch (same
+    batch_id — the idempotent-sink contract) and NOTHING else re-emitted:
+    an idempotent sink keyed by batch_id sees every offset exactly once,
+    with no gap and no regression of the offset log's delivered ranges.
+
+    Pins the restore bug this round fixed: latestOffset() is called with
+    no view of the restored checkpoint (and before initialOffset even on
+    fresh queries), so a blindly re-seeded planning cursor regressed the
+    offset log and re-emitted delivered batches under NEW batch_ids —
+    dupes no idempotent sink could filter."""
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(crash_after):
+        delivered = []  # (batch_id, ids)
+
+        def fb(df, bid):
+            ids = [r.event_id for r in df.select("event_id").collect()]
+            if ids:
+                delivered.append((bid, ids))
+            if len(delivered) >= crash_after:
+                raise RuntimeError("simulated mid-drain crash")
+
+        q = (
+            spark.readStream.format("cdc_binlog")
+            .option("path", EVENTS)
+            .option("startupMode", "specific-offset")
+            .option("startupOffset", 799)
+            .option("maxOffsetsPerBatch", 50)
+            .load()
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass  # the simulated crash surfaces as StreamingQueryException
+        finally:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        return delivered
+
+    d1 = run(crash_after=2)  # crash while batch 2 is uncommitted
+    d2 = run(crash_after=99)  # restart from the checkpoint, finish
+    assert len(d1) == 2 and len(d2) >= 2, "drain did not resume"
+    # idempotent sink: last write per batch_id wins (the replayed pending
+    # batch re-delivers under its ORIGINAL batch_id and must carry the
+    # identical rows)
+    by_bid = {}
+    replayed = 0
+    for bid, ids in d1 + d2:
+        if bid in by_bid:
+            assert sorted(by_bid[bid]) == sorted(ids), (
+                f"replay of batch {bid} delivered different rows"
+            )
+            replayed += 1
+        by_bid[bid] = ids
+    assert replayed <= 1, "more than the single pending batch was replayed"
+    flat = [i for ids in by_bid.values() for i in ids]
+    assert len(flat) == len(set(flat)), "a NEW batch_id re-emitted delivered rows"
+    assert sorted(flat) == list(range(800, 1000)), "gap or truncation across the crash"
+    for _, ids in d1 + d2:
+        assert max(ids) - min(ids) < 50, "restart broke the offset cap"
+
+
+def test_dsv2_recovery_call_is_not_delivery_evidence():
+    """On restore with a pending WAL batch, Spark issues a degenerate
+    partitions(pending_end, pending_end) recovery call BEFORE replaying
+    the pending batch. Its offsets are uncommitted — if the reader took
+    them as the delivered floor, the replay that follows would plan an
+    EMPTY range and the pending batch's rows would be lost (the sink
+    never side-effected them). Drive the exact restore call sequence on a
+    fresh reader and assert the replay still carries its rows."""
+    from pyspark.sql.types import StructType
+
+    opts = {
+        "path": EVENTS,
+        "startupmode": "specific-offset",
+        "startupoffset": "799",
+        "maxoffsetsperbatch": "50",
+    }
+    r = datasource.CdcBinlogStreamReader(StructType([]), opts)
+    start = r._offset_dict("stream", 799, 849, dlv=799)  # committed batch 1 end
+    pending = r._offset_dict("stream", 799, 899, dlv=799)  # uncommitted batch 2 end
+    r.partitions(pending, pending)  # Spark's recovery call
+    parts = r.partitions(start, pending)  # the pending-batch replay
+    rows = sum(b.num_rows for p in parts for b in r.read(p))
+    assert rows == 50, f"pending-batch replay lost rows (got {rows})"
+    # and the cursor learned the pending end: the next plan advances past
+    # it instead of regressing the offset log
+    nxt = r.latestOffset()
+    assert nxt["off"] == 949, f"cursor did not resume past the replay: {nxt['off']}"
+
+
 def test_dsv2_max_offsets_per_batch_rate_limit(spark, tmp_path):
     """maxOffsetsPerBatch (the debezium.max.batch.size passthrough) must
     drain a long tail as MULTIPLE contiguous micro-batches — no gaps, no

@@ -1074,8 +1074,11 @@ def stream_e2e_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test — share it across processes (keyed by the fixture row count so
     # a driver testdata refresh reseeds) the same way the scale-probe
     # fixtures are cached. Seeding builds in a unique tmp dir and
-    # publishes with an atomic rename, so a concurrent session either
-    # wins the rename or discards its tmp — readers never see a torn dir.
+    # publishes rename-FIRST: the destination is never deleted while it
+    # may be mid-read by another session's streaming query — a loser of
+    # the rename race discards its own tmp, and only a STALE fixture
+    # (marker for a different row count, i.e. an older testdata
+    # generation no live reader wants) is swapped out, atomically.
     scratch = os.path.join(
         "/tmp/spark_graft_stream", "shared",
         os.path.basename(os.path.normpath(sf_dir)),
@@ -1087,11 +1090,26 @@ def stream_e2e_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = f"{env_dir}.tmp_{uuid.uuid4().hex[:8]}"
         events_to_debezium_json(e).repartition(8).write.mode("overwrite").text(tmp)
         open(os.path.join(tmp, f".seeded_{n}"), "w").close()
-        shutil.rmtree(env_dir, ignore_errors=True)  # stale fixture, if any
         try:
             os.rename(tmp, env_dir)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # another session won
+            # destination exists: either another session published the
+            # same fixture (marker present -> it wins, drop ours), or a
+            # stale generation sits there (marker absent -> swap it out
+            # atomically; never rmtree a dir a reader may be listing)
+            if os.path.exists(marker):
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                stale = f"{env_dir}.stale_{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(env_dir, stale)
+                except OSError:
+                    pass  # a concurrent session already swapped it
+                try:
+                    os.rename(tmp, env_dir)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)  # lost the re-publish
+                shutil.rmtree(stale, ignore_errors=True)
 
     stream = read_changelog_stream(spark, env_dir, max_files_per_trigger=3)
     agg = (

@@ -373,10 +373,10 @@ _QUERY_ID_CAP = 2000
 @query(
     "ext_sim_search_cosine",
     tier="C",
-    oracle="""
+    oracle=f"""
     WITH q AS (
       SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000
+      FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < {_QUERY_ID_CAP}
     ),
     scored AS (
       SELECT q.q_id, e.vec_id,
@@ -512,7 +512,7 @@ def _duck_sim_ivf_oracle() -> str:
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     cells AS (SELECT vec_id, e, {duck_ivf_cell_sql('e')} AS cell FROM v),
-    q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id % 100 = 0 AND vec_id < 2000),
+    q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id % 100 = 0 AND vec_id < {_QUERY_ID_CAP}),
     qscore AS (
       SELECT q_id, qv, x.s AS s, x.c AS cell
       FROM (SELECT q_id, qv, unnest({duck_ivf_probe_structs_sql('qv')}) AS x FROM q) t),
@@ -1063,19 +1063,19 @@ def _duck_ann_recall_oracle() -> str:
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     corpus AS (SELECT vec_id, e FROM v
                UNION ALL SELECT vec_id + {_COPY_OFFSET}, e FROM v),
-    q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id % 100 = 0 AND vec_id < 2000),
+    q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id % 100 = 0 AND vec_id < {_QUERY_ID_CAP}),
     exact AS ({top10(f'''
       SELECT q.q_id, c.vec_id, {cos.format(q='q.qv', c='c.e')} AS sim
       FROM q JOIN corpus c ON c.vec_id <> q.q_id''')}),
     sigb AS (SELECT vec_id, e, {duck_srp_bucket_sql('e')} AS bucket FROM corpus),
     qb AS (SELECT vec_id AS q_id, e AS qv, bucket FROM sigb
-           WHERE vec_id % 100 = 0 AND vec_id < 2000),
+           WHERE vec_id % 100 = 0 AND vec_id < {_QUERY_ID_CAP}),
     lsh AS ({top10(f'''
       SELECT qb.q_id, s.vec_id, {cos.format(q='qb.qv', c='s.e')} AS sim
       FROM sigb s JOIN qb ON s.bucket = qb.bucket AND s.vec_id <> qb.q_id''')}),
     tb AS (SELECT vec_id, e, unnest([{tables}]) AS tbucket FROM corpus),
     qtb AS (SELECT vec_id AS q_id, e AS qv, tbucket FROM tb
-            WHERE vec_id % 100 = 0 AND vec_id < 2000),
+            WHERE vec_id % 100 = 0 AND vec_id < {_QUERY_ID_CAP}),
     lsh4 AS ({top10(f'''
       SELECT DISTINCT q_id, vec_id, sim FROM (
         SELECT qtb.q_id, s.vec_id, {cos.format(q='qtb.qv', c='s.e')} AS sim

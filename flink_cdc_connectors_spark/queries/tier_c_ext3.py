@@ -94,7 +94,7 @@ def _duck_sim_pq_oracle() -> str:
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     compact AS (SELECT vec_id, e, {duck_ivf_cell_sql('e')} AS cell,
                        {duck_pq_codes_sql('e')} AS codes FROM v),
-    q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id % 100 = 0 AND vec_id < 2000),
+    q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id % 100 = 0 AND vec_id < {_TC._QUERY_ID_CAP}),
     qscore AS (
       SELECT q_id, qv, x.s AS s, x.c AS cell
       FROM (SELECT q_id, qv, unnest({duck_ivf_probe_structs_sql('qv')}) AS x FROM q) t),

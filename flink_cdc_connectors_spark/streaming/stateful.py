@@ -278,17 +278,25 @@ def make_patch_fold(
             else:
                 # pandas deprecates letting all-NA columns be EXCLUDED from
                 # concat dtype inference (FutureWarning; pandas>=3 will let
-                # them participate and may shift the result dtype).  A patch
-                # chunk where a field column is entirely NA carries no type
-                # information, so cast those columns to float64 (all-NaN, a
-                # plainly typed entry the warning never fires on): the concat
-                # result is dtype-stable across pandas versions, and the
-                # per-row _opt/_flag coercions below normalize the values
-                # regardless of the column dtype they ride in on.
+                # them participate and may shift the result dtype).  The
+                # warning concerns OBJECT-dtype all-NA columns only — a
+                # patch chunk whose object column is entirely NA carries no
+                # type information, so cast exactly those to float64
+                # (all-NaN, a plainly typed entry the warning never fires
+                # on).  Typed all-NA columns (e.g. an all-NaT datetime64
+                # ts) must keep their dtype: casting datetime64 to float64
+                # raises TypeError in pandas 2.x, and their dtype already
+                # participates in concat inference.  The per-row _opt/_flag
+                # coercions below normalize the values regardless of the
+                # column dtype they ride in on.
                 chunks = [
-                    c.astype({col: "float64" for col in c.columns if c[col].isna().all()})
-                    if c.isna().all().any()
-                    else c
+                    c.astype(
+                        {
+                            col: "float64"
+                            for col in c.columns
+                            if c[col].dtype == object and c[col].isna().all()
+                        }
+                    )
                     for c in chunks
                 ]
                 pdf = pd.concat(chunks, ignore_index=True)

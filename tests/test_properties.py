@@ -266,6 +266,24 @@ def test_patch_fold_all_na_chunk_is_warning_free_and_dtype_stable():
     assert b == 9 and type(b) is int
 
 
+def test_patch_fold_all_nat_datetime_chunk_does_not_crash():
+    """The all-NA pin must ONLY touch object-dtype columns: an all-NaT
+    datetime64 column (a malformed chunk whose ts is entirely null) must
+    keep its dtype — pandas 2.x raises TypeError on casting DatetimeArray
+    to float64, so an over-broad pin turns a degenerate chunk into a fold
+    crash instead of the stale-offset skip it gets today."""
+    chunk1 = [  # ts all-NaT AND b all-NA in the same chunk
+        {"ts": None, "eid": 0, "op": "insert", "a": 1, "a_act": 1, "b": None, "b_act": 0},
+    ]
+    chunk2 = [
+        {"ts": 3, "eid": 2, "op": "insert", "a": 7, "a_act": 1, "b": 9, "b_act": 1},
+    ]
+    state_t, _ = _run_fold([chunk1, chunk2])
+    ts_ms, eid, alive, a, b = state_t
+    # the NaT row folds to a pre-epoch offset and the real row wins
+    assert (ts_ms, eid, alive, a, b) == (3, 2, 1, 7, 9)
+
+
 # ---------------------------------------------------------------------------
 # Curation-key invariants
 # ---------------------------------------------------------------------------

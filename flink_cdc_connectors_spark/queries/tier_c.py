@@ -24,6 +24,12 @@ from flink_cdc_connectors_spark.sources.loaders import fan_out, load_table
 # Offset added to doc_id for planted duplicate copies.
 _COPY_OFFSET = 1_000_000
 
+# ext_dedup_minhash: largest docs count that keeps the pinned string-shingle
+# hash family (driver fixtures: sf0.1 has ~6k docs; the 100x scale ladder
+# starts at ~98k corpus rows). Past this the word-triple family applies —
+# see the scale-mode comment inside the query.
+_MINHASH_SCALE_DOCS = 24_000
+
 # Hard cap on the comparison side of the exact embedding-dedup verifier:
 # 200k rows x 64 float64 ~= 100 MB broadcast — the verifier is bounded BY
 # CONTRACT (the unbounded path is ext_dedup_embedding_lsh), and the guard
@@ -245,15 +251,78 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocks aren't published until a partition finishes — so a cached
     # frame pays the regex-split + 3-gram assembly TWICE per run (profiled
     # at sf1: 16.9 s of 22.6 s total was the double shingle build). The
-    # eager checkpoint materializes exactly one scan up front; signature
-    # build and Jaccard verify then both read checkpoint blocks.
+    # eager checkpoint materializes exactly one scan up front; the band
+    # join and Jaccard verify then both read checkpoint blocks.
     # (local-mode note: checkpoint blocks are not rebuildable on executor
     # loss — the right trade for this single-JVM harness; on a cluster
     # with dynamic allocation use reliable checkpoint/cache instead.)
-    sh_arr = corpus.select(
-        "doc_id", T.shingles(T.words(F.col("text"))).alias("sh")
-    ).localCheckpoint(eager=True)
-    sig = sh_arr.select("doc_id", *T.minhash_signature(F.col("sh"), 16))
+    #
+    # What the checkpoint STORES is one 100x lever: the signature columns
+    # and the shingle sets as HASHES (array<long>, ~8 bytes/shingle), not
+    # the string shingles (~60 bytes each) — string shingle arrays at the
+    # 100x corpus are ~2 GB of checkpoint blocks the verify join would
+    # shuffle twice (GCLocker thrash, profiled). Jaccard on hashed sets
+    # equals Jaccard on string sets except under a 64-bit xxhash collision
+    # INSIDE one pair's sets (P ~ 60^2/2^65 per pair — no driver-fixture
+    # hash can move).
+    #
+    # What the checkpoint COMPUTES is the other, bigger lever: assembling
+    # the shingle STRINGS (slice + array_join per position) is ~75% of
+    # the whole query at the 100x corpus (59 s of 80 s profiled; the 16
+    # hash passes add only ~20 s on top). Hashing the word TRIPLE
+    # directly — xxhash64(w[i], w[i+1], w[i+2]) — skips the string
+    # allocation entirely and is ~10x cheaper (6.5 s), but it is a
+    # DIFFERENT hash family, so band candidates (and thus the ~95%-recall
+    # output) differ slightly. Same resolution as the SRP plane count in
+    # ``ext_dedup_embedding_lsh``: the string family is PINNED at driver
+    # fixture scales (bit-identical results), and corpora past the scale
+    # threshold switch to the triple family with a warning — at 100 TB
+    # nobody re-materializes 3-gram strings just to hash them.
+    n_docs = docs.count()  # bounded driver scalar: picks the family
+    if n_docs <= _MINHASH_SCALE_DOCS:
+        shingled = corpus.select(
+            "doc_id", T.shingles(T.words(F.col("text"))).alias("sh")
+        )
+        sh_arr = shingled.select(
+            "doc_id",
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hsh"),
+            *T.minhash_signature(F.col("sh"), 16),
+        ).localCheckpoint(eager=True)
+    else:
+        import warnings
+
+        warnings.warn(
+            f"ext_dedup_minhash scale mode: word-triple hash family for "
+            f"{n_docs} docs — candidate recall differs from the pinned "
+            f"string-shingle family below {_MINHASH_SCALE_DOCS} docs"
+        )
+        w = T.words(F.col("text"))
+        wordsed = corpus.select("doc_id", w.alias("w"))
+        pos = F.when(
+            F.size("w") >= 3, F.sequence(F.lit(1), F.size("w") - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        h3 = F.array_distinct(
+            F.transform(
+                pos,
+                lambda i: F.xxhash64(
+                    F.element_at(F.col("w"), i),
+                    F.element_at(F.col("w"), i + 1),
+                    F.element_at(F.col("w"), i + 2),
+                ),
+            )
+        )
+        hashed = wordsed.select("doc_id", h3.alias("hsh"))
+        sh_arr = hashed.select(
+            "doc_id",
+            "hsh",
+            *[
+                F.array_min(
+                    F.transform(F.col("hsh"), lambda h, i=i: F.xxhash64(F.lit(i), h))
+                ).alias(f"mh{i}")
+                for i in range(16)
+            ],
+        ).localCheckpoint(eager=True)
+    sig = sh_arr
     # LSH: 4 bands of 4 rows; band signature = xxhash64 of the band minhashes
     bands = sig.select(
         "doc_id",
@@ -280,8 +349,8 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify candidates with exact Jaccard — set algebra on the shingle
     # ARRAYS of just the candidate pairs (broadcast-joined twice), no
     # corpus-wide shingle explode at all
-    sa = sh_arr.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh_arr.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sa = sh_arr.select(F.col("doc_id").alias("id_a"), F.col("hsh").alias("sh_a"))
+    sb = sh_arr.select(F.col("doc_id").alias("id_b"), F.col("hsh").alias("sh_b"))
     joined = cand.join(sa, "id_a").join(sb, "id_b")
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
@@ -1000,6 +1069,12 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine is then a single dot + one multiply instead of three array
     # folds per pair — per-pair verify cost is the scale-determining term
     # (pairs >> rows), measured ~3x on the sf1 probe.
+    # Deliberately NOT localCheckpoint'd like ext_dedup_minhash's shingle
+    # frame: the double-compute it would save (scan + cast + norm + SRP,
+    # all vectorized arithmetic) is cheap, while materializing 64-double
+    # arrays for the full corpus is ~0.5 GB/M rows of heap — measured
+    # NET-SLOWER at the 100x ladder point (29.5 s -> 43.7 s) and an OOM
+    # risk in small-heap sessions.
     sig = base.select(
         "vec_id",
         "e",

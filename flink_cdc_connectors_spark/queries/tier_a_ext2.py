@@ -1373,3 +1373,165 @@ def cdc_changelog_mode_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_reject", F.lit(0)).alias("n_reject"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Column type change -> re-snapshot (the schema-evolution path projection
+# cannot express)
+# ---------------------------------------------------------------------------
+
+# Boundary at 90% of the log — deliberately LATE, unlike the reconcile
+# family's 60%: with the fixture's dense per-key churn (15 keys / 1000
+# events at sf0.001), any earlier boundary leaves no key whose FINAL
+# image comes from the re-snapshot (every key changes again in the tail)
+# and the epoch column degenerates. At 99% roughly half the keys keep
+# their re-snapshot image (non-vacuity pinned by the test).
+_TYPECHANGE_FRACTION = 0.99
+_TYPECHANGE_SPLIT_SQL = (
+    "(SELECT CAST(min(event_id) + (max(event_id) - min(event_id)) *"
+    f" {_TYPECHANGE_FRACTION} AS BIGINT) FROM events)"
+)
+
+
+def _typechange_oracle() -> str:
+    from flink_cdc_connectors_spark.sources.envelope import op_sql
+
+    latest = (
+        "SELECT *, row_number() OVER (PARTITION BY user_id"
+        " ORDER BY ts DESC, event_id DESC) AS rn FROM events"
+    )
+    return f"""
+    WITH v1 AS (
+      SELECT user_id, CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS value_v1
+      FROM ({latest.replace("FROM events",
+                            f"FROM events WHERE event_id <= {_TYPECHANGE_SPLIT_SQL}")})
+      WHERE rn = 1 AND ({op_sql("event_type")}) <> 'delete'),
+    fin AS (
+      SELECT user_id, CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value_final,
+             event_id
+      FROM ({latest})
+      WHERE rn = 1 AND ({op_sql("event_type")}) <> 'delete')
+    SELECT coalesce(v1.user_id, fin.user_id) AS user_id,
+           v1.value_v1,
+           fin.value_final,
+           fin.event_id AS last_event_id,
+           CASE WHEN fin.user_id IS NULL THEN 'deleted'
+                WHEN fin.event_id <= {_TYPECHANGE_SPLIT_SQL} THEN 'resnapshot'
+                ELSE 'stream' END AS epoch
+    FROM v1 FULL JOIN fin ON v1.user_id = fin.user_id
+    """
+
+
+@query("cdc_type_change_resnapshot", tier="A", oracle=_typechange_oracle())
+def cdc_type_change_resnapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ... MODIFY mid-capture, driven through the full
+    re-snapshot flow the schema-history docstring promises (and round 5
+    never executed): projection can conform an ADD/DROP/RENAME, but a
+    COLUMN TYPE CHANGE invalidates every row image decoded under the old
+    type, so the capture must re-read the table at the DDL offset — the
+    reference serializes type edits in its schema history
+    (FlinkJsonTableChangeSerializer.java toDocument/fromDocument column
+    type round-trip) and re-snapshots via the suspend/backfill/resume
+    machinery (MySqlSourceReader.java:147-240).
+
+    The flow, end to end:
+      1. v1 capture (user_id INT, value DECIMAL(10,2)): chunked snapshot
+         at a 40%-of-log watermark, stream to the 60% boundary; every
+         event decodes under the v1 types (value rounds to 2 decimals).
+      2. One ALTER batch at boundary+1 widens user_id INT->BIGINT and
+         bumps value DECIMAL(10,2)->(18,4); the history round-trips
+         through its checkpoint JSON and reports the offset via
+         ``type_change_offsets`` — the re-snapshot trigger.
+      3. ``HybridCdcSource.resnapshot()``: stream suspends at the
+         boundary, the key space re-chunks and snapshots THERE, chunk
+         metadata is REPLACED (shouldEmit drops what the re-snapshot
+         covered), the stream resumes to the log end — all decoding under
+         v2, and the v1 state is discarded as the dead old-type image.
+
+    Output: per key, the RETAINED v1 image (value at (10,2); NULL for
+    keys first seen after the boundary) full-outer-joined with the
+    stitched end state (value at (18,4)), plus whether the key's final
+    image came from the re-snapshot or the resumed stream ('deleted' =
+    the v1 key vanished after the boundary). The DuckDB oracle replays
+    both images from the raw log — a re-snapshot taken at the wrong
+    offset, a stream resume that double-applies the backfill window, or a
+    decode under the wrong epoch's precision all hash-mismatch."""
+    from flink_cdc_connectors_spark.operators.cdc import changelog_normalize
+    from flink_cdc_connectors_spark.sources.envelope import changelog_view
+    from flink_cdc_connectors_spark.sources.hybrid_source import HybridCdcSource
+    from flink_cdc_connectors_spark.sources.schema_history import SchemaHistory
+
+    e = load_table(spark, sf_dir, "events")
+    o_lo, o_hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    split = int(o_lo + (o_hi - o_lo) * _TYPECHANGE_FRACTION)
+    snap_w = int(o_lo + (o_hi - o_lo) * 0.4)  # v1 snapshot watermark
+
+    # DDL side channel -> offset-versioned history, round-tripped through
+    # the checkpoint JSON (the serializer type round-trip under test)
+    hist = SchemaHistory()
+    hist.apply_ddl(
+        "app", "events", 0,
+        "CREATE TABLE events (user_id INT, value DECIMAL(10,2), props VARCHAR(200))",
+    )
+    hist.apply_ddl("app", "events", split + 1, "ALTER TABLE events MODIFY user_id BIGINT")
+    hist.apply_ddl(
+        "app", "events", split + 1, "ALTER TABLE events MODIFY value DECIMAL(18,4)"
+    )
+    hist = SchemaHistory.from_json(hist.to_json())
+    boundaries = hist.type_change_offsets("app", "events")
+    if boundaries != [split + 1]:
+        raise AssertionError(f"type-change boundary lost in round-trip: {boundaries}")
+    v1_schema = hist.schema_at("app", "events", split)
+    v2_schema = hist.schema_at("app", "events", 1 << 62)
+
+    def decode(df: DataFrame, st) -> DataFrame:
+        """Per-event decode under the epoch's schema (the per-split
+        tableSchemas contract): cast each captured column to the type in
+        force at the split's offset."""
+        return df.select(
+            F.col("user_id").cast(st["user_id"].dataType).alias("user_id"),
+            F.col("value").cast(st["value"].dataType).alias("value"),
+            "props", "ts", "event_id", "op",
+        )
+
+    cl = changelog_view(e)
+    src = HybridCdcSource(spark, cl, num_chunks=3, watermarks=[snap_w] * 3)
+
+    # -- epoch 1: v1 capture to the DDL boundary ---------------------------
+    v1_parts: list[DataFrame] = []
+    while (b := src.next_snapshot_batch()) is not None:
+        v1_parts.append(decode(b, v1_schema))
+    v1_parts.append(decode(src.stream_batch(to_offset=split), v1_schema))
+    v1_union = v1_parts[0]
+    for p in v1_parts[1:]:
+        v1_union = v1_union.unionByName(p)
+    v1_state = changelog_normalize(v1_union, key_cols=["user_id"]).select(
+        F.col("user_id").cast("bigint").alias("user_id"),  # lossless widen
+        # the epoch's DECIMAL image, surfaced as DOUBLE (exact for the
+        # fixture's <= 15 significant digits; DuckDB's pandas bridge
+        # returns DECIMAL as float, so the compare boundary is double)
+        F.col("value").cast("double").alias("value_v1"),
+    )
+
+    # -- the type change fires: re-snapshot at the boundary, v2 decode -----
+    fin_parts = [decode(b, v2_schema) for b in src.resnapshot()]
+    fin_parts.append(decode(src.stream_batch(), v2_schema))  # resume to end
+    fin_union = fin_parts[0]
+    for p in fin_parts[1:]:
+        fin_union = fin_union.unionByName(p)
+    fin_state = changelog_normalize(fin_union, key_cols=["user_id"]).select(
+        "user_id",
+        F.col("value").cast("double").alias("value_final"),
+        F.col("event_id").alias("last_event_id"),
+    )
+
+    return v1_state.join(fin_state, "user_id", "full_outer").select(
+        "user_id",
+        "value_v1",
+        "value_final",
+        "last_event_id",
+        F.when(F.col("last_event_id").isNull(), "deleted")
+        .when(F.col("last_event_id") <= split, "resnapshot")
+        .otherwise("stream")
+        .alias("epoch"),
+    )

@@ -257,6 +257,48 @@ class HybridCdcSource:
         self.state.chunks.extend(new_chunks)
         return batches
 
+    # -- type-change re-snapshot -------------------------------------------
+
+    def resnapshot(self, num_chunks: int | None = None) -> list[DataFrame]:
+        """Full re-snapshot at the current stream offset — what a COLUMN
+        TYPE CHANGE forces (SchemaHistory.type_change_offsets): row images
+        decoded under the old type cannot be conformed by projection, so
+        the capture re-reads the table, exactly as the reference does.
+        Same suspend/backfill/resume machinery as ``add_key_range``
+        (MySqlSourceReader.java:147-240, BinlogSplitUpdateRequest/Ack),
+        but REPLACING the chunk metadata instead of extending it: the
+        stream reader suspends at its offset, the whole captured key space
+        is re-chunked and snapshot at that offset (each chunk decoding
+        under the NEW schema), and the stream resumes with the new
+        watermarks so shouldEmit drops everything the re-snapshot already
+        covered. State built before the boundary is discarded by the
+        consumer — it is the old-type image.
+
+        Returns the re-snapshot chunk batches (consistent INSERT sets at
+        the suspend offset)."""
+        assert self.state.phase == "stream", "re-snapshot happens mid-stream"
+        suspend_at = self.state.stream_offset
+        lo = min(c.lo for c in self.state.chunks)
+        hi = max(c.hi for c in self.state.chunks)
+        n = num_chunks or len(self.state.chunks)
+        step = max((hi - lo + n - 1) // n, 1)
+        new_chunks = [
+            ChunkState(lo=lo + i * step, hi=min(lo + (i + 1) * step, hi))
+            for i in range(n)
+            if lo + i * step < hi
+        ]
+        batches = []
+        for chunk in new_chunks:
+            batches.append(
+                self._chunk_snapshot(chunk, suspend_at).withColumn(
+                    "op", F.lit("insert")
+                )
+            )
+            chunk.hw = suspend_at
+            chunk.done = True
+        self.state.chunks = new_chunks  # REPLACE: the old image is dead
+        return batches
+
     # -- end-to-end --------------------------------------------------------
 
     def read_all(self) -> DataFrame:

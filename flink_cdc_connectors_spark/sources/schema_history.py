@@ -16,9 +16,18 @@ design is:
   - serialization round-trips through JSON (the checkpointable form,
     FlinkJsonTableChangeSerializer analog).
 
-Supported DDL (v1): CREATE TABLE (full column list), ADD COLUMN, DROP
-COLUMN, RENAME COLUMN — the evolutions Spark can express by projection.
-Type changes require a re-snapshot, as they do in the reference.
+Supported DDL: CREATE TABLE (full column list), ADD COLUMN, DROP COLUMN,
+RENAME COLUMN — the evolutions Spark can express by projection — and
+MODIFY COLUMN (a type change). A type change versions the schema like any
+other DDL (the reference serializes full ``TableChanges`` including
+column-type edits — FlinkJsonTableChangeSerializer.java's
+toDocument/fromDocument round-trip), but it additionally marks a
+RE-SNAPSHOT boundary (``type_change_offsets``): existing row images were
+decoded under the old type, so the capture must re-read the table at the
+DDL offset — the suspend/backfill/resume machinery
+(MySqlSourceReader.java:147-240) is the vehicle, executed by
+``HybridCdcSource.resnapshot`` and driver-checked by the
+``cdc_type_change_resnapshot`` key.
 """
 
 from __future__ import annotations
@@ -48,6 +57,10 @@ _RENAME = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>\S+)\s+RENAME\s+(?:COLUMN\s+)?(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$",
     re.IGNORECASE,
 )
+_MODIFY = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\S+)\s+MODIFY\s+(?:COLUMN\s+)?(?P<col>\w+)\s+(?P<type>.+?)\s*$",
+    re.IGNORECASE,
+)
 
 
 def _split_cols(cols: str) -> list[tuple[str, str]]:
@@ -75,6 +88,9 @@ class SchemaHistory:
     _versions: dict[tuple[str, str], list[tuple[int, T.StructType]]] = field(
         default_factory=dict
     )
+    # (db, table) -> offsets whose version is a COLUMN TYPE CHANGE — the
+    # re-snapshot boundaries (see module docstring)
+    _type_changes: dict[tuple[str, str], list[int]] = field(default_factory=dict)
 
     def apply_ddl(self, database: str, table: str, offset: int, ddl: str) -> None:
         """Replay one DDL event at ``offset`` (events must arrive in offset
@@ -107,6 +123,23 @@ class SchemaHistory:
                         for f in cur.fields
                     ]
                 )
+            elif m := _MODIFY.match(ddl):
+                col = m.group("col")
+                if col not in cur.fieldNames():
+                    raise ValueError(f"MODIFY of unknown column {col!r}: {ddl!r}")
+                st = T.StructType(
+                    [
+                        T.StructField(col, map_source_type(m.group("type")), f.nullable)
+                        if f.name == col
+                        else f
+                        for f in cur.fields
+                    ]
+                )
+                # a type change invalidates every previously-decoded row
+                # image -> re-snapshot boundary (no-op MODIFY to the same
+                # type is not a boundary)
+                if st != cur:
+                    self._type_changes.setdefault(key, []).append(offset)
             else:
                 raise ValueError(f"unsupported DDL (v1): {ddl!r}")
         self._versions.setdefault(key, []).append((offset, st))
@@ -126,22 +159,45 @@ class SchemaHistory:
         boundaries a reader must not let a split span."""
         return sorted(o for o, _ in self._versions.get((database, table), []))
 
+    def type_change_offsets(self, database: str, table: str) -> list[int]:
+        """Sorted offsets whose DDL changed a COLUMN TYPE — the
+        re-snapshot boundaries: projection alone cannot conform row images
+        decoded under the old type, so the capture must suspend, re-read
+        the table at the DDL offset, and resume (the reference's
+        newly-added-tables suspend/backfill/resume machinery,
+        MySqlSourceReader.java:147-240, is the vehicle). Multiple type
+        edits at one offset (one ALTER batch) are one boundary."""
+        return sorted(set(self._type_changes.get((database, table), [])))
+
     # -- checkpointable form (FlinkJsonTableChangeSerializer analog) -------
 
     def to_json(self) -> str:
         return json.dumps(
             {
-                f"{db} {tb}": [(o, st.json()) for o, st in versions]
-                for (db, tb), versions in self._versions.items()
+                "versions": {
+                    f"{db} {tb}": [(o, st.json()) for o, st in versions]
+                    for (db, tb), versions in self._versions.items()
+                },
+                "type_changes": {
+                    f"{db} {tb}": offs
+                    for (db, tb), offs in self._type_changes.items()
+                },
             }
         )
 
     @classmethod
     def from_json(cls, s: str) -> "SchemaHistory":
         h = cls()
-        for key, versions in json.loads(s).items():
+        d = json.loads(s)
+        # pre-round-6 documents are the bare versions map (no type-change
+        # tracking existed); current documents wrap both maps
+        versions = d["versions"] if "versions" in d else d
+        for key, vers in versions.items():
             db, tb = key.split(" ")
             h._versions[(db, tb)] = [
-                (o, T.StructType.fromJson(json.loads(stj))) for o, stj in versions
+                (o, T.StructType.fromJson(json.loads(stj))) for o, stj in vers
             ]
+        for key, offs in d.get("type_changes", {}).items() if "versions" in d else ():
+            db, tb = key.split(" ")
+            h._type_changes[(db, tb)] = list(offs)
         return h

@@ -167,3 +167,73 @@ def test_savepoint_restore_mid_protocol(spark, sf_dir):
     )
     expected = _expected(spark, sf_dir)
     assert got.equals(expected)
+
+
+def test_type_change_resnapshot_mid_stream(spark, sf_dir):
+    """A column type change forces a FULL re-snapshot mid-stream
+    (SchemaHistory.type_change_offsets -> HybridCdcSource.resnapshot):
+    the stream suspends at its offset, the whole key space re-chunks and
+    snapshots THERE, chunk metadata is REPLACED, and the resumed stream's
+    shouldEmit drops everything the re-snapshot covered. Discarding the
+    pre-boundary state and materializing only (re-snapshot + resumed
+    stream) must equal normalize(whole log) — the stitched end state."""
+    events = load_table(spark, sf_dir, "events")
+    max_off = events.agg(F.max("event_id")).first()[0]
+    boundary = (99 * max_off) // 100  # late: some keys must KEEP the re-snapshot image
+
+    src = HybridCdcSource(
+        spark, events, num_chunks=3, watermarks=[max_off // 3] * 3
+    )
+    pre = []
+    while (b := src.next_snapshot_batch()) is not None:
+        pre.append(b)  # the old-type image — discarded at the boundary
+    pre.append(src.stream_batch(to_offset=boundary))
+
+    parts = src.resnapshot(num_chunks=4)  # type change fires here
+    assert len(src.state.chunks) == 4, "chunk metadata must be REPLACED"
+    assert all(c.hw == boundary for c in src.state.chunks)
+    parts.append(src.stream_batch())  # resume to the log end
+
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    got = (
+        changelog_normalize(union)
+        .select("user_id", "event_id")
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    want = _expected(spark, sf_dir)[["user_id", "event_id"]]
+    assert len(got) == len(want) > 0
+    assert (got["user_id"] == want["user_id"]).all()
+    assert (got["event_id"] == want["event_id"]).all()
+    # non-vacuity: the resumed stream contributed rows (the re-snapshot
+    # alone does not cover the tail)...
+    tail = parts[-1]
+    assert tail.count() > 0
+    # ...and some keys' FINAL image came from the re-snapshot itself
+    resnap_only = changelog_normalize(union).filter(
+        F.col("event_id") <= boundary
+    )
+    assert resnap_only.count() > 0
+
+
+def test_type_change_resnapshot_key_epochs(spark, sf_dir):
+    """The driver-checked key exercises all three epochs at every fixture
+    scale: keys whose final image is the re-snapshot, keys overwritten by
+    the resumed stream, and v1 keys deleted after the boundary."""
+    from flink_cdc_connectors_spark.queries.tier_a_ext2 import (
+        cdc_type_change_resnapshot,
+    )
+
+    out = cdc_type_change_resnapshot(spark, sf_dir).toPandas()
+    epochs = set(out["epoch"])
+    assert epochs == {"resnapshot", "stream", "deleted"}
+    # the v1 image is retained at the OLD precision for pre-boundary keys
+    v1 = out[out["value_v1"].notna()]
+    assert len(v1) > 0
+    assert (v1["value_v1"].round(2) == v1["value_v1"]).all(), (
+        "v1 image must carry the (10,2) decode"
+    )
+    # deleted keys have no final image
+    dead = out[out["epoch"] == "deleted"]
+    assert dead["value_final"].isna().all() and dead["last_event_id"].isna().all()

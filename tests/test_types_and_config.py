@@ -540,3 +540,44 @@ def test_even_split_reference_fixture_cases():
         (2_147_483_637, 2_147_483_647),
         (2_147_483_647, None),
     ]
+
+
+def test_schema_history_type_change_marks_resnapshot_boundary():
+    """MODIFY COLUMN versions the schema like any DDL (the
+    FlinkJsonTableChangeSerializer column-type round-trip) AND marks a
+    re-snapshot boundary: old row images cannot be conformed by
+    projection. Boundaries survive the checkpoint JSON; a same-type
+    MODIFY is a no-op, not a boundary; pre-round-6 (bare-map) checkpoint
+    documents still restore."""
+    from flink_cdc_connectors_spark.sources.schema_history import SchemaHistory
+
+    h = SchemaHistory()
+    h.apply_ddl("app", "t", 0, "CREATE TABLE t (id INT, amt DECIMAL(10,2))")
+    h.apply_ddl("app", "t", 100, "ALTER TABLE t MODIFY id BIGINT")
+    h.apply_ddl("app", "t", 100, "ALTER TABLE t MODIFY amt DECIMAL(18,4)")
+    h.apply_ddl("app", "t", 200, "ALTER TABLE t MODIFY amt DECIMAL(18,4)")  # no-op
+    h.apply_ddl("app", "t", 300, "ALTER TABLE t ADD COLUMN note VARCHAR(10)")
+
+    assert h.schema_at("app", "t", 50)["id"].dataType == T.IntegerType()
+    assert h.schema_at("app", "t", 150)["id"].dataType == T.LongType()
+    assert h.schema_at("app", "t", 50)["amt"].dataType == T.DecimalType(10, 2)
+    assert h.schema_at("app", "t", 150)["amt"].dataType == T.DecimalType(18, 4)
+    # one ALTER batch at one offset = one boundary; no-op and ADD are not
+    assert h.type_change_offsets("app", "t") == [100]
+
+    h2 = SchemaHistory.from_json(h.to_json())
+    assert h2.type_change_offsets("app", "t") == [100]
+    assert h2.schema_at("app", "t", 150) == h.schema_at("app", "t", 150)
+
+    # pre-round-6 checkpoint: bare versions map, no type_changes key
+    import json
+
+    legacy = json.dumps(json.loads(h.to_json())["versions"])
+    h3 = SchemaHistory.from_json(legacy)
+    assert h3.schema_at("app", "t", 150) == h.schema_at("app", "t", 150)
+    assert h3.type_change_offsets("app", "t") == []
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown column"):
+        h.apply_ddl("app", "t", 400, "ALTER TABLE t MODIFY ghost BIGINT")

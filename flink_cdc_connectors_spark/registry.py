@@ -73,66 +73,31 @@ def query(key: str, tier: str, oracle: str | None = None) -> Callable[[QueryFn],
 # instead, the ordering is a no-op.  Everything not listed follows in
 # sorted order.
 #
-# Round-5 set (VERDICT r4 "Next round" #2): the union of driver rounds
-# 1-4 covers all keys green, so the budget now lands on (0) the new
-# round-5 keys (no driver row can exist yet) and (1) the 49 keys whose
-# NEWEST driver row is round 2 — the oldest surviving evidence (exact
-# list = keys absent from CORRECTNESS_r03 and _r04). 52 listed keys
-# slightly overfill the ~50 budget; the tail-most r2 keys may slip to
-# round 6, each still holding a green r2 row.
+# Round-6 set (VERDICT r5 "Next round" #2): (0) the new round-6 key (no
+# driver row can exist yet); (1) keys whose implementation or oracle
+# CHANGED this round — their newest green row predates the change, so a
+# fresh row is the only current evidence (datasource restore fix, the
+# minhash/SRP scale work, the shared ANN-cap oracles, the envelope-
+# derived metadata projection); (2) the 8 keys whose newest driver row
+# is round 2 — the oldest surviving evidence; (3) the oldest r3-evidence
+# keys, sorted, filling the ~50 budget (the 13 tail-most r3 keys slip to
+# round 7, each still holding a green r3 row).
 _CHECK_FIRST = (
-    # -- 0: new round-5 keys ----------------------------------------------
-    "cdc_decimal_handling",
-    "cdc_server_timezone",
-    "cdc_pgoutput_relation",
-    "cdc_tikv_two_phase",
-    "cdc_mongo_copy_existing",
-    "cdc_mongo_update_lookup",
-    "cdc_changelog_mode_upsert",
-    "ext_curation_pipeline",
+    # -- 0: new round-6 key -------------------------------------------------
+    "cdc_type_change_resnapshot",
+    # -- 1: changed this round ----------------------------------------------
+    "cdc_metadata_columns",
+    "cdc_dsv2_stream",
     "cdc_stream_dedup_index",
-    # -- 1: the 49 keys whose newest driver row is round 2 ----------------
-    "agg_approx_percentile",
-    "agg_arg_extremes",
-    "agg_cube",
-    "agg_filter_where",
-    "agg_grouping_sets",
-    "agg_skew_salted",
-    "cdc_chunk_split_region",
-    "cdc_chunk_split_sampled",
-    "cdc_envelope_retract_agg",
-    "cdc_format_roundtrip",
-    "cdc_heartbeat",
-    "cdc_multi_table_route",
-    "cdc_newly_added_tables",
-    "cdc_schema_evolution",
-    "cdc_sql_ddl_join",
-    "cdc_sql_ddl_source",
-    "cdc_txn_metadata",
-    "ext_decontaminate",
-    "ext_dedup_cluster",
-    "ext_dedup_substring",
-    "ext_doc_chunk",
-    "ext_domain_mix",
-    "ext_filter_ensemble",
-    "ext_multimodal_frames",
-    "ext_pii_scrub",
-    "ext_repetition_ratio",
-    "ext_sequence_pack",
-    "ext_shuffle_shard",
-    "ext_stratified_sample",
-    "ext_unigram_logprob",
-    "join_colocated_bucketed",
-    "join_interval",
-    "join_temporal_asof",
-    "pattern_funnel",
-    "set_intersect",
-    "set_union_all",
-    "sort_limit",
-    "stream_cumulate_window",
-    "stream_join_static",
-    "stream_session_window",
-    "stream_sliding_window",
+    "ext_dedup_minhash",
+    "ext_dedup_embedding_lsh",
+    "ext_sim_search_lsh",
+    "ext_sim_search_cosine",
+    "ext_sim_search_ivf",
+    "ext_sim_search_pq",
+    "ext_ann_recall",
+    "stream_e2e_windowed",
+    # -- 2: the 8 keys whose newest driver row is round 2 --------------------
     "stream_tumbling_window",
     "stream_watermark_late",
     "topk_per_group",
@@ -141,6 +106,37 @@ _CHECK_FIRST = (
     "window_analytic",
     "window_range_frame",
     "window_ranking",
+    # -- 3: oldest (r3) evidence, sorted, to the budget ----------------------
+    "agg_approx_distinct",
+    "agg_continuous_rollup",
+    "agg_percentiles",
+    "agg_string_agg",
+    "cdc_capture_db2",
+    "cdc_capture_sqlserver",
+    "cdc_gtid_failover",
+    "cdc_jdbc_incremental",
+    "cdc_jdbc_snapshot",
+    "cdc_logminer_redo",
+    "cdc_mongo_changestream",
+    "cdc_oceanbase_commit_order",
+    "cdc_postgres_wal2json",
+    "cdc_retract_agg",
+    "cdc_upsert_sink",
+    "explode_unnest",
+    "ext_bloom_decontaminate",
+    "ext_dedup_embedding",
+    "ext_dedup_keeper_quality",
+    "ext_dedup_lines",
+    "ext_kmeans_spherical",
+    "ext_minhash_recall",
+    "ext_multimodal_audio",
+    "ext_multimodal_cols",
+    "ext_semdedup",
+    "ext_tfidf",
+    "ext_url_dedup",
+    "ext_zorder_layout",
+    "join_anti",
+    "join_lookup",
     # -- r3/r4 greens follow in sorted order; rows-only keys at the tail --
 )
 

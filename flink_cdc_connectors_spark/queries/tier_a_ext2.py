@@ -1402,12 +1402,12 @@ def _typechange_oracle() -> str:
     )
     return f"""
     WITH v1 AS (
-      SELECT user_id, CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS value_v1
+      SELECT user_id, CAST(CAST(value AS DECIMAL(10,0)) AS DOUBLE) AS value_v1
       FROM ({latest.replace("FROM events",
                             f"FROM events WHERE event_id <= {_TYPECHANGE_SPLIT_SQL}")})
       WHERE rn = 1 AND ({op_sql("event_type")}) <> 'delete'),
     fin AS (
-      SELECT user_id, CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value_final,
+      SELECT user_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_final,
              event_id
       FROM ({latest})
       WHERE rn = 1 AND ({op_sql("event_type")}) <> 'delete')
@@ -1435,11 +1435,13 @@ def cdc_type_change_resnapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery (MySqlSourceReader.java:147-240).
 
     The flow, end to end:
-      1. v1 capture (user_id INT, value DECIMAL(10,2)): chunked snapshot
-         at a 40%-of-log watermark, stream to the 60% boundary; every
-         event decodes under the v1 types (value rounds to 2 decimals).
+      1. v1 capture (user_id INT, value DECIMAL(10,0)): chunked snapshot
+         at a 40%-of-log watermark, stream to the boundary; every event
+         decodes under the v1 types — the (10,0) decode VISIBLY drops
+         the cents, which is exactly why projection cannot fix a type
+         change after the fact.
       2. One ALTER batch at boundary+1 widens user_id INT->BIGINT and
-         bumps value DECIMAL(10,2)->(18,4); the history round-trips
+         bumps value DECIMAL(10,0)->(18,2); the history round-trips
          through its checkpoint JSON and reports the offset via
          ``type_change_offsets`` — the re-snapshot trigger.
       3. ``HybridCdcSource.resnapshot()``: stream suspends at the
@@ -1448,9 +1450,10 @@ def cdc_type_change_resnapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
          covered), the stream resumes to the log end — all decoding under
          v2, and the v1 state is discarded as the dead old-type image.
 
-    Output: per key, the RETAINED v1 image (value at (10,2); NULL for
-    keys first seen after the boundary) full-outer-joined with the
-    stitched end state (value at (18,4)), plus whether the key's final
+    Output: per key, the RETAINED v1 image (value at (10,0) — cents
+    lost; NULL for keys first seen after the boundary) full-outer-joined
+    with the stitched end state (value at (18,2) — cents RECOVERED by
+    the re-snapshot's re-read), plus whether the key's final
     image came from the re-snapshot or the resumed stream ('deleted' =
     the v1 key vanished after the boundary). The DuckDB oracle replays
     both images from the raw log — a re-snapshot taken at the wrong
@@ -1471,11 +1474,11 @@ def cdc_type_change_resnapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = SchemaHistory()
     hist.apply_ddl(
         "app", "events", 0,
-        "CREATE TABLE events (user_id INT, value DECIMAL(10,2), props VARCHAR(200))",
+        "CREATE TABLE events (user_id INT, value DECIMAL(10,0), props VARCHAR(200))",
     )
     hist.apply_ddl("app", "events", split + 1, "ALTER TABLE events MODIFY user_id BIGINT")
     hist.apply_ddl(
-        "app", "events", split + 1, "ALTER TABLE events MODIFY value DECIMAL(18,4)"
+        "app", "events", split + 1, "ALTER TABLE events MODIFY value DECIMAL(18,2)"
     )
     hist = SchemaHistory.from_json(hist.to_json())
     boundaries = hist.type_change_offsets("app", "events")

@@ -187,6 +187,17 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         self.ddl_offsets = (
             self.history.version_offsets(self.db, self.table) if self.history else []
         )
+        # Column TYPE changes are re-snapshot boundaries, not decode cuts:
+        # projection cannot conform a row image decoded under the old type,
+        # so the stream range that crosses one plans chunk partitions AT
+        # the boundary (re-reading the table under the new schema) before
+        # continuing the tail — the streaming form of
+        # HybridCdcSource.resnapshot (MySqlSourceReader.java:147-240).
+        self.type_change_offsets = (
+            self.history.type_change_offsets(self.db, self.table)
+            if self.history
+            else []
+        )
         cur = _duck(self.path, "SELECT * FROM log LIMIT 0")
         self.physical_cols = {d[0] for d in cur.description}
         # Startup modes (StartupMode.java:24-33): 'initial' = snapshot +
@@ -247,16 +258,28 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         typed NULL — exactly how the reference conforms a pre-DDL split to
         the evolved produced type."""
         if self.history is None:
-            live = {f.name for f in self.final_schema.fields}
+            at = {f.name: f.dataType for f in self.final_schema.fields}
         else:
             st = self.history.schema_at(self.db, self.table, at_offset)
-            live = {f.name for f in st.fields} if st is not None else set()
+            at = {f.name: f.dataType for f in st.fields} if st is not None else {}
         parts = []
         for f in self.final_schema.fields:
-            if f.name in live and f.name in self.physical_cols:
-                parts.append(f.name)
+            fin = _duck_type(f.dataType)
+            if f.name in at and f.name in self.physical_cols:
+                cur = _duck_type(at[f.name])
+                if cur == fin:
+                    parts.append(f"CAST({f.name} AS {fin}) AS {f.name}")
+                else:
+                    # decode under the type in force AT THIS OFFSET, then
+                    # conform (losslessly widen) to the pinned produced
+                    # type — e.g. a (10,2) epoch surfaces 2-decimal values
+                    # inside a (18,4) column, exactly what a reader of the
+                    # old epoch's row images can know
+                    parts.append(
+                        f"CAST(CAST({f.name} AS {cur}) AS {fin}) AS {f.name}"
+                    )
             else:
-                parts.append(f"CAST(NULL AS {_duck_type(f.dataType)}) AS {f.name}")
+                parts.append(f"CAST(NULL AS {fin}) AS {f.name}")
         return ", ".join(parts)
 
     def _split_at_ddl(self, from_off: int, to_off: int) -> list[tuple[int, int]]:
@@ -454,6 +477,38 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
                         self.path, a, b, chunk_plan, self._payload_select(b)
                     )
                 )
+            # A COLUMN TYPE CHANGE inside this range forces a mid-stream
+            # RE-SNAPSHOT (the streaming form of the suspend/backfill/
+            # resume flow, MySqlSourceReader.java:147-240): the old-type
+            # row images cannot be conformed by projection, so the whole
+            # key space is re-read as chunk partitions AT the boundary,
+            # decoded under the NEW schema; the post-boundary stream
+            # sub-ranges (already cut above) then supersede it. Planned in
+            # exactly the batch whose range first contains the boundary —
+            # deterministic from (start, end), so a WAL replay reproduces
+            # the identical plan.
+            for tco in self.type_change_offsets:
+                if stream_from < tco <= end_off:
+                    hw = tco - 1
+                    sel = self._payload_select(tco)
+                    step = max(
+                        (self.key_hi - self.key_lo + self.num_chunks - 1)
+                        // self.num_chunks,
+                        1,
+                    )
+                    for i in range(self.num_chunks):
+                        lo = self.key_lo + i * step
+                        if lo >= self.key_hi:
+                            break
+                        parts.append(
+                            ChunkPartition(
+                                self.path,
+                                lo,
+                                min(lo + step, self.key_hi),
+                                hw,
+                                sel,
+                            )
+                        )
         if not parts:
             # Spark requires >=1 partition; an empty log range reads nothing
             parts.append(StreamPartition(self.path, end_off, end_off))

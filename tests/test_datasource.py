@@ -441,3 +441,91 @@ def test_dsv2_max_offsets_per_batch_rate_limit(spark, tmp_path):
     flat = [i for ids in batches for i in ids]
     assert len(flat) == len(set(flat)), "overlapping batches re-emitted rows"
     assert sorted(flat) == list(range(800, 1000)), "gap or truncation in drain"
+
+
+def test_dsv2_type_change_resnapshots_mid_stream(spark, sf_dir, tmp_path):
+    """A COLUMN TYPE CHANGE in the schema history forces the streaming
+    source to RE-SNAPSHOT mid-stream (the suspend/backfill/resume flow,
+    streaming form): the batch whose range crosses the boundary plans
+    chunk partitions AT it, decoded under the NEW schema, and the tail
+    continues past it. Pre-boundary stream rows decode under the OLD
+    precision and conform up; the materialized state still equals the
+    whole-log normalize."""
+    from flink_cdc_connectors_spark.sources.schema_history import SchemaHistory
+
+    events = load_table(spark, sf_dir, "events")
+    max_off = events.agg(F.max("event_id")).first()[0]
+    ddl_off = int(max_off * 0.7)
+
+    h = SchemaHistory()
+    h.apply_ddl(
+        "app", "events", 0,
+        "CREATE TABLE events (user_id BIGINT, value DECIMAL(10,0), props VARCHAR)",
+    )
+    h.apply_ddl(
+        "app", "events", ddl_off, "ALTER TABLE events MODIFY value DECIMAL(18,2)"
+    )
+
+    stream = (
+        spark.readStream.format("cdc_binlog")
+        .option("path", EVENTS)
+        .option("numChunks", 3)
+        .option("snapshotFraction", 0.4)  # initial snapshot well before the DDL
+        .option("schemaHistoryJson", h.to_json())
+        .load()
+    )
+    # produced type is pinned to the LATEST version
+    assert dict(stream.dtypes)["value"] == "decimal(18,2)"
+    out_dir, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.read.parquet(out_dir)
+    snap_hw = int(max_off * 0.4)
+
+    # the re-snapshot happened: INSERT-tagged image rows whose offsets lie
+    # strictly between the initial snapshot watermark and the boundary can
+    # only come from the boundary re-read
+    resnap = emitted.filter(
+        (F.col("op") == "insert")
+        & (F.col("event_id") > snap_hw)
+        & (F.col("event_id") < ddl_off)
+    )
+    assert resnap.count() > 0, "no re-snapshot image rows emitted"
+
+    # epoch decode: pre-boundary STREAM rows (non-insert ops) carry the
+    # (10,0) image — whole units, cents LOST; the re-snapshot re-read and
+    # the post-boundary tail carry real cents at (18,2)
+    frac = F.col("value") != F.floor(F.col("value"))
+    pre = emitted.filter((F.col("op") != "insert") & (F.col("event_id") < ddl_off))
+    assert pre.count() > 0
+    assert pre.filter(frac).count() == 0, (
+        "pre-boundary rows must be the lossy (10,0) decode"
+    )
+    assert resnap.filter(frac).count() > 0, (
+        "the re-snapshot must recover the cents the v1 decode lost"
+    )
+    post = emitted.filter(F.col("event_id") >= ddl_off)
+    assert post.filter(frac).count() > 0, (
+        "post-boundary rows decode at the new (18,2) type"
+    )
+
+    # convergence: materializing EVERYTHING the source emitted equals the
+    # whole-log normalize (re-snapshot superseded by the tail, no loss)
+    got = (
+        changelog_normalize(emitted)
+        .select("user_id", "event_id")
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    want = _normalize_batch(spark, sf_dir)
+    assert len(got) == len(want) > 0
+    assert (got["user_id"] == want["user_id"]).all()
+    assert (got["event_id"] == want["event_id"]).all()

@@ -228,11 +228,19 @@ def test_type_change_resnapshot_key_epochs(spark, sf_dir):
     out = cdc_type_change_resnapshot(spark, sf_dir).toPandas()
     epochs = set(out["epoch"])
     assert epochs == {"resnapshot", "stream", "deleted"}
-    # the v1 image is retained at the OLD precision for pre-boundary keys
+    # the v1 image is retained at the OLD precision for pre-boundary keys:
+    # the (10,0) decode dropped the cents...
     v1 = out[out["value_v1"].notna()]
     assert len(v1) > 0
-    assert (v1["value_v1"].round(2) == v1["value_v1"]).all(), (
-        "v1 image must carry the (10,2) decode"
+    assert (v1["value_v1"].round(0) == v1["value_v1"]).all(), (
+        "v1 image must carry the (10,0) decode"
+    )
+    # ...and the re-snapshot's re-read RECOVERED them: some key whose
+    # final image is the re-snapshot has a non-integer end state
+    rs = out[(out["epoch"] == "resnapshot") & out["value_final"].notna()]
+    assert len(rs) > 0
+    assert (rs["value_final"].round(0) != rs["value_final"]).any(), (
+        "the re-snapshot must recover precision the v1 decode lost"
     )
     # deleted keys have no final image
     dead = out[out["epoch"] == "deleted"]

@@ -670,10 +670,15 @@ def cdc_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col=None,  # pure snapshot read: no source timestamp -> ts_ms=0
     )
     # envelopes over the WHOLE log (the lag state machine needs full
-    # per-key history), then slice the stream tail by position
-    stream_raw = events_to_debezium_json(e)
-    pos = F.get_json_object("value", "$.source.pos").cast("long")
-    parsed = parse_debezium_json(snap_raw.unionByName(stream_raw.filter(pos > split)))
+    # per-key history); the tail slice filters the PARSED frame — a
+    # get_json_object pre-filter would re-parse every wire doc a second
+    # time (the round-5 update_lookup lesson: N json reads = N full
+    # parses), so parse once and let Catalyst apply the position filter
+    # on the extracted column
+    stream_parsed = parse_debezium_json(events_to_debezium_json(e)).filter(
+        F.col("event_id") > split
+    )
+    parsed = parse_debezium_json(snap_raw).unionByName(stream_parsed)
     op_ts_ms = F.unix_millis("op_ts")
     return parsed.select(
         F.col("event_id").alias("pos"),

@@ -57,6 +57,11 @@ EVENTS_FAMILY = [
     "cdc_server_timezone",
     "cdc_mongo_update_lookup",
     "cdc_changelog_mode_upsert",
+    # round-6 additions: the type-change re-snapshot stitch (two epoch
+    # normalizes + full-outer) and the envelope-projected metadata key
+    # (snapshot + binlog envelopes through one from_json)
+    "cdc_type_change_resnapshot",
+    "cdc_metadata_columns",
     "cdc_capture_sqlserver",
     "cdc_capture_db2",
     "cdc_mongo_changestream",

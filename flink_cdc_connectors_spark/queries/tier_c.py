@@ -1038,8 +1038,13 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^8-bucket family, bucket occupancy grows linearly with the corpus and
     same-bucket candidate pairs quadratically — measured 24x runtime at
     10x rows. Bucket count must track corpus size: planes = 8 +
-    ceil(log2(n / 48k)) beyond 48k corpus rows keeps expected occupancy
-    (and per-bucket pair work) constant, the textbook LSH operating point.
+    ceil(log2(n / 24k)) beyond 24k corpus rows keeps expected occupancy
+    (and per-bucket pair work) constant, the textbook LSH operating
+    point. The calibration constant was tightened 48k -> 24k in round 6:
+    the per-pair verify is the scale-dominant term and halving expected
+    occupancy halves it, while recall for the planted-copy contract is
+    unchanged (exact copies collide at ANY plane count) and the residual
+    cos>=0.5 natural-pair collision probability moves only (2/3)^1.
     Pinned to exactly 8 planes at oracle scales (sf<=0.1 corpus <= 30k),
     so the static DuckDB replay stays bit-valid where the driver compares;
     re-probed at sf1: 16.1 s -> ~2 s (see BASELINE.md)."""
@@ -1051,7 +1056,7 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus rows = 2x the table (planted copies); counting the RAW parquet
     # frame is a metadata-only footer read, not a pipeline execution
     n_corpus = 2 * load_table(spark, sf_dir, "embeddings").count()
-    planes = 8 + max(0, math.ceil(math.log2(max(n_corpus, 1) / 48_000)))
+    planes = 8 + max(0, math.ceil(math.log2(max(n_corpus, 1) / 24_000)))
     if planes != 8:
         # SCALE MODE: the static DuckDB oracle replays exactly 8 planes —
         # valid at every driver fixture (sf<=0.1, corpus<=30k). Beyond the

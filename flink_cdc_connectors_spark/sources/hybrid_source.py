@@ -278,15 +278,29 @@ class HybridCdcSource:
         the suspend offset)."""
         assert self.state.phase == "stream", "re-snapshot happens mid-stream"
         suspend_at = self.state.stream_offset
-        lo = min(c.lo for c in self.state.chunks)
-        hi = max(c.hi for c in self.state.chunks)
+        # Re-chunk each contiguous CAPTURED range separately — never the
+        # convex hull [min lo, max hi): after add_key_range added a
+        # DISJOINT range, the hull would include the never-captured gap,
+        # and the REPLACED chunk metadata would make the resumed stream
+        # emit gap keys permanently (a silent widening of the capture set).
+        runs: list[list[int]] = []
+        for c in sorted(self.state.chunks, key=lambda c: c.lo):
+            if runs and c.lo <= runs[-1][1]:
+                runs[-1][1] = max(runs[-1][1], c.hi)
+            else:
+                runs.append([c.lo, c.hi])
         n = num_chunks or len(self.state.chunks)
-        step = max((hi - lo + n - 1) // n, 1)
-        new_chunks = [
-            ChunkState(lo=lo + i * step, hi=min(lo + (i + 1) * step, hi))
-            for i in range(n)
-            if lo + i * step < hi
-        ]
+        span = sum(hi - lo for lo, hi in runs)
+        new_chunks = []
+        for lo, hi in runs:
+            # chunks per run proportional to its key width, at least one
+            k = max(1, round(n * (hi - lo) / span)) if span else 1
+            step = max((hi - lo + k - 1) // k, 1)
+            new_chunks.extend(
+                ChunkState(lo=lo + i * step, hi=min(lo + (i + 1) * step, hi))
+                for i in range(k)
+                if lo + i * step < hi
+            )
         batches = []
         for chunk in new_chunks:
             batches.append(

@@ -525,3 +525,27 @@ def test_sharded_chunks_rejects_none_interior_bound(spark):
         sharded_chunks(df, "k", [(None, None), (None, 5), (5, None)])
     with pytest.raises(ValueError, match="torn chunk metadata"):
         sharded_chunks(df, "k", [(None, None), (None, None)])
+
+def test_changelog_normalize_schema_epoch_breaks_offset_ties(spark):
+    """A mid-stream re-snapshot image shares its (ts, event_id) with the
+    raw change already emitted under the OLD decode; with a schema_epoch
+    column present the normalize must pick the HIGHER epoch (the re-read
+    precision) deterministically — in either input order."""
+    rows = [
+        # raw change, old-type decode (cents lost) — epoch 0
+        ("update", 1, 12.0, "{}", _ts(6), 7, 0),
+        # re-snapshot image of the same event, new-type decode — epoch 1
+        ("insert", 1, 12.34, "{}", _ts(6), 7, 1),
+        # an unrelated later change on another key
+        ("update", 2, 99.5, "{}", _ts(7), 8, 1),
+    ]
+    schema = SCHEMA + ", schema_epoch int"
+    for order in (rows, rows[::-1]):
+        df = spark.createDataFrame(order, schema).repartition(4)
+        got = {
+            r["user_id"]: r["value"]
+            for r in changelog_normalize(df).collect()
+        }
+        assert got == {1: 12.34, 2: 99.5}, (
+            "stale old-epoch decode won the (ts, event_id) tie"
+        )

@@ -455,7 +455,11 @@ def test_dsv2_type_change_resnapshots_mid_stream(spark, sf_dir, tmp_path):
 
     events = load_table(spark, sf_dir, "events")
     max_off = events.agg(F.max("event_id")).first()[0]
-    ddl_off = int(max_off * 0.7)
+    # LATE boundary (99%): some keys' FINAL image must come from the
+    # re-snapshot itself, or the tie-break assertion below is vacuous
+    # (with the fixture's dense churn an early boundary leaves no key
+    # whose last change precedes it)
+    ddl_off = int(max_off * 0.99)
 
     h = SchemaHistory()
     h.apply_ddl(
@@ -474,8 +478,10 @@ def test_dsv2_type_change_resnapshots_mid_stream(spark, sf_dir, tmp_path):
         .option("schemaHistoryJson", h.to_json())
         .load()
     )
-    # produced type is pinned to the LATEST version
+    # produced type is pinned to the LATEST version; a type-change history
+    # also pins the schema_epoch tie-break column
     assert dict(stream.dtypes)["value"] == "decimal(18,2)"
+    assert dict(stream.dtypes)["schema_epoch"] == "int"
     out_dir, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
     q = (
         stream.writeStream.outputMode("append")
@@ -520,15 +526,35 @@ def test_dsv2_type_change_resnapshots_mid_stream(spark, sf_dir, tmp_path):
 
     # convergence: materializing EVERYTHING the source emitted equals the
     # whole-log normalize (re-snapshot superseded by the tail, no loss)
+    normed = changelog_normalize(emitted)
     got = (
-        changelog_normalize(emitted)
-        .select("user_id", "event_id")
+        normed.select("user_id", "event_id")
         .toPandas().sort_values("user_id").reset_index(drop=True)
     )
     want = _normalize_batch(spark, sf_dir)
     assert len(got) == len(want) > 0
     assert (got["user_id"] == want["user_id"]).all()
     assert (got["event_id"] == want["event_id"]).all()
+
+    # VALUE determinism (the tie the schema_epoch column exists to break):
+    # a key whose final change precedes the boundary has TWO rows at the
+    # same (ts, event_id) — the raw change under the lossy (10,0) decode
+    # and the re-snapshot image under (18,2). The normalize must pick the
+    # image for every such key, so every materialized value equals the
+    # new-type decode of the raw log — including the recovered cents.
+    want_vals = changelog_normalize(
+        changelog_view(load_table(spark, sf_dir, "events"))
+    ).select("user_id", F.col("value").cast("decimal(18,2)").alias("want_value"))
+    joined = normed.join(want_vals, "user_id")
+    assert joined.filter(F.col("value") != F.col("want_value")).count() == 0, (
+        "a stale old-type decode won the (ts, event_id) tie"
+    )
+    # non-vacuity: some surviving key's final image IS the re-snapshot's,
+    # with cents the (10,0) decode would have lost
+    kept = joined.filter(
+        (F.col("event_id") < ddl_off) & (F.col("value") != F.floor(F.col("value")))
+    )
+    assert kept.count() > 0, "no key kept a fractional re-snapshot image"
 
 
 def test_dsv2_type_change_resnapshot_survives_crash_restart(spark, tmp_path):

@@ -245,3 +245,56 @@ def test_type_change_resnapshot_key_epochs(spark, sf_dir):
     # deleted keys have no final image
     dead = out[out["epoch"] == "deleted"]
     assert dead["value_final"].isna().all() and dead["last_event_id"].isna().all()
+
+def test_resnapshot_after_disjoint_add_does_not_widen_capture(spark, sf_dir):
+    """A re-snapshot after add_key_range added a DISJOINT range must
+    re-chunk each contiguous captured range separately — never the convex
+    hull of all chunks: the hull includes the never-captured gap, so the
+    re-snapshot would emit gap keys and the REPLACED chunk metadata would
+    make the resumed stream capture them permanently (a silent widening
+    of the capture set)."""
+    events = load_table(spark, sf_dir, "events")
+    key_max = events.agg(F.max("user_id")).first()[0] + 1
+    max_off = events.agg(F.max("event_id")).first()[0]
+    # captured: [0, q1) and [q3, key_max) — the gap [q1, q3) is never added
+    q1, q3 = key_max // 4, (3 * key_max) // 4
+
+    src = HybridCdcSource(
+        spark, events, num_chunks=2,
+        watermarks=[max_off // 3] * 2, key_range=(0, q1),
+    )
+    while src.next_snapshot_batch() is not None:
+        pass
+    src.stream_batch(to_offset=max_off // 2)
+    backfill = src.add_key_range(q3, key_max, num_chunks=2)
+    src.stream_batch(to_offset=(2 * max_off) // 3)
+
+    parts = src.resnapshot()  # type change fires here
+    # chunk metadata covers exactly the captured runs — no chunk touches
+    # the gap
+    for c in src.state.chunks:
+        assert c.hi <= q1 or c.lo >= q3, f"chunk [{c.lo},{c.hi}) spans the gap"
+    covered = {
+        k for c in src.state.chunks for k in range(c.lo, c.hi)
+    }
+    want = set(range(0, q1)) | set(range(q3, key_max))
+    assert covered == want, "re-chunk lost or widened the captured key set"
+    # neither the re-snapshot batches nor the resumed stream emit gap keys
+    union = parts[0]
+    for p in parts[1:] + [src.stream_batch()] + backfill:
+        union = union.unionByName(p)
+    gap = union.filter((F.col("user_id") >= q1) & (F.col("user_id") < q3))
+    assert gap.count() == 0, "re-snapshot captured keys from the gap"
+    # and the captured ranges are still complete: stitched state over the
+    # captured set equals the whole-log normalize restricted to it
+    got = (
+        changelog_normalize(union)
+        .select("user_id", "event_id")
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    exp = _expected(spark, sf_dir)
+    exp = exp[(exp["user_id"] < q1) | (exp["user_id"] >= q3)][
+        ["user_id", "event_id"]
+    ].reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    assert (got["user_id"].values == exp["user_id"].values).all()

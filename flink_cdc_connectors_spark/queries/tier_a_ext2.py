@@ -1538,3 +1538,139 @@ def cdc_type_change_resnapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("stream")
         .alias("epoch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Newly-added tables through the CHECKPOINTED DSv2 source (the restart path)
+# ---------------------------------------------------------------------------
+
+def _dsv2_added_oracle() -> str:
+    from flink_cdc_connectors_spark.sources.envelope import op_sql
+
+    return f"""
+    WITH latest AS (
+      SELECT *, ({op_sql("event_type")}) AS op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id,
+           round(value, 2) AS value_r,
+           event_id AS last_event_id,
+           CASE WHEN user_id <
+                  (SELECT (min(user_id) + max(user_id) + 1) // 2 FROM events)
+                THEN 'initial' ELSE 'added' END AS range_tag
+    FROM latest WHERE rn = 1 AND op <> 'delete'
+    """
+
+
+@query("cdc_dsv2_added_tables", tier="A", oracle=_dsv2_added_oracle())
+def cdc_dsv2_added_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newly-added tables through the CHECKPOINTED DSv2 source — the
+    reference's restart path, where a table newly matched by the capture
+    regex is discovered at restore and backfilled without disturbing the
+    already-captured stream (MySqlSourceReader.java:147-240,
+    BinlogSplitUpdateRequestEvent.java, NewlyAddedTableITCase.java). The
+    batch-protocol model (`cdc_newly_added_tables`) proves the
+    suspend/backfill/resume algebra; THIS key proves it through Spark's
+    own streaming restart machinery:
+
+      1. run 1: ``cdc_binlog`` captures HALF the key space (keyRanges =
+         the capture regex; each range models one table) against the
+         log-so-far (a truncated copy — the log as it stood), drains to a
+         parquet sink through a real checkpoint, stops;
+      2. the log grows to its full extent (DML keeps landing while the
+         pipeline is down);
+      3. run 2: the SAME checkpoint, the configured keyRanges now include
+         the second half. The restored offset document carries the old
+         capture set (offset v3 "cap"); the source diffs it against the
+         configuration, plans snapshot chunks for the new range at the
+         restored position (the suspend offset), and resumes the stream
+         over BOTH ranges with emit-filter entries covering the new one.
+
+    Output: the materialized end state per key with its capture
+    provenance ('initial' = first-run range, 'added' = backfilled range).
+    A backfill at the wrong offset, a missed tail for either range, or a
+    double-emitted change all hash-mismatch against the whole-log oracle.
+
+    Scale: the backfill is chunk-parallel ChunkPartitions exactly like
+    the initial snapshot; the suspended stream loses no position (one
+    offset document, no rewind), so a 100-table addition costs one
+    planning round + the chunks, never a stream replay."""
+    import os
+    import shutil
+    import uuid
+
+    import duckdb
+
+    from flink_cdc_connectors_spark.sources import datasource
+
+    datasource.register(spark)
+    e = load_table(spark, sf_dir, "events")
+    k_lo, k_hi_incl, o_lo, o_hi = e.agg(
+        F.min("user_id"), F.max("user_id"), F.min("event_id"), F.max("event_id")
+    ).first()
+    k_hi = int(k_hi_incl) + 1
+    mid = (int(k_lo) + k_hi) // 2
+    cut = int(o_lo + (o_hi - o_lo) * 0.7)
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    scratch = os.path.join(
+        "/tmp/spark_graft_stream", f"pid{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)), f"added_{uuid.uuid4().hex[:8]}",
+    )
+    os.makedirs(scratch, exist_ok=True)
+    early_log = os.path.join(scratch, "early_events.parquet")
+    src_glob = (
+        os.path.join(src_path, "*.parquet") if os.path.isdir(src_path) else src_path
+    )
+    # the log-so-far: duck-written truncation (the DSv2 source reads its
+    # fixture through DuckDB, so the column types round-trip exactly)
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM '{src_glob}' WHERE event_id <= {cut}) "
+        f"TO '{early_log}' (FORMAT PARQUET)"
+    )
+    out, ckpt = os.path.join(scratch, "out"), os.path.join(scratch, "ckpt")
+
+    def drain(path: str, ranges: list[list[int]]) -> None:
+        import json
+
+        q = (
+            spark.readStream.format("cdc_binlog")
+            .option("path", path)
+            .option("numChunks", 2)
+            .option("snapshotFraction", 0.6)  # run 1 exercises a stream tail
+            .option("keyRanges", json.dumps(ranges))
+            .load()
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError(
+                    "cdc_dsv2_added_tables: drain exceeded 300s; refusing "
+                    "to materialize a partial sink"
+                )
+        finally:
+            q.stop()
+
+    drain(early_log, [[int(k_lo), mid]])          # run 1: half the tables
+    drain(src_path, [[int(k_lo), mid], [mid, k_hi]])  # run 2: widened regex
+
+    from flink_cdc_connectors_spark.operators.cdc import changelog_normalize
+
+    emitted = spark.read.parquet(out)
+    result = changelog_normalize(emitted).select(
+        "user_id",
+        F.round("value", 2).alias("value_r"),
+        F.col("event_id").alias("last_event_id"),
+        F.when(F.col("user_id") < mid, "initial")
+        .otherwise("added")
+        .alias("range_tag"),
+    )
+    rows = result.collect()  # eager: the scratch sink is dropped below
+    shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

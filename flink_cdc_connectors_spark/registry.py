@@ -73,71 +73,69 @@ def query(key: str, tier: str, oracle: str | None = None) -> Callable[[QueryFn],
 # instead, the ordering is a no-op.  Everything not listed follows in
 # sorted order.
 #
-# Round-6 set (VERDICT r5 "Next round" #2): (0) the new round-6 key (no
-# driver row can exist yet); (1) keys whose implementation or oracle
-# CHANGED this round — their newest green row predates the change, so a
-# fresh row is the only current evidence (datasource restore fix, the
-# minhash/SRP scale work, the shared ANN-cap oracles, the envelope-
-# derived metadata projection); (2) the 8 keys whose newest driver row
-# is round 2 — the oldest surviving evidence; (3) the oldest r3-evidence
-# keys, sorted, filling the ~50 budget (the 13 tail-most r3 keys slip to
-# round 7, each still holding a green r3 row).
+# Round-7 set (VERDICT r6 "Next round" #2): (0) the new round-7 key (no
+# driver row can exist yet); (1) keys whose implementation changed this
+# round — the schema_epoch tie-break in changelog_normalize + the DSv2
+# offset v3 / keyRanges work touch the source files these keys execute,
+# so fresh rows are the only current evidence; (2) the 13 keys whose
+# newest driver row is round 3 — the oldest surviving evidence; (3) the
+# oldest r4-evidence keys, sorted, filling the ~50 budget.
 _CHECK_FIRST = (
-    # -- 0: new round-6 key -------------------------------------------------
+    # -- 0: new round-7 key -------------------------------------------------
+    "cdc_dsv2_added_tables",
+    # -- 1: implementation/source files changed this round -------------------
     "cdc_type_change_resnapshot",
-    # -- 1: changed this round ----------------------------------------------
-    "cdc_metadata_columns",
+    "cdc_newly_added_tables",
     "cdc_dsv2_stream",
     "cdc_stream_dedup_index",
-    "ext_dedup_minhash",
-    "ext_dedup_embedding_lsh",
-    "ext_sim_search_lsh",
-    "ext_sim_search_cosine",
-    "ext_sim_search_ivf",
-    "ext_sim_search_pq",
-    "ext_ann_recall",
-    "stream_e2e_windowed",
-    # -- 2: the 8 keys whose newest driver row is round 2 --------------------
-    "stream_tumbling_window",
-    "stream_watermark_late",
-    "topk_per_group",
-    "udf_scalar",
-    "udf_table",
-    "window_analytic",
-    "window_range_frame",
-    "window_ranking",
-    # -- 3: oldest (r3) evidence, sorted, to the budget ----------------------
-    "agg_approx_distinct",
-    "agg_continuous_rollup",
-    "agg_percentiles",
-    "agg_string_agg",
-    "cdc_capture_db2",
-    "cdc_capture_sqlserver",
-    "cdc_gtid_failover",
-    "cdc_jdbc_incremental",
-    "cdc_jdbc_snapshot",
-    "cdc_logminer_redo",
-    "cdc_mongo_changestream",
-    "cdc_oceanbase_commit_order",
-    "cdc_postgres_wal2json",
-    "cdc_retract_agg",
-    "cdc_upsert_sink",
-    "explode_unnest",
-    "ext_bloom_decontaminate",
-    "ext_dedup_embedding",
-    "ext_dedup_keeper_quality",
-    "ext_dedup_lines",
-    "ext_kmeans_spherical",
-    "ext_minhash_recall",
-    "ext_multimodal_audio",
-    "ext_multimodal_cols",
-    "ext_semdedup",
-    "ext_tfidf",
-    "ext_url_dedup",
-    "ext_zorder_layout",
-    "join_anti",
-    "join_lookup",
-    # -- r3/r4 greens follow in sorted order; rows-only keys at the tail --
+    "cdc_metadata_columns",
+    "ext_curation_pipeline",
+    # -- 2: the 13 keys whose newest driver row is round 3 -------------------
+    "join_skew_salted",
+    "map_ops",
+    "pivot_agg",
+    "set_except",
+    "set_ops_bag",
+    "stream_dedup_keep_first",
+    "stream_topn_changelog",
+    "stream_window_join",
+    "subquery_in_correlated",
+    "subquery_not_in",
+    "subquery_scalar",
+    "window_first_last",
+    "window_ntile_dist",
+    # -- 3: oldest (r4) evidence, sorted, to the ~50 budget -------------------
+    "agg_distinct",
+    "agg_global",
+    "agg_groupby",
+    "agg_having",
+    "agg_rollup",
+    "array_ops",
+    "cdc_changelog_normalize",
+    "cdc_chunk_key_column",
+    "cdc_chunk_reconcile",
+    "cdc_chunk_split_even",
+    "cdc_chunk_split_uneven",
+    "cdc_chunk_split_vector",
+    "cdc_dedup_exact",
+    "cdc_deserialize_envelope",
+    "cdc_offset_filter",
+    "cdc_snapshot_scan",
+    "cdc_spatial_decode",
+    "cdc_startup_modes",
+    "cdc_table_discovery",
+    "ext_dedup_exact_text",
+    "ext_dedup_incremental",
+    "ext_dedup_ngram_jaccard",
+    "ext_fingerprint",
+    "ext_lang_id",
+    "ext_multimodal_decode",
+    "ext_quality_score",
+    "ext_text_stats",
+    "ext_token_count",
+    "filter_pred",
+    "scalar_conditional",
+    # -- r4/r5 greens follow in sorted order; rows-only keys at the tail --
 )
 
 

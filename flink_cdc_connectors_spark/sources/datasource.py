@@ -45,8 +45,12 @@ from flink_cdc_connectors_spark.sources.schema_history import SchemaHistory
 # v0 = unversioned round-3 documents (migrated on restore); v1 adds the
 # stamp itself; v2 adds "dlv" — the delivered watermark (the highest
 # position any COMMITTED batch has covered, as known when the document
-# was planned). Bump on ANY field change and extend _migrate_offset.
-OFFSET_FORMAT_VERSION = 2
+# was planned); v3 adds "cap" — the captured key ranges [[lo, hi, hw],
+# ...] when the source is configured with explicit keyRanges (absent
+# otherwise), the HybridPendingSplitsState capture-set analog that lets a
+# RESTART with a widened range list detect and backfill newly-added
+# tables. Bump on ANY field change and extend _migrate_offset.
+OFFSET_FORMAT_VERSION = 3
 
 SCHEMA_DDL = (
     "op string, user_id bigint, value double, props string, "
@@ -153,7 +157,13 @@ class StreamPartition(InputPartition):
     chunk containing its key (BinlogSplitReader.java:210-254).
     ``payload_select``: per-range decode projection (ranges never span a
     DDL offset — partitions() splits them, FlinkDatabaseHistory analog).
-    ``epoch``: schema epoch of the decode (None = no epoch column)."""
+    ``epoch``: schema epoch of the decode (None = no epoch column).
+    ``emit_uncovered``: emit events whose key falls OUTSIDE every chunk
+    range. True in whole-space capture (a key first seen after planning —
+    a growing log — was never backfilled, so there is nothing to dedup
+    and the reference's binlog reader emits it: BinlogSplitReader
+    shouldEmit's pure-binlog arm); False with explicit keyRanges, where
+    an uncovered key means an UNCAPTURED table."""
 
     path: str
     from_off: int
@@ -161,6 +171,7 @@ class StreamPartition(InputPartition):
     chunk_hws: tuple = ()
     payload_select: str = "user_id, value, props"
     epoch: int | None = None
+    emit_uncovered: bool = False
 
 
 def _duck(path: str, sql: str):
@@ -196,6 +207,34 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         self.key_lo, self.key_hi = int(key_lo), int(key_hi) + 1
         self.max_off = int(max_off)
         self.hw = int(max_off * frac)
+        # Explicit capture set (newly-added-tables protocol): keyRanges =
+        # JSON [[lo, hi], ...] of half-open captured key ranges — each
+        # range models one regex-matched TABLE of the reference (the
+        # fixture is single-table, so 'table' = key range; a multi-table
+        # deployment keys ranges by (table, lo, hi) — same state machine).
+        # When configured, offset documents carry the capture set ("cap"),
+        # and a RESTART whose configured list contains a range the
+        # checkpoint never captured triggers the suspend/backfill/resume
+        # flow (MySqlSourceReader.java:147-240, BinlogSplitUpdateRequest/
+        # Ack, NewlyAddedTableITCase.java). Absent = legacy whole-space
+        # capture, documents unchanged.
+        kr = options.get("keyranges")
+        if kr:
+            import json as _json
+
+            ranges = sorted((int(lo), int(hi)) for lo, hi in _json.loads(kr))
+            if any(hi <= lo for lo, hi in ranges):
+                raise ValueError(f"keyRanges entries must satisfy lo < hi: {ranges}")
+            if any(b[0] < a[1] for a, b in zip(ranges, ranges[1:])):
+                raise ValueError(f"keyRanges must be disjoint: {ranges}")
+            if self.stagger:
+                raise ValueError(
+                    "staggerChunks applies to the legacy whole-space capture; "
+                    "with keyRanges each range snapshots at one watermark"
+                )
+            self.key_ranges: list[tuple[int, int]] | None = ranges
+        else:
+            self.key_ranges = None
         # Offset-versioned schemas (FlinkDatabaseHistory / SnapshotSplit.
         # tableSchemas analog): every split decodes against the schema in
         # force at its offset; the query output is pinned to the LATEST
@@ -232,6 +271,14 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         # (without it, a static fixture's whole tail lands in one batch).
         mob = options.get("maxoffsetsperbatch")
         self.max_per_batch = int(mob) if mob is not None else None
+        # refreshLatest: re-poll the log end on every latestOffset() call —
+        # genuine log TAILING of a growing changelog (a capture pump keeps
+        # appending part files) rather than a one-shot drain of a static
+        # fixture. This is how the reference's binlog client behaves: the
+        # readable position advances as the server writes.
+        self.refresh_latest = (
+            str(options.get("refreshlatest", "false")).lower() == "true"
+        )
         self._planned_off: int | None = None  # driver-side planning cursor
         # Delivered watermark: the highest position this reader KNOWS a
         # committed batch has covered. Learned only from committed
@@ -269,6 +316,20 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
             self.start_off = self.max_off
         else:
             self.start_off = None  # initial: snapshot phase decides
+        # Capture-set stamp state (keyRanges mode): configured range ->
+        # the snapshot/backfill watermark this reader knows. Fresh value =
+        # the mode's snapshot watermark; partitions() overwrites it with
+        # the actual suspend offset when it plans a backfill, and with the
+        # checkpointed value when a restored document shows one. Planning
+        # NEVER trusts an end-document's hw for an already-captured range
+        # (only the committed start document's), and stream-phase
+        # suppression is clamped to the batch's start position — so a
+        # stale stamp here can mis-describe nothing.
+        if self.key_ranges is not None:
+            init_hw = self.hw if self.startup_mode == "initial" else self.start_off
+            self._cap: dict[tuple[int, int], int] = {
+                r: init_hw for r in self.key_ranges
+            }
 
     def _payload_select(self, at_offset: int) -> str:
         """Decode projection for a split whose events are all <= or all >
@@ -315,22 +376,33 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
             (a, b) for a, b in zip(bounds, bounds[1:]) if b > a
         ]
 
-    def _key_splits(self) -> list[tuple[int, int]]:
-        """The canonical uniform key split [(lo, hi), ...] of the captured
-        key space into ``num_chunks`` ranges — the single source of truth
-        for chunk boundaries (MySqlChunkSplitter fast path). Both the
-        initial snapshot plan and the mid-stream re-snapshot plan reuse it,
-        so the two paths can never drift."""
-        step = max(
-            (self.key_hi - self.key_lo + self.num_chunks - 1) // self.num_chunks, 1
-        )
+    def _key_splits(
+        self, key_range: tuple[int, int] | None = None
+    ) -> list[tuple[int, int]]:
+        """The canonical uniform key split [(lo, hi), ...] of a captured
+        key range into ``num_chunks`` pieces — the single source of truth
+        for chunk boundaries (MySqlChunkSplitter fast path). The initial
+        snapshot plan, the newly-added-range backfill, and the mid-stream
+        re-snapshot plan all reuse it, so the paths can never drift.
+        Default range = the whole key space."""
+        key_lo, key_hi = key_range if key_range else (self.key_lo, self.key_hi)
+        step = max((key_hi - key_lo + self.num_chunks - 1) // self.num_chunks, 1)
         splits = []
         for i in range(self.num_chunks):
-            lo = self.key_lo + i * step
-            if lo >= self.key_hi:
+            lo = key_lo + i * step
+            if lo >= key_hi:
                 break
-            splits.append((lo, min(lo + step, self.key_hi)))
+            splits.append((lo, min(lo + step, key_hi)))
         return splits
+
+    def _captured_ranges(self) -> list[tuple[int, int]]:
+        """The key ranges this source captures (whole space when no
+        explicit keyRanges option is set)."""
+        return (
+            self.key_ranges
+            if self.key_ranges is not None
+            else [(self.key_lo, self.key_hi)]
+        )
 
     def _chunk_plan(self, base_hw: int) -> list[tuple[int, int, int]]:
         """[(key_lo, key_hi, hw)] for every snapshot chunk."""
@@ -364,8 +436,9 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
 
     # -- offsets (HybridPendingSplitsState analog) -------------------------
 
-    @staticmethod
-    def _offset_dict(phase: str, hw: int, off: int, dlv: int = -1) -> dict:
+    def _offset_dict(
+        self, phase: str, hw: int, off: int, dlv: int = -1
+    ) -> dict:
         # The offset JSON carries the position both as the scalar event_id
         # and as the composite BinlogOffset form (BinlogOffset.java shape:
         # kind/gtids/server_id/ts/file/pos/skips); restore prefers the
@@ -375,7 +448,7 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         # versions its split/state serializers and tests savepoint
         # compatibility across releases — MySqlCompatibilityITCase.java);
         # restore migrates older stamps and REJECTS newer ones.
-        return {
+        doc = {
             "v": OFFSET_FORMAT_VERSION,
             "phase": phase,
             "hw": hw,
@@ -383,6 +456,15 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
             "dlv": dlv,
             "binlog": BinlogOffset.specific(file="binlog.000001", pos=off).to_dict(),
         }
+        # keyRanges mode: the document carries the capture set (v3 "cap"),
+        # so a restart with a WIDER configured list can diff the restored
+        # capture set against its own and backfill the difference — the
+        # HybridPendingSplitsState capture-set analog. The hw stamped per
+        # range is this reader's best knowledge; planning only ever trusts
+        # the committed START document's values (see partitions()).
+        if self.key_ranges is not None:
+            doc["cap"] = [[lo, hi, self._cap[(lo, hi)]] for lo, hi in self.key_ranges]
+        return doc
 
     @staticmethod
     def _migrate_offset(d: dict) -> dict:
@@ -462,6 +544,10 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         # exactly as initialOffset stamps it, or the per-chunk shouldEmit
         # filter silently drops every event of the later batches
         hw = self.hw if self.startup_mode == "initial" else self.start_off
+        if self.refresh_latest:
+            cur = _duck(self.path, "SELECT max(event_id) FROM log").fetchone()[0]
+            if cur is not None:
+                self.max_off = max(self.max_off, int(cur))
         if self.max_per_batch is None:
             return self._offset_dict("stream", hw, self.max_off, dlv=self._seen)
         if self._planned_off is None:
@@ -497,15 +583,41 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         if self._planned_off is None or self._planned_off < self._seen:
             self._planned_off = max(self._seen, self._off(end))
         parts: list[InputPartition] = []
-        chunk_plan = tuple(self._chunk_plan(start["hw"]))
+        added: list[tuple[int, int]] = []
+        if self.key_ranges is not None:
+            # Newly-added-tables detection (the checkpointed form of
+            # HybridCdcSource.add_key_range): the batch's committed START
+            # document carries the capture set as of the checkpoint; any
+            # configured range it lacks was added since — suspend/
+            # backfill/resume below. A legacy capless document means the
+            # old run captured the whole key space (nothing can be new).
+            start_cap = start.get("cap") or [
+                [self.key_lo, self.key_hi, start["hw"]]
+            ]
+            captured = {(int(lo), int(hi)): int(hw) for lo, hi, hw in start_cap}
+            added = [r for r in self.key_ranges if r not in captured]
+            # documents are truth: adopt checkpointed watermarks for the
+            # ranges this reader also captures (a fresh reader's stamps
+            # are placeholders until the first restored document lands)
+            for r, hw in captured.items():
+                if r in self._cap:
+                    self._cap[r] = hw
+            chunk_plan = tuple(
+                (lo, hi, hw) for (lo, hi), hw in sorted(captured.items())
+            )
+        else:
+            chunk_plan = tuple(self._chunk_plan(start["hw"]))
         if start["phase"] == "snapshot":
             for lo, hi, hw in chunk_plan:
-                parts.append(
-                    ChunkPartition(
-                        self.path, lo, hi, hw,
-                        self._payload_select(hw), self._epoch_at(hw),
+                sel, ep = self._payload_select(hw), self._epoch_at(hw)
+                for clo, chi in (
+                    self._key_splits((lo, hi))
+                    if self.key_ranges is not None
+                    else [(lo, hi)]
+                ):
+                    parts.append(
+                        ChunkPartition(self.path, clo, chi, hw, sel, ep)
                     )
-                )
         # The stream starts at the MIN chunk watermark
         # (MySqlHybridSplitAssigner.createBinlogSplit:189-227); shouldEmit
         # drops events a chunk's backfill already covered.
@@ -521,6 +633,37 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
             if start["phase"] == "snapshot"
             else max(self._off(start), self._seen)
         )
+        if added:
+            # Suspend/backfill/resume: each newly-added range becomes
+            # snapshot chunks at the SUSPEND offset (= where the stream
+            # stands when the addition is detected — deterministic from
+            # the committed start document, so a WAL replay reproduces the
+            # identical plan), decoded under the schema current there; the
+            # stream partitions of this same batch already start past it,
+            # so the emit filter entry at hw=suspend hands the range over
+            # exactly once (MySqlSourceReader.java:147-240 semantics).
+            sel, ep = self._payload_select(stream_from), self._epoch_at(stream_from)
+            for lo, hi in added:
+                for clo, chi in self._key_splits((lo, hi)):
+                    parts.append(
+                        ChunkPartition(self.path, clo, chi, stream_from, sel, ep)
+                    )
+                self._cap[(lo, hi)] = stream_from
+            chunk_plan = chunk_plan + tuple(
+                (lo, hi, stream_from) for lo, hi in added
+            )
+        if self.key_ranges is not None and start["phase"] == "stream":
+            # Stream-phase suppression clamp: a backfill can only ever
+            # have covered offsets <= the batch's committed start (its
+            # suspend was some earlier batch's start), so suppression
+            # above start is always wrong. This neutralizes placeholder
+            # hw stamps a fresh post-restore reader writes before it has
+            # seen the checkpointed capture set — e.g. a snapshotFraction
+            # watermark recomputed against a GROWN log, which would
+            # otherwise silently swallow the tail.
+            chunk_plan = tuple(
+                (lo, hi, min(hw, stream_from)) for lo, hi, hw in chunk_plan
+            )
         end_off = self._off(end)
         if end_off > stream_from:
             # One StreamPartition per schema-uniform sub-range: a range is
@@ -531,6 +674,7 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
                     StreamPartition(
                         self.path, a, b, chunk_plan,
                         self._payload_select(b), self._epoch_at(b),
+                        emit_uncovered=self.key_ranges is None,
                     )
                 )
             # A COLUMN TYPE CHANGE inside this range forces a mid-stream
@@ -548,10 +692,20 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
                     hw = tco - 1
                     sel = self._payload_select(tco)
                     epoch = self._epoch_at(tco)
-                    for lo, hi in self._key_splits():
-                        parts.append(
-                            ChunkPartition(self.path, lo, hi, hw, sel, epoch)
-                        )
+                    # re-read each CAPTURED range (in keyRanges mode the
+                    # capture set of this batch, added ranges included) —
+                    # never the whole key space, which would widen the
+                    # capture into never-captured keys
+                    resnap_ranges = (
+                        [(lo, hi) for lo, hi, _ in chunk_plan]
+                        if self.key_ranges is not None
+                        else [None]
+                    )
+                    for rng in resnap_ranges:
+                        for lo, hi in self._key_splits(rng):
+                            parts.append(
+                                ChunkPartition(self.path, lo, hi, hw, sel, epoch)
+                            )
         if not parts:
             # Spark requires >=1 partition; an empty log range reads nothing
             # (decode projection + epoch still stamped so the empty Arrow
@@ -588,9 +742,11 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
             ) WHERE rn = 1 AND __op <> 'delete'
             """
         else:
-            # shouldEmit: past the containing chunk's HW (keys outside any
-            # chunk range are not captured; with uniform HWs the predicate
-            # degenerates to the plain offset range)
+            # shouldEmit: past the containing chunk's HW (with uniform HWs
+            # the predicate degenerates to the plain offset range). Keys
+            # outside every chunk: emitted in whole-space capture (first
+            # seen after planning — nothing backfilled them), dropped with
+            # explicit keyRanges (an uncaptured table).
             emit = (
                 " OR ".join(
                     f"(user_id >= {lo} AND user_id < {hi} AND event_id > {hw})"
@@ -598,6 +754,12 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
                 )
                 or "TRUE"
             )
+            if partition.emit_uncovered and partition.chunk_hws:
+                covered = " OR ".join(
+                    f"(user_id >= {lo} AND user_id < {hi})"
+                    for lo, hi, _ in partition.chunk_hws
+                )
+                emit = f"({emit}) OR NOT ({covered})"
             sql = f"""
             SELECT {_OP_SQL} AS op, {partition.payload_select},
                    CAST(ts AS TIMESTAMP) AS ts, event_id{epoch_col}
@@ -635,7 +797,15 @@ class CdcBinlogDataSource(DataSource):
     per micro-batch — the debezium max.batch.size / Kafka
     maxOffsetsPerTrigger analog; restart-safe: a crash inside a
     rate-limited drain resumes with at most Spark's own documented
-    replay of the single pending batch, never a regression).
+    replay of the single pending batch, never a regression),
+    ``keyRanges`` (JSON ``[[lo, hi], ...]`` — the explicit capture set;
+    each half-open key range models one regex-matched TABLE. Offset
+    documents then carry the capture set, and RESTARTING the query from
+    the same checkpoint with a WIDER list drives the newly-added-tables
+    protocol: the stream suspends at the restored position, the new
+    ranges are snapshot there as chunk partitions, and the stream resumes
+    with emit-filter entries covering them — MySqlSourceReader.java:
+    147-240, BinlogSplitUpdateRequestEvent, NewlyAddedTableITCase.java).
 
     Known limit: Spark's Python streaming API does not implement
     ``Trigger.AvailableNow`` (the engine logs "does not support

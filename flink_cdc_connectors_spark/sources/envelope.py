@@ -128,7 +128,12 @@ def changelog_view(events: DataFrame) -> DataFrame:
     )
 
 
-def events_to_debezium_json(events: DataFrame, db: str = "app", table: str = "events") -> DataFrame:
+def events_to_debezium_json(
+    events: DataFrame,
+    db: str = "app",
+    table: str = "events",
+    min_pos: int | None = None,
+) -> DataFrame:
     """Wrap fixture events into Debezium-envelope JSON strings.
 
     The fixture's event stream is APP-level — an upsert stream in which
@@ -153,6 +158,14 @@ def events_to_debezium_json(events: DataFrame, db: str = "app", table: str = "ev
 
     Scale: one hash shuffle on the primary key for the lag window — the
     partitioning every downstream normalize/merge reuses.
+
+    ``min_pos``: serialize only events past this position. The lag state
+    machine still replays EVERY key's full history (the window runs before
+    the filter, so before-images at the boundary stay correct), but
+    earlier events never pay the to_json codec — the production shape,
+    where a consumer starting at a Kafka offset never sees (or parses)
+    the bytes before it. This is the envelope family's dominant cost at
+    scale: the codec is linear in serialized rows, not in log rows.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     payload = F.struct(F.col("user_id"), F.col("value"), F.col("props"))
@@ -170,6 +183,8 @@ def events_to_debezium_json(events: DataFrame, db: str = "app", table: str = "ev
         .otherwise(F.lit("c"))
     )
     valid = (F.col("__app_op") != "delete") | live
+    if min_pos is not None:
+        valid = valid & (F.col("event_id") > F.lit(min_pos))
     envelope = F.struct(
         F.when(live, F.col("__prev_payload")).alias("before"),
         F.when(F.col("__app_op") != "delete", payload).alias("after"),

@@ -196,3 +196,51 @@ def snapshot_read_live(
 def min_max_live(spark: SparkSession, url: str, table: str, pk: str):
     """Live MIN/MAX boundary discovery (StatementUtils.queryMinMax)."""
     return derby_execute(spark, url)(query_min_max_sql(table, pk, q='"'))
+
+
+def pump_capture_to_staging(
+    spark: SparkSession,
+    url: str,
+    staging_dir: str,
+    after_seq: int,
+    table: str = "CHANGES",
+) -> int:
+    """Ship newly-captured rows from a live trigger-capture table into the
+    parquet staging log the ``cdc_binlog`` DSv2 source tails — the
+    Debezium-server / Kafka-Connect shape: the capture side appends to a
+    durable ordered log, the engine streams the log with checkpointed
+    offsets (DebeziumSourceFunction.java:106-424 is the embedded form;
+    SQL Server CDC's capture-table poll loop is the idiom modeled here).
+
+    Reads ``seq > after_seq`` from the live server, converts the capture
+    row to the changelog fixture schema (event_id = the capture sequence,
+    the source's offset), APPENDS one parquet increment, and returns the
+    new high sequence. Idempotent per increment: an empty poll appends
+    nothing. The pump is driver-side by design — embedded Derby lives in
+    the driver JVM; a networked deployment runs the same loop anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    inc = (
+        spark.read.jdbc(url, f'"{table}"', properties=DERBY_PROPS)
+        .filter(F.col("seq") > after_seq)
+        .select(
+            F.when(F.col("op") == "i", "signup")      # -> insert
+            .when(F.col("op") == "d", "error")        # -> delete
+            .otherwise("update")
+            .alias("event_type"),
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_acctbal").alias("value"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("")).alias("props"),
+            # capture tables carry no commit timestamp in this harness;
+            # derive a monotone one from the sequence so (ts, event_id)
+            # ordering matches offset order
+            F.timestamp_seconds(F.lit(1735689600) + F.col("seq")).alias("ts"),
+            F.col("seq").cast("long").alias("event_id"),
+        )
+    )
+    rows = inc.count()
+    if rows:
+        inc.coalesce(1).write.mode("append").parquet(staging_dir)
+    hi = inc.agg(F.max("event_id")).first()[0] if rows else None
+    return int(hi) if hi is not None else after_seq

@@ -640,3 +640,170 @@ def test_dsv2_type_change_resnapshot_survives_crash_restart(spark, tmp_path):
     )
     post_vals = [v for eid, _, v in flat if eid >= 900]
     assert any(v != int(v) for v in post_vals)
+
+def test_dsv2_newly_added_range_via_checkpointed_restart(spark, sf_dir, tmp_path):
+    """The newly-added-tables protocol through the CHECKPOINTED DSv2
+    source (the last batch-only protocol, wired here): run a capture of
+    HALF the key space against the log-so-far, stop, let the log grow,
+    then RESTART from the same checkpoint with a WIDENED keyRanges list —
+    the reference's regex-matched new table arriving at restore
+    (MySqlSourceReader.java:147-240, BinlogSplitUpdateRequestEvent,
+    NewlyAddedTableITCase.java). The restored run must backfill the new
+    range at the suspend offset (the restored position), resume the
+    stream over BOTH ranges, and materialize to the whole-log normalize —
+    no gaps, no double reads."""
+    import duckdb
+
+    events = load_table(spark, sf_dir, "events")
+    k_lo, k_hi_incl, max_off = events.agg(
+        F.min("user_id"), F.max("user_id"), F.max("event_id")
+    ).first()
+    k_hi = k_hi_incl + 1
+    mid = (k_lo + k_hi) // 2
+    cut = int(max_off * 0.7)
+
+    # the log-so-far: a duck-written truncated copy (the DSv2 source reads
+    # its fixture through DuckDB, so this preserves exact column types)
+    early_log = str(tmp_path / "early_events.parquet")
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM '{EVENTS}' WHERE event_id <= {cut}) "
+        f"TO '{early_log}' (FORMAT PARQUET)"
+    )
+    out_dir, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run(path, ranges):
+        q = (
+            spark.readStream.format("cdc_binlog")
+            .option("path", path)
+            .option("numChunks", 2)
+            .option("snapshotFraction", 0.6)  # leave a phase-1 stream tail
+            .option("keyRanges", str(list(ranges)).replace("(", "[").replace(")", "]"))
+            .load()
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(early_log, [(k_lo, mid)])  # capture only the first "table"
+    phase1 = spark.read.parquet(out_dir)
+    assert phase1.filter(F.col("user_id") >= mid).count() == 0, (
+        "uncaptured range leaked into the narrow capture"
+    )
+    assert phase1.count() > 0
+
+    # the log grows, and the restart adds the second "table" to the regex
+    run(EVENTS, [(k_lo, mid), (mid, k_hi)])
+    emitted = spark.read.parquet(out_dir)
+
+    # the backfill happened: INSERT image rows for the added range at
+    # offsets at or below the suspend point (<= cut) can only come from
+    # the restart's chunk backfill
+    backfill = emitted.filter(
+        (F.col("user_id") >= mid)
+        & (F.col("op") == "insert")
+        & (F.col("event_id") <= cut)
+    )
+    assert backfill.count() > 0, "no backfill image rows for the added range"
+    # the resumed stream covered the added range past the suspend point
+    assert emitted.filter(
+        (F.col("user_id") >= mid) & (F.col("event_id") > cut)
+    ).count() > 0
+    # raw (non-insert) changes are exactly-once across both runs
+    raw = emitted.filter(F.col("op") != "insert").select("event_id")
+    assert raw.count() == raw.distinct().count(), "a raw change double-emitted"
+
+    # convergence: everything emitted materializes to the whole-log state
+    got = (
+        changelog_normalize(emitted)
+        .select("user_id", "event_id")
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    want = _normalize_batch(spark, sf_dir)
+    assert len(got) == len(want) > 0
+    assert (got["user_id"] == want["user_id"]).all()
+    assert (got["event_id"] == want["event_id"]).all()
+
+
+def test_dsv2_added_range_backfill_survives_crash_restart(spark, tmp_path):
+    """Crash AT the newly-added-range boundary: the restarted run's batch
+    that plans the backfill chunks dies before committing; its replay must
+    be IDENTICAL (the backfill plan is deterministic from the committed
+    start document) and the finished drain exactly-once."""
+    import duckdb
+
+    max_off = 999
+    cut, mid = 700, 8
+    early_log = str(tmp_path / "early_events.parquet")
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM '{EVENTS}' WHERE event_id <= {cut}) "
+        f"TO '{early_log}' (FORMAT PARQUET)"
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(path, ranges, crash_after=None, max_per_batch=None):
+        delivered = []
+
+        def fb(df, bid):
+            rows = df.select("op", "user_id", "event_id").collect()
+            if rows:
+                delivered.append((bid, rows))
+            if crash_after is not None and len(delivered) >= crash_after:
+                raise RuntimeError("simulated crash on the backfill batch")
+
+        reader = (
+            spark.readStream.format("cdc_binlog")
+            .option("path", path)
+            .option("numChunks", 2)
+            .option("keyRanges", str([list(r) for r in ranges]))
+        )
+        if max_per_batch:
+            reader = reader.option("maxOffsetsPerBatch", max_per_batch)
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass
+        finally:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        return delivered
+
+    d0 = run(early_log, [(0, mid)])  # narrow capture of the log-so-far
+    assert sum(len(r) for _, r in d0) > 0
+    # restart with the widened list, rate-limited, crashing on the FIRST
+    # batch the new run delivers (the one that plans the backfill chunks)
+    d1 = run(EVENTS, [(0, mid), (mid, 100)], crash_after=1, max_per_batch=80)
+    d2 = run(EVENTS, [(0, mid), (mid, 100)], max_per_batch=80)
+
+    by_bid = {}
+    replays = 0
+    for bid, rows in d1 + d2:
+        key = sorted((r.event_id, r.op, r.user_id) for r in rows)
+        if bid in by_bid:
+            assert by_bid[bid] == key, f"replay of batch {bid} differs"
+            replays += 1
+        by_bid[bid] = key
+    assert replays == 1, "exactly the pending backfill batch must replay"
+    flat = [t for rows in by_bid.values() for t in rows]
+    # the backfill image rows exist for the added range at/below the cut
+    img = [eid for eid, op, uid in flat if op == "insert" and uid >= mid and eid <= cut]
+    assert img, "no backfill image rows for the added range"
+    # the resumed tail (> cut: every row there is a raw change — signup
+    # inserts included; backfill images all sit at or below the cut) is
+    # unique and gap-free across the crash
+    tail = sorted(eid for eid, _, _ in flat if eid > cut)
+    assert len(tail) == len(set(tail)), "a raw change double-emitted"
+    assert tail == list(range(cut + 1, max_off + 1)), "gap in the resumed tail"

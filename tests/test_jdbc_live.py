@@ -145,3 +145,119 @@ def test_live_roundtrip_timestamp_and_double_types(spark, sf_dir):
     a = orders.agg(F.max("o_orderdate"), F.round(F.sum("o_totalprice"), 2)).first()
     b = live.agg(F.max("o_orderdate"), F.round(F.sum("o_totalprice"), 2)).first()
     assert tuple(a) == tuple(b)
+
+
+def test_dsv2_tails_live_derby_capture_exactly_once(spark, sf_dir, tmp_path):
+    """The closest in-sandbox analog to real log tailing (r6 verdict #3):
+    a LIVE Derby trigger-capture table feeds the checkpointed `cdc_binlog`
+    DSv2 stream through a capture pump (the Debezium-server shape:
+    capture -> durable ordered log -> engine streams the log). Mutation
+    batches run in the database MID-STREAM; each must arrive through the
+    streaming drain exactly once, including across a stop/restart from
+    the same checkpoint, and a brand-new primary key (outside the key
+    space the source planned at start) must still be emitted."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_connectors_spark.sources import datasource
+    from flink_cdc_connectors_spark.sources.jdbc_live import (
+        DERBY_ROOT,
+        derby_shutdown,
+        derby_update,
+        mirror_to_derby,
+        pump_capture_to_staging,
+    )
+
+    datasource.register(spark)
+    cust = load_table(spark, sf_dir, "customer").limit(50)
+    db = os.path.join(DERBY_ROOT, "tail_capture")
+    derby_shutdown(spark, db)
+    shutil.rmtree(db, ignore_errors=True)
+    url = mirror_to_derby(spark, cust, db, "CUSTOMER")
+    run = derby_update(spark, url)
+    run(
+        'CREATE TABLE "CHANGES" ('
+        '"seq" BIGINT GENERATED ALWAYS AS IDENTITY, "op" VARCHAR(1), '
+        '"c_custkey" BIGINT, "c_name" CLOB, "c_nationkey" INT, '
+        '"c_acctbal" DOUBLE, "c_mktsegment" CLOB)'
+    )
+    cols = '"c_custkey","c_name","c_nationkey","c_acctbal","c_mktsegment"'
+    for trg, ev, alias in (("TRG_I", "INSERT", "N"), ("TRG_U", "UPDATE", "N")):
+        run(
+            f'CREATE TRIGGER "{trg}" AFTER {ev} ON "CUSTOMER" '
+            f"REFERENCING NEW AS {alias} FOR EACH ROW "
+            f'INSERT INTO "CHANGES" ("op",{cols}) VALUES '
+            f"('{ev[0].lower()}', {alias}.\"c_custkey\", {alias}.\"c_name\", "
+            f'{alias}."c_nationkey", {alias}."c_acctbal", {alias}."c_mktsegment")'
+        )
+    run(
+        'CREATE TRIGGER "TRG_D" AFTER DELETE ON "CUSTOMER" '
+        "REFERENCING OLD AS O FOR EACH ROW "
+        'INSERT INTO "CHANGES" ("op","c_custkey") VALUES (\'d\', O."c_custkey")'
+    )
+
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+
+    # mutation batch 1 lands BEFORE the stream starts (the log-so-far)
+    n1 = run('UPDATE "CUSTOMER" SET "c_acctbal" = "c_acctbal" + 5 '
+             'WHERE MOD("c_custkey", 7) = 0')
+    assert n1 > 0
+    hi = pump_capture_to_staging(spark, url, staging, 0)
+    assert hi == n1
+
+    def start(sink):
+        def fb(df, bid):
+            rows = df.select("op", "user_id", "event_id", "value").collect()
+            if rows:
+                sink.append((bid, rows))
+
+        return (
+            spark.readStream.format("cdc_binlog")
+            .option("path", staging)
+            .option("startupMode", "earliest-offset")
+            .option("refreshLatest", "true")
+            .load()
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    got_a = []
+    q = start(got_a)
+    try:
+        q.processAllAvailable()
+        # mutation batch 2 MID-STREAM: an update run + a brand-new PK far
+        # outside the key space the source planned at start
+        run('DELETE FROM "CUSTOMER" WHERE MOD("c_custkey", 13) = 1')
+        run('INSERT INTO "CUSTOMER" VALUES (9000001, \'tail-new\', 1, 42.42, \'TAIL\')')
+        hi = pump_capture_to_staging(spark, url, staging, hi)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids_a = [r.event_id for _, rows in got_a for r in rows]
+    assert sorted(ids_a) == list(range(1, hi + 1)), "live drain gap/dup"
+    assert len(got_a) >= 2, "mid-stream batch must arrive in its own micro-batch"
+    new_key = [r for _, rows in got_a for r in rows if r.user_id == 9000001]
+    assert len(new_key) == 1 and new_key[0].op == "insert" and (
+        float(new_key[0].value) == 42.42
+    ), "a first-seen-after-planning key must be emitted exactly once"
+
+    # stop/restart from the same checkpoint: batch 3 lands while down
+    n3 = run('UPDATE "CUSTOMER" SET "c_acctbal" = "c_acctbal" - 1 '
+             'WHERE MOD("c_custkey", 11) = 2')
+    assert n3 > 0
+    hi2 = pump_capture_to_staging(spark, url, staging, hi)
+    got_b = []
+    q = start(got_b)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids_b = [r.event_id for _, rows in got_b for r in rows]
+    assert sorted(ids_b) == list(range(hi + 1, hi2 + 1)), (
+        "restart must deliver exactly the while-down captures, nothing twice"
+    )
+    ops_b = {r.op for _, rows in got_b for r in rows}
+    assert ops_b == {"update"}
+    derby_shutdown(spark, db)

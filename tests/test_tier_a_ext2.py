@@ -374,3 +374,29 @@ def test_tz_plan_is_shuffle_free(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert shuffle_count(df) == 0
+
+
+def test_dsv2_added_tables_key_provenance_and_state(spark, sf_dir):
+    """The checkpointed-restart key: both capture provenances present
+    (some keys materialized from the first-run range, some from the
+    backfilled range), and the end state equals the whole-log normalize."""
+    from flink_cdc_connectors_spark.operators.cdc import changelog_normalize
+    from flink_cdc_connectors_spark.queries.tier_a_ext2 import cdc_dsv2_added_tables
+    from flink_cdc_connectors_spark.sources.envelope import changelog_view
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    out = cdc_dsv2_added_tables(spark, sf_dir).toPandas()
+    assert set(out["range_tag"]) == {"initial", "added"}, (
+        "both capture provenances must be non-empty"
+    )
+    want = (
+        changelog_normalize(changelog_view(load_table(spark, sf_dir, "events")))
+        .select("user_id", F.round("value", 2).alias("value_r"),
+                F.col("event_id").alias("last_event_id"))
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    got = out.sort_values("user_id").reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got["user_id"].values == want["user_id"].values).all()
+    assert (got["last_event_id"].values == want["last_event_id"].values).all()
+    assert (got["value_r"].values == want["value_r"].values).all()

@@ -63,6 +63,34 @@ _MIX_BUDGET_TOK = 2000  # per-language token budget (ext_domain_mix's knob)
 _MIX_HASH = 2654435761  # Knuth multiplicative coin (ext_stratified_sample)
 
 
+def _shingle_hashes(docs: DataFrame, n: int = 8) -> DataFrame:
+    """(doc_id, g) pairs — xxhash64 of each word n-tuple of normalized
+    text, the scale twin of ``_shingles``: the contamination check is a
+    pure EQUALITY membership test (like the substring gram key, it
+    samples nothing), so any injective-ish hash yields the same contam
+    set. Skipping the slice + array_join string assembly was measured as
+    the key's dominant 100x cost (18.7 s of the 28.7 s total at the
+    corpus sf10 — the same string-assembly lever that flattened
+    ext_dedup_minhash and ext_dedup_substring); the join key becomes 8
+    bytes instead of a ~50-char string. Output changes only on a 64-bit
+    collision (P ~ 1e-9 at the 100x corpus)."""
+    from flink_cdc_connectors_spark.queries.tier_c import _norm_col
+
+    words = docs.select(
+        "doc_id", F.split(_norm_col(F.col("text")), r"\s+").alias("w")
+    )
+    positions = F.when(
+        F.size("w") >= n, F.sequence(F.lit(1), F.size("w") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    staged = words.select(
+        "doc_id", "w", F.explode_outer(positions).alias("pos")
+    ).filter(F.col("pos").isNotNull())
+    gram = F.xxhash64(
+        *[F.element_at(F.col("w"), F.col("pos") + i) for i in range(n)]
+    )
+    return staged.select("doc_id", gram.alias("g"))
+
+
 @query(
     "ext_curation_pipeline",
     tier="C",
@@ -138,11 +166,25 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # decontamination candidates: train docs sharing any 8-gram with the
     # held-out eval slice (eval shingle set broadcasts — it is a benchmark
-    # suite, kilobytes at any corpus scale)
-    eval_sh = _shingles(raw.filter(is_eval), n=8).select("shingle").distinct()
+    # suite, kilobytes at any corpus scale). At driver-fixture scales the
+    # string-shingle/md5-free form is pinned (the DuckDB oracle replays it
+    # verbatim); past the corpus gate the grams are xxhash64 word tuples —
+    # see _shingle_hashes (equality-only key, value-identical contam set
+    # modulo 64-bit collisions).
+    import flink_cdc_connectors_spark.queries.tier_c as _TC
+
+    if load_table(spark, sf_dir, "documents").count() <= _TC._MINHASH_SCALE_DOCS:
+        eval_keyed = _shingles(raw.filter(is_eval), n=8).select(
+            F.col("shingle").alias("g")
+        )
+        train_keyed = _shingles(train, n=8).select(
+            "doc_id", F.col("shingle").alias("g")
+        )
+    else:
+        eval_keyed = _shingle_hashes(raw.filter(is_eval), n=8).select("g")
+        train_keyed = _shingle_hashes(train, n=8)
     contam = (
-        _shingles(train, n=8)
-        .join(F.broadcast(eval_sh), "shingle")
+        train_keyed.join(F.broadcast(eval_keyed.distinct()), "g")
         .select("doc_id")
         .distinct()
         .withColumn("contaminated", F.lit(True))

@@ -807,3 +807,56 @@ def test_dsv2_added_range_backfill_survives_crash_restart(spark, tmp_path):
     tail = sorted(eid for eid, _, _ in flat if eid > cut)
     assert len(tail) == len(set(tail)), "a raw change double-emitted"
     assert tail == list(range(cut + 1, max_off + 1)), "gap in the resumed tail"
+
+
+def test_dsv2_type_change_resnapshot_respects_key_ranges(spark, tmp_path):
+    """keyRanges x type-change composition: a mid-stream re-snapshot in
+    explicit-capture mode must re-read ONLY the captured ranges — never
+    the whole key space (which would widen the capture into keys the
+    configuration excludes) — and uncaptured keys stay invisible in the
+    stream phase too."""
+    from flink_cdc_connectors_spark.sources.schema_history import SchemaHistory
+
+    h = SchemaHistory()
+    h.apply_ddl(
+        "app", "events", 0,
+        "CREATE TABLE events (user_id BIGINT, value DECIMAL(10,0), props VARCHAR)",
+    )
+    h.apply_ddl("app", "events", 900, "ALTER TABLE events MODIFY value DECIMAL(18,2)")
+
+    # capture only keys [0, 8) — the fixture's key space extends well past
+    ranges = [[0, 8]]
+    out_dir, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("cdc_binlog")
+        .option("path", EVENTS)
+        .option("numChunks", 2)
+        .option("snapshotFraction", 0.4)
+        .option("keyRanges", str(ranges))
+        .option("schemaHistoryJson", h.to_json())
+        .load()
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.read.parquet(out_dir)
+    # nothing outside the captured range — snapshot, stream, OR re-snapshot
+    assert emitted.filter(
+        (F.col("user_id") < 0) | (F.col("user_id") >= 8)
+    ).count() == 0, "re-snapshot/stream leaked uncaptured keys"
+    # the re-snapshot happened inside the range: fractional (18,2) image
+    # rows at or below the boundary exist for captured keys
+    img = emitted.filter(
+        (F.col("op") == "insert")
+        & (F.col("event_id") <= 899)
+        & (F.col("value") != F.floor(F.col("value")))
+    )
+    assert img.count() > 0, "no new-type re-snapshot images in the captured range"
+    # and the tie-break column rides along in keyRanges mode too
+    assert "schema_epoch" in emitted.columns

@@ -590,12 +590,23 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
             # document carries the capture set as of the checkpoint; any
             # configured range it lacks was added since — suspend/
             # backfill/resume below. A legacy capless document means the
-            # old run captured the whole key space (nothing can be new).
-            start_cap = start.get("cap") or [
-                [self.key_lo, self.key_hi, start["hw"]]
-            ]
-            captured = {(int(lo), int(hi)): int(hw) for lo, hi, hw in start_cap}
-            added = [r for r in self.key_ranges if r not in captured]
+            # old run captured the whole key space (nothing can be new,
+            # and the whole space keeps emitting).
+            raw_cap = start.get("cap")
+            if raw_cap is None:
+                captured = {(self.key_lo, self.key_hi): start["hw"]}
+                added = []
+            else:
+                cap_all = {(int(lo), int(hi)): int(hw) for lo, hi, hw in raw_cap}
+                added = [r for r in self.key_ranges if r not in cap_all]
+                # NARROWED config: a range removed from keyRanges stops
+                # emitting in the very first post-restart batch (the
+                # reference's table filter applies at deserialization —
+                # a dropped table never reaches the output), so the
+                # checkpointed entry is excluded from the emit plan, not
+                # phased out a batch later.
+                cfg = set(self.key_ranges)
+                captured = {r: hw for r, hw in cap_all.items() if r in cfg}
             # documents are truth: adopt checkpointed watermarks for the
             # ranges this reader also captures (a fresh reader's stamps
             # are placeholders until the first restored document lands)

@@ -860,3 +860,54 @@ def test_dsv2_type_change_resnapshot_respects_key_ranges(spark, tmp_path):
     assert img.count() > 0, "no new-type re-snapshot images in the captured range"
     # and the tie-break column rides along in keyRanges mode too
     assert "schema_epoch" in emitted.columns
+
+
+def test_dsv2_narrowed_key_ranges_stop_emitting_at_restart(spark, tmp_path):
+    """The inverse protocol: a range REMOVED from keyRanges at restart
+    stops emitting immediately (the reference's table filter applies at
+    deserialization — a dropped table never reaches the output), while
+    the surviving range's tail continues exactly-once."""
+    import duckdb
+
+    cut = 700
+    early_log = str(tmp_path / "early_events.parquet")
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM '{EVENTS}' WHERE event_id <= {cut}) "
+        f"TO '{early_log}' (FORMAT PARQUET)"
+    )
+    out_dir, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run(path, ranges):
+        q = (
+            spark.readStream.format("cdc_binlog")
+            .option("path", path)
+            .option("numChunks", 2)
+            .option("keyRanges", str([list(r) for r in ranges]))
+            .load()
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(early_log, [(0, 8), (8, 100)])  # both "tables" captured
+    n_wide_pre = spark.read.parquet(out_dir).filter(F.col("user_id") >= 8).count()
+    assert n_wide_pre > 0
+    # restart with the second table dropped, against the grown log
+    run(EVENTS, [(0, 8)])
+    emitted = spark.read.parquet(out_dir)
+    dropped_tail = emitted.filter(
+        (F.col("user_id") >= 8) & (F.col("event_id") > cut)
+    )
+    assert dropped_tail.count() == 0, (
+        "a range removed from keyRanges kept emitting after the restart"
+    )
+    kept_tail = emitted.filter((F.col("user_id") < 8) & (F.col("event_id") > cut))
+    assert kept_tail.count() > 0, "the surviving range's tail was lost"
+    ids = [r.event_id for r in kept_tail.select("event_id").collect()]
+    assert len(ids) == len(set(ids)), "surviving-range tail double-emitted"

@@ -911,3 +911,65 @@ def test_dsv2_narrowed_key_ranges_stop_emitting_at_restart(spark, tmp_path):
     assert kept_tail.count() > 0, "the surviving range's tail was lost"
     ids = [r.event_id for r in kept_tail.select("event_id").collect()]
     assert len(ids) == len(set(ids)), "surviving-range tail double-emitted"
+
+
+def test_dsv2_capless_v2_checkpoint_restores_without_backfill():
+    """A v2 (capless) checkpoint restored by a keyRanges-configured reader
+    means the old run captured the WHOLE key space — nothing can be newly
+    added, so no backfill chunks may be planned (re-backfilling would
+    duplicate every already-delivered key)."""
+    from pyspark.sql.types import StructType
+
+    r = datasource.CdcBinlogStreamReader(
+        StructType([]), {"path": EVENTS, "keyranges": "[[0, 8], [8, 100]]"}
+    )
+    v2_start = {"v": 2, "phase": "stream", "hw": 500, "off": 500, "dlv": 500}
+    v2_end = {"v": 2, "phase": "stream", "hw": 500, "off": 700, "dlv": 500}
+    parts = r.partitions(v2_start, v2_end)
+    chunks = [p for p in parts if isinstance(p, datasource.ChunkPartition)]
+    assert chunks == [], "capless restore must not re-backfill"
+    streams = [p for p in parts if isinstance(p, datasource.StreamPartition)]
+    assert streams and streams[0].from_off == 500 and streams[-1].to_off == 700
+
+
+def test_dsv2_v3_cap_diff_plans_backfill_exactly_at_suspend():
+    """Unit pin of the capture-set diff: a start document whose cap lacks
+    a configured range plans backfill chunks for exactly that range at
+    the suspend offset (= the committed start position), stamps the
+    range's emit entry at the same offset, and a REPLAY with the same
+    documents reproduces the identical plan."""
+    from pyspark.sql.types import StructType
+
+    opts = {"path": EVENTS, "keyranges": "[[0, 8], [8, 100]]"}
+    start = {
+        "v": 3, "phase": "stream", "hw": 500, "off": 600, "dlv": 600,
+        "cap": [[0, 8, 500]],
+    }
+    end = {
+        "v": 3, "phase": "stream", "hw": 500, "off": 800, "dlv": 600,
+        "cap": [[0, 8, 500], [8, 100, -1]],
+    }
+
+    def plan():
+        r = datasource.CdcBinlogStreamReader(StructType([]), dict(opts))
+        return r.partitions(dict(start), dict(end))
+
+    p1, p2 = plan(), plan()
+    sig = lambda ps: sorted(
+        (type(p).__name__,) + tuple(
+            getattr(p, f) for f in ("key_lo", "key_hi", "hw", "from_off", "to_off")
+            if hasattr(p, f)
+        )
+        for p in ps
+    )
+    assert sig(p1) == sig(p2), "WAL replay must reproduce the identical plan"
+    chunks = [p for p in p1 if isinstance(p, datasource.ChunkPartition)]
+    assert chunks, "missing backfill for the added range"
+    assert all(c.hw == 600 for c in chunks), "backfill must snapshot at suspend"
+    assert all(8 <= c.key_lo and c.key_hi <= 100 for c in chunks), (
+        "backfill leaked outside the added range"
+    )
+    streams = [p for p in p1 if isinstance(p, datasource.StreamPartition)]
+    assert streams and dict(
+        ((lo, hi), hw) for lo, hi, hw in streams[0].chunk_hws
+    )[(8, 100)] == 600, "the added range's emit entry must sit at suspend"

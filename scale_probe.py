@@ -62,6 +62,9 @@ EVENTS_FAMILY = [
     # (snapshot + binlog envelopes through one from_json)
     "cdc_type_change_resnapshot",
     "cdc_metadata_columns",
+    # round-7 addition: the checkpointed newly-added-tables protocol key
+    # (two Structured Streaming runs; backfill chunk-parallel)
+    "cdc_dsv2_added_tables",
     "cdc_capture_sqlserver",
     "cdc_capture_db2",
     "cdc_mongo_changestream",

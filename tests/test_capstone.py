@@ -225,3 +225,96 @@ def test_maintained_state_reflects_tombstones(capstone_out, duck):
     assert dead, "fixture has no tombstoned keys"
     assert got == alive
     assert not (got & dead)
+
+
+def test_index_maintained_under_live_log_growth(spark, sf_dir, tmp_path):
+    """The flagship composition under LIVE GROWTH: the banded dedup index
+    is maintained by rate-limited foreachBatch MERGEs while the changelog
+    GROWS mid-drain (refreshLatest tailing — the capture pump keeps
+    appending); the maintained state must equal a one-shot fold of the
+    whole tail. Proves the index-maintenance path is agnostic to WHEN
+    log increments become visible, not just to micro-batch boundaries."""
+    import duckdb as _duck
+
+    from pyspark.sql import functions as F
+
+    from flink_cdc_connectors_spark.queries.capstone import (
+        _CORPUS_N,
+        build_corpus_index,
+        make_fold,
+        _write_state,
+    )
+    from flink_cdc_connectors_spark.sources import datasource
+    from flink_cdc_connectors_spark.sources.envelope import op_col
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    datasource.register(spark)
+    events_path = f"{sf_dir}/events.parquet"
+    events = load_table(spark, sf_dir, "events")
+    m = int(events.agg(F.max("event_id")).first()[0])
+    p = m * 8 // 10          # stream startup position
+    cut = p + (m - p) // 2   # the log-so-far ends here; the rest "arrives" live
+    k = max(150, (m - p) // 10)
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _CORPUS_N)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+
+    import os
+
+    staging = str(tmp_path / "staging")
+    os.makedirs(staging, exist_ok=True)
+    con = _duck.connect()
+    con.execute(
+        f"COPY (SELECT * FROM '{events_path}' WHERE event_id <= {cut}) "
+        f"TO '{staging}/part1.parquet' (FORMAT PARQUET)"
+    )
+
+    state = {"docs": None, "epoch": 0, "batches": 0, "rows": 0, "hw": -1}
+    scratch = str(tmp_path / "grow")
+    _write_state(state, scratch, build_corpus_index(corpus))
+    fold = make_fold(spark, corpus, k, state, scratch)
+
+    q = (
+        spark.readStream.format("cdc_binlog")
+        .option("path", staging)
+        .option("startupMode", "specific-offset")
+        .option("startupOffset", str(p))
+        .option("maxOffsetsPerBatch", max(1, (cut - p + 1) // 2))
+        .option("refreshLatest", "true")
+        .load()
+        .writeStream.foreachBatch(lambda df, bid: fold(df, bid))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batches_before_growth = state["batches"]
+        assert state["hw"] == cut, "log-so-far must drain fully first"
+        # the log GROWS mid-drain (the capture pump appends an increment)
+        con.execute(
+            f"COPY (SELECT * FROM '{events_path}' WHERE event_id > {cut}) "
+            f"TO '{staging}/part2.parquet' (FORMAT PARQUET)"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert state["hw"] == m, "the grown tail never arrived through the stream"
+    assert state["batches"] > batches_before_growth >= 2, (
+        "growth must arrive in its own increments, after a rate-limited drain"
+    )
+    grown = _state_snapshot(spark, state)
+
+    # one-shot replay: fresh corpus index, the WHOLE tail folded as one batch
+    batch = events.filter(F.col("event_id") > p).select(
+        "event_id", op_col().alias("op")
+    ).localCheckpoint(eager=True)
+    state2 = {"docs": None, "epoch": 0, "batches": 0, "rows": 0, "hw": -1}
+    _write_state(state2, str(tmp_path / "oneshot"), build_corpus_index(corpus))
+    make_fold(spark, corpus, k, state2, str(tmp_path / "oneshot"))(batch, 0)
+    assert grown == _state_snapshot(spark, state2), (
+        "live-growth incremental state diverged from the one-shot fold"
+    )

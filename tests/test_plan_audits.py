@@ -615,3 +615,24 @@ def test_changelog_mode_all_path_is_stateless_aggregate(spark, sf_dir):
     df = Q["cdc_changelog_mode_upsert"].builder(spark, sf_dir)
     assert not has_single_partition_window(df)
     assert not has_single_partition_exchange(df)
+
+
+def test_envelope_min_pos_filter_sits_between_codec_and_window(spark, sf_dir):
+    """The round-7 metadata-codec lever: with ``min_pos`` set, the
+    position filter must sit BELOW the to_json projection (so dropped
+    rows never pay the serializer — this was the 15.9x-at-100x cost) and
+    ABOVE the lag windows (the state machine still replays full per-key
+    history, keeping boundary before-images correct)."""
+    from flink_cdc_connectors_spark.sources.envelope import events_to_debezium_json
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    df = events_to_debezium_json(load_table(spark, sf_dir, "events"), min_pos=600)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    lines = plan.splitlines()
+    i_json = next(i for i, l in enumerate(lines) if "StructsToJson" in l)
+    i_filt = next(i for i, l in enumerate(lines) if "Filter" in l and "> 600" in l)
+    i_win = next(i for i, l in enumerate(lines) if l.lstrip("+- ").startswith("Window"))
+    assert i_json < i_filt < i_win, (
+        f"min_pos filter must sit between the json codec and the lag "
+        f"windows (json@{i_json}, filter@{i_filt}, window@{i_win}):\n{plan[:800]}"
+    )

@@ -198,6 +198,10 @@ SUPPORTED_OPTIONS: dict[str, frozenset[str]] = {
             "chunk-key.even-distribution.factor.lower-bound",
             "connect.timeout", "connect.max-retries", "connection.pool.size",
             "heartbeat.interval",
+            # newly-added-tables at restore (MySqlSourceOptions.java:232-238)
+            # + the repo's capture-set axis the streaming binding maps it to
+            "scan.newly-added-table.enabled",
+            "scan.captured.key-ranges",
         }
     ),
     # PostgreSQLTableFactory.java / postgres-cdc.md
@@ -386,6 +390,18 @@ def to_source_config(tdef: TableDef) -> SourceConfig:
         # poll -> stream-phase offsets per micro-batch (datasource.py
         # maxOffsetsPerBatch)
         kw["max_batch_size"] = int(o["debezium.max.batch.size"])
+    if "scan.newly-added-table.enabled" in o:
+        # MySqlSourceOptions.java:232-238 — newly regex-matched tables get
+        # snapshot splits at restore (suspend/backfill/resume)
+        kw["scan_newly_added_table"] = (
+            o["scan.newly-added-table.enabled"].strip().lower() == "true"
+        )
+    if "scan.captured.key-ranges" in o:
+        # repo extension: the capture set as half-open key ranges (the
+        # single-table fixture's table axis); the streaming binding
+        # forwards it to the DSv2 source's keyRanges option, whose offset
+        # v3 capture-set diff drives the newly-added/narrowed protocols
+        kw["captured_key_ranges"] = o["scan.captured.key-ranges"]
     if "server-time-zone" in o:
         kw["server_time_zone"] = o["server-time-zone"]
     if "slot.name" in o:
@@ -532,4 +548,11 @@ def create_cdc_stream(
         reader = reader.option("startupTimestampMs", cfg.startup_timestamp_ms)
     if cfg.max_batch_size is not None:
         reader = reader.option("maxOffsetsPerBatch", cfg.max_batch_size)
+    if cfg.captured_key_ranges is not None:
+        # the explicit capture set (one key range per "table"): offset
+        # documents then carry it, and a restart with a WIDER/narrower
+        # 'scan.captured.key-ranges' drives the newly-added/dropped-table
+        # protocols (scan.newly-added-table.enabled semantics,
+        # MySqlSourceOptions.java:232-238)
+        reader = reader.option("keyRanges", cfg.captured_key_ranges)
     return reader.load()

@@ -85,6 +85,17 @@ class SourceConfig:
     # incremental-snapshot path ignores it (same as the reference when
     # scan.incremental.snapshot.enabled=true).
     copy_existing: bool = True
+    # scan.newly-added-table.enabled (MySqlSourceOptions.java:232-238): at
+    # a checkpoint restore, tables newly matched by the capture pattern get
+    # snapshot splits — the suspend/backfill/resume protocol. The streaming
+    # binding expresses the capture set as explicit half-open key ranges
+    # (the single-table fixture's table axis, one range per "table") via
+    # ``captured_key_ranges``; restarting the same checkpoint with a WIDER
+    # list drives the protocol through the DSv2 offset v3 capture-set diff
+    # (sources/datasource.py), a NARROWER list stops the dropped range.
+    scan_newly_added_table: bool = False
+    # repo extension option 'scan.captured.key-ranges': JSON [[lo, hi], ...]
+    captured_key_ranges: str | None = None
 
     def __post_init__(self) -> None:
         if self.startup_mode not in STARTUP_MODES:
@@ -123,6 +134,20 @@ class SourceConfig:
         re.compile(self.database_pattern)
         if self.table_pattern is not None:
             re.compile(self.table_pattern)
+        if self.captured_key_ranges is not None:
+            # parse-validate at construction (factory-time failure, not a
+            # stream-thread one): JSON [[lo, hi], ...], lo < hi, disjoint
+            import json
+
+            ranges = sorted(
+                (int(lo), int(hi)) for lo, hi in json.loads(self.captured_key_ranges)
+            )
+            if any(hi <= lo for lo, hi in ranges) or any(
+                b[0] < a[1] for a, b in zip(ranges, ranges[1:])
+            ):
+                raise ValueError(
+                    f"captured key ranges must be disjoint half-open lo<hi: {ranges}"
+                )
 
     # -- discovery ---------------------------------------------------------
 

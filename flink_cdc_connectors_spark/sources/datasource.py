@@ -330,6 +330,10 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
             self._cap: dict[tuple[int, int], int] = {
                 r: init_hw for r in self.key_ranges
             }
+            # ranges THIS reader planned a backfill for: their _cap entry
+            # is the true suspend offset and outranks any placeholder a
+            # pre-backfill checkpoint document still carries
+            self._backfilled: set[tuple[int, int]] = set()
 
     def _payload_select(self, at_offset: int) -> str:
         """Decode projection for a split whose events are all <= or all >
@@ -609,9 +613,15 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
                 captured = {r: hw for r, hw in cap_all.items() if r in cfg}
             # documents are truth: adopt checkpointed watermarks for the
             # ranges this reader also captures (a fresh reader's stamps
-            # are placeholders until the first restored document lands)
+            # are placeholders until the first restored document lands) —
+            # EXCEPT ranges this reader itself backfilled, whose recorded
+            # suspend offset outranks the pre-backfill placeholder still
+            # circulating in the batch documents stamped before the plan.
+            # (Planning stays safe either way — the stream-phase clamp
+            # bounds suppression — this keeps the STAMPED documents
+            # converging to the true watermark instead of the placeholder.)
             for r, hw in captured.items():
-                if r in self._cap:
+                if r in self._cap and r not in self._backfilled:
                     self._cap[r] = hw
             chunk_plan = tuple(
                 (lo, hi, hw) for (lo, hi), hw in sorted(captured.items())
@@ -660,6 +670,7 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
                         ChunkPartition(self.path, clo, chi, stream_from, sel, ep)
                     )
                 self._cap[(lo, hi)] = stream_from
+                self._backfilled.add((lo, hi))
             chunk_plan = chunk_plan + tuple(
                 (lo, hi, stream_from) for lo, hi in added
             )

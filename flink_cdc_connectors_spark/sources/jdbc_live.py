@@ -221,6 +221,12 @@ def pump_capture_to_staging(
     """
     from pyspark.sql import functions as F
 
+    # ONE materialized read of the live table per poll: the frame feeds
+    # three actions (count, the staging write, the max-seq cursor), and a
+    # lazy JDBC frame re-reads the server per action — rows captured
+    # BETWEEN the write and the cursor read would advance the cursor past
+    # rows that were never staged (silent loss on the next poll). Same
+    # eager-snapshot rule as the chunked snapshot phase.
     inc = (
         spark.read.jdbc(url, f'"{table}"', properties=DERBY_PROPS)
         .filter(F.col("seq") > after_seq)
@@ -238,6 +244,7 @@ def pump_capture_to_staging(
             F.timestamp_seconds(F.lit(1735689600) + F.col("seq")).alias("ts"),
             F.col("seq").cast("long").alias("event_id"),
         )
+        .localCheckpoint(eager=True)
     )
     rows = inc.count()
     if rows:

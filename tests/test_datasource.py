@@ -973,3 +973,43 @@ def test_dsv2_v3_cap_diff_plans_backfill_exactly_at_suspend():
     assert streams and dict(
         ((lo, hi), hw) for lo, hi, hw in streams[0].chunk_hws
     )[(8, 100)] == 600, "the added range's emit entry must sit at suspend"
+
+
+def test_dsv2_backfilled_range_stamp_converges_to_suspend():
+    """After a backfill is planned, the reader's OWN documents must stamp
+    the added range at the true suspend offset — and keep it when later
+    batch documents still carry the pre-backfill placeholder (documents
+    stamped before the plan circulate for one more batch)."""
+    from pyspark.sql.types import StructType
+
+    r = datasource.CdcBinlogStreamReader(
+        StructType([]),
+        {
+            "path": EVENTS, "keyranges": "[[0, 8], [8, 100]]",
+            "startupmode": "specific-offset", "startupoffset": "500",
+        },
+    )
+    start = {
+        "v": 3, "phase": "stream", "hw": 500, "off": 600, "dlv": 600,
+        "cap": [[0, 8, 500]],
+    }
+    end = {
+        "v": 3, "phase": "stream", "hw": 500, "off": 800, "dlv": 600,
+        "cap": [[0, 8, 500], [8, 100, 500]],  # pre-plan placeholder stamp
+    }
+    r.partitions(dict(start), dict(end))  # plans the backfill at 600
+    stamped = {(lo, hi): hw for lo, hi, hw in r.latestOffset()["cap"]}
+    assert stamped[(8, 100)] == 600, "stamp must be the suspend offset"
+    # a later batch whose start doc still carries the placeholder must not
+    # regress the reader's knowledge
+    later_start = {
+        "v": 3, "phase": "stream", "hw": 500, "off": 800, "dlv": 800,
+        "cap": [[0, 8, 500], [8, 100, 500]],
+    }
+    later_end = {
+        "v": 3, "phase": "stream", "hw": 500, "off": 900, "dlv": 800,
+        "cap": [[0, 8, 500], [8, 100, 600]],
+    }
+    r.partitions(later_start, later_end)
+    stamped = {(lo, hi): hw for lo, hi, hw in r.latestOffset()["cap"]}
+    assert stamped[(8, 100)] == 600, "placeholder adoption regressed the stamp"

@@ -1013,3 +1013,66 @@ def test_dsv2_backfilled_range_stamp_converges_to_suspend():
     r.partitions(later_start, later_end)
     stamped = {(lo, hi): hw for lo, hi, hw in r.latestOffset()["cap"]}
     assert stamped[(8, 100)] == 600, "placeholder adoption regressed the stamp"
+
+
+@pytest.mark.parametrize(
+    "mob,start_off,crash_after",
+    [
+        (3, 979, 1),   # tiny batches, crash on the FIRST delivered batch
+        (1, 994, 2),   # degenerate 1-offset batches
+        (50, 999, None),  # empty tail: anchor-only drain must emit nothing
+    ],
+)
+def test_dsv2_rate_limit_edge_configs(spark, tmp_path, mob, start_off, crash_after):
+    """Edge configurations of the rate-limited drain: batch sizes at the
+    degenerate end (1 offset/batch), a crash on the very first delivered
+    batch (the batch right after the non-advancing anchor), and a
+    zero-length tail (startup at the log end — the drain must terminate
+    having emitted nothing). Exactly-once must hold in every shape."""
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(crash):
+        delivered = []
+
+        def fb(df, bid):
+            rows = df.select("event_id").collect()
+            if rows:
+                delivered.append((bid, sorted(r.event_id for r in rows)))
+            if crash is not None and len(delivered) >= crash:
+                raise RuntimeError("edge-config crash")
+
+        q = (
+            spark.readStream.format("cdc_binlog")
+            .option("path", EVENTS)
+            .option("startupMode", "specific-offset")
+            .option("startupOffset", str(start_off))
+            .option("maxOffsetsPerBatch", mob)
+            .load()
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass
+        finally:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        return delivered
+
+    d1 = run(crash_after)
+    d2 = run(None) if crash_after is not None else []
+    by_bid = {}
+    for bid, ids in d1 + d2:
+        if bid in by_bid:
+            assert by_bid[bid] == ids, f"replay of batch {bid} differs"
+        by_bid[bid] = ids
+    flat = sorted(i for ids in by_bid.values() for i in ids)
+    assert flat == list(range(start_off + 1, 1000)), (
+        f"drain gap/dup under mob={mob} start={start_off}: {flat[:10]}..."
+    )
+    for _, ids in d1 + d2:
+        assert max(ids) - min(ids) < mob or len(ids) == 1, "batch exceeded cap"

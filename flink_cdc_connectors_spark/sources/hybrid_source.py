@@ -62,6 +62,38 @@ def _pos(d: dict | None, fallback: int) -> int:
     return BinlogOffset.from_dict(d).pos if d else fallback
 
 
+def rechunk_captured_runs(
+    ranges: list[tuple[int, int]], n: int
+) -> list[tuple[int, int]]:
+    """Re-chunk a captured key set for a full re-snapshot: merge the
+    (possibly overlapping/adjacent) captured ranges into contiguous runs,
+    then split each run into chunks proportional to its key width (at
+    least one per run), ``n`` chunks total across the set.
+
+    The invariants the property tests pin: the union of the output chunks
+    equals the union of the input ranges EXACTLY (re-chunking must never
+    capture a key from a gap between disjoint runs — the silent-widening
+    bug of the round-6 convex-hull form — nor lose one), and the output
+    chunks are disjoint and sorted."""
+    runs: list[list[int]] = []
+    for lo, hi in sorted(ranges):
+        if runs and lo <= runs[-1][1]:
+            runs[-1][1] = max(runs[-1][1], hi)
+        else:
+            runs.append([lo, hi])
+    span = sum(hi - lo for lo, hi in runs)
+    out: list[tuple[int, int]] = []
+    for lo, hi in runs:
+        k = max(1, round(n * (hi - lo) / span)) if span else 1
+        step = max((hi - lo + k - 1) // k, 1)
+        out.extend(
+            (lo + i * step, min(lo + (i + 1) * step, hi))
+            for i in range(k)
+            if lo + i * step < hi
+        )
+    return out
+
+
 @dataclass
 class ChunkState:
     """One snapshot split (SnapshotSplit + its high watermark)."""
@@ -283,24 +315,13 @@ class HybridCdcSource:
         # DISJOINT range, the hull would include the never-captured gap,
         # and the REPLACED chunk metadata would make the resumed stream
         # emit gap keys permanently (a silent widening of the capture set).
-        runs: list[list[int]] = []
-        for c in sorted(self.state.chunks, key=lambda c: c.lo):
-            if runs and c.lo <= runs[-1][1]:
-                runs[-1][1] = max(runs[-1][1], c.hi)
-            else:
-                runs.append([c.lo, c.hi])
         n = num_chunks or len(self.state.chunks)
-        span = sum(hi - lo for lo, hi in runs)
-        new_chunks = []
-        for lo, hi in runs:
-            # chunks per run proportional to its key width, at least one
-            k = max(1, round(n * (hi - lo) / span)) if span else 1
-            step = max((hi - lo + k - 1) // k, 1)
-            new_chunks.extend(
-                ChunkState(lo=lo + i * step, hi=min(lo + (i + 1) * step, hi))
-                for i in range(k)
-                if lo + i * step < hi
+        new_chunks = [
+            ChunkState(lo=lo, hi=hi)
+            for lo, hi in rechunk_captured_runs(
+                [(c.lo, c.hi) for c in self.state.chunks], n
             )
+        ]
         batches = []
         for chunk in new_chunks:
             batches.append(

@@ -625,3 +625,98 @@ def test_retract_mode_equals_upsert_mode_for_any_grouping(raw, mod):
             s2[grp(state[k])] += state[k] or 0
     assert {g: c for g, c in n.items() if c} == dict(n2)
     assert {g: c for g, c in s.items() if n[g]} == {g: s2[g] for g in n2}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=1, max_value=500),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=300, deadline=None)
+def test_rechunk_captured_runs_preserves_the_key_set(ranges_raw, n):
+    """The re-snapshot re-chunk must cover EXACTLY the captured key set —
+    no key from a gap between disjoint runs (the silent-widening bug the
+    round-7 fix removed), no key lost — with disjoint, sorted chunks."""
+    from flink_cdc_connectors_spark.sources.hybrid_source import (
+        rechunk_captured_runs,
+    )
+
+    ranges = [(lo, lo + w) for lo, w in ranges_raw]
+    chunks = rechunk_captured_runs(ranges, n)
+    want = {k for lo, hi in ranges for k in range(lo, hi)}
+    got = {k for lo, hi in chunks for k in range(lo, hi)}
+    assert got == want
+    assert all(hi > lo for lo, hi in chunks)
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[1] <= b[0], f"chunks overlap or unsorted: {a} {b}"
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=6),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+    st.lists(
+        st.integers(min_value=0, max_value=6),
+        min_size=0,
+        max_size=4,
+        unique=True,
+    ),
+    st.integers(min_value=0, max_value=900),
+)
+@settings(max_examples=60, deadline=None)
+def test_dsv2_capture_diff_backfills_exactly_the_added_set(
+    cfg_slots, cap_slots, off
+):
+    """Property pin of the DSv2 capture-set diff (one partitions() call,
+    no engine): for arbitrary configured/checkpointed range sets, the
+    planned backfill chunks cover EXACTLY configured − captured, every
+    backfill chunk snapshots at the suspend offset, and the stream emit
+    entries cover exactly the configured set."""
+    from pyspark.sql.types import StructType
+
+    from flink_cdc_connectors_spark.sources import datasource
+
+    slot = lambda i: (i * 10, i * 10 + 10)  # noqa: E731
+    cfg = sorted(slot(i) for i in cfg_slots)
+    cap = sorted(slot(i) for i in cap_slots)
+    r = datasource.CdcBinlogStreamReader(
+        StructType([]),
+        {
+            "path": "/root/testdata/sf0.001/events.parquet",
+            "keyranges": str([list(x) for x in cfg]),
+            "startupmode": "specific-offset",
+            "startupoffset": "0",
+        },
+    )
+    start = {
+        "v": 3, "phase": "stream", "hw": 0, "off": off, "dlv": off,
+        "cap": [[lo, hi, 0] for lo, hi in cap],
+    }
+    end = {
+        "v": 3, "phase": "stream", "hw": 0, "off": off + 50, "dlv": off,
+        "cap": [[lo, hi, 0] for lo, hi in cfg],
+    }
+    parts = r.partitions(start, end)
+    chunks = [p for p in parts if isinstance(p, datasource.ChunkPartition)]
+    added = {k for lo, hi in cfg if (lo, hi) not in cap for k in range(lo, hi)}
+    covered = {k for c in chunks for k in range(c.key_lo, c.key_hi)}
+    assert covered == added, "backfill must cover exactly configured - captured"
+    assert all(c.hw == off for c in chunks), "backfill must snapshot at suspend"
+    streams = [p for p in parts if isinstance(p, datasource.StreamPartition)]
+    assert streams, "the stream range must still be planned"
+    emit_keys = {
+        k for lo, hi, _ in streams[0].chunk_hws for k in range(lo, hi)
+    }
+    want_emit = {k for lo, hi in cfg for k in range(lo, hi)}
+    # captured-but-no-longer-configured ranges are dropped (narrowing);
+    # configured ranges (old + newly added) are all present
+    assert emit_keys == want_emit

@@ -623,6 +623,62 @@ def ext_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IMG_DOCS = 200
 
 
+def _bmp_codec():
+    """(encode_batches, parse) for the 24-bpp BMP codec, shared by the
+    image-features and resize keys. Returned as FACTORY-LOCAL closures,
+    not module-level functions: a mapInPandas UDF referencing a
+    module-level function pickles BY MODULE IMPORT, and the executor
+    Python workers of a driver launched outside the repo cannot import
+    the package (the same foreign-cwd pickling rule datasource.register
+    documents) — `<locals>` closures ship their code inside the pickle.
+    The pixel formula is the oracle contract documented above."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    def encode_batches(batches):
+        # mapInPandas generator: (doc_id, w, h) -> genuine BMP bytes
+        for pdf in batches:
+            blobs = []
+            for d, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                d, w, h = int(d), int(w), int(h)
+                x = np.arange(w, dtype=np.int64)[None, :, None]
+                y = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.array([0, 11, 22], dtype=np.int64)[None, None, :]
+                px = ((d * 7 + x * 3 + y * 5 + c) % 256).astype(np.uint8)  # (h,w,BGR)
+                row_bytes = w * 3
+                pad = (-row_bytes) % 4
+                stride = row_bytes + pad
+                rows = np.zeros((h, stride), dtype=np.uint8)
+                rows[:, :row_bytes] = px.reshape(h, row_bytes)
+                pixel_array = rows[::-1].tobytes()  # bottom-up storage
+                file_size = 54 + len(pixel_array)
+                header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+                info = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_array),
+                    2835, 2835, 0, 0,
+                )
+                blobs.append(header + info + pixel_array)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "image": blobs})
+
+    def parse(blob):
+        # BMP -> (w, h, pixels[h,w,BGR]): magic/bpp/compression validated,
+        # rows un-padded, bottom-up flip applied
+        magic, _fsize, _r1, _r2, off = struct.unpack_from("<2sIHHI", blob, 0)
+        if magic != b"BM":
+            raise ValueError("not a BMP stream")
+        _hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"unsupported BMP variant bpp={bpp} comp={comp}")
+        stride = (w * 3 + 3) // 4 * 4
+        raw = np.frombuffer(blob, dtype=np.uint8, offset=off, count=stride * h)
+        rows = raw.reshape(h, stride)[:, : w * 3][::-1]  # un-pad + top-down
+        return w, h, rows.reshape(h, w, 3)
+
+    return encode_batches, parse
+
+
 @query(
     "ext_multimodal_image",
     tier="C",
@@ -693,29 +749,7 @@ def ext_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def encode(batches):
-        for pdf in batches:
-            blobs = []
-            for d, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
-                d, w, h = int(d), int(w), int(h)
-                x = np.arange(w, dtype=np.int64)[None, :, None]
-                y = np.arange(h, dtype=np.int64)[:, None, None]
-                c = np.array([0, 11, 22], dtype=np.int64)[None, None, :]
-                px = ((d * 7 + x * 3 + y * 5 + c) % 256).astype(np.uint8)  # (h,w,BGR)
-                row_bytes = w * 3
-                pad = (-row_bytes) % 4
-                stride = row_bytes + pad
-                rows = np.zeros((h, stride), dtype=np.uint8)
-                rows[:, :row_bytes] = px.reshape(h, row_bytes)
-                pixel_array = rows[::-1].tobytes()  # bottom-up storage
-                file_size = 54 + len(pixel_array)
-                header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
-                info = struct.pack(
-                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_array),
-                    2835, 2835, 0, 0,
-                )
-                blobs.append(header + info + pixel_array)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "image": blobs})
+    encode, _ = _bmp_codec()  # shared codec (foreign-cwd-safe closures)
 
     feat_schema = T.StructType(
         [
@@ -773,6 +807,128 @@ def ext_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trivial per-row work, and the plan audit pins ZERO exchanges
     images = docs.mapInPandas(encode, schema=enc_schema)
     return images.mapInPandas(decode_features, schema=feat_schema)
+
+
+# --- image resize: the batch-shape op the training pipelines run ---------
+
+_RESIZE_W, _RESIZE_H = 4, 3  # fixed target (downsample every fixture dim)
+
+
+@query(
+    "ext_multimodal_resize",
+    tier="C",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 8 + (doc_id % 4) AS w, 6 + (doc_id % 2) * 4 AS h
+      FROM documents WHERE doc_id < {_IMG_DOCS}
+    ),
+    px AS (
+      SELECT doc_id, xo, yo,
+             (doc_id * 7 + ((xo * w) // {_RESIZE_W}) * 3
+                         + ((yo * h) // {_RESIZE_H}) * 5) % 256        AS b,
+             (doc_id * 7 + ((xo * w) // {_RESIZE_W}) * 3
+                         + ((yo * h) // {_RESIZE_H}) * 5 + 11) % 256   AS g,
+             (doc_id * 7 + ((xo * w) // {_RESIZE_W}) * 3
+                         + ((yo * h) // {_RESIZE_H}) * 5 + 22) % 256   AS r
+      FROM dims,
+           unnest(generate_series(0, {_RESIZE_W - 1})) t1(xo),
+           unnest(generate_series(0, {_RESIZE_H - 1})) t2(yo)
+    )
+    SELECT doc_id,
+           CAST({_RESIZE_W} AS INT) AS out_w,
+           CAST({_RESIZE_H} AS INT) AS out_h,
+           round(avg(r), 4) AS mean_r,
+           round(avg(g), 4) AS mean_g,
+           round(avg(b), 4) AS mean_b,
+           CAST(sum((299 * r + 587 * g + 114 * b) // 1000) AS BIGINT)
+             AS luma_sum,
+           CAST(max(CASE WHEN xo = 0 AND yo = 0
+                THEN (299 * r + 587 * g + 114 * b) // 1000 END) AS BIGINT)
+             AS luma_tl,
+           CAST(max(CASE WHEN xo = {_RESIZE_W - 1} AND yo = {_RESIZE_H - 1}
+                THEN (299 * r + 587 * g + 114 * b) // 1000 END) AS BIGINT)
+             AS luma_br
+    FROM px GROUP BY 1
+    """,
+)
+def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE through the real BMP codec — the remaining multimodal
+    batch op of the training-data funnel (decode / feature-extract /
+    RESIZE / frame-sample): every image is decoded from genuine BMP bytes
+    (shared codec with ext_multimodal_image), resampled to a fixed
+    {_RESIZE_W}x{_RESIZE_H} target with integer nearest-neighbor index
+    maps (``src = (dst * src_dim) // dst_dim`` — the arithmetic the
+    DuckDB oracle replays pixel-for-pixel), and summarized. The corner
+    lumas pin the index MAPPING itself: an off-by-one in the NN map, a
+    flipped axis, or resampling before the bottom-up un-flip each move a
+    corner. Widths cycle through all four BMP pad widths, so the resize
+    reads through every padding case.
+
+    Scale shape: same as the codec siblings — two map-only Arrow stages,
+    zero exchanges; a production pipeline swaps the NN kernel for a
+    vectorized PIL/opencv call behind the SAME batch iterator and schema,
+    with Arrow batch size the only knob (resize output is fixed-size, so
+    downstream batches are perfectly uniform for training shards)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _IMG_DOCS)
+        .select(
+            "doc_id",
+            (8 + (F.col("doc_id") % 4)).cast("int").alias("w"),
+            (6 + (F.col("doc_id") % 2) * 4).cast("int").alias("h"),
+        )
+    )
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("image", T.BinaryType()),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+            T.StructField("luma_sum", T.LongType()),
+            T.StructField("luma_tl", T.LongType()),
+            T.StructField("luma_br", T.LongType()),
+        ]
+    )
+
+    encode, parse_bmp = _bmp_codec()  # foreign-cwd-safe closures
+
+    def resize_features(batches):
+        for pdf in batches:
+            rows = {f.name: [] for f in out_schema.fields}
+            for d, blob in zip(pdf["doc_id"], pdf["image"]):
+                w, h, px = parse_bmp(blob)
+                xs = (np.arange(_RESIZE_W, dtype=np.int64) * w) // _RESIZE_W
+                ys = (np.arange(_RESIZE_H, dtype=np.int64) * h) // _RESIZE_H
+                small = px[ys][:, xs].astype(np.int64)  # (out_h, out_w, BGR)
+                b, g, r = small[:, :, 0], small[:, :, 1], small[:, :, 2]
+                luma = (299 * r + 587 * g + 114 * b) // 1000
+                n = _RESIZE_W * _RESIZE_H
+                rows["doc_id"].append(int(d))
+                rows["out_w"].append(_RESIZE_W)
+                rows["out_h"].append(_RESIZE_H)
+                rows["mean_r"].append(round(float(r.sum()) / n, 4))
+                rows["mean_g"].append(round(float(g.sum()) / n, 4))
+                rows["mean_b"].append(round(float(b.sum()) / n, 4))
+                rows["luma_sum"].append(int(luma.sum()))
+                rows["luma_tl"].append(int(luma[0, 0]))
+                rows["luma_br"].append(int(luma[-1, -1]))
+            yield pd.DataFrame(rows)
+
+    images = docs.mapInPandas(encode, schema=enc_schema)
+    return images.mapInPandas(resize_features, schema=out_schema)
 
 
 # --- video modality: a REAL container format -----------------------------

@@ -81,8 +81,9 @@ def query(key: str, tier: str, oracle: str | None = None) -> Callable[[QueryFn],
 # newest driver row is round 3 — the oldest surviving evidence; (3) the
 # oldest r4-evidence keys, sorted, filling the ~50 budget.
 _CHECK_FIRST = (
-    # -- 0: new round-7 key -------------------------------------------------
+    # -- 0: new round-7 keys ------------------------------------------------
     "cdc_dsv2_added_tables",
+    "ext_multimodal_resize",
     # -- 1: implementation/source files changed this round -------------------
     "cdc_type_change_resnapshot",
     "cdc_newly_added_tables",

@@ -636,3 +636,43 @@ def test_envelope_min_pos_filter_sits_between_codec_and_window(spark, sf_dir):
         f"min_pos filter must sit between the json codec and the lag "
         f"windows (json@{i_json}, filter@{i_filt}, window@{i_win}):\n{plan[:800]}"
     )
+
+
+def test_resize_pipeline_is_map_only(spark, sf_dir):
+    """The resize op keeps the codec contract: decode -> NN resample ->
+    features is two MapInPandas stages, zero exchanges."""
+    df = Q["ext_multimodal_resize"].builder(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    plan = explain_str(df, "simple")
+    assert plan.count("MapInPandas") == 2
+
+
+def test_resize_nn_mapping_is_exact():
+    """The NN index map pins: src = (dst * src_dim) // dst_dim — resized
+    pixels are EXACT source pixels (no interpolation), the top-left corner
+    is always source (0,0), and the bottom-right corner maps to the floor
+    index, never past the edge."""
+    from flink_cdc_connectors_spark.queries.tier_c_ext5 import (
+        _RESIZE_H,
+        _RESIZE_W,
+        _bmp_codec,
+    )
+    import numpy as np
+    import pandas as pd
+
+    encode, parse = _bmp_codec()
+    pdf = pd.DataFrame({"doc_id": [5], "w": [11], "h": [10]})
+    blob = next(encode(iter([pdf])))["image"][0]
+    w, h, px = parse(blob)
+    assert (w, h) == (11, 10)
+    xs = (np.arange(_RESIZE_W) * w) // _RESIZE_W
+    ys = (np.arange(_RESIZE_H) * h) // _RESIZE_H
+    assert xs[0] == 0 and ys[0] == 0
+    assert xs[-1] < w and ys[-1] < h
+    small = px[ys][:, xs]
+    # every resized pixel equals the formula at its SOURCE coordinates
+    for yo in range(_RESIZE_H):
+        for xo in range(_RESIZE_W):
+            for c, off in ((0, 0), (1, 11), (2, 22)):
+                want = (5 * 7 + int(xs[xo]) * 3 + int(ys[yo]) * 5 + off) % 256
+                assert int(small[yo, xo, c]) == want

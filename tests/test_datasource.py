@@ -1076,3 +1076,72 @@ def test_dsv2_rate_limit_edge_configs(spark, tmp_path, mob, start_off, crash_aft
     )
     for _, ids in d1 + d2:
         assert max(ids) - min(ids) < mob or len(ids) == 1, "batch exceeded cap"
+
+
+def test_dsv2_crash_on_snapshot_batch_replays_chunks_exactly_once(spark, tmp_path):
+    """Crash BEFORE committing batch 0 — the batch that carries the
+    parallel chunk snapshot. The restart must replay the snapshot batch
+    IDENTICALLY (chunk plans are deterministic from the initial offset
+    document), emit each image exactly once overall, and the rate-limited
+    stream tail must still drain gap-free."""
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(crash_first):
+        delivered = []
+
+        def fb(df, bid):
+            rows = df.select("op", "user_id", "event_id").collect()
+            if rows:
+                delivered.append((bid, rows))
+            if crash_first and len(delivered) == 1:
+                raise RuntimeError("crash on the snapshot batch")
+
+        q = (
+            spark.readStream.format("cdc_binlog")
+            .option("path", EVENTS)
+            .option("numChunks", 3)
+            .option("snapshotFraction", 0.8)
+            .option("maxOffsetsPerBatch", 80)
+            .load()
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass
+        finally:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        return delivered
+
+    d1 = run(True)
+    assert len(d1) == 1, "must crash on the very first delivered batch"
+    d2 = run(False)
+    by_bid = {}
+    replays = 0
+    for bid, rows in d1 + d2:
+        key = sorted((r.event_id, r.op, r.user_id) for r in rows)
+        if bid in by_bid:
+            assert by_bid[bid] == key, f"snapshot batch {bid} replay differs"
+            replays += 1
+        by_bid[bid] = key
+    assert replays == 1, "exactly the pending snapshot batch must replay"
+    # convergence + exactly-once: the union materializes to the whole-log
+    # normalize (collapse to latest per key the same way the engine does)
+    import pandas as pd
+
+    flat = pd.DataFrame(
+        [(eid, op, uid) for rows in by_bid.values() for eid, op, uid in rows],
+        columns=["event_id", "op", "user_id"],
+    )
+    # raw tail rows (> snapshot hw 799) are unique and gap-free to 999
+    tail = sorted(flat[flat.event_id > 799].event_id)
+    assert tail == list(range(800, 1000))
+    # snapshot images appear exactly once per surviving key
+    img = flat[(flat.op == "insert") & (flat.event_id <= 799)]
+    assert img.user_id.is_unique, "a chunk image row was double-emitted"
+    assert len(img) > 0

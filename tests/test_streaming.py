@@ -389,3 +389,63 @@ def test_stream_dedup_minhash_suppresses_near_dups(spark, sf_dir, tmp_path):
     # (LSH recall over 3-gram shingle signatures is high, not exact)
     n_near_kept = sum(1 for i in kept_ids if i >= 10_000)
     assert n_near_kept <= n_in * 0.25, f"near-dups kept: {n_near_kept}/{n_in}"
+
+
+def test_multi_table_stream_routes_to_per_table_sinks(spark, sf_dir, tmp_path):
+    """The multi-table capture job's streaming shape: ONE changelog stream
+    carrying two tables fans out inside a single foreachBatch — parse,
+    route by (db, table), append each slice to its own sink (the
+    reference's one-job-many-tables deployment; TableDiscoveryUtils +
+    per-table deserializers). Routing must be lossless per micro-batch
+    and each sink must hold exactly its table's rows."""
+    import os as _os
+
+    from flink_cdc_connectors_spark.sources.envelope import (
+        events_to_debezium_json,
+        parse_debezium_json,
+        route_tables,
+    )
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    half = events.agg(F.max("event_id")).first()[0] // 2
+    raw = events_to_debezium_json(
+        events.filter(F.col("event_id") <= half), table="user_1"
+    ).unionByName(
+        events_to_debezium_json(events.filter(F.col("event_id") > half), table="user_2")
+    )
+    env_dir = str(tmp_path / "env")
+    _os.makedirs(env_dir)
+    # several input files -> several micro-batches (maxFilesPerTrigger)
+    raw.repartition(4).write.mode("overwrite").text(env_dir)
+    n_total = raw.count()
+
+    sink_root = str(tmp_path / "sinks")
+
+    def fan_out_batch(bdf, _bid):
+        parsed = parse_debezium_json(bdf.withColumnRenamed("value", "value"))
+        for (db, tbl), frame in route_tables(parsed).items():
+            frame.write.mode("append").parquet(f"{sink_root}/{db}.{tbl}")
+
+    q = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(env_dir)
+        .writeStream.foreachBatch(fan_out_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    t1 = spark.read.parquet(f"{sink_root}/app.user_1")
+    t2 = spark.read.parquet(f"{sink_root}/app.user_2")
+    # lossless fan-out across ALL micro-batches, each sink pure
+    assert t1.count() + t2.count() == n_total
+    assert t1.count() > 0 and t2.count() > 0
+    assert t1.agg(F.max("event_id")).first()[0] <= half
+    assert t2.agg(F.min("event_id")).first()[0] > half
+    ids = t1.select("event_id").unionByName(t2.select("event_id"))
+    assert ids.count() == ids.distinct().count(), "a row landed in two sinks"

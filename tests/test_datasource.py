@@ -1145,3 +1145,22 @@ def test_dsv2_crash_on_snapshot_batch_replays_chunks_exactly_once(spark, tmp_pat
     img = flat[(flat.op == "insert") & (flat.event_id <= 799)]
     assert img.user_id.is_unique, "a chunk image row was double-emitted"
     assert len(img) > 0
+
+
+def test_dsv2_chunk_count_degrades_gracefully():
+    """numChunks far beyond the key width must degrade to one chunk per
+    key, never empty/inverted chunks — the knob a 1000-executor
+    deployment turns up without re-checking the key space."""
+    from pyspark.sql.types import StructType
+
+    r = datasource.CdcBinlogStreamReader(
+        StructType([]), {"path": EVENTS, "numchunks": "1000"}
+    )
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    chunks = [p for p in parts if isinstance(p, datasource.ChunkPartition)]
+    assert 0 < len(chunks) <= r.key_hi - r.key_lo
+    assert all(c.key_hi > c.key_lo for c in chunks)
+    covered = sorted((c.key_lo, c.key_hi) for c in chunks)
+    assert covered[0][0] == r.key_lo and covered[-1][1] == r.key_hi
+    for a, b in zip(covered, covered[1:]):
+        assert a[1] == b[0], "chunk tiling must be gap-free and disjoint"

@@ -1619,58 +1619,66 @@ def cdc_dsv2_added_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(os.path.normpath(sf_dir)), f"added_{uuid.uuid4().hex[:8]}",
     )
     os.makedirs(scratch, exist_ok=True)
-    early_log = os.path.join(scratch, "early_events.parquet")
-    src_glob = (
-        os.path.join(src_path, "*.parquet") if os.path.isdir(src_path) else src_path
-    )
-    # the log-so-far: duck-written truncation (the DSv2 source reads its
-    # fixture through DuckDB, so the column types round-trip exactly)
-    duckdb.connect().execute(
-        f"COPY (SELECT * FROM '{src_glob}' WHERE event_id <= {cut}) "
-        f"TO '{early_log}' (FORMAT PARQUET)"
-    )
-    out, ckpt = os.path.join(scratch, "out"), os.path.join(scratch, "ckpt")
-
-    def drain(path: str, ranges: list[list[int]]) -> None:
-        import json
-
-        q = (
-            spark.readStream.format("cdc_binlog")
-            .option("path", path)
-            .option("numChunks", 2)
-            .option("snapshotFraction", 0.6)  # run 1 exercises a stream tail
-            .option("keyRanges", json.dumps(ranges))
-            .load()
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+    # scratch (sink + checkpoint + truncated log copy) is dropped in the
+    # finally: a drain timeout or mid-stream failure must not leave the
+    # tree behind to accumulate across retries (each run is a fresh uuid
+    # subdir, so leaks would never be reclaimed by a later success)
+    try:
+        early_log = os.path.join(scratch, "early_events.parquet")
+        src_glob = (
+            os.path.join(src_path, "*.parquet")
+            if os.path.isdir(src_path)
+            else src_path
         )
-        try:
-            if not q.awaitTermination(300):
-                raise TimeoutError(
-                    "cdc_dsv2_added_tables: drain exceeded 300s; refusing "
-                    "to materialize a partial sink"
-                )
-        finally:
-            q.stop()
+        # the log-so-far: duck-written truncation (the DSv2 source reads its
+        # fixture through DuckDB, so the column types round-trip exactly)
+        duckdb.connect().execute(
+            f"COPY (SELECT * FROM '{src_glob}' WHERE event_id <= {cut}) "
+            f"TO '{early_log}' (FORMAT PARQUET)"
+        )
+        out, ckpt = os.path.join(scratch, "out"), os.path.join(scratch, "ckpt")
 
-    drain(early_log, [[int(k_lo), mid]])          # run 1: half the tables
-    drain(src_path, [[int(k_lo), mid], [mid, k_hi]])  # run 2: widened regex
+        def drain(path: str, ranges: list[list[int]]) -> None:
+            import json
 
-    from flink_cdc_connectors_spark.operators.cdc import changelog_normalize
+            q = (
+                spark.readStream.format("cdc_binlog")
+                .option("path", path)
+                .option("numChunks", 2)
+                .option("snapshotFraction", 0.6)  # run 1 exercises a stream tail
+                .option("keyRanges", json.dumps(ranges))
+                .load()
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError(
+                        "cdc_dsv2_added_tables: drain exceeded 300s; refusing "
+                        "to materialize a partial sink"
+                    )
+            finally:
+                q.stop()
 
-    emitted = spark.read.parquet(out)
-    result = changelog_normalize(emitted).select(
-        "user_id",
-        F.round("value", 2).alias("value_r"),
-        F.col("event_id").alias("last_event_id"),
-        F.when(F.col("user_id") < mid, "initial")
-        .otherwise("added")
-        .alias("range_tag"),
-    )
-    rows = result.collect()  # eager: the scratch sink is dropped below
-    shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, result.schema)
+        drain(early_log, [[int(k_lo), mid]])          # run 1: half the tables
+        drain(src_path, [[int(k_lo), mid], [mid, k_hi]])  # run 2: widened regex
+
+        from flink_cdc_connectors_spark.operators.cdc import changelog_normalize
+
+        emitted = spark.read.parquet(out)
+        result = changelog_normalize(emitted).select(
+            "user_id",
+            F.round("value", 2).alias("value_r"),
+            F.col("event_id").alias("last_event_id"),
+            F.when(F.col("user_id") < mid, "initial")
+            .otherwise("added")
+            .alias("range_tag"),
+        )
+        rows = result.collect()  # eager: the scratch sink is dropped below
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

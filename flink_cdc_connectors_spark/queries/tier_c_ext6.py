@@ -73,7 +73,14 @@ def _shingle_hashes(docs: DataFrame, n: int = 8) -> DataFrame:
     corpus sf10 — the same string-assembly lever that flattened
     ext_dedup_minhash and ext_dedup_substring); the join key becomes 8
     bytes instead of a ~50-char string. Output changes only on a 64-bit
-    collision (P ~ 1e-9 at the 100x corpus)."""
+    collision (P ~ 1e-9 at the 100x corpus).
+
+    Pairs are deduplicated PER DOC map-side (``array_distinct`` over the
+    per-doc gram array, the same shape ``_shingles`` uses) before the
+    explode: a document repeating a contaminated 8-gram must not fan out
+    the broadcast-join output proportionally on the scale path — the
+    downstream ``.distinct()`` on doc_id keeps the contam set identical
+    either way, but only after paying the fan-out."""
     from flink_cdc_connectors_spark.queries.tier_c import _norm_col
 
     words = docs.select(
@@ -82,13 +89,15 @@ def _shingle_hashes(docs: DataFrame, n: int = 8) -> DataFrame:
     positions = F.when(
         F.size("w") >= n, F.sequence(F.lit(1), F.size("w") - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    staged = words.select(
-        "doc_id", "w", F.explode_outer(positions).alias("pos")
-    ).filter(F.col("pos").isNotNull())
-    gram = F.xxhash64(
-        *[F.element_at(F.col("w"), F.col("pos") + i) for i in range(n)]
+    grams = F.array_distinct(
+        F.transform(
+            positions,
+            lambda p: F.xxhash64(
+                *[F.element_at(F.col("w"), p + i) for i in range(n)]
+            ),
+        )
     )
-    return staged.select("doc_id", gram.alias("g"))
+    return words.select("doc_id", F.explode(grams).alias("g"))
 
 
 @query(

@@ -235,6 +235,20 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
             self.key_ranges: list[tuple[int, int]] | None = ranges
         else:
             self.key_ranges = None
+        # scan.newly-added-table.enabled gate (MySqlSourceOptions.java:
+        # 232-238): with the flag OFF, a restart whose configured keyRanges
+        # contain a range the checkpoint never captured does NOT backfill
+        # it — the reference only discovers newly regex-matched tables at
+        # restore when the flag is set; without it the new table stays
+        # uncaptured (its events are dropped at the emit filter, exactly
+        # like any other uncaptured table). Default true at the DSv2 layer
+        # (setting keyRanges here is already the explicit protocol opt-in);
+        # the DDL binding forwards the flag's actual value, so a CREATE
+        # TABLE without 'scan.newly-added-table.enabled' = 'true' matches
+        # reference behavior.
+        self.newly_added_enabled = (
+            str(options.get("newlyaddedtables", "true")).lower() == "true"
+        )
         # Offset-versioned schemas (FlinkDatabaseHistory / SnapshotSplit.
         # tableSchemas analog): every split decodes against the schema in
         # force at its offset; the query output is pinned to the LATEST
@@ -602,7 +616,15 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
                 added = []
             else:
                 cap_all = {(int(lo), int(hi)): int(hw) for lo, hi, hw in raw_cap}
-                added = [r for r in self.key_ranges if r not in cap_all]
+                # the flag gates DISCOVERY: with newlyAddedTables=false a
+                # configured-but-never-captured range is not backfilled and
+                # gets no emit entry — it stays an uncaptured table, as in
+                # the reference when scan.newly-added-table.enabled is off
+                added = (
+                    [r for r in self.key_ranges if r not in cap_all]
+                    if self.newly_added_enabled
+                    else []
+                )
                 # NARROWED config: a range removed from keyRanges stops
                 # emitting in the very first post-restart batch (the
                 # reference's table filter applies at deserialization —
@@ -827,7 +849,11 @@ class CdcBinlogDataSource(DataSource):
     protocol: the stream suspends at the restored position, the new
     ranges are snapshot there as chunk partitions, and the stream resumes
     with emit-filter entries covering them — MySqlSourceReader.java:
-    147-240, BinlogSplitUpdateRequestEvent, NewlyAddedTableITCase.java).
+    147-240, BinlogSplitUpdateRequestEvent, NewlyAddedTableITCase.java),
+    ``newlyAddedTables`` (default ``true``; set ``false`` to disable the
+    restart-time capture-set diff — a configured-but-never-captured range
+    is then left uncaptured instead of backfilled, the reference's
+    behavior when scan.newly-added-table.enabled is off).
 
     Known limit: Spark's Python streaming API does not implement
     ``Trigger.AvailableNow`` (the engine logs "does not support

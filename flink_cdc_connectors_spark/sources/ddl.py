@@ -550,9 +550,15 @@ def create_cdc_stream(
         reader = reader.option("maxOffsetsPerBatch", cfg.max_batch_size)
     if cfg.captured_key_ranges is not None:
         # the explicit capture set (one key range per "table"): offset
-        # documents then carry it, and a restart with a WIDER/narrower
-        # 'scan.captured.key-ranges' drives the newly-added/dropped-table
-        # protocols (scan.newly-added-table.enabled semantics,
-        # MySqlSourceOptions.java:232-238)
+        # documents then carry it, and a restart with a WIDER
+        # 'scan.captured.key-ranges' drives the newly-added-table backfill
+        # ONLY when 'scan.newly-added-table.enabled' = 'true' — the flag
+        # gates restart-time discovery exactly as in the reference
+        # (MySqlSourceOptions.java:232-238); with it unset/false a widened
+        # list leaves the new range uncaptured. Narrowing (a dropped range
+        # stops emitting) is the capture filter itself and is not gated.
         reader = reader.option("keyRanges", cfg.captured_key_ranges)
+        reader = reader.option(
+            "newlyAddedTables", "true" if cfg.scan_newly_added_table else "false"
+        )
     return reader.load()

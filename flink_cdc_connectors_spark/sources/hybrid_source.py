@@ -68,29 +68,40 @@ def rechunk_captured_runs(
     """Re-chunk a captured key set for a full re-snapshot: merge the
     (possibly overlapping/adjacent) captured ranges into contiguous runs,
     then split each run into chunks proportional to its key width (at
-    least one per run), ``n`` chunks total across the set.
+    least one per run) — EXACTLY ``min(max(n, number_of_runs),
+    total_key_width)`` chunks across the set (a run can never split finer
+    than one chunk per key, and every run contributes at least one chunk).
 
     The invariants the property tests pin: the union of the output chunks
     equals the union of the input ranges EXACTLY (re-chunking must never
     capture a key from a gap between disjoint runs — the silent-widening
-    bug of the round-6 convex-hull form — nor lose one), and the output
-    chunks are disjoint and sorted."""
+    bug of the round-6 convex-hull form — nor lose one), the output
+    chunks are disjoint and sorted, and the chunk COUNT is exactly the
+    formula above (per-run rounding must not over/undershoot the total —
+    quotas are settled by largest-deficit apportionment, not independent
+    round())."""
     runs: list[list[int]] = []
     for lo, hi in sorted(ranges):
         if runs and lo <= runs[-1][1]:
             runs[-1][1] = max(runs[-1][1], hi)
         else:
             runs.append([lo, hi])
-    span = sum(hi - lo for lo, hi in runs)
-    out: list[tuple[int, int]] = []
-    for lo, hi in runs:
-        k = max(1, round(n * (hi - lo) / span)) if span else 1
-        step = max((hi - lo + k - 1) // k, 1)
-        out.extend(
-            (lo + i * step, min(lo + (i + 1) * step, hi))
-            for i in range(k)
-            if lo + i * step < hi
+    widths = [hi - lo for lo, hi in runs]
+    span = sum(widths)
+    target = min(max(n, len(runs)), span)
+    ks = [1] * len(runs)
+    quota = [target * w / span for w in widths]
+    for _ in range(target - len(runs)):
+        # deterministic largest-deficit apportionment, capped at run width
+        i = max(
+            (i for i in range(len(runs)) if ks[i] < widths[i]),
+            key=lambda i: (quota[i] - ks[i], widths[i], -i),
         )
+        ks[i] += 1
+    out: list[tuple[int, int]] = []
+    for (lo, hi), w, k in zip(runs, widths, ks):
+        bounds = [lo + w * i // k for i in range(k)] + [hi]
+        out.extend((bounds[i], bounds[i + 1]) for i in range(k))
     return out
 
 

@@ -1164,3 +1164,47 @@ def test_dsv2_chunk_count_degrades_gracefully():
     assert covered[0][0] == r.key_lo and covered[-1][1] == r.key_hi
     for a, b in zip(covered, covered[1:]):
         assert a[1] == b[0], "chunk tiling must be gap-free and disjoint"
+
+
+def test_dsv2_newly_added_tables_flag_gates_restart_backfill():
+    """scan.newly-added-table.enabled analog at the DSv2 layer: with
+    ``newlyAddedTables=false`` the restart-time capture-set diff plans NO
+    backfill for a configured-but-never-captured range, and the emit plan
+    covers only the checkpointed capture set — the new range stays an
+    uncaptured table, the reference's behavior when the flag is off
+    (MySqlSourceOptions.java:232-238). Default (option absent) keeps the
+    protocol on: the same documents DO backfill."""
+    from pyspark.sql.types import StructType
+
+    opts = {
+        "path": EVENTS,
+        "keyranges": "[[0, 8], [8, 100]]",
+        "startupmode": "specific-offset",
+        "startupoffset": "500",
+    }
+    start = {
+        "v": 3, "phase": "stream", "hw": 500, "off": 600, "dlv": 600,
+        "cap": [[0, 8, 500]],
+    }
+    end = {
+        "v": 3, "phase": "stream", "hw": 500, "off": 800, "dlv": 600,
+        "cap": [[0, 8, 500]],
+    }
+    gated = datasource.CdcBinlogStreamReader(
+        StructType([]), {**opts, "newlyaddedtables": "false"}
+    )
+    parts = gated.partitions(dict(start), dict(end))
+    assert [p for p in parts if isinstance(p, datasource.ChunkPartition)] == [], (
+        "flag off: the never-captured range must not be backfilled"
+    )
+    streams = [p for p in parts if isinstance(p, datasource.StreamPartition)]
+    assert streams and {(lo, hi) for lo, hi, _ in streams[0].chunk_hws} == {
+        (0, 8)
+    }, "flag off: emit entries must cover only the checkpointed capture set"
+
+    default = datasource.CdcBinlogStreamReader(StructType([]), dict(opts))
+    parts2 = default.partitions(dict(start), dict(end))
+    chunks2 = [p for p in parts2 if isinstance(p, datasource.ChunkPartition)]
+    assert chunks2 and all(8 <= c.key_lo and c.key_hi <= 100 for c in chunks2), (
+        "default keeps the protocol on: the added range backfills"
+    )

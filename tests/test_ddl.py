@@ -546,6 +546,49 @@ def test_ddl_captured_key_ranges_drive_added_table_restart(spark, sf_dir, tmp_pa
     assert per_event.count() == per_event.distinct().count()
 
 
+def test_ddl_added_table_restart_requires_the_flag(spark, sf_dir, tmp_path):
+    """With 'scan.newly-added-table.enabled' UNSET, restarting the same
+    checkpoint with a wider 'scan.captured.key-ranges' must NOT backfill
+    the new range — the flag gates restart-time discovery exactly as in
+    the reference (MySqlSourceOptions.java:232-238); the widened range
+    stays an uncaptured table and its events are dropped."""
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    k_hi = e.agg(F.max("user_id")).first()[0] + 1
+    mid = k_hi // 2
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain(ranges_json):
+        ddl = f"""
+        CREATE TABLE ev_stream (event_id BIGINT, user_id BIGINT, value DOUBLE)
+        WITH ('connector' = 'mysql-cdc', 'hostname' = 'mysql',
+              'username' = 'cdc', 'password' = 'pw',
+              'database-name' = 'app', 'table-name' = 'events',
+              'scan.captured.key-ranges' = '{ranges_json}')
+        """
+        q = (
+            create_cdc_stream(spark, ddl, sf_dir)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain(f"[[0, {mid}]]")
+    assert spark.read.parquet(out).count() > 0
+    drain(f"[[0, {mid}], [{mid}, {k_hi}]]")  # widened, but flag unset
+    emitted = spark.read.parquet(out)
+    assert emitted.filter(F.col("user_id") >= mid).count() == 0, (
+        "flag unset: the widened range must stay uncaptured"
+    )
+    per_event = emitted.filter(F.col("op") != "insert").select("event_id")
+    assert per_event.count() == per_event.distinct().count()
+
+
 def test_ddl_rejects_malformed_key_ranges():
     """Factory-time validation: overlapping or inverted capture ranges
     fail at CREATE TABLE, not inside the stream thread."""

@@ -655,6 +655,15 @@ def test_rechunk_captured_runs_preserves_the_key_set(ranges_raw, n):
     assert all(hi > lo for lo, hi in chunks)
     for a, b in zip(chunks, chunks[1:]):
         assert a[1] <= b[0], f"chunks overlap or unsorted: {a} {b}"
+    # exact-count contract: min(max(n, #runs), total key width) — per-run
+    # rounding must not over/undershoot the requested parallelism
+    merged: list[list[int]] = []
+    for lo, hi in sorted(ranges):
+        if merged and lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    assert len(chunks) == min(max(n, len(merged)), len(want))
 
 
 @given(

@@ -73,70 +73,71 @@ def query(key: str, tier: str, oracle: str | None = None) -> Callable[[QueryFn],
 # instead, the ordering is a no-op.  Everything not listed follows in
 # sorted order.
 #
-# Round-7 set (VERDICT r6 "Next round" #2): (0) the new round-7 key (no
-# driver row can exist yet); (1) keys whose implementation changed this
-# round — the schema_epoch tie-break in changelog_normalize + the DSv2
-# offset v3 / keyRanges work touch the source files these keys execute,
-# so fresh rows are the only current evidence; (2) the 13 keys whose
-# newest driver row is round 3 — the oldest surviving evidence; (3) the
-# oldest r4-evidence keys, sorted, filling the ~50 budget.
+# Round-8 set (VERDICT r7 "Next round" #1): (0) keys whose source files
+# round 8 touches — the newly-added-table flag gate (datasource.py /
+# ddl.py), the exact-count rechunk (hybrid_source.py), the deduped
+# shingle hashes (tier_c_ext6.py), and the scratch-cleanup path
+# (tier_a_ext2.py) — fresh rows are the only current evidence for these;
+# (1) the 17 keys whose newest driver row is round 4, the oldest
+# surviving evidence (joins, scalars, scan/set, multimodal image/video,
+# simhash); (2) r5-evidence keys, prioritizing the two round-8 perf
+# targets (cdc_schema_evolution regression re-anchor,
+# cdc_changelog_mode_upsert ladder re-probe), filling the ~50 budget.
 _CHECK_FIRST = (
-    # -- 0: new round-7 keys ------------------------------------------------
+    # -- 0: implementation/source files changed this round -------------------
     "cdc_dsv2_added_tables",
-    "ext_multimodal_resize",
-    # -- 1: implementation/source files changed this round -------------------
+    "cdc_dsv2_stream",
     "cdc_type_change_resnapshot",
     "cdc_newly_added_tables",
-    "cdc_dsv2_stream",
+    "cdc_sql_ddl_source",
+    "cdc_sql_ddl_join",
     "cdc_stream_dedup_index",
-    "cdc_metadata_columns",
     "ext_curation_pipeline",
-    # -- 2: the 13 keys whose newest driver row is round 3 -------------------
-    "join_skew_salted",
-    "map_ops",
-    "pivot_agg",
-    "set_except",
-    "set_ops_bag",
-    "stream_dedup_keep_first",
-    "stream_topn_changelog",
-    "stream_window_join",
-    "subquery_in_correlated",
-    "subquery_not_in",
-    "subquery_scalar",
-    "window_first_last",
-    "window_ntile_dist",
-    # -- 3: oldest (r4) evidence, sorted, to the ~50 budget -------------------
-    "agg_distinct",
-    "agg_global",
-    "agg_groupby",
-    "agg_having",
-    "agg_rollup",
-    "array_ops",
-    "cdc_changelog_normalize",
-    "cdc_chunk_key_column",
-    "cdc_chunk_reconcile",
-    "cdc_chunk_split_even",
-    "cdc_chunk_split_uneven",
-    "cdc_chunk_split_vector",
-    "cdc_dedup_exact",
-    "cdc_deserialize_envelope",
-    "cdc_offset_filter",
-    "cdc_snapshot_scan",
-    "cdc_spatial_decode",
-    "cdc_startup_modes",
-    "cdc_table_discovery",
-    "ext_dedup_exact_text",
-    "ext_dedup_incremental",
-    "ext_dedup_ngram_jaccard",
-    "ext_fingerprint",
-    "ext_lang_id",
-    "ext_multimodal_decode",
-    "ext_quality_score",
-    "ext_text_stats",
-    "ext_token_count",
-    "filter_pred",
+    # -- 1: the 17 keys whose newest driver row is round 4 -------------------
+    "ext_dedup_simhash",
+    "ext_multimodal_image",
+    "ext_multimodal_video",
+    "join_broadcast",
+    "join_full_outer",
+    "join_inner",
+    "join_left_multi",
+    "join_range",
+    "join_semi",
     "scalar_conditional",
-    # -- r4/r5 greens follow in sorted order; rows-only keys at the tail --
+    "scalar_date",
+    "scalar_json",
+    "scalar_math",
+    "scalar_string",
+    "scalar_typecast",
+    "scan_project",
+    "set_distinct_union",
+    # -- 2: oldest (r5) evidence, round-8 perf targets first, to ~50 ---------
+    "cdc_schema_evolution",
+    "cdc_changelog_mode_upsert",
+    "agg_approx_percentile",
+    "agg_arg_extremes",
+    "agg_cube",
+    "agg_filter_where",
+    "agg_grouping_sets",
+    "agg_skew_salted",
+    "cdc_chunk_split_region",
+    "cdc_chunk_split_sampled",
+    "cdc_decimal_handling",
+    "cdc_envelope_retract_agg",
+    "cdc_format_roundtrip",
+    "cdc_heartbeat",
+    "cdc_mongo_copy_existing",
+    "cdc_mongo_update_lookup",
+    "cdc_multi_table_route",
+    "cdc_pgoutput_relation",
+    "cdc_server_timezone",
+    "cdc_tikv_two_phase",
+    "cdc_txn_metadata",
+    "join_colocated_bucketed",
+    "join_interval",
+    "join_temporal_asof",
+    "pattern_funnel",
+    # -- r5+ greens follow in sorted order; rows-only keys at the tail --
 )
 
 

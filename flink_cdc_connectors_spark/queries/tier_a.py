@@ -1195,14 +1195,23 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     side channel (CREATE TABLE, then ADD COLUMN props mid-log) replays
     into the offset-versioned SchemaHistory (FlinkDatabaseHistory /
     SnapshotSplit.tableSchemas analog, sources/schema_history.py); the
-    SAME Debezium JSON stream is then decoded RANGE-BY-RANGE against the
-    schema current at each offset — pre-DDL events parse with the v1
-    two-column schema (the JSON's extra field is invisible to it, exactly
-    as a pre-DDL binlog row has no such field), post-DDL events with v2 —
-    and the v1 rows conform to the query's pinned latest schema with typed
-    NULLs. Output: every decoded changelog row; deletes carry the
-    before-image (upsert decode), so the oracle replays the same per-key
-    lag state machine."""
+    SAME Debezium JSON stream is then decoded ONCE against the LATEST
+    schema and conformed range-by-range: columns the history says did not
+    exist at a row's offset become typed NULLs there (for additive DDL,
+    the reference's per-range decode and this conforming projection are
+    value-identical — a v1 decode simply cannot see the extra JSON field).
+    Output: every decoded changelog row; deletes carry the before-image
+    (upsert decode), so the oracle replays the same per-key lag state
+    machine.
+
+    Scale: ONE pass — one lag-window shuffle, one to_json codec, one
+    from_json parse. The previous two-branch form (filter the raw JSON on
+    $.source.pos, decode each range with its own schema) recomputed the
+    whole window+codec lineage per branch and paid a JSON-path extraction
+    per row per branch; the conforming mask costs one comparison against
+    the parsed-native event_id. Type-changing DDL cannot be conformed by
+    masking and takes the re-snapshot path instead
+    (cdc_type_change_resnapshot)."""
     from flink_cdc_connectors_spark.sources.schema_history import SchemaHistory
 
     split = _split_offset(spark, sf_dir)
@@ -1216,13 +1225,13 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v1 = hist.schema_at("app", "events", split)
     v2 = hist.schema_at("app", "events", 1 << 62)
+    added = [f.name for f in v2.fields if f.name not in {g.name for g in v1.fields}]
 
-    pos = F.get_json_object("value", "$.source.pos").cast("long")
-    pre = parse_debezium_json(raw.filter(pos <= split), payload_schema=v1)
-    post = parse_debezium_json(raw.filter(pos > split), payload_schema=v2)
-    # conform v1 rows to the pinned latest schema: absent column -> typed NULL
-    pre = pre.withColumn("props", F.lit(None).cast("string"))
-    out = pre.select(*post.columns).unionByName(post)
+    out = parse_debezium_json(raw, payload_schema=v2)
+    # conform pre-DDL rows to the pinned latest schema: a column added at
+    # split+1 is a typed NULL for every row at or below split
+    for c in added:
+        out = out.withColumn(c, F.when(F.col("event_id") > split, F.col(c)))
     return out.select(
         "event_id",
         "op",

@@ -729,3 +729,94 @@ def test_dsv2_capture_diff_backfills_exactly_the_added_set(
     # captured-but-no-longer-configured ranges are dropped (narrowing);
     # configured ranges (old + newly added) are all present
     assert emit_keys == want_emit
+
+
+_HYBRID_CACHE: dict[str, object] = {}
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=9), min_size=1, max_size=3),
+    st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("add"),
+                st.integers(min_value=0, max_value=9),
+                st.integers(min_value=1, max_value=4),
+            ),
+            st.tuples(st.just("resnap"), st.integers(min_value=1, max_value=12)),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hybrid_capture_set_invariant_under_add_and_resnapshot(
+    spark, init_slots, ops
+):
+    """Property over random add_key_range / resnapshot SEQUENCES (the
+    driver-ADVICE near-miss the round-7 contiguous-runs fix closed): at
+    every step the source's captured key set is EXACTLY the initial
+    ranges plus the ranges added so far — a re-snapshot neither widens
+    the capture into a gap between disjoint runs (the convex-hull bug)
+    nor loses a key — the chunk metadata stays disjoint, and the
+    re-chunk emits exactly its contracted chunk count."""
+    from flink_cdc_connectors_spark.sources.hybrid_source import (
+        ChunkState,
+        HybridCdcSource,
+        HybridSourceState,
+    )
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    src = _HYBRID_CACHE.get("src")
+    if src is None:
+        src = HybridCdcSource(
+            spark, load_table(spark, "/root/testdata/sf0.001", "events")
+        )
+        _HYBRID_CACHE["src"] = src
+
+    slot = lambda i: (i * 10, i * 10 + 10)  # noqa: E731
+    mid = src.max_offset // 2
+    used = set(init_slots)
+    src.state = HybridSourceState(
+        phase="stream",
+        chunks=[
+            ChunkState(lo=lo, hi=hi, hw=mid, done=True)
+            for lo, hi in sorted(slot(i) for i in init_slots)
+        ],
+        stream_offset=mid,
+    )
+
+    def captured() -> set[int]:
+        return {k for c in src.state.chunks for k in range(c.lo, c.hi)}
+
+    def expected() -> set[int]:
+        return {k for i in used for k in range(*slot(i))}
+
+    for op in ops:
+        if op[0] == "add":
+            _, s, k = op
+            if s in used:  # the protocol only ever adds NEW tables
+                continue
+            lo, hi = slot(s)
+            src.add_key_range(lo, hi, num_chunks=k)  # batches stay lazy
+            used.add(s)
+        else:
+            _, n = op
+            src.resnapshot(num_chunks=n)
+            # exact re-chunk count: min(max(n, #contiguous runs), width)
+            runs: list[list[int]] = []
+            for lo, hi in sorted(slot(i) for i in used):
+                if runs and lo <= runs[-1][1]:
+                    runs[-1][1] = max(runs[-1][1], hi)
+                else:
+                    runs.append([lo, hi])
+            want_n = min(max(n, len(runs)), 10 * len(used))
+            assert len(src.state.chunks) == want_n
+        assert captured() == expected(), f"capture set drifted after {op}"
+        spans = sorted((c.lo, c.hi) for c in src.state.chunks)
+        for a, b in zip(spans, spans[1:]):
+            assert a[1] <= b[0], f"overlapping chunk metadata after {op}"

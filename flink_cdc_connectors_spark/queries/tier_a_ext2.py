@@ -1155,30 +1155,26 @@ def cdc_mongo_update_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Postgres changelog-mode (all vs upsert) + REPLICA IDENTITY before-images
 # ---------------------------------------------------------------------------
 
-_CLM_SCHEMA = T.StructType(
+# Consumer-pruned decode schemas (full wire: the retract aggregate reads
+# op + both cents; default wire: the upsert/reject consumers add the key,
+# offset pair, and the before-null probe). The wire itself also carries
+# key.user_id / before.user_id on the full side — the pruned from_json
+# never parses them, the same shape OptimizeJsonExprs would reach.
+_CLM_FULL_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("before", T.StructType([T.StructField("cents", T.LongType())])),
+        T.StructField("after", T.StructType([T.StructField("cents", T.LongType())])),
+    ]
+)
+_CLM_DEF_SCHEMA = T.StructType(
     [
         T.StructField("op", T.StringType()),
         T.StructField("ms", T.LongType()),
         T.StructField("eid", T.LongType()),
         T.StructField("key", T.StructType([T.StructField("user_id", T.LongType())])),
-        T.StructField(
-            "before",
-            T.StructType(
-                [
-                    T.StructField("user_id", T.LongType()),
-                    T.StructField("cents", T.LongType()),
-                ]
-            ),
-        ),
-        T.StructField(
-            "after",
-            T.StructType(
-                [
-                    T.StructField("user_id", T.LongType()),
-                    T.StructField("cents", T.LongType()),
-                ]
-            ),
-        ),
+        T.StructField("before", T.StructType([T.StructField("cents", T.LongType())])),
+        T.StructField("after", T.StructType([T.StructField("cents", T.LongType())])),
     ]
 )
 
@@ -1261,20 +1257,23 @@ def cdc_changelog_mode_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     - all-mode on the DEFAULT wire is NOT decodable: n_reject counts the
       updates whose null before the validator would throw on.
 
-    Scale: the decode is ``parse_json`` -> typed ``try_variant_get`` —
-    Spark's VARIANT JSON path (binary-encoded parse, field access without
-    re-lexing), measured 3.5x the equivalent ``from_json`` Jackson pass at
-    the 10M-row ladder point; a missing ``$.before`` surfaces as SQL NULL
-    exactly like the struct decode it replaces. The FULL/all path is ONE
-    exploded-contribution hash aggregate (map-side combinable, no window,
-    no state); the upsert path materializes latest-per-key with a
-    ``max_by`` partial aggregate — the shuffle carries one combined row
-    per key (~150k at the ladder point), not the whole changelog (10M) the
-    previous row_number window sorted; the final join stitches three
-    ≤{_CLM_GROUPS}-row aggregates. The flat checkpoint pins the decode so
-    the four aggregate consumers (separate subtrees of one join plan —
-    Catalyst does not CSE across joins) read it once instead of
-    recomputing the window+codec lineage ~4x."""
+    Scale: the decode is one ``from_json`` per wire with an EXPLICITLY
+    PRUNED schema — only the fields a consumer reads (the same shape
+    Catalyst's OptimizeJsonExprs would prune to; stating it in the
+    schema keeps the plan audit readable and survives pruning-rule
+    changes). An A/B/C at the 10M-row ladder point put pruned Jackson at
+    4.95 s vs 5.6 s staged-VARIANT and 6.8 s inline-VARIANT — per-field
+    variant gets lose to one pruned Jackson pass at this extraction
+    width. The FULL/all path is ONE exploded-contribution hash aggregate
+    (map-side combinable, no window, no state); the upsert path
+    materializes latest-per-key with a ``max_by`` partial aggregate —
+    the shuffle carries one combined row per key (~150k at the ladder
+    point), not the whole changelog (10M) the previous row_number window
+    sorted; the final join stitches three ≤{_CLM_GROUPS}-row aggregates.
+    The flat checkpoint pins the decode so the four aggregate consumers
+    (separate subtrees of one join plan — Catalyst does not CSE across
+    joins) read it once instead of recomputing the window+codec lineage
+    ~4x."""
     logged = _logged(spark, sf_dir)
     base = logged.select(
         "user_id",
@@ -1319,22 +1318,24 @@ def cdc_changelog_mode_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (adds, retracts, upsert, reject) are separate subtrees of one join
     # plan and Catalyst does not CSE across joins — without the checkpoint
     # the _logged window + double codec ran ~4x (measured 3.3 s -> ~1.4 s
-    # at sf0.1). Decode per wire = parse_json once, typed try_variant_get
-    # per consumed field.
-    vf, vd = F.parse_json("w_full"), F.parse_json("w_default")
-    get = lambda v, path, t: F.try_variant_get(v, path, t)  # noqa: E731
-    parsed = wire.select(
-        get(vf, "$.op", "string").alias("f_op"),
-        get(vf, "$.before.cents", "long").alias("f_before_cents"),
-        get(vf, "$.after.cents", "long").alias("f_after_cents"),
-        get(vd, "$.op", "string").alias("d_op"),
-        get(vd, "$.ms", "long").alias("d_ms"),
-        get(vd, "$.eid", "long").alias("d_eid"),
-        get(vd, "$.key.user_id", "long").alias("d_user_id"),
+    # at sf0.1). Decode per wire = one from_json with the consumer-pruned
+    # schema (see the docstring's A/B/C numbers).
+    decoded = wire.select(
+        F.from_json("w_full", _CLM_FULL_SCHEMA).alias("rf"),
+        F.from_json("w_default", _CLM_DEF_SCHEMA).alias("rd"),
+    )
+    parsed = decoded.select(
+        F.col("rf.op").alias("f_op"),
+        F.col("rf.before.cents").alias("f_before_cents"),
+        F.col("rf.after.cents").alias("f_after_cents"),
+        F.col("rd.op").alias("d_op"),
+        F.col("rd.ms").alias("d_ms"),
+        F.col("rd.eid").alias("d_eid"),
+        F.col("rd.key.user_id").alias("d_user_id"),
         # update.before is OMITTED on the DEFAULT wire (identity not FULL)
-        # -> missing path decodes to SQL NULL, as the struct decode did
-        get(vd, "$.before", "variant").isNull().alias("d_before_missing"),
-        get(vd, "$.after.cents", "long").alias("d_after_cents"),
+        # -> the struct decodes to NULL, exactly the validator's probe
+        F.col("rd.before").isNull().alias("d_before_missing"),
+        F.col("rd.after.cents").alias("d_after_cents"),
     ).localCheckpoint(eager=True)
 
     grp_of = lambda c: F.abs(F.coalesce(c, F.lit(-1))) % _CLM_GROUPS  # noqa: E731

@@ -318,11 +318,94 @@ def route_tables(envelope_rows: DataFrame) -> dict[tuple[str, str], DataFrame]:
     }
 
 
+# Payload field types the VARIANT decode engine handles: atomic types
+# whose `try_variant_get` cast is value-identical to the Jackson struct
+# decode (A/B-pinned by tests/test_formats.py). Decimals, timestamps and
+# nested payload types are rejected — their JSON-number/string coercion
+# rules differ between the two decoders in corner cases.
+#
+# MEASURED VERDICT (sf10 = 10M rows, pinned wire, min-of-2): the Jackson
+# ``from_json`` decode of the full envelope runs 4.1-5.1 s; the VARIANT
+# path (one try_parse_json + 13 typed gets + 2 null guards) runs
+# 8.2-9.5 s — per-get traversal cost exceeds one Jackson pass once the
+# extraction is this wide, and Catalyst's OptimizeJsonExprs already
+# prunes the from_json schema to the consumed fields, so narrow
+# consumers get the narrow parse WITHOUT switching decoders. VARIANT
+# only led in a 3-field microbench against an UNPRUNED full-schema
+# from_json (whole-struct select defeats pruning) — a measurement
+# artifact, not a win. Hence engine='auto' resolves to Jackson; the
+# variant engine stays available explicitly, value-identical by the
+# A/B pin, for narrow-extraction experiments.
+_VARIANT_SAFE_TYPES = (
+    T.StringType,
+    T.BooleanType,
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+)
+
+
+def _variant_safe(payload_schema: T.StructType) -> bool:
+    return all(isinstance(f.dataType, _VARIANT_SAFE_TYPES) for f in payload_schema.fields)
+
+
+def _variant_envelope(v: Column, payload_schema: T.StructType) -> Column:
+    """The envelope struct via Spark's VARIANT JSON path: typed
+    ``try_variant_get`` per consumed field over an ALREADY-PARSED variant
+    column — no Jackson re-lexing per field. ``v`` MUST be a materialized
+    variant column (a previous projection's ``try_parse_json`` output),
+    not an inline ``try_parse_json(...)`` expression: the payload gets
+    sit under ``when`` guards, which excludes them from whole-stage
+    subexpression elimination, so an inline parse would re-parse the
+    record once PER GET (a further ~20% on top of the staged form; with
+    the parse in its own projection — which CollapseProject keeps
+    separate because the expression is non-cheap and multiply referenced
+    — the gets are binary traversals). Even staged, this path measured
+    SLOWER than the pruned Jackson decode at every width tried (see
+    _VARIANT_SAFE_TYPES) — it exists as an explicitly-selected engine,
+    not the default.
+    Output is shaped exactly like ``from_json(make_envelope_schema(...))``:
+    a missing or JSON-null ``before``/``after`` is a NULL struct (not a
+    struct of NULLs), so downstream ``isNull`` probes behave identically."""
+
+    def payload(path: str) -> Column:
+        node = F.try_variant_get(v, path, "variant")
+        gets = F.struct(
+            *[
+                F.try_variant_get(
+                    v, f"{path}.{f.name}", f.dataType.simpleString()
+                ).alias(f.name)
+                for f in payload_schema.fields
+            ]
+        )
+        return F.when(node.isNotNull() & ~F.is_variant_null(node), gets)
+
+    source = F.struct(
+        *[
+            F.try_variant_get(
+                v, f"$.source.{f.name}", f.dataType.simpleString()
+            ).alias(f.name)
+            for f in _SOURCE_SCHEMA.fields
+        ]
+    )
+    return F.struct(
+        payload("$.before").alias("before"),
+        payload("$.after").alias("after"),
+        source.alias("source"),
+        F.try_variant_get(v, "$.op", "string").alias("op"),
+        F.try_variant_get(v, "$.ts_ms", "long").alias("ts_ms"),
+    )
+
+
 def parse_debezium_json(
     raw: DataFrame,
     value_col: str = "value",
     mode: str = "upsert",
     payload_schema: T.StructType = EVENT_PAYLOAD_SCHEMA,
+    engine: str = "auto",
 ) -> DataFrame:
     """Debezium JSON -> typed changelog rows (the deserializer).
 
@@ -337,14 +420,41 @@ def parse_debezium_json(
     -U row from ``before``, with a ``row_kind`` column ('+I','-U','+U',
     '-D'). Reference: RowDataDebeziumDeserializeSchema.java:118-158;
     DebeziumChangelogMode.java.
+
+    ``engine``: ``'auto'`` (default) resolves to the Jackson
+    ``from_json`` — measured FASTER than the VARIANT path at every
+    extraction width on this build, because Catalyst prunes the
+    from_json schema to the consumed fields while per-field variant
+    gets pay a traversal each (numbers in the _VARIANT_SAFE_TYPES
+    comment). ``'variant'`` forces the ``_variant_envelope`` path
+    (flat atomic payloads only; raises otherwise) — kept for
+    narrow-extraction experiments, A/B-pinned value-identical to
+    Jackson on the fixture wires; ``'jackson'`` forces from_json.
     """
     if mode not in ("upsert", "all"):
         raise ValueError(f"mode must be 'upsert' or 'all', got {mode!r}")
+    if engine not in ("auto", "jackson", "variant"):
+        raise ValueError(f"engine must be auto/jackson/variant, got {engine!r}")
     overlap = set(f.name for f in payload_schema.fields) & set(METADATA_COLUMNS)
     if overlap:
         raise ValueError(f"payload fields collide with metadata columns: {sorted(overlap)}")
-    parsed = raw.select(
-        F.from_json(F.col(value_col), make_envelope_schema(payload_schema)).alias("e")
+    if engine == "variant" and not _variant_safe(payload_schema):
+        raise ValueError(
+            "engine='variant' supports flat atomic payload schemas only; "
+            "use engine='auto' to fall back to from_json"
+        )
+    use_variant = engine == "variant"
+    if use_variant:
+        # the parse lives in its OWN projection (see _variant_envelope:
+        # CollapseProject keeps it separate, so the record parses once
+        # and the typed gets traverse the materialized variant binary)
+        staged = raw.select(F.try_parse_json(F.col(value_col)).alias("__v"))
+        e = _variant_envelope(F.col("__v"), payload_schema)
+    else:
+        staged = raw
+        e = F.from_json(F.col(value_col), make_envelope_schema(payload_schema))
+    parsed = staged.select(
+        e.alias("e")
         # Heartbeats advance offsets but are never emitted as data rows
         # (RecordUtils.isHeartbeatEvent -> update split state, no emit);
         # track them via committed_offset() on the RAW stream.

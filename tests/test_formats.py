@@ -203,3 +203,49 @@ def test_charset_wire_bytes_are_valid_utf8_json(spark):
         doc = _json.loads(r["value"].encode("utf-8").decode("utf-8"))
         payload = doc["after"] or doc["before"]
         assert payload["props"] in CHARSET_PROPS
+
+
+def test_debezium_decode_engines_are_value_identical(spark, sf_dir):
+    """The VARIANT decode path must be indistinguishable from the Jackson
+    from_json path on the fixture wires — every row, both changelog
+    modes, heartbeats included (the auto engine picks VARIANT for flat
+    atomic payloads, so any divergence would silently change the whole
+    envelope family)."""
+    from flink_cdc_connectors_spark.sources.envelope import (
+        events_to_debezium_json,
+        heartbeat_envelopes,
+        parse_debezium_json,
+    )
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    raw = events_to_debezium_json(e).unionByName(heartbeat_envelopes(e, 3_600_000))
+    for mode in ("upsert", "all"):
+        a = parse_debezium_json(raw, mode=mode, engine="jackson")
+        b = parse_debezium_json(raw, mode=mode, engine="variant")
+        assert a.schema == b.schema
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_debezium_variant_engine_rejects_unsafe_payloads():
+    """engine='variant' must refuse payload schemas outside the pinned
+    atomic-safe set (decimal coercion differs between the decoders);
+    engine='auto' silently takes the Jackson path for them instead."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from flink_cdc_connectors_spark.sources.envelope import _variant_safe
+
+    dec = T.StructType([T.StructField("d", T.DecimalType(10, 2))])
+    assert not _variant_safe(dec)
+    nested = T.StructType(
+        [T.StructField("m", T.StructType([T.StructField("x", T.LongType())]))]
+    )
+    assert not _variant_safe(nested)
+    from flink_cdc_connectors_spark.sources.envelope import parse_debezium_json
+
+    class _FakeDF:  # never reached: validation precedes any plan building
+        pass
+
+    with _pytest.raises(ValueError, match="variant"):
+        parse_debezium_json(_FakeDF(), payload_schema=dec, engine="variant")

@@ -1208,3 +1208,49 @@ def test_dsv2_newly_added_tables_flag_gates_restart_backfill():
     assert chunks2 and all(8 <= c.key_lo and c.key_hi <= 100 for c in chunks2), (
         "default keeps the protocol on: the added range backfills"
     )
+
+
+def test_dsv2_capture_set_swap_at_restart():
+    """A restart that SWAPS one captured range for another (narrow + add
+    in the same diff — the regex changed, not just widened): the dropped
+    range stops emitting in the first post-restart batch, the new range
+    backfills at suspend; with newlyAddedTables=false the swap degrades
+    to pure narrowing (no backfill, emit covers only the intersection)."""
+    from pyspark.sql.types import StructType
+
+    opts = {
+        "path": EVENTS,
+        "keyranges": "[[8, 100]]",  # configured: B only (A=[0,8) dropped)
+        "startupmode": "specific-offset",
+        "startupoffset": "500",
+    }
+    start = {
+        "v": 3, "phase": "stream", "hw": 500, "off": 600, "dlv": 600,
+        "cap": [[0, 8, 500]],  # checkpoint captured: A only
+    }
+    end = {
+        "v": 3, "phase": "stream", "hw": 500, "off": 800, "dlv": 600,
+        "cap": [[0, 8, 500]],
+    }
+    r = datasource.CdcBinlogStreamReader(StructType([]), dict(opts))
+    parts = r.partitions(dict(start), dict(end))
+    chunks = [p for p in parts if isinstance(p, datasource.ChunkPartition)]
+    assert chunks and all(8 <= c.key_lo and c.key_hi <= 100 for c in chunks), (
+        "the added range must backfill"
+    )
+    assert all(c.hw == 600 for c in chunks), "backfill snapshots at suspend"
+    streams = [p for p in parts if isinstance(p, datasource.StreamPartition)]
+    emit = {(lo, hi) for lo, hi, _ in streams[0].chunk_hws}
+    assert emit == {(8, 100)}, (
+        "the dropped range must vanish from the emit plan in the SAME batch"
+    )
+
+    gated = datasource.CdcBinlogStreamReader(
+        StructType([]), {**opts, "newlyaddedtables": "false"}
+    )
+    parts2 = gated.partitions(dict(start), dict(end))
+    assert [p for p in parts2 if isinstance(p, datasource.ChunkPartition)] == []
+    streams2 = [p for p in parts2 if isinstance(p, datasource.StreamPartition)]
+    assert streams2 and {(lo, hi) for lo, hi, _ in streams2[0].chunk_hws} == set(), (
+        "flag off: a pure swap leaves nothing captured — emit plan empty"
+    )

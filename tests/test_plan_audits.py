@@ -676,3 +676,17 @@ def test_resize_nn_mapping_is_exact():
             for c, off in ((0, 0), (1, 11), (2, 22)):
                 want = (5 * 7 + int(xs[xo]) * 3 + int(ys[yo]) * 5 + off) % 256
                 assert int(small[yo, xo, c]) == want
+
+
+def test_pgoutput_decode_has_no_per_lsn_shuffle(spark, sf_dir):
+    """cdc_pgoutput_relation: the as-of schema resolution must be a pure
+    broadcast interval join — no hash exchange keyed on the data LSN
+    anywhere (the pre-round-8 newest-wins form resolved with a
+    groupBy(lsn) aggregate that shuffled every parsed tuple; at the 10M
+    ladder point that shuffle WAS the 100x cost center)."""
+    df = Q["cdc_pgoutput_relation"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, "the relation registry must broadcast"
+    assert "hashpartitioning(lsn" not in plan, (
+        "decode must not shuffle per data LSN"
+    )

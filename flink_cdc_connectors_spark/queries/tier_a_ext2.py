@@ -138,11 +138,16 @@ def cdc_tikv_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both phases in one event), ROLLBACK (key, start_ts). The decode then
     reimplements the reader's algebra Spark-first:
 
-      - rollback removal  = prewrites LEFT ANTI JOIN rollbacks
-                            on (key, start_ts)   [`prewrites.remove`]
-      - commit match      = commits INNER JOIN surviving prewrites
-                            on (key, start_ts)   [`flushRows` pulling
-                            `prewrites.remove(ofStart(commitRow))`]
+      - txn assembly      = ONE grouped aggregate on (key, start_ts):
+                            the reference's `prewrites` TreeMap keyed by
+                            (startTs, key) IS this group — a rollback
+                            event in the group kills it
+                            (`prewrites.remove`), a commit event stamps
+                            commit_ts (`flushRows` pulling
+                            `prewrites.remove(ofStart(commitRow))`), a
+                            commit with no prewrite in the group is the
+                            orphan and drops, a prewrite with no commit
+                            is pending and stays invisible
       - visibility        = commit_ts <= resolved_ts, the frontier the
                             reader advances before each flush
                             [:238-248, :253-265] — matched-but-unresolved
@@ -150,7 +155,8 @@ def cdc_tikv_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
                             reference's TreeMap
       - emission order    = (commit_ts, key): the commits TreeMap is
                             keyed by (timestamp, key), so latest state
-                            folds by commit_ts, NOT statement order.
+                            folds by commit_ts, NOT statement order —
+                            a max_by on (commit_ts, event) per key.
 
     Output: latest visible row per key (deletes drop the key) with the
     per-key visible-version count. A decode that matches on key alone,
@@ -164,9 +170,14 @@ def cdc_tikv_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference emit a null row / NPE; here the inner match DROPS the
     orphan (pinned by test_tikv_orphan_commit_is_dropped_not_crashed).
 
-    Shuffles: one exchange on (k, s) shared by the anti + inner joins,
-    the one-row resolved-frontier broadcast, and the family's standard
-    per-PK window."""
+    Shuffles: both phases of a txn are GENERATED in the same task (one
+    source row explodes to its 1-2 events), so the (k, s) assembly
+    aggregate partial-combines map-side and the exchange carries ~one
+    row per txn; the latest-state fold is likewise a max_by partial
+    aggregate on k. Two combinable exchanges total, plus the one-row
+    resolved-frontier broadcast — the pre-round-8 form paid a left-anti
+    and an inner shuffle JOIN on (k, s) (two sorted 10M-row sides) plus
+    a per-key window sort: 16.6 s / 8.9x at the sf10 ladder point."""
     logged = _logged(spark, sf_dir)
     ev = logged.select(
         "event_id",
@@ -242,8 +253,8 @@ def cdc_tikv_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("msg")
     )
     # ---- decode: handleRow's four-way dispatch --------------------------
-    # The parsed event frame feeds THREE consumers (prewrites, commits,
-    # rollbacks) and the generator union feeds it four branches deep —
+    # The parsed event frame feeds the assembly aggregate AND the frontier
+    # aggregate, and the generator union feeds it four branches deep —
     # without truncation each consumer re-runs the lag window + generate +
     # parse subtree (the cache()+self-join double-compute pattern).  One
     # eager local checkpoint runs that subtree exactly once.
@@ -252,29 +263,38 @@ def cdc_tikv_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .localCheckpoint(eager=True)
     )
-    prewrites = p.filter(F.col("t").isin("PREWRITE", "COMMITTED")).select("k", "s", "v")
-    commits = p.filter(F.col("t").isin("COMMIT", "COMMITTED")).select("k", "s", "c")
-    rollbacks = p.filter(F.col("t") == "ROLLBACK").select("k", "s")
-    surviving = prewrites.join(rollbacks, ["k", "s"], "left_anti")
-    matched = commits.join(surviving, ["k", "s"])
+    # ---- txn assembly: the (startTs, key) TreeMap as ONE grouped agg ----
+    # (both phase events of a txn were generated by the same source row,
+    # so the partial aggregate collapses them before the exchange)
+    txns = p.groupBy("k", "s").agg(
+        F.max("c").alias("c"),                       # COMMIT/COMMITTED stamp
+        F.any_value("v", ignoreNulls=True).alias("v"),  # the prewrite image
+        F.max((F.col("t") == "ROLLBACK").cast("int")).alias("rb"),
+        F.max(F.col("t").isin("PREWRITE", "COMMITTED").cast("int")).alias("pw"),
+    )
+    # rollback removal; orphan COMMIT (no prewrite: pw=0) drops; pending
+    # prewrite (no commit: c null) stays invisible
+    matched = txns.filter(
+        (F.col("rb") == 0) & (F.col("pw") == 1) & F.col("c").isNotNull()
+    )
     # ---- resolved-ts frontier: one-row aggregate, broadcast -------------
-    # computed from the commit events alone (== max over matched, since
-    # every generated COMMIT has a surviving prewrite) so `matched` keeps
-    # a single consumer and the join subtree runs once
-    frontier = commits.agg((F.max("c") - F.lit(_TIKV_FRONTIER_LAG)).alias("r"))
+    frontier = p.agg((F.max("c") - F.lit(_TIKV_FRONTIER_LAG)).alias("r"))
     visible = matched.crossJoin(F.broadcast(frontier)).filter(F.col("c") <= F.col("r"))
     # ---- flush order = (commit_ts, key); latest state per key -----------
-    wkey = W.partitionBy("k")
-    ranked = visible.withColumn(
-        "rn",
-        F.row_number().over(wkey.orderBy(F.col("c").desc(), F.col("v.e").desc())),
-    ).withColumn("n_versions", F.count("*").over(wkey))
-    return ranked.filter((F.col("rn") == 1) & (F.col("v.op") != "delete")).select(
+    # max_by partial aggregate, not a window sort: the exchange carries
+    # one combined row per key
+    latest = visible.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.max_by(
+            F.struct(F.col("c"), F.col("v")), F.struct(F.col("c"), F.col("v.e"))
+        ).alias("last"),
+    )
+    return latest.filter(F.col("last.v.op") != "delete").select(
         F.col("k").alias("user_id"),
-        F.col("n_versions").cast("long").alias("n_versions"),
-        F.col("c").alias("last_commit_ts"),
-        F.col("v.e").alias("last_eid"),
-        F.col("v.cents").alias("value_cents"),
+        "n_versions",
+        F.col("last.c").alias("last_commit_ts"),
+        F.col("last.v.e").alias("last_eid"),
+        F.col("last.v.cents").alias("value_cents"),
     )
 
 

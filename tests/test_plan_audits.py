@@ -690,3 +690,18 @@ def test_pgoutput_decode_has_no_per_lsn_shuffle(spark, sf_dir):
     assert "hashpartitioning(lsn" not in plan, (
         "decode must not shuffle per data LSN"
     )
+
+
+def test_tikv_decode_is_two_combinable_aggregates(spark, sf_dir):
+    """cdc_tikv_two_phase: txn assembly and latest-state fold must both be
+    partial-combinable hash aggregates — no shuffle join of the phase
+    streams and no per-key window sort (the pre-round-8 form paid a
+    left-anti + inner join on (k, s) plus a window: two sorted 10M-row
+    sides at the ladder point)."""
+    df = Q["cdc_tikv_two_phase"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        "the resolved-ts frontier must ride a broadcast"
+    )

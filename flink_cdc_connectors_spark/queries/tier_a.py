@@ -886,24 +886,33 @@ def cdc_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(signed), 2).cast("double").alias("signed_sum"),
         ).select(F.lit(fmt).alias("format"), "n_rows", "signed_sum")
 
-    # fan_out between encode and decode: the encoded stream is ~30 MB of
-    # JSON strings, which AQE coalesces to ~4 post-shuffle partitions — but
-    # from_json is the CPU term, so decode wants the session's full width
-    # (real log streams arrive over many partitions; the fixture's single
-    # row group doesn't). Measured 4.7 -> ~2 s at sf0.1.
+    # fan_out between encode and decode ONLY when the checkpointed stage
+    # is narrow: at fixture scale AQE coalesces the window shuffle to ~4
+    # partitions and from_json is the CPU term, so decode wants the
+    # session's full width (measured 4.7 -> ~2 s at sf0.1) — but at the
+    # 100x ladder point the checkpoint is already session-wide and an
+    # unconditional repartition re-shuffles ~3 GB of JSON strings FOUR
+    # times for nothing (fan_out's own docstring calls that the
+    # anti-pattern; this is the conditional form it prescribes).
+    width = staged.rdd.getNumPartitions()
+    widen = (
+        fan_out
+        if width < spark.sparkContext.defaultParallelism
+        else (lambda df: df)
+    )
     canal = summarize(
-        parse_canal_json(fan_out(events_to_canal_json(e, staged=staged))), "canal-json"
+        parse_canal_json(widen(events_to_canal_json(e, staged=staged))), "canal-json"
     )
     clog = summarize(
-        parse_changelog_json(fan_out(events_to_changelog_json(e, staged=staged))),
+        parse_changelog_json(widen(events_to_changelog_json(e, staged=staged))),
         "changelog-json",
     )
     maxwell = summarize(
-        parse_maxwell_json(fan_out(events_to_maxwell_json(e, staged=staged))),
+        parse_maxwell_json(widen(events_to_maxwell_json(e, staged=staged))),
         "maxwell-json",
     )
     ogg = summarize(
-        parse_ogg_json(fan_out(events_to_ogg_json(e, staged=staged))), "ogg-json"
+        parse_ogg_json(widen(events_to_ogg_json(e, staged=staged))), "ogg-json"
     )
     return canal.unionByName(clog).unionByName(maxwell).unionByName(ogg)
 

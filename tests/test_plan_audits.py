@@ -705,3 +705,22 @@ def test_tikv_decode_is_two_combinable_aggregates(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
         "the resolved-ts frontier must ride a broadcast"
     )
+
+
+def test_oceanbase_has_no_lane_partitioned_window(spark, sf_dir):
+    """cdc_oceanbase_commit_order: the per-lane open-transaction mark
+    must be an aggregate + broadcast join, never a window partitioned by
+    lane alone — lane cardinality is a constant (_OB_LANES), so a
+    lane-partitioned exchange squeezes the whole log into that many
+    tasks (measured 16.4x at the 10M ladder point before the fix)."""
+    import re
+
+    df = Q["cdc_oceanbase_commit_order"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # a lane-only EXCHANGE still exists — it carries the _OB_LANES-row
+    # partial-aggregate output into the broadcast, not the log; the
+    # pathology is a lane-only WINDOW SPEC (whole log in _OB_LANES tasks)
+    assert not re.search(
+        r"windowspecdefinition\(lane#\d+L?, specifiedwindowframe", plan
+    ), "found a lane-only window: constant-cardinality partition spec"
+    assert "BroadcastExchange" in plan

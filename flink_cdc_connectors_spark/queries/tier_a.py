@@ -546,11 +546,15 @@ def cdc_multi_table_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated scan each, no shuffle beyond the final 2-row union.
     """
     e = load_table(spark, sf_dir, "events")
-    # fan_out: single-row-group fixture file; the snapshot path has no
-    # window shuffle to redistribute it, so to_json/from_json would run on
-    # one core without this (the events side parallelizes via its lag
-    # window's hash shuffle).
-    o = fan_out(load_table(spark, sf_dir, "orders"))
+    # fan_out ONLY when the orders scan is narrow: the fixture file is a
+    # single row group, and the snapshot path has no window shuffle to
+    # redistribute it, so to_json/from_json would run on one core without
+    # this (the events side parallelizes via its lag window's hash
+    # shuffle). At ladder scale the table has many splits already and the
+    # unconditional repartition would shuffle 15M rows for nothing.
+    o = load_table(spark, sf_dir, "orders")
+    if o.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        o = fan_out(o)
     mixed = events_to_debezium_json(e).unionByName(
         snapshot_to_debezium_json(
             o,

@@ -453,6 +453,17 @@ def parse_debezium_json(
     else:
         staged = raw
         e = F.from_json(F.col(value_col), make_envelope_schema(payload_schema))
+    # ONE full-schema parse materialized as a struct column, shared by
+    # every downstream field access (whole-stage codegen evaluates it
+    # once per row — the BASELINE round-6 CSE measurement). Deliberately
+    # NOT restructured for OptimizeJsonExprs schema pruning: pruning only
+    # fires with the parse INLINED per output column, which yields one
+    # differently-pruned from_json per field and re-lexes the record per
+    # parse — measured 22.5 s vs 6.5 s for this form on a 15M-row nested
+    # consumer at the sf10 ladder point (lexing dominates; a pruned parse
+    # saves only materialization). Narrow consumers that want a narrow
+    # parse pass a payload_schema restricted to the fields they read —
+    # call-site pruning, the cdc_changelog_mode_upsert pattern.
     parsed = staged.select(
         e.alias("e")
         # Heartbeats advance offsets but are never emitted as data rows
@@ -519,8 +530,11 @@ def parse_debezium_json_multi(
     The reference streams many tables through one binlog and picks the
     per-table deserializer by source db/table (TableDiscoveryUtils;
     sharding ITCase MySqlConnectorITCase.java:1294-1336). The route key is
-    extracted from the raw JSON ONCE (``$.source.db/table`` — cheap scalar
-    path, no full payload parse; the analog of reading the record header),
+    extracted from the raw JSON with ONE ``from_json`` against a
+    source-only pruned schema (the analog of reading the record header —
+    one Jackson pass yielding both keys; the earlier two-``get_json_object``
+    form lexed every record twice just to route, the same
+    re-parse-per-path cost the round-5 mongo_update_lookup fix removed),
     then each table's slice is decoded against its declared StructType.
     Unknown tables are ignored, exactly like rows outside the
     captured-table list.
@@ -530,10 +544,26 @@ def parse_debezium_json_multi(
     fan-out pattern; in production the changelog is already materialized in
     the log/topic, making this a no-op.
     """
+    route_schema = T.StructType(
+        [
+            T.StructField(
+                "source",
+                T.StructType(
+                    [
+                        T.StructField("db", T.StringType()),
+                        T.StructField("table", T.StringType()),
+                    ]
+                ),
+            )
+        ]
+    )
     routed = raw.select(
         F.col(value_col),
-        F.get_json_object(F.col(value_col), "$.source.db").alias("__route_db"),
-        F.get_json_object(F.col(value_col), "$.source.table").alias("__route_tb"),
+        F.from_json(F.col(value_col), route_schema).alias("__route"),
+    ).select(
+        F.col(value_col),
+        F.col("__route.source.db").alias("__route_db"),
+        F.col("__route.source.table").alias("__route_tb"),
     )
     if cache:
         routed = routed.cache()

@@ -312,22 +312,46 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus) broadcasts; the train side never shuffles — at 100 TB the eval
     side is a benchmark suite, kilobytes of n-grams, and this stays one
     broadcast-join scan. Emits contaminated doc ids with matched-8-gram
-    counts."""
-    from flink_cdc_connectors_spark.queries.tier_c import _shingles, _with_copies
+    counts.
 
-    # fan_out: 8-gram shingling is the CPU-heavy stage and the fixture file
-    # is one row group (see loaders.fan_out) — without it the whole corpus
-    # shingles on one core (measured 15 s -> ~2 s at sf0.1).
-    corpus = fan_out(_with_copies(load_table(spark, sf_dir, "documents")))
+    Scale: past the corpus gate the grams are xxhash64 word 8-tuples
+    (``_shingle_hashes`` — the same equality-membership twin
+    ext_curation_pipeline uses; n_hits changes only on a 64-bit
+    collision), skipping the slice+array_join string assembly measured
+    as this family's dominant 100x cost. Below the gate the
+    string-shingle form is pinned verbatim by the DuckDB oracle."""
+    import flink_cdc_connectors_spark.queries.tier_c as _TC
+    from flink_cdc_connectors_spark.queries.tier_c import _shingles, _with_copies
+    from flink_cdc_connectors_spark.queries.tier_c_ext6 import _shingle_hashes
+
+    # fan_out only when the scan is narrow: 8-gram shingling is the
+    # CPU-heavy stage and the fixture file is one row group (see
+    # loaders.fan_out) — without it the whole corpus shingles on one core
+    # (measured 15 s -> ~2 s at sf0.1); the ladder fixtures already scan
+    # wide and the repartition would be pure overhead there.
+    raw = load_table(spark, sf_dir, "documents")
+    corpus = _with_copies(raw)
+    if raw.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        corpus = fan_out(corpus)
     is_eval = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
     # Filter BEFORE shingling on both branches: the eval side shingles only
     # the held-out 2%, the probe side shingles each train doc exactly once —
     # one full shingling pass total, regardless of how Catalyst handles
     # filter-through-Generate.
-    eval_sh = _shingles(corpus.filter(is_eval), n=8).select("shingle").distinct()
+    if raw.count() <= _TC._MINHASH_SCALE_DOCS:
+        eval_sh = _shingles(corpus.filter(is_eval), n=8).select("shingle").distinct()
+        train_sh = _shingles(corpus.filter(~is_eval), n=8)
+    else:
+        eval_sh = (
+            _shingle_hashes(corpus.filter(is_eval), n=8)
+            .select(F.col("g").alias("shingle"))
+            .distinct()
+        )
+        train_sh = _shingle_hashes(corpus.filter(~is_eval), n=8).select(
+            "doc_id", F.col("g").alias("shingle")
+        )
     return (
-        _shingles(corpus.filter(~is_eval), n=8)
-        .join(F.broadcast(eval_sh), "shingle")
+        train_sh.join(F.broadcast(eval_sh), "shingle")
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").alias("n_hits"))
     )

@@ -433,10 +433,16 @@ def test_line_dedup_boiler_set_broadcasts(spark, sf_dir):
 
 def test_commit_order_windows_are_partitioned(spark, sf_dir):
     """Commit-order visibility must never collapse to a single-partition
-    window (lane/txn and PK windows are all keyed)."""
+    window (lane/txn and PK windows are all keyed). Static shuffle count
+    is 5 since the round-8 lane-window fix: lag window, (lane, txn)
+    window, the lanes-row open-txn aggregate's exchange (3 combined rows
+    — partial-agg collapsed), the final PK window, and the aggregate
+    subtree's copy of the lag-window exchange (ReuseExchange at
+    runtime). The shape that matters is pinned separately:
+    test_oceanbase_has_no_lane_partitioned_window."""
     df = Q["cdc_oceanbase_commit_order"].builder(spark, sf_dir)
     assert not has_single_partition_window(df)
-    assert shuffle_count(df) <= 3
+    assert shuffle_count(df) <= 5
 
 
 def test_gtid_failover_bounds_broadcast(spark, sf_dir):

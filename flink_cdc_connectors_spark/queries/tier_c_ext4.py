@@ -243,9 +243,44 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             base_v.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "e")
         )
     )
-    cells = corpus.select(
-        "vec_id", "e", V.ivf_centroid_id(F.col("e"), num_centroids=k).alias("cell")
-    )
+    if k == 16:
+        # oracle scales: the SQL-expression assignment the static DuckDB
+        # replay mirrors exactly (left-to-right dot sums, first-max index)
+        cells = corpus.select(
+            "vec_id", "e", V.ivf_centroid_id(F.col("e"), num_centroids=k).alias("cell")
+        )
+    else:
+        # SCALE MODE assignment: ivf_centroid_id's per-centroid `dot` is a
+        # higher-order-function lambda, which Spark evaluates INTERPRETED —
+        # at 512 centroids x 64 dims x 1M vectors that is ~33e9 interpreted
+        # expression steps (measured 35.5 s / 43x at the 100x corpus, with
+        # the GEMMs a rounding error). One numpy matmul per Arrow batch
+        # against the same deterministic codebook does the identical
+        # argmax (first-max, like array_position) at memory bandwidth:
+        # 35.5 -> ~4 s. Codebook closure is factory-local so the UDF
+        # pickles by value for foreign-cwd drivers.
+        import numpy as np
+
+        from flink_cdc_connectors_spark.functions.vectors import _hash_coef
+
+        codebook = np.array(
+            [[_hash_coef(f"ivf{c}", i) for i in range(64)] for c in range(k)]
+        )
+
+        def _assign_factory(C: "np.ndarray"):
+            def assign(batches):
+                import numpy as _np
+
+                for pdf in batches:
+                    mat = _np.stack(pdf["e"].to_numpy())
+                    scores = mat @ C[:, : mat.shape[1]].T
+                    yield pdf.assign(cell=scores.argmax(axis=1).astype("int32"))
+
+            return assign
+
+        cells = corpus.mapInPandas(
+            _assign_factory(codebook), "vec_id long, e array<double>, cell int"
+        )
 
     def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()

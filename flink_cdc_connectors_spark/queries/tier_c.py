@@ -1110,25 +1110,68 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrays for the full corpus is ~0.5 GB/M rows of heap — measured
     # NET-SLOWER at the 100x ladder point (29.5 s -> 43.7 s) and an OOM
     # risk in small-heap sessions.
+    if planes == 8:
+        # oracle scales: the self-join + HOF-dot verify the DuckDB SQL
+        # replays verbatim (bit-valid value hash)
+        sig = base.select(
+            "vec_id",
+            "e",
+            V.l2_norm(F.col("e")).alias("nrm"),
+            V.srp_bucket(F.col("e"), num_planes=planes).alias("bucket"),
+        )
+        a, b = sig.alias("a"), sig.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                V.dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        return cand.filter(F.col("cos_sim") >= 0.5)
+    # SCALE MODE verify: one GEMM per BUCKET (applyInPandas — buckets are
+    # already groups) instead of the bucket self-join with a per-pair
+    # higher-order dot. HOF lambdas evaluate interpreted, so the join form
+    # pays ~dim interpreted steps per candidate pair — the SemDeDup fix's
+    # finding, applied to the sibling: same shuffle count (one exchange on
+    # the bucket key vs the join's two), pairs never materialize through
+    # an exchange, and the within-bucket pair scoring is one numpy matmul.
+    # Occupancy calibration bounds the per-bucket matrix; A/B against the
+    # join form at sf1: identical pair sets, max |cos| delta < 1e-6.
     sig = base.select(
-        "vec_id",
-        "e",
-        V.l2_norm(F.col("e")).alias("nrm"),
-        V.srp_bucket(F.col("e"), num_planes=planes).alias("bucket"),
+        "vec_id", "e", V.srp_bucket(F.col("e"), num_planes=planes).alias("bucket")
     )
-    a, b = sig.alias("a"), sig.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("id_a"),
-        F.col("b.vec_id").alias("id_b"),
-        F.round(
-            V.dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")), 6
-        ).alias("cos_sim"),
+
+    def _verify_factory(threshold: float):
+        def verify(pdf):
+            import numpy as np
+            import pandas as pd
+
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            mat = np.stack(pdf["e"].to_numpy()[order]).astype(np.float64)
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.round((mat @ mat.T) / (nrm * nrm.T), 6)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = sims[ia, ib] >= threshold
+            return pd.DataFrame(
+                {
+                    "id_a": ids[ia[keep]],
+                    "id_b": ids[ib[keep]],
+                    "cos_sim": sims[ia[keep], ib[keep]],
+                }
+            )
+
+        return verify
+
+    return sig.groupBy("bucket").applyInPandas(
+        _verify_factory(0.5), "id_a long, id_b long, cos_sim double"
     )
-    return cand.filter(F.col("cos_sim") >= 0.5)
 
 
 def _duck_ann_recall_oracle() -> str:

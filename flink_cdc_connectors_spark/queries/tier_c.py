@@ -565,17 +565,62 @@ def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         V.srp_bucket(F.col("v"), num_planes=lplanes).alias("bucket")
     )
-    a, b = sig.alias("a"), sig.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("id_a"),
-        F.col("b.vec_id").alias("id_b"),
-        F.round(V.cosine_sim(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+    if lplanes == 8:
+        # driver scales: the self-join + windowed re-rank both engines
+        # replay verbatim (bit-identical hash)
+        a, b = sig.alias("a"), sig.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(V.cosine_sim(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+        )
+        w = W.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
+        return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    # SCALE MODE: one GEMM + top-5 per BUCKET (the embedding_lsh pattern).
+    # The join form pays an interpreted HOF cosine (three array folds) per
+    # candidate pair plus a window sort over all pairs; here each bucket
+    # scores as one numpy matmul and, because a vector lives in exactly
+    # ONE bucket, the per-id_a top-5 is complete within the bucket — the
+    # whole key becomes a single exchange on the bucket key. Rounding and
+    # tie-breaks mirror the join form exactly (round 6 BEFORE ranking,
+    # (-sim, id_b) order); A/B at sf0.1 (9 planes): identical rows.
+    import pandas as pd  # noqa: F401  (closure below pickles by value)
+
+    def _topk_factory(k_top: int):
+        def topk(pdf):
+            import numpy as np
+            import pandas as _pd
+
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            mat = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.round((mat @ mat.T) / (nrm * nrm.T), 6)
+            rows_a, rows_b, rows_s, rows_r = [], [], [], []
+            m = len(ids)
+            for i in range(m - 1):
+                s = sims[i, i + 1 :]
+                cand_ids = ids[i + 1 :]
+                sel = np.lexsort((cand_ids, -s))[:k_top]
+                for r, j in enumerate(sel, start=1):
+                    rows_a.append(ids[i])
+                    rows_b.append(cand_ids[j])
+                    rows_s.append(s[j])
+                    rows_r.append(r)
+            return _pd.DataFrame(
+                {"id_a": rows_a, "id_b": rows_b, "sim": rows_s, "rn": rows_r}
+            )
+
+        return topk
+
+    return sig.groupBy("bucket").applyInPandas(
+        _topk_factory(5), "id_a long, id_b long, sim double, rn int"
     )
-    w = W.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
-    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
 
 
 def _duck_sim_ivf_oracle() -> str:

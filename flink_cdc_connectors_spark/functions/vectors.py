@@ -187,6 +187,41 @@ def pq_codes(v: Column, m: int = 8, k: int = 16, dim: int = 64) -> Column:
     return F.array(*parts)
 
 
+def ivf_centroids_np(num_centroids: int = 16, dim: int = 64):
+    """The IVF centroid family as a numpy ``(num_centroids, dim)`` float64
+    array — the same ``_hash_coef`` constants as ``ivf_centroid_id``'s
+    literal arrays, for the numpy encode path (``ext_sim_search_pq`` scale
+    mode). Both engines take the FIRST argmax (``array_position`` of
+    ``array_max`` / ``np.argmax``), so cell assignment matches exactly."""
+    import numpy as np
+
+    return np.array(
+        [[_hash_coef(f"ivf{c}", i) for i in range(dim)] for c in range(num_centroids)],
+        dtype=np.float64,
+    )
+
+
+def pq_centroids_np(m: int = 8, k: int = 16, dim: int = 64):
+    """The PQ codebook family as a numpy ``(m, k, dim/m)`` float64 array —
+    the SAME ``_hash_coef`` constants the Column/DuckDB forms inline as
+    literals (``_pq_centroids_sql`` / ``duck_pq_codes_sql``), exported for
+    the GEMM-per-cell ADC path in ``ext_sim_search_pq`` scale mode. The
+    three representations are bit-identical doubles (4-decimal-exact
+    values whose repr round-trips), so a numpy lookup-table score and the
+    expression-fold score agree to summation-order fp noise, which the
+    shared round-to-6 absorbs."""
+    import numpy as np
+
+    sub_dim = dim // m
+    return np.array(
+        [
+            [[_hash_coef(f"pq{s}x{c}", i) for i in range(sub_dim)] for c in range(k)]
+            for s in range(m)
+        ],
+        dtype=np.float64,
+    )
+
+
 def pq_adc_score(qv: Column, codes: Column, m: int = 8, k: int = 16, dim: int = 64) -> Column:
     """Asymmetric-distance (ADC) inner-product score of a QUERY vector
     against a corpus vector's PQ ``codes``: sum over subspaces of

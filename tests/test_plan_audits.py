@@ -730,3 +730,32 @@ def test_oceanbase_has_no_lane_partitioned_window(spark, sf_dir):
         r"windowspecdefinition\(lane#\d+L?, specifiedwindowframe", plan
     ), "found a lane-only window: constant-cardinality partition spec"
     assert "BroadcastExchange" in plan
+
+
+def test_pq_gemm_adc_matches_join_form(spark, sf_dir, monkeypatch):
+    """ext_sim_search_pq: the scale-mode GEMM ADC shortlist (numpy
+    lookup-table per IVF cell, cogrouped applyInPandas) must produce
+    row-identical results to the oracle-replayed join + expression form —
+    including the salted variant that bounds per-group memory when a
+    fixed-16-cell corpus grows past _PQ_GEMM_GROUP_ROWS per cell. Rounding
+    to 6dp happens BEFORE ranking on both engines, so summation-order fp
+    noise cannot flip the rank-32 shortlist boundary."""
+    from flink_cdc_connectors_spark.queries import tier_c_ext3 as T
+
+    def run():
+        return (
+            T.ext_sim_search_pq(spark, sf_dir)
+            .toPandas()
+            .sort_values(["q_id", "rn"])
+            .reset_index(drop=True)
+        )
+
+    jvm = run()
+    monkeypatch.setattr(T, "_PQ_GEMM_MIN_ROWS", 0)
+    gemm = run()
+    assert jvm.equals(gemm), "GEMM ADC shortlist diverged from the join form"
+    # salted grouping (forces n_salt > 1): per-group top-32 partials must
+    # compose to the same global top-32
+    monkeypatch.setattr(T, "_PQ_GEMM_GROUP_ROWS", 5)
+    salted = run()
+    assert jvm.equals(salted), "salted GEMM partial top-k diverged"

@@ -631,7 +631,11 @@ def test_retract_mode_equals_upsert_mode_for_any_grouping(raw, mod):
     st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=10_000),
-            st.integers(min_value=1, max_value=500),
+            # width 0 allowed (ADVICE r8): a zero-width [lo, lo) range
+            # captures no key and must neither crash the apportionment
+            # (all-zero-width input divided by span=0) nor emit an empty
+            # (lo, lo) chunk
+            st.integers(min_value=0, max_value=500),
         ),
         min_size=1,
         max_size=8,
@@ -655,15 +659,18 @@ def test_rechunk_captured_runs_preserves_the_key_set(ranges_raw, n):
     assert all(hi > lo for lo, hi in chunks)
     for a, b in zip(chunks, chunks[1:]):
         assert a[1] <= b[0], f"chunks overlap or unsorted: {a} {b}"
-    # exact-count contract: min(max(n, #runs), total key width) — per-run
-    # rounding must not over/undershoot the requested parallelism
+    # exact-count contract: min(max(n, #runs), total key width) over the
+    # NONZERO-width merged runs (zero-width runs carry no keys and are
+    # dropped before apportionment) — per-run rounding must not
+    # over/undershoot the requested parallelism
     merged: list[list[int]] = []
     for lo, hi in sorted(ranges):
         if merged and lo <= merged[-1][1]:
             merged[-1][1] = max(merged[-1][1], hi)
         else:
             merged.append([lo, hi])
-    assert len(chunks) == min(max(n, len(merged)), len(want))
+    n_runs = sum(1 for lo, hi in merged if hi > lo)
+    assert len(chunks) == (min(max(n, n_runs), len(want)) if want else 0)
 
 
 @given(

@@ -1703,6 +1703,10 @@ def cdc_dsv2_added_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .option("numChunks", 2)
                 .option("snapshotFraction", 0.6)  # run 1 exercises a stream tail
                 .option("keyRanges", json.dumps(ranges))
+                # restart-time discovery is an explicit opt-in (the
+                # reference's scan.newly-added-table.enabled default is
+                # false; the raw DSv2 layer matches it since round 9)
+                .option("newlyAddedTables", "true")
                 .load()
                 .writeStream.outputMode("append")
                 .format("parquet")

@@ -855,7 +855,9 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM words
     """,
 )
-def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ext_fingerprint(
+    spark: SparkSession, sf_dir: str, hash_family: str | None = None
+) -> DataFrame:
     """Document fingerprint: minimum hash over rolling word 4-grams (a
     one-permutation MinHash). Identical for the planted perturbed copies,
     so fingerprint-equality is a cheap near-dup key at scale. All hashing
@@ -869,11 +871,26 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant cost the minhash/substring/curation keys shed with the
     identical switch. Fingerprint values differ across the gate but the
     EQUALITY STRUCTURE is preserved: copies share the full gram set, so
-    they share the min under any per-gram hash."""
+    they share the min under any per-gram hash.
+
+    CROSS-SCALE CONTRACT (ADVICE r8): because the VALUE depends on the
+    family, fingerprints persisted from one run must only ever be joined
+    against fingerprints of the SAME family. A consumer that stores
+    fingerprints across datasets of different sizes pins the family
+    explicitly with ``hash_family='md5'`` or ``'xxhash64'`` — the
+    corpus-size auto-gate (``hash_family=None``) is a per-run throughput
+    heuristic, not part of the output contract."""
+    if hash_family not in (None, "md5", "xxhash64"):
+        raise ValueError(f"unknown fingerprint hash_family: {hash_family!r}")
     raw = load_table(spark, sf_dir, "documents")
     corpus = _with_copies(raw)
     words = corpus.select("doc_id", F.split(_norm_col(F.col("text")), r"\s+").alias("w"))
-    if raw.count() <= _MINHASH_SCALE_DOCS:
+    use_md5 = (
+        hash_family == "md5"
+        if hash_family
+        else raw.count() <= _MINHASH_SCALE_DOCS
+    )
+    if use_md5:
         grams = F.transform(
             F.sequence(F.lit(1), F.size("w") - 3),
             lambda i: F.md5(F.array_join(F.slice("w", i, 4), " ")),

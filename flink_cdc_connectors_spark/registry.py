@@ -73,71 +73,72 @@ def query(key: str, tier: str, oracle: str | None = None) -> Callable[[QueryFn],
 # instead, the ordering is a no-op.  Everything not listed follows in
 # sorted order.
 #
-# Round-8 set (VERDICT r7 "Next round" #1): (0) keys whose source files
-# round 8 touches — the newly-added-table flag gate (datasource.py /
-# ddl.py), the exact-count rechunk (hybrid_source.py), the deduped
-# shingle hashes (tier_c_ext6.py), and the scratch-cleanup path
-# (tier_a_ext2.py) — fresh rows are the only current evidence for these;
-# (1) the 17 keys whose newest driver row is round 4, the oldest
-# surviving evidence (joins, scalars, scan/set, multimodal image/video,
-# simhash); (2) r5-evidence keys, prioritizing the two round-8 perf
-# targets (cdc_schema_evolution regression re-anchor,
-# cdc_changelog_mode_upsert ladder re-probe), filling the ~50 budget.
+# Round-9 set (VERDICT r8 "Next round" #2): (0) keys whose source files
+# round 9 touches — the IVF-PQ GEMM scale path (tier_c_ext3.py, shares a
+# file with doc_chunk/substring/unigram/frames) and its recall companion,
+# plus the resnapshot rechunk guard (hybrid_source.py) — fresh rows are
+# the only current evidence for these; (1) the 20 keys whose newest
+# driver row is round 5, the oldest surviving evidence; (2) r6-evidence
+# keys with the largest bench weight, filling the ~50 budget.
 _CHECK_FIRST = (
     # -- 0: implementation/source files changed this round -------------------
-    "cdc_dsv2_added_tables",
-    "cdc_dsv2_stream",
+    "ext_sim_search_pq",
+    "ext_ann_recall",
+    "ext_doc_chunk",
+    "ext_dedup_substring",
+    "ext_unigram_logprob",
+    "ext_multimodal_frames",
     "cdc_type_change_resnapshot",
-    "cdc_newly_added_tables",
-    "cdc_sql_ddl_source",
-    "cdc_sql_ddl_join",
+    # -- 1: the 20 keys whose newest driver row is round 5 -------------------
+    "ext_decontaminate",
+    "ext_dedup_cluster",
+    "ext_domain_mix",
+    "ext_filter_ensemble",
+    "ext_pii_scrub",
+    "ext_repetition_ratio",
+    "ext_sequence_pack",
+    "ext_shuffle_shard",
+    "ext_stratified_sample",
+    "set_intersect",
+    "set_union_all",
+    "sort_limit",
+    "stream_cumulate_window",
+    "stream_join_static",
+    "stream_session_window",
+    "stream_sliding_window",
+    # -- 2: r6-evidence keys, heaviest bench weight first, to ~50 ------------
     "cdc_stream_dedup_index",
-    "ext_curation_pipeline",
-    # -- 1: the 17 keys whose newest driver row is round 4 -------------------
-    "ext_dedup_simhash",
-    "ext_multimodal_image",
-    "ext_multimodal_video",
-    "join_broadcast",
-    "join_full_outer",
-    "join_inner",
-    "join_left_multi",
-    "join_range",
-    "join_semi",
-    "scalar_conditional",
-    "scalar_date",
-    "scalar_json",
-    "scalar_math",
-    "scalar_string",
-    "scalar_typecast",
-    "scan_project",
-    "set_distinct_union",
-    # -- 2: oldest (r5) evidence, round-8 perf targets first, to ~50 ---------
-    "cdc_schema_evolution",
-    "cdc_changelog_mode_upsert",
-    "agg_approx_percentile",
-    "agg_arg_extremes",
-    "agg_cube",
-    "agg_filter_where",
-    "agg_grouping_sets",
-    "agg_skew_salted",
-    "cdc_chunk_split_region",
-    "cdc_chunk_split_sampled",
-    "cdc_decimal_handling",
-    "cdc_envelope_retract_agg",
-    "cdc_format_roundtrip",
-    "cdc_heartbeat",
-    "cdc_mongo_copy_existing",
-    "cdc_mongo_update_lookup",
-    "cdc_multi_table_route",
-    "cdc_pgoutput_relation",
-    "cdc_server_timezone",
-    "cdc_tikv_two_phase",
-    "cdc_txn_metadata",
-    "join_colocated_bucketed",
-    "join_interval",
-    "join_temporal_asof",
-    "pattern_funnel",
-    # -- r5+ greens follow in sorted order; rows-only keys at the tail --
+    "ext_minhash_recall",
+    "cdc_jdbc_incremental",
+    "cdc_jdbc_snapshot",
+    "agg_approx_distinct",
+    "agg_continuous_rollup",
+    "agg_percentiles",
+    "agg_string_agg",
+    "cdc_capture_db2",
+    "cdc_capture_sqlserver",
+    "cdc_gtid_failover",
+    "cdc_logminer_redo",
+    "cdc_mongo_changestream",
+    "cdc_oceanbase_commit_order",
+    "cdc_postgres_wal2json",
+    "cdc_retract_agg",
+    "cdc_upsert_sink",
+    "explode_unnest",
+    "ext_bloom_decontaminate",
+    "ext_dedup_embedding",
+    "ext_dedup_embedding_lsh",
+    "ext_dedup_exact_text",
+    "ext_dedup_keeper_quality",
+    "ext_dedup_lines",
+    "ext_kmeans_spherical",
+    "ext_multimodal_audio",
+    "ext_multimodal_cols",
+    "ext_semdedup",
+    "ext_sim_search_cosine",
+    "ext_sim_search_ivf",
+    "ext_sim_search_lsh",
+    # -- r6+ greens follow in sorted order; rows-only keys at the tail --
 )
 
 

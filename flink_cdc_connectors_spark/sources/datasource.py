@@ -241,13 +241,13 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         # it — the reference only discovers newly regex-matched tables at
         # restore when the flag is set; without it the new table stays
         # uncaptured (its events are dropped at the emit filter, exactly
-        # like any other uncaptured table). Default true at the DSv2 layer
-        # (setting keyRanges here is already the explicit protocol opt-in);
-        # the DDL binding forwards the flag's actual value, so a CREATE
-        # TABLE without 'scan.newly-added-table.enabled' = 'true' matches
-        # reference behavior.
+        # like any other uncaptured table). Default FALSE, matching the
+        # reference's scan.newly-added-table.enabled default at BOTH
+        # layers (ADVICE r8 — previously the raw DSv2 layer defaulted
+        # true and only the DDL binding matched the reference); backfill
+        # is an explicit .option("newlyAddedTables", "true") opt-in.
         self.newly_added_enabled = (
-            str(options.get("newlyaddedtables", "true")).lower() == "true"
+            str(options.get("newlyaddedtables", "false")).lower() == "true"
         )
         # Offset-versioned schemas (FlinkDatabaseHistory / SnapshotSplit.
         # tableSchemas analog): every split decodes against the schema in
@@ -850,10 +850,11 @@ class CdcBinlogDataSource(DataSource):
     ranges are snapshot there as chunk partitions, and the stream resumes
     with emit-filter entries covering them — MySqlSourceReader.java:
     147-240, BinlogSplitUpdateRequestEvent, NewlyAddedTableITCase.java),
-    ``newlyAddedTables`` (default ``true``; set ``false`` to disable the
-    restart-time capture-set diff — a configured-but-never-captured range
-    is then left uncaptured instead of backfilled, the reference's
-    behavior when scan.newly-added-table.enabled is off).
+    ``newlyAddedTables`` (default ``false``, the reference's
+    scan.newly-added-table.enabled default; set ``true`` to enable the
+    restart-time capture-set diff — without it a
+    configured-but-never-captured range is left uncaptured instead of
+    backfilled, exactly the reference's flag-off behavior).
 
     Known limit: Spark's Python streaming API does not implement
     ``Trigger.AvailableNow`` (the engine logs "does not support

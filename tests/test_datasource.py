@@ -678,6 +678,7 @@ def test_dsv2_newly_added_range_via_checkpointed_restart(spark, sf_dir, tmp_path
             .option("numChunks", 2)
             .option("snapshotFraction", 0.6)  # leave a phase-1 stream tail
             .option("keyRanges", str(list(ranges)).replace("(", "[").replace(")", "]"))
+            .option("newlyAddedTables", "true")  # backfill is an explicit opt-in
             .load()
             .writeStream.outputMode("append")
             .format("parquet")
@@ -761,6 +762,7 @@ def test_dsv2_added_range_backfill_survives_crash_restart(spark, tmp_path):
             .option("path", path)
             .option("numChunks", 2)
             .option("keyRanges", str([list(r) for r in ranges]))
+            .option("newlyAddedTables", "true")  # backfill is an explicit opt-in
         )
         if max_per_batch:
             reader = reader.option("maxOffsetsPerBatch", max_per_batch)
@@ -921,7 +923,14 @@ def test_dsv2_capless_v2_checkpoint_restores_without_backfill():
     from pyspark.sql.types import StructType
 
     r = datasource.CdcBinlogStreamReader(
-        StructType([]), {"path": EVENTS, "keyranges": "[[0, 8], [8, 100]]"}
+        StructType([]),
+        # discovery explicitly ON: the no-backfill guarantee must come
+        # from the capless-restore semantics, not from the flag default
+        {
+            "path": EVENTS,
+            "keyranges": "[[0, 8], [8, 100]]",
+            "newlyaddedtables": "true",
+        },
     )
     v2_start = {"v": 2, "phase": "stream", "hw": 500, "off": 500, "dlv": 500}
     v2_end = {"v": 2, "phase": "stream", "hw": 500, "off": 700, "dlv": 500}
@@ -940,7 +949,11 @@ def test_dsv2_v3_cap_diff_plans_backfill_exactly_at_suspend():
     documents reproduces the identical plan."""
     from pyspark.sql.types import StructType
 
-    opts = {"path": EVENTS, "keyranges": "[[0, 8], [8, 100]]"}
+    opts = {
+        "path": EVENTS,
+        "keyranges": "[[0, 8], [8, 100]]",
+        "newlyaddedtables": "true",
+    }
     start = {
         "v": 3, "phase": "stream", "hw": 500, "off": 600, "dlv": 600,
         "cap": [[0, 8, 500]],
@@ -986,6 +999,7 @@ def test_dsv2_backfilled_range_stamp_converges_to_suspend():
         StructType([]),
         {
             "path": EVENTS, "keyranges": "[[0, 8], [8, 100]]",
+            "newlyaddedtables": "true",
             "startupmode": "specific-offset", "startupoffset": "500",
         },
     )
@@ -1172,8 +1186,10 @@ def test_dsv2_newly_added_tables_flag_gates_restart_backfill():
     backfill for a configured-but-never-captured range, and the emit plan
     covers only the checkpointed capture set — the new range stays an
     uncaptured table, the reference's behavior when the flag is off
-    (MySqlSourceOptions.java:232-238). Default (option absent) keeps the
-    protocol on: the same documents DO backfill."""
+    (MySqlSourceOptions.java:232-238). The DEFAULT (option absent) is the
+    same gated-off behavior — both layers match the reference's
+    scan.newly-added-table.enabled=false default since round 9; the same
+    documents DO backfill only with an explicit opt-in."""
     from pyspark.sql.types import StructType
 
     opts = {
@@ -1204,9 +1220,17 @@ def test_dsv2_newly_added_tables_flag_gates_restart_backfill():
 
     default = datasource.CdcBinlogStreamReader(StructType([]), dict(opts))
     parts2 = default.partitions(dict(start), dict(end))
-    chunks2 = [p for p in parts2 if isinstance(p, datasource.ChunkPartition)]
-    assert chunks2 and all(8 <= c.key_lo and c.key_hi <= 100 for c in chunks2), (
-        "default keeps the protocol on: the added range backfills"
+    assert [p for p in parts2 if isinstance(p, datasource.ChunkPartition)] == [], (
+        "default (option absent) must match the reference's flag-off behavior"
+    )
+
+    opted = datasource.CdcBinlogStreamReader(
+        StructType([]), {**opts, "newlyaddedtables": "true"}
+    )
+    parts3 = opted.partitions(dict(start), dict(end))
+    chunks3 = [p for p in parts3 if isinstance(p, datasource.ChunkPartition)]
+    assert chunks3 and all(8 <= c.key_lo and c.key_hi <= 100 for c in chunks3), (
+        "explicit opt-in turns the protocol on: the added range backfills"
     )
 
 
@@ -1221,6 +1245,7 @@ def test_dsv2_capture_set_swap_at_restart():
     opts = {
         "path": EVENTS,
         "keyranges": "[[8, 100]]",  # configured: B only (A=[0,8) dropped)
+        "newlyaddedtables": "true",
         "startupmode": "specific-offset",
         "startupoffset": "500",
     }

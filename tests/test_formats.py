@@ -208,9 +208,11 @@ def test_charset_wire_bytes_are_valid_utf8_json(spark):
 def test_debezium_decode_engines_are_value_identical(spark, sf_dir):
     """The VARIANT decode path must be indistinguishable from the Jackson
     from_json path on the fixture wires — every row, both changelog
-    modes, heartbeats included (the auto engine picks VARIANT for flat
-    atomic payloads, so any divergence would silently change the whole
-    envelope family)."""
+    modes, heartbeats included. engine='auto' resolves to Jackson
+    unconditionally (the measured default — see envelope.py's VARIANT
+    post-mortem); this test pins the EXPLICITLY-selected variant engine
+    value-identical so the alternative stays a safe swap if the
+    measurement ever flips."""
     from flink_cdc_connectors_spark.sources.envelope import (
         events_to_debezium_json,
         heartbeat_envelopes,

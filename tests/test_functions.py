@@ -336,3 +336,46 @@ def test_wkb_multi_rejects_mismatched_members():
     bad = bytes([1]) + _s.pack("<I", 5) + _s.pack("<I", 2) + _wkb_point(1, 2) + _wkb_point(3, 4)
     with _pytest.raises(ValueError, match="non-LineString members"):
         wkb_to_geojson(bad)
+
+
+def test_fingerprint_hash_family_pins_across_the_scale_gate(spark, sf_dir):
+    """ext_fingerprint's cross-scale contract (ADVICE r8): the corpus-size
+    auto-gate picks the hash FAMILY, so values are not comparable across
+    datasets straddling the gate — a consumer persisting fingerprints pins
+    the family explicitly. Forcing a family must (a) reproduce the same
+    values the auto gate would produce when the gate agrees, (b) produce
+    the OTHER family's values when forced across the gate, with equality
+    structure (copy pairs) preserved, and (c) reject unknown families."""
+    import pytest as _pytest
+
+    from flink_cdc_connectors_spark.queries.tier_c import ext_fingerprint
+
+    auto = ext_fingerprint(spark, sf_dir).toPandas().set_index("doc_id")
+    md5 = (
+        ext_fingerprint(spark, sf_dir, hash_family="md5")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    xx = (
+        ext_fingerprint(spark, sf_dir, hash_family="xxhash64")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # the test fixture is below the gate: auto == md5, xx differs in value
+    assert auto["fingerprint"].sort_index().equals(md5["fingerprint"].sort_index())
+    assert not xx["fingerprint"].sort_index().equals(
+        md5["fingerprint"].sort_index()
+    )
+    # the guaranteed equality structure is family-independent: a pair
+    # sharing its FULL gram set (the planted copies at doc_id + 1M) shares
+    # the min-gram under any per-gram hash. (Partial-overlap pairs may
+    # collide on the min under one family and not another — that is
+    # one-permutation MinHash variance, not part of the contract.)
+    for pdf in (md5, xx):
+        planted = pdf[pdf.index >= 1_000_000]
+        originals = pdf.loc[planted.index - 1_000_000, "fingerprint"].to_numpy()
+        assert (planted["fingerprint"].to_numpy() == originals).all(), (
+            "a planted full-gram copy must share its fingerprint in-family"
+        )
+    with _pytest.raises(ValueError, match="hash_family"):
+        ext_fingerprint(spark, sf_dir, hash_family="sha1")

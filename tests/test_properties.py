@@ -709,6 +709,7 @@ def test_dsv2_capture_diff_backfills_exactly_the_added_set(
         {
             "path": "/root/testdata/sf0.001/events.parquet",
             "keyranges": str([list(x) for x in cfg]),
+            "newlyaddedtables": "true",
             "startupmode": "specific-offset",
             "startupoffset": "0",
         },

@@ -517,6 +517,11 @@ def parse_debezium_json(
     return out.drop("row_kind") if mode == "upsert" else out
 
 
+# Persist strategy for the multi-table route cache — the round-9 A/B knob
+# (see the cache branch below). Values: "cache" (winner) | "checkpoint".
+_MULTI_PERSIST = "cache"
+
+
 def parse_debezium_json_multi(
     raw: DataFrame,
     schemas: dict[tuple[str, str], T.StructType],
@@ -566,7 +571,18 @@ def parse_debezium_json_multi(
         F.col("__route.source.table").alias("__route_tb"),
     )
     if cache:
-        routed = routed.cache()
+        # cache() vs localCheckpoint(eager): A/B'd on the 25M-record route
+        # at the 100x point (BASELINE.md round-9 codec experiment) —
+        # indistinguishable (mins 37.2 s vs 38.3 s across two interleaved
+        # sessions; run-to-run noise >> the delta). cache() stays the
+        # default: same bytes re-read by both consumers either way, and in
+        # production the changelog is already materialized in the
+        # log/topic, making this persist a no-op. _MULTI_PERSIST keeps the
+        # experiment re-runnable.
+        if _MULTI_PERSIST == "checkpoint":
+            routed = routed.localCheckpoint(eager=True)
+        else:
+            routed = routed.cache()
     return {
         (db, tb): parse_debezium_json(
             routed.filter(

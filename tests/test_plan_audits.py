@@ -759,3 +759,27 @@ def test_pq_gemm_adc_matches_join_form(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(T, "_PQ_GEMM_GROUP_ROWS", 5)
     salted = run()
     assert jvm.equals(salted), "salted GEMM partial top-k diverged"
+
+
+def test_token_count_batch_engine_matches_jvm_regex(spark, sf_dir, monkeypatch):
+    """ext_token_count: the scale-mode mapInPandas tokenizer (precompiled
+    re.findall, re.ASCII) must be value-identical to the JVM
+    regexp_extract_all form the oracle replays — the gate may only change
+    the engine, never a count."""
+    from flink_cdc_connectors_spark.queries import tier_c as T
+
+    jvm = (
+        T.ext_token_count(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(T, "_MINHASH_SCALE_DOCS", -1)
+    batch = (
+        T.ext_token_count(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(jvm.dtypes.to_dict())
+    )
+    assert jvm.equals(batch), "batch tokenizer diverged from the JVM regex"

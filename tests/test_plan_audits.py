@@ -783,3 +783,18 @@ def test_token_count_batch_engine_matches_jvm_regex(spark, sf_dir, monkeypatch):
         .astype(jvm.dtypes.to_dict())
     )
     assert jvm.equals(batch), "batch tokenizer diverged from the JVM regex"
+
+
+def test_token_count_scale_form_is_map_only(spark, sf_dir, monkeypatch):
+    """ext_token_count past the gate: one Arrow-batched MapInPandas over
+    the pruned (doc_id, text) scan — zero exchanges (the multimodal
+    family's self-contained-payload shape). A shuffle here would mean the
+    tokenizer started moving document text for no semantic reason."""
+    from flink_cdc_connectors_spark.queries import tier_c as T
+
+    monkeypatch.setattr(T, "_MINHASH_SCALE_DOCS", -1)
+    df = T.ext_token_count(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert "MapInPandas" in explain_str(df)
+    # pruning: only the two consumed columns reach the scan
+    assert read_schema_columns(df) == {"doc_id", "text"}

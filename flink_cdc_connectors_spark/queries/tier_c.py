@@ -438,6 +438,12 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vec_id there is 1999); only synthetic scale fixtures exceed it.
 _QUERY_ID_CAP = 2000
 
+# Corpus gate for the exact-scan GEMM engine (ext_sim_search_cosine scale
+# mode): below it the broadcast join + HOF cosine runs (the form the
+# DuckDB oracle replays); past it each corpus Arrow batch scores as one
+# numpy matmul. Same 50k line as the PQ gate; sf0.1 = 2k corpus rows.
+_COSINE_GEMM_MIN_ROWS = 50_000
+
 
 @query(
     "ext_sim_search_cosine",
@@ -472,23 +478,77 @@ def ext_sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order array functions (zip_with/aggregate), which Spark 4
     evaluates efficiently — MEASURED faster than an unrolled element_at
     sum, which pays per-access bounds/null checks (2M-pair A/B: 0.8s HOF
-    vs 5.4s unrolled). The LSH-bucketed scale path is ``ext_sim_search_lsh``."""
+    vs 5.4s unrolled). The LSH-bucketed scale path is ``ext_sim_search_lsh``.
+
+    SCALE MODE (round 9): past ``_COSINE_GEMM_MIN_ROWS`` the exact scan
+    scores each corpus Arrow batch as ONE numpy matmul against the query
+    matrix (mapInPandas, map-only; per-batch top-10 partials compose
+    under the same (-sim, vec_id) order through the final q_id window,
+    which ranks <= 10 x n_batches rows/query instead of the full corpus).
+    The query batch is COLLECTED to the driver first — bounded at <= 20
+    vectors at every scale by the ``_QUERY_ID_CAP`` serving contract (a
+    query batch is request input, not data: this is the ANN family's one
+    collect and it is contract-bounded, never corpus-proportional). A/B
+    pinned in tests/test_plan_audits.py::test_cosine_gemm_matches_join_form."""
     from flink_cdc_connectors_spark.functions import vectors as V
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()  # footer-read scalar gating the engine
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = fan_out(emb.select("vec_id", v.alias("v")))
     queries = base.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP)
     ).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-    pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
-    scored = pairs.select(
-        "q_id",
-        "vec_id",
-        F.round(V.cosine_sim(F.col("qv"), F.col("v")), 6).alias("sim"),
-    )
+    if n_corpus < _COSINE_GEMM_MIN_ROWS:
+        pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        scored = pairs.select(
+            "q_id",
+            "vec_id",
+            F.round(V.cosine_sim(F.col("qv"), F.col("v")), 6).alias("sim"),
+        )
+        w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+        return scored.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= 10
+        )
+
+    import numpy as np
+
+    qrows = queries.collect()  # <= 20 rows by the _QUERY_ID_CAP contract
+    q_ids = np.array([r.q_id for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
+    qnrm = np.linalg.norm(qmat, axis=1)
+
+    def topk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(mat, axis=1)
+            sims = np.round(
+                (mat @ qmat.T) / (nrm[:, None] * qnrm[None, :]), 6
+            )  # (n, nq)
+            out = []
+            for qi in range(len(q_ids)):
+                mask = ids != q_ids[qi]
+                cids, s = ids[mask], sims[mask, qi]
+                sel = np.lexsort((cids, -s))[:10]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": np.full(len(sel), q_ids[qi], dtype=np.int64),
+                            "vec_id": cids[sel],
+                            "sim": s[sel],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partial = base.mapInPandas(topk, "q_id long, vec_id long, sim double")
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    return partial.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
 
 
 def _duck_sim_lsh_oracle() -> str:

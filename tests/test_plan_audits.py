@@ -798,3 +798,27 @@ def test_token_count_scale_form_is_map_only(spark, sf_dir, monkeypatch):
     assert "MapInPandas" in explain_str(df)
     # pruning: only the two consumed columns reach the scan
     assert read_schema_columns(df) == {"doc_id", "text"}
+
+
+def test_cosine_gemm_matches_join_form(spark, sf_dir, monkeypatch):
+    """ext_sim_search_cosine: the scale-mode batch-GEMM exact scan (one
+    matmul per corpus Arrow batch against the collected <= 20-vector query
+    matrix, per-batch top-10 partials) must be row-identical to the
+    broadcast-join + HOF form the oracle replays. Rounding to 6dp happens
+    BEFORE ranking on both engines; partial top-10s compose because any
+    global top-10 member is in its batch's top-10 under the same total
+    order."""
+    from flink_cdc_connectors_spark.queries import tier_c as T
+
+    def run():
+        return (
+            T.ext_sim_search_cosine(spark, sf_dir)
+            .toPandas()
+            .sort_values(["q_id", "rn"])
+            .reset_index(drop=True)
+        )
+
+    jvm = run()
+    monkeypatch.setattr(T, "_COSINE_GEMM_MIN_ROWS", 0)
+    gemm = run().astype(jvm.dtypes.to_dict())
+    assert jvm.equals(gemm), "GEMM exact scan diverged from the join form"

@@ -187,6 +187,22 @@ def pq_codes(v: Column, m: int = 8, k: int = 16, dim: int = 64) -> Column:
     return F.array(*parts)
 
 
+def srp_planes_np(num_planes: int = 8, dim: int = 64):
+    """The SRP hyperplane family as a numpy ``(num_planes, dim)`` float64
+    array — the same ``_hash_coef`` constants as ``srp_bucket``'s literal
+    arrays (plane i is salt ``srp{i}`` in both forms), for the batched
+    bucket-assign in the embedding-LSH scale modes. Sign decisions match
+    the Column form exactly: both compute dot(v, plane) and test >= 0,
+    and the hash-derived coefficients keep |dot| far from the fp-noise
+    floor (pinned by the helper-level A/B in tests/test_plan_audits.py)."""
+    import numpy as np
+
+    return np.array(
+        [[_hash_coef(f"srp{p}", i) for i in range(dim)] for p in range(num_planes)],
+        dtype=np.float64,
+    )
+
+
 def ivf_centroids_np(num_centroids: int = 16, dim: int = 64):
     """The IVF centroid family as a numpy ``(num_centroids, dim)`` float64
     array — the same ``_hash_coef`` constants as ``ivf_centroid_id``'s

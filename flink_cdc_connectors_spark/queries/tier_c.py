@@ -551,6 +551,44 @@ def ext_sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
 
 
+def _srp_sig_batch(df: DataFrame, vec_col: str, planes: int) -> DataFrame:
+    """All of ``df``'s columns + the ``planes``-bit SRP ``bucket`` string,
+    computed as ONE numpy matmul per Arrow batch (mapInPandas, map-only).
+
+    The Column form (``srp_bucket``) evaluates one interpreted HOF dot per
+    plane per row — profiled ~1.3-2.6 s of the 400k-row sf10
+    embedding-LSH run (the same interpreted-encode term the PQ/SemDeDup
+    fixes removed). Bit-identical to the Column form: same ``srp{i}``
+    coefficient family, same dot-sign >= 0 rule (helper-level A/B pinned
+    in tests/test_plan_audits.py::test_srp_batch_sig_matches_hof).
+    SCALE-MODE ONLY: oracle scales keep ``srp_bucket`` so the DuckDB
+    replay stays plan-for-plan what the driver has always hash-proven."""
+    from pyspark.sql import types as T2
+
+    from flink_cdc_connectors_spark.functions import vectors as V
+
+    P = V.srp_planes_np(planes)
+    out_schema = T2.StructType(
+        list(df.schema.fields) + [T2.StructField("bucket", T2.StringType())]
+    )
+
+    def enc(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = mat.shape[1]
+            signs = (mat @ P[:, :d].T) >= 0  # (n, planes)
+            chars = np.where(signs, "1", "0")
+            pdf = pdf.copy()
+            pdf["bucket"] = ["".join(r) for r in chars]
+            yield pdf
+
+    return df.mapInPandas(enc, out_schema)
+
+
 def _duck_sim_lsh_oracle() -> str:
     from flink_cdc_connectors_spark.functions.vectors import duck_srp_bucket_sql
 
@@ -648,6 +686,10 @@ def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole key becomes a single exchange on the bucket key. Rounding and
     # tie-breaks mirror the join form exactly (round 6 BEFORE ranking,
     # (-sim, id_b) order); A/B at sf0.1 (9 planes): identical rows.
+    # Round 9: the bucket-assign itself also moves to a batched matmul
+    # (_srp_sig_batch) — the per-plane interpreted HOF dot was the same
+    # encode term the PQ fix removed.
+    sig = _srp_sig_batch(base.select("vec_id", "v"), "v", lplanes)
     import pandas as pd  # noqa: F401  (closure below pickles by value)
 
     def _topk_factory(k_top: int):
@@ -1301,9 +1343,10 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an exchange, and the within-bucket pair scoring is one numpy matmul.
     # Occupancy calibration bounds the per-bucket matrix; A/B against the
     # join form at sf1: identical pair sets, max |cos| delta < 1e-6.
-    sig = base.select(
-        "vec_id", "e", V.srp_bucket(F.col("e"), num_planes=planes).alias("bucket")
-    )
+    # Round 9: bucket-assign via one matmul per Arrow batch instead of
+    # the per-plane interpreted HOF dot (see _srp_sig_batch) — bit-equal
+    # buckets, helper-level A/B pinned.
+    sig = _srp_sig_batch(base.select("vec_id", "e"), "e", planes)
 
     def _verify_factory(threshold: float):
         def verify(pdf):

@@ -822,3 +822,33 @@ def test_cosine_gemm_matches_join_form(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(T, "_COSINE_GEMM_MIN_ROWS", 0)
     gemm = run().astype(jvm.dtypes.to_dict())
     assert jvm.equals(gemm), "GEMM exact scan diverged from the join form"
+
+
+def test_srp_batch_sig_matches_hof(spark, sf_dir):
+    """_srp_sig_batch (numpy matmul bucket-assign) must produce the exact
+    bucket string the srp_bucket Column form produces for the same plane
+    count — the embedding-LSH scale modes swap only the engine, never a
+    bucket boundary."""
+    from flink_cdc_connectors_spark.functions import vectors as V
+    from flink_cdc_connectors_spark.queries.tier_c import _srp_sig_batch
+    from flink_cdc_connectors_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    for planes in (8, 13):
+        jvm = (
+            base.select(
+                "vec_id", V.srp_bucket(F.col("v"), num_planes=planes).alias("bucket")
+            )
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        batch = (
+            _srp_sig_batch(base, "v", planes)
+            .select("vec_id", "bucket")
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert jvm.equals(batch), f"bucket mismatch at {planes} planes"

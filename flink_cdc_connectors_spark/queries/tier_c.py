@@ -551,6 +551,21 @@ def ext_sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
 
 
+# Shared honesty note for every GEMM scale path (ADVICE r9): the numpy
+# paths round with np.round (round-half-even over the binary double) while
+# the join forms use Spark F.round (BigDecimal HALF_UP over the shortest
+# decimal repr) — AND the GEMM dot accumulates in a different order than
+# the sequential HOF fold, so the pre-rounding doubles themselves can
+# differ in the last ulp. A sim within ~1 ulp of a 6-decimal boundary can
+# therefore round differently across the gate and flip a top-k tie-break.
+# The A/B "identical rows" pins are EMPIRICAL statements about the driver
+# fixtures (where they hold bit-for-bit), not an unconditional guarantee;
+# strict cross-gate parity is unattainable regardless of rounding mode
+# because of the accumulation-order term, so we document rather than chase
+# it. Referenced by the scale-mode docstrings as _GEMM_ROUNDING_CAVEAT.
+_GEMM_ROUNDING_CAVEAT = "see module note above _srp_sig_batch"
+
+
 def _srp_sig_batch(df: DataFrame, vec_col: str, planes: int) -> DataFrame:
     """All of ``df``'s columns + the ``planes``-bit SRP ``bucket`` string,
     computed as ONE numpy matmul per Arrow batch (mapInPandas, map-only).
@@ -657,15 +672,17 @@ def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row, no per-row hashing.
     # Compute ONLY the prefix planes (bit-identical to substring of the
     # 16-plane string — plane i is salt-indexed srp{i} either way) so the
-    # corpus-side projection does lplanes dots/row, not 16.
-    sig = base.select(
-        "vec_id",
-        "v",
-        V.srp_bucket(F.col("v"), num_planes=lplanes).alias("bucket")
-    )
+    # corpus-side projection does lplanes dots/row, not 16. Each mode
+    # builds exactly one sig plan (ADVICE r9: the Column form was built
+    # unconditionally and discarded in scale mode).
     if lplanes == 8:
         # driver scales: the self-join + windowed re-rank both engines
         # replay verbatim (bit-identical hash)
+        sig = base.select(
+            "vec_id",
+            "v",
+            V.srp_bucket(F.col("v"), num_planes=lplanes).alias("bucket"),
+        )
         a, b = sig.alias("a"), sig.alias("b")
         cand = a.join(
             b,
@@ -684,8 +701,9 @@ def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scores as one numpy matmul and, because a vector lives in exactly
     # ONE bucket, the per-id_a top-5 is complete within the bucket — the
     # whole key becomes a single exchange on the bucket key. Rounding and
-    # tie-breaks mirror the join form exactly (round 6 BEFORE ranking,
-    # (-sim, id_b) order); A/B at sf0.1 (9 planes): identical rows.
+    # tie-breaks mirror the join form (round 6 BEFORE ranking,
+    # (-sim, id_b) order); A/B at sf0.1 (9 planes): identical rows —
+    # empirically, with the residual _GEMM_ROUNDING_CAVEAT.
     # Round 9: the bucket-assign itself also moves to a batched matmul
     # (_srp_sig_batch) — the per-plane interpreted HOF dot was the same
     # encode term the PQ fix removed.
@@ -865,27 +883,35 @@ def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         )
 
-    def cnt(batches):
-        import re
-
-        import pandas as pd
-
-        pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]", re.ASCII)
-        for pdf in batches:
-            fl = pdf["text"].str.lower().map(pat.findall)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_tokens": fl.map(len).astype("int32"),
-                    "n_distinct_tokens": fl.map(lambda x: len(set(x))).astype(
-                        "int32"
-                    ),
-                }
-            )
-
     return docs.select("doc_id", "text").mapInPandas(
-        cnt, "doc_id long, n_tokens int, n_distinct_tokens int"
+        _token_count_batches, "doc_id long, n_tokens int, n_distinct_tokens int"
     )
+
+
+def _token_count_batches(batches):
+    """Arrow-batch tokenizer behind ``ext_token_count``'s engine gate.
+
+    Null text yields NULL counts — the same thing the JVM
+    ``regexp_extract_all`` form produces (``size(null)`` is null), so the
+    gate cannot turn a null row into a job failure: ``.str.lower()``
+    propagates NaN and ``na_action="ignore"`` skips it through both maps;
+    the nullable Int32 dtype carries the null to Arrow (ADVICE r9)."""
+    import re
+
+    import pandas as pd
+
+    pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]", re.ASCII)
+    for pdf in batches:
+        fl = pdf["text"].str.lower().map(pat.findall, na_action="ignore")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": fl.map(len, na_action="ignore").astype("Int32"),
+                "n_distinct_tokens": fl.map(
+                    lambda x: len(set(x)), na_action="ignore"
+                ).astype("Int32"),
+            }
+        )
 
 
 _STOPWORDS_PAT = r"\b(the|a|an|of|to|and|in|is|it|for)\b"
@@ -1342,7 +1368,9 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bucket key vs the join's two), pairs never materialize through
     # an exchange, and the within-bucket pair scoring is one numpy matmul.
     # Occupancy calibration bounds the per-bucket matrix; A/B against the
-    # join form at sf1: identical pair sets, max |cos| delta < 1e-6.
+    # join form at sf1: identical pair sets, max |cos| delta < 1e-6
+    # (empirical fixture pin — residual _GEMM_ROUNDING_CAVEAT applies at
+    # the 0.5 threshold for sims within ~1 ulp of a 6-decimal boundary).
     # Round 9: bucket-assign via one matmul per Arrow batch instead of
     # the per-plane interpreted HOF dot (see _srp_sig_batch) — bit-equal
     # buckets, helper-level A/B pinned.

@@ -192,7 +192,11 @@ def _pq_adc_shortlist_gemm(corpus: DataFrame, probes: DataFrame, n_corpus: int) 
     candidate pairs never materialize through an exchange. Rounding (6dp
     BEFORE ranking) and tie-breaks ((-adc, vec_id)) mirror the join form
     exactly; A/B pinned by tests/test_plan_audits.py (forced-GEMM vs join
-    form, identical rows at sf0.001/sf0.1)."""
+    form, identical rows at sf0.001/sf0.1 — an empirical fixture pin, not
+    unconditional: np.round is half-even vs F.round's HALF_UP and the
+    GEMM accumulation order differs, so an adc within ~1 ulp of a
+    6-decimal boundary can tie-break differently (see
+    tier_c._GEMM_ROUNDING_CAVEAT))."""
     import math
 
     from flink_cdc_connectors_spark.functions import vectors as V
@@ -286,7 +290,9 @@ def ext_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice/element_at fold was the measured 100x term (15.57 s / 6.2x at
     sf10 — VERDICT r8) and ADC scoring moves to ``_pq_adc_shortlist_gemm``
     — one numpy lookup-table pass per IVF cell, A/B-identical rows
-    (pinned in tests/test_plan_audits.py, both salted and unsalted)."""
+    (pinned in tests/test_plan_audits.py, both salted and unsalted; an
+    empirical fixture pin — residual half-even-vs-HALF_UP rounding
+    caveat in tier_c._GEMM_ROUNDING_CAVEAT)."""
     from flink_cdc_connectors_spark.functions import vectors as V
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -288,6 +288,9 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = ids[order]
         mat = np.stack(pdf["e"].to_numpy()[order]).astype(np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        # np.round is half-even vs the oracle's HALF_UP — a sim within
+        # ~1 ulp of a 6-decimal boundary at the 0.95 threshold could
+        # differ (tier_c._GEMM_ROUNDING_CAVEAT); fixture-pinned identical.
         sims = np.round(mat @ mat.T, 6)
         # j dropped iff any i<j with cos >= 0.95 (ids ascending by sort)
         hit = np.triu(sims >= 0.95, k=1)

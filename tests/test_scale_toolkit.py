@@ -98,3 +98,40 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
     # and results still equal the plain join
     plain = fact.join(dim, "k").count()
     assert joined.count() == plain
+
+
+def test_token_count_scale_path_null_text_matches_jvm_form(spark):
+    """ADVICE r9: the Arrow-batch tokenizer behind ext_token_count's engine
+    gate must yield NULL counts for null text — exactly what the JVM
+    ``regexp_extract_all`` form produces (``size(null)`` is null) — instead
+    of raising TypeError when NaN reaches ``pat.findall``."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from flink_cdc_connectors_spark.queries.tier_c import _token_count_batches
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["Hello, world 42", None, ""]}
+    )
+    out = pd.concat(list(_token_count_batches([pdf])), ignore_index=True)
+    # "hello" "," "world" "42" -> 4 tokens, all distinct; null -> NA; "" -> 0
+    assert out["n_tokens"].tolist()[0] == 4
+    assert out["n_distinct_tokens"].tolist()[0] == 4
+    assert pd.isna(out["n_tokens"][1]) and pd.isna(out["n_distinct_tokens"][1])
+    assert out["n_tokens"][2] == 0 and out["n_distinct_tokens"][2] == 0
+
+    # end-to-end through mapInPandas AND vs the JVM gate form on the same
+    # null-bearing frame: same rows, nulls in the same places
+    df = spark.createDataFrame(pdf)
+    batch = df.mapInPandas(
+        _token_count_batches, "doc_id long, n_tokens int, n_distinct_tokens int"
+    )
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    jvm = df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+    b = {r["doc_id"]: (r["n_tokens"], r["n_distinct_tokens"]) for r in batch.collect()}
+    j = {r["doc_id"]: (r["n_tokens"], r["n_distinct_tokens"]) for r in jvm.collect()}
+    assert b == j

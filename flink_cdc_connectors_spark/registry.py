@@ -73,72 +73,69 @@ def query(key: str, tier: str, oracle: str | None = None) -> Callable[[QueryFn],
 # instead, the ordering is a no-op.  Everything not listed follows in
 # sorted order.
 #
-# Round-9 set (VERDICT r8 "Next round" #2): (0) keys whose source files
-# round 9 touches — the IVF-PQ GEMM scale path (tier_c_ext3.py, shares a
-# file with doc_chunk/substring/unigram/frames) and its recall companion,
-# plus the resnapshot rechunk guard (hybrid_source.py) — fresh rows are
-# the only current evidence for these; (1) the 20 keys whose newest
-# driver row is round 5, the oldest surviving evidence; (2) r6-evidence
+# Round-10 set (VERDICT r9 "Next round" #2): (0) keys whose source files
+# round 10 touches — the token-count null guard + the sim-search plan-build
+# fix (tier_c.py), the GEMM-caveat files (tier_c_ext3/ext4), and the
+# streaming-harness keys item #3 reworks; (1) the 19 keys whose newest
+# driver row is round 6, the oldest surviving evidence; (2) r7-evidence
 # keys with the largest bench weight, filling the ~50 budget.
 _CHECK_FIRST = (
     # -- 0: implementation/source files changed this round -------------------
+    "ext_token_count",
     "ext_sim_search_pq",
-    "ext_ann_recall",
-    "ext_doc_chunk",
-    "ext_dedup_substring",
-    "ext_unigram_logprob",
-    "ext_multimodal_frames",
-    "cdc_type_change_resnapshot",
-    # -- 1: the 20 keys whose newest driver row is round 5 -------------------
-    "ext_decontaminate",
-    "ext_dedup_cluster",
-    "ext_domain_mix",
-    "ext_filter_ensemble",
-    "ext_pii_scrub",
-    "ext_repetition_ratio",
-    "ext_sequence_pack",
-    "ext_shuffle_shard",
-    "ext_stratified_sample",
-    "set_intersect",
-    "set_union_all",
-    "sort_limit",
-    "stream_cumulate_window",
-    "stream_join_static",
-    "stream_session_window",
-    "stream_sliding_window",
-    # -- 2: r6-evidence keys, heaviest bench weight first, to ~50 ------------
-    "cdc_stream_dedup_index",
-    "ext_minhash_recall",
-    "cdc_jdbc_incremental",
-    "cdc_jdbc_snapshot",
-    "agg_approx_distinct",
-    "agg_continuous_rollup",
-    "agg_percentiles",
-    "agg_string_agg",
-    "cdc_capture_db2",
-    "cdc_capture_sqlserver",
-    "cdc_gtid_failover",
-    "cdc_logminer_redo",
-    "cdc_mongo_changestream",
-    "cdc_oceanbase_commit_order",
-    "cdc_postgres_wal2json",
-    "cdc_retract_agg",
-    "cdc_upsert_sink",
-    "explode_unnest",
-    "ext_bloom_decontaminate",
-    "ext_dedup_embedding",
-    "ext_dedup_embedding_lsh",
-    "ext_dedup_exact_text",
-    "ext_dedup_keeper_quality",
-    "ext_dedup_lines",
-    "ext_kmeans_spherical",
-    "ext_multimodal_audio",
-    "ext_multimodal_cols",
     "ext_semdedup",
+    "ext_dedup_embedding_lsh",
+    "cdc_stream_dedup_index",
+    "stream_e2e_windowed",
+    "cdc_dsv2_added_tables",
+    "cdc_dsv2_stream",
+    # -- 1: the 19 keys whose newest driver row is round 6 -------------------
+    "ext_dedup_minhash",
     "ext_sim_search_cosine",
     "ext_sim_search_ivf",
     "ext_sim_search_lsh",
-    # -- r6+ greens follow in sorted order; rows-only keys at the tail --
+    "ext_tfidf",
+    "ext_url_dedup",
+    "ext_zorder_layout",
+    "join_anti",
+    "join_lookup",
+    "stream_tumbling_window",
+    "stream_watermark_late",
+    "topk_per_group",
+    "udf_scalar",
+    "udf_table",
+    "window_analytic",
+    "window_range_frame",
+    "window_ranking",
+    # (ext_semdedup / stream_e2e_windowed already in group 0)
+    # -- 2: r7-evidence keys, heaviest bench weight first, to ~50 ------------
+    "ext_dedup_incremental",
+    "ext_dedup_ngram_jaccard",
+    "cdc_deserialize_envelope",
+    "stream_topn_changelog",
+    "cdc_metadata_columns",
+    "cdc_chunk_split_uneven",
+    "cdc_chunk_reconcile",
+    "cdc_chunk_split_vector",
+    "ext_multimodal_decode",
+    "cdc_offset_filter",
+    "cdc_startup_modes",
+    "cdc_dedup_exact",
+    "cdc_spatial_decode",
+    "set_ops_bag",
+    "join_skew_salted",
+    "ext_fingerprint",
+    "cdc_chunk_split_even",
+    "cdc_chunk_key_column",
+    "agg_distinct",
+    "set_except",
+    "ext_multimodal_resize",
+    "subquery_in_correlated",
+    "cdc_changelog_normalize",
+    "stream_window_join",
+    "ext_lang_id",
+    "ext_quality_score",
+    # -- r7+ greens follow in sorted order; rows-only keys at the tail --
 )
 
 

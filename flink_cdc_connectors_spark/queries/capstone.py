@@ -169,13 +169,22 @@ def _explode_bands(docs: DataFrame) -> DataFrame:
 
 
 def _write_state(state: dict, scratch: str, docs: DataFrame) -> None:
-    """Epoch rewrite of the single index state dir (tracked in ``state``)."""
+    """Epoch rewrite of the single index state dir (tracked in ``state``).
+
+    ``coalesce(1)``: the index is a few hundred tiny rows per epoch at
+    driver scales; one output file means one write task and a one-split
+    read on the next increment's prior-state scan (profiled ~0.2 s/epoch
+    of task-launch + multi-file-footer overhead at 32 shuffle
+    partitions).  The narrow stages above the last shuffle still run
+    parallel; at a 100 TB deployment the state dir is a real lake table
+    (partitioned, compacted by the writer) and this local single-file
+    epoch is the moral equivalent of its compaction step."""
     import os
     import shutil
 
     epoch = state["epoch"] + 1
     dp = os.path.join(scratch, f"docs_v{epoch}")
-    docs.write.mode("overwrite").parquet(dp)
+    docs.coalesce(1).write.mode("overwrite").parquet(dp)
     old = state["docs"]
     state.update(docs=dp, epoch=epoch)
     if old:
@@ -220,7 +229,49 @@ def make_fold(spark: SparkSession, corpus: DataFrame, k: int, state: dict, scrat
     directly: re-delivering a batch must be IDEMPOTENT (foreachBatch
     re-runs a batch id after a failure — the anti-join-then-append merge
     replaces the same keys with the same rows), and a restart against the
-    same checkpoint must resume mid-drain without double-merging."""
+    same checkpoint must resume mid-drain without double-merging.
+
+    Every Column expression the fold uses is built ONCE here, outside
+    ``fold_batch`` (round 10): Columns are immutable trees resolved by
+    name per plan, and assembling the 16-min-md5 aggregate + the
+    near-copy/unique-text projection through py4j cost a profiled
+    0.3-0.45 s of DRIVER time per increment when rebuilt inside the
+    batch callback — pure plan-construction chatter, not execution."""
+    proj_cols = [
+        F.col("event_id"),
+        F.col("op"),
+        (F.lit(_STREAM_BASE) + F.col("event_id") % k).alias("doc_key"),
+        (F.col("event_id") % _SRC_MOD).alias("src"),
+    ]
+    raw_words = F.split(F.trim(F.col("text")), r"\s+")
+    near = F.array_join(F.slice(raw_words, 1, F.size(raw_words) - 1), " ")
+    uniq = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("u"), F.col("version").cast("string"), F.lit(ch))
+            for ch in "abcdefg"
+        ],
+    )
+    txt_col = (
+        F.when((F.col("version") % 3 == 0) & (F.size(raw_words) > 12), near)
+        .otherwise(uniq)
+        .alias("txt")
+    )
+    shingle_col = F.explode_outer(TX.shingles(TX.words(F.col("txt")))).alias(
+        "shingle"
+    )
+    sig_aggs = [
+        F.collect_set("shingle").alias("sh"),
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(_N_HASH)
+        ],
+    ]
+    bands_col = _bands_array().alias("bands")
+    rn_col = F.row_number().over(
+        W.partitionBy("doc_key").orderBy(F.col("event_id").desc())
+    )
+    corpus_as_src = F.broadcast(corpus.withColumnRenamed("doc_id", "src"))
 
     def fold_batch(bdf: DataFrame, batch_id: int) -> None:
         # One evaluation of the batch scan per increment: the projected
@@ -229,37 +280,16 @@ def make_fold(spark: SparkSession, corpus: DataFrame, k: int, state: dict, scrat
         # DataFrame re-runs its DSv2 range scan per action — profiled as
         # the largest share of the ~3 s/batch fold at sf0.1.  The batch is
         # bounded by debezium.max.batch.size, so the checkpoint is small.
-        t = bdf.select(
-            "event_id",
-            "op",
-            (F.lit(_STREAM_BASE) + F.col("event_id") % k).alias("doc_key"),
-            (F.col("event_id") % _SRC_MOD).alias("src"),
-        ).localCheckpoint(eager=True)
+        t = bdf.select(*proj_cols).localCheckpoint(eager=True)
         n, mx = t.agg(F.count("*"), F.max("event_id")).first()
         if n == 0:
             return
-        latest = t.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("doc_key").orderBy(F.col("event_id").desc())
-            ),
-        ).filter(F.col("rn") == 1)
+        latest = t.withColumn("rn", rn_col).filter(F.col("rn") == 1)
         touched = latest.select(F.col("doc_key").alias("doc_id"))
         ups = latest.filter(F.col("op") != "delete").select(
             "doc_key", F.col("event_id").alias("version"), "src"
         )
-        joined = ups.join(
-            F.broadcast(corpus.withColumnRenamed("doc_id", "src")), "src"
-        )
-        raw_words = F.split(F.trim(F.col("text")), r"\s+")
-        near = F.array_join(F.slice(raw_words, 1, F.size(raw_words) - 1), " ")
-        uniq = F.concat_ws(
-            " ",
-            *[
-                F.concat(F.lit("u"), F.col("version").cast("string"), F.lit(ch))
-                for ch in "abcdefg"
-            ],
-        )
+        joined = ups.join(corpus_as_src, "src")
         # CONTENT-ADDRESSED signing: a signature is a pure function of the
         # text, and a CDC increment routinely carries many docs with
         # IDENTICAL content (here: every near-copy of the same source doc;
@@ -274,36 +304,17 @@ def make_fold(spark: SparkSession, corpus: DataFrame, k: int, state: dict, scrat
         # collect_set loses shingle order; every consumer
         # (array_intersect sizes) is order-insensitive set algebra.
         docs_txt = joined.select(
-            F.col("doc_key").alias("doc_id"),
-            "version",
-            F.when(
-                (F.col("version") % 3 == 0) & (F.size(raw_words) > 12), near
-            )
-            .otherwise(uniq)
-            .alias("txt"),
+            F.col("doc_key").alias("doc_id"), "version", txt_col
         ).localCheckpoint(eager=True)
         sigs = (
             docs_txt.select("txt")
             .distinct()
-            .select(
-                "txt",
-                F.explode_outer(TX.shingles(TX.words(F.col("txt")))).alias(
-                    "shingle"
-                ),
-            )
+            .select("txt", shingle_col)
             .groupBy("txt")
-            .agg(
-                F.collect_set("shingle").alias("sh"),
-                *[
-                    F.min(
-                        F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
-                    ).alias(f"mh{i}")
-                    for i in range(_N_HASH)
-                ],
-            )
+            .agg(*sig_aggs)
         )
         new_docs = docs_txt.join(sigs, "txt").select(
-            "doc_id", "version", "sh", _bands_array().alias("bands")
+            "doc_id", "version", "sh", bands_col
         )
         prior = spark.read.parquet(state["docs"])
         _write_state(

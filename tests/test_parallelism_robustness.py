@@ -1,0 +1,96 @@
+"""Standing parallelism-robustness slice (VERDICT r9 "Next round" #6).
+
+Round 9 proved the full surface green at sf0.001/local[3]/3 shuffle
+partitions as a ONE-OFF manual simulation; this test keeps a rotating
+slice of that sweep in the standing suite so partition-count assumptions
+(AQE coalescing, broadcast thresholds, chunk planning, fan_out widths)
+stay continuously covered at a parallelism nobody develops against.
+
+Mechanics: the session-scoped ``spark`` fixture owns this process's JVM
+(local[8]), so the low-parallelism run happens in a SUBPROCESS with a
+fresh ``local[3]`` session.  The slice rotates deterministically by ISO
+week (stable within a week, different keys across rounds), stratified
+across the sorted key space so every week's sample spans tiers A/B/C.
+Oracle-bearing keys are value-compared against DuckDB with the driver's
+comparator; rows-only keys assert a deterministic non-negative count.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SLICE = 12  # keys per run: ~1 subprocess JVM boot + ~12 tiny-sf keys
+
+_RUNNER = r"""
+import json, os, sys
+repo, sf_dir, keys_json = sys.argv[1], sys.argv[2], sys.argv[3]
+sys.path.insert(0, repo)
+sys.path.insert(0, os.path.join(repo, "tests"))
+keys = json.loads(keys_json)
+from flink_cdc_connectors_spark.registry import all_queries
+from flink_cdc_connectors_spark.session import get_spark
+import duckdb
+from oracle_compare import assert_same
+
+spark = get_spark(app_name="local3_robustness", cpus=3, shuffle_partitions=3)
+qs = all_queries()
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+failures = {}
+for k in keys:
+    try:
+        spec = qs[k]
+        df = spec.builder(spark, sf_dir)
+        if spec.oracle is None:
+            n = df.count()
+            assert n >= 0
+        else:
+            assert_same(df.toPandas(), con.execute(spec.oracle).fetchdf(), k)
+    except Exception as exc:  # noqa: BLE001 - report every key, then fail
+        failures[k] = f"{type(exc).__name__}: {exc}"[:300]
+    finally:
+        spark.catalog.clearCache()
+print("LOCAL3_RESULT " + json.dumps(failures))
+sys.exit(1 if failures else 0)
+"""
+
+
+def _weekly_slice(keys: list[str], n: int) -> list[str]:
+    """Deterministic within an ISO week, rotating across weeks, spread
+    across the sorted key space (stride sampling from a rotating offset)."""
+    week = datetime.date.today().isocalendar()[1]
+    stride = max(1, len(keys) // n)
+    offset = week % stride
+    return keys[offset::stride][:n]
+
+
+def test_local3_rotating_slice(sf_dir):
+    from flink_cdc_connectors_spark.registry import all_queries
+
+    keys = _weekly_slice(sorted(all_queries()), _SLICE)
+    assert len(keys) >= _SLICE // 2
+    env = dict(os.environ, SPARK_GRAFT_CPUS="3")
+    proc = subprocess.run(
+        [sys.executable, "-c", _RUNNER, REPO, sf_dir, json.dumps(keys)],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        env=env,
+    )
+    marker = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("LOCAL3_RESULT ")
+    ]
+    assert proc.returncode == 0 and marker, (
+        f"local[3] slice failed (rc={proc.returncode}) keys={keys}\n"
+        f"result={marker or 'no marker'}\n"
+        f"stderr tail: {proc.stderr[-2000:]}"
+    )
+    assert json.loads(marker[0][len("LOCAL3_RESULT "):]) == {}

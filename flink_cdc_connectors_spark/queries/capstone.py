@@ -168,23 +168,28 @@ def _explode_bands(docs: DataFrame) -> DataFrame:
 
 
 
-def _write_state(state: dict, scratch: str, docs: DataFrame) -> None:
+def _write_state(
+    state: dict, scratch: str, docs: DataFrame, width: int = 1
+) -> None:
     """Epoch rewrite of the single index state dir (tracked in ``state``).
 
-    ``coalesce(1)``: the index is a few hundred tiny rows per epoch at
-    driver scales; one output file means one write task and a one-split
-    read on the next increment's prior-state scan (profiled ~0.2 s/epoch
-    of task-launch + multi-file-footer overhead at 32 shuffle
-    partitions).  The narrow stages above the last shuffle still run
-    parallel; at a 100 TB deployment the state dir is a real lake table
-    (partitioned, compacted by the writer) and this local single-file
+    ``coalesce(width)``: at driver scales the index is a few hundred tiny
+    rows per epoch, and one output file means one write task and a
+    one-split read on the next increment's prior-state scan (profiled
+    ~0.2 s/epoch of task-launch + multi-file-footer overhead at 32
+    shuffle partitions).  ``width`` scales with the caller's key space
+    (see ``make_fold``) so the sf10 ladder's ~200k-row state never
+    serializes its full rewrite — including the broadcast-anti-join
+    prior-state scan coalesce would pull into the same task — through a
+    single thread.  At a 100 TB deployment the state dir is a real lake
+    table (partitioned, compacted by the writer); this width-bounded
     epoch is the moral equivalent of its compaction step."""
     import os
     import shutil
 
     epoch = state["epoch"] + 1
     dp = os.path.join(scratch, f"docs_v{epoch}")
-    docs.coalesce(1).write.mode("overwrite").parquet(dp)
+    docs.coalesce(max(1, width)).write.mode("overwrite").parquet(dp)
     old = state["docs"]
     state.update(docs=dp, epoch=epoch)
     if old:
@@ -323,6 +328,10 @@ def make_fold(spark: SparkSession, corpus: DataFrame, k: int, state: dict, scrat
             prior.join(F.broadcast(touched), "doc_id", "left_anti").unionByName(
                 new_docs
             ),
+            # ~25k state rows per output file: 1 file at driver scales
+            # (k<=4k), parallel write + multi-split next-epoch scan once
+            # the key space outgrows a single task (sf10: k~200k -> 8)
+            width=max(1, k // 25_000),
         )
         # counters advance only AFTER the merge is durably written — the
         # drain watchdog stops the query the moment the watermark is

@@ -1111,17 +1111,6 @@ def stream_e2e_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     shutil.rmtree(tmp, ignore_errors=True)  # lost the re-publish
                 shutil.rmtree(stale, ignore_errors=True)
 
-    stream = read_changelog_stream(spark, env_dir, max_files_per_trigger=3)
-    agg = (
-        stream.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "op")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("sum_value"),
-        )
-    )
     name = f"e2e_{uuid.uuid4().hex[:8]}"
     # checkpoint stays PER-RUN (the seed dir is shared) and is removed
     # after the drain so the shared scratch does not accumulate state
@@ -1130,29 +1119,41 @@ def stream_e2e_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per (hour-window, op) — ~150 rows — but inherits the session's 32
     # shuffle partitions, i.e. 32 HDFS state-store instances each paying
     # delta-file commits EVERY micro-batch.  ABAB at sf0.1: 2.8-3.1 s at
-    # 32 partitions vs 1.9-2.0 s at 4, identical output.  Spark pins the
-    # count into the checkpoint at query creation, so the conf is
-    # restored in the finally without affecting later batches; a real
-    # deployment sizes this to expected state cardinality, exactly as
-    # here.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .start()
+    # 32 partitions vs 1.9-2.0 s at 4, identical output.  The setting
+    # lives on an ISOLATED child session (`newSession()`: own SQLConf +
+    # catalog, shared SparkContext), so a concurrent plan on the caller's
+    # session can never be planned at 4 partitions by accident; Spark
+    # additionally pins the count into the checkpoint at query creation.
+    # A real deployment sizes this to expected state cardinality, exactly
+    # as here.  The memory-sink table registers in the child session's
+    # catalog, so the result frame is read (and returned) from it — the
+    # driver only collects, which is session-agnostic.
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "4")
+    ns_agg = (
+        read_changelog_stream(ns, env_dir, max_files_per_trigger=3)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "op")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
+    )
+    q = (
+        ns_agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name).select(
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return ns.table(name).select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
         "op",
         "n",

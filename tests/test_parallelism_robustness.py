@@ -33,6 +33,7 @@ repo, sf_dir, keys_json = sys.argv[1], sys.argv[2], sys.argv[3]
 sys.path.insert(0, repo)
 sys.path.insert(0, os.path.join(repo, "tests"))
 keys = json.loads(keys_json)
+from flink_cdc_connectors_spark import TABLES
 from flink_cdc_connectors_spark.registry import all_queries
 from flink_cdc_connectors_spark.session import get_spark
 import duckdb
@@ -41,8 +42,7 @@ from oracle_compare import assert_same
 spark = get_spark(app_name="local3_robustness", cpus=3, shuffle_partitions=3)
 qs = all_queries()
 con = duckdb.connect()
-for t in ("region nation customer supplier part orders lineitem events "
-          "documents embeddings").split():
+for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 failures = {}
 for k in keys:
@@ -65,11 +65,20 @@ sys.exit(1 if failures else 0)
 
 def _weekly_slice(keys: list[str], n: int) -> list[str]:
     """Deterministic within an ISO week, rotating across weeks, spread
-    across the sorted key space (stride sampling from a rotating offset)."""
+    across the sorted key space.  Modular stride sampling with a
+    week-rotating offset: indices (offset + i*stride) % len(keys) — the
+    wraparound matters, a plain ``keys[offset::stride][:n]`` permanently
+    excludes the last ``len(keys) % stride`` keys from every week."""
     week = datetime.date.today().isocalendar()[1]
+    if not keys:
+        return []
     stride = max(1, len(keys) // n)
-    offset = week % stride
-    return keys[offset::stride][:n]
+    offset = week % len(keys)
+    picked = []
+    for i in range(min(n, len(keys))):
+        idx = (offset + i * stride) % len(keys)
+        picked.append(keys[idx])
+    return sorted(set(picked))
 
 
 def test_local3_rotating_slice(sf_dir):

@@ -51,6 +51,11 @@ def run_one(spark, builder, sf_dir: str) -> float:
 
 
 def main() -> None:
+    # 1-min load BEFORE the session spins up: the round-9/10 bench
+    # adjudications showed per-key readings inflate 1.3-1.7x under
+    # ambient neighbor load, and the recorded JSON previously carried no
+    # way to tell a loaded window from a quiet one after the fact.
+    load_start = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="bench")
     queries = all_queries()
     # Session warmup: the smallest fixture absorbs JVM/session startup so
@@ -120,6 +125,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "load_start_1min": load_start,
+        "load_end_1min": round(os.getloadavg()[0], 2),
     }
     if failures:
         full["failures"] = failures
@@ -148,6 +155,8 @@ def main() -> None:
         "sf": full["sf"],
         "n_queries": len(timings),
         "n_failures": len(failures),
+        "load_start_1min": full["load_start_1min"],
+        "load_end_1min": full["load_end_1min"],
         "detail": "BENCH_DETAIL.json",
         "queries": {},
     }

@@ -37,6 +37,19 @@ def shingles(words_col: Column, n: int = 3) -> Column:
     )
 
 
+def _salted_xxhash64(i: int):
+    """Single-ARITY lambda factory for ``transform``.  The obvious loop
+    closure ``lambda s, i=i: F.xxhash64(F.lit(i), s)`` is a silent trap:
+    PySpark sniffs the callable's arity, a Python default argument still
+    counts toward it, and a two-parameter callable selects ``transform``'s
+    index-aware form ``(x, idx) -> ...`` — so ``i`` was bound to the
+    ELEMENT INDEX, not the loop literal, collapsing all ``num_hashes``
+    members into the same ``xxhash64(position, s)`` value (caught in round
+    10 by the new DuckDB xxhash64 oracle; the rows-only check never could:
+    the degenerate family is still deterministic)."""
+    return lambda s: F.xxhash64(F.lit(i), s)
+
+
 def minhash_signature(shingles_col: Column, num_hashes: int = 16) -> list[Column]:
     """MinHash signature: min over shingles of hash_i(shingle) for each of
     ``num_hashes`` deterministic hash-family members (xxhash64 salted by i).
@@ -45,7 +58,7 @@ def minhash_signature(shingles_col: Column, num_hashes: int = 16) -> list[Column
     collision behavior MinHash needs."""
     return [
         F.array_min(
-            F.transform(shingles_col, lambda s, i=i: F.xxhash64(F.lit(i), s))
+            F.transform(shingles_col, _salted_xxhash64(i))
         ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]

@@ -222,11 +222,106 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_dedup_minhash", tier="C", oracle=None)
+def _duck_minhash_oracle() -> str:
+    """Full DuckDB value oracle for the xxhash64 MinHash key (round 10 —
+    upgraded from rows-only): the hash family itself is replayed bit-for-
+    bit by functions/xxhash_sql.py (seed_i = Spark's hashInt(i, 42) as a
+    plan-time constant; band signatures = the chained hashLong fold).
+    Hashing runs once per DISTINCT shingle; min() over the SIGNED value
+    mirrors Spark's array_min over longs.  Valid below
+    ``_MINHASH_SCALE_DOCS`` — the same sub-gate-family contract as every
+    engine-gated key (the word-triple scale family is explicitly a
+    different hash family, warned at the gate)."""
+    from flink_cdc_connectors_spark.functions.xxhash_sql import (
+        duck_utf8_bytes_sql,
+        duck_xxh64_long_sql,
+        duck_xxh64_staged_ctes,
+        spark_seed_for_int,
+        to_signed_sql,
+        to_unsigned_sql,
+    )
+
+    # ONE staged hash PIPELINE with the seed as a COLUMN, evaluated over
+    # dist x seeds. Two measured DuckDB cost cliffs shaped this: (a) 17
+    # inlined copies of the single-expression hash cost ~83 s of BINDER
+    # time alone (one seed-column copy plans in ~2 s); (b) the
+    # single-expression form executes through per-row lambda
+    # interpretation at ~100 us/hash (~30 s for the family) — the staged
+    # CTE form (duck_xxh64_staged_ctes) unrolls the <32-byte path into
+    # flat vectorized column arithmetic. sid -1 = the plain xxhash64(s)
+    # (seed 42), sids 0..15 = the family members (hashInt(i, 42) seeds).
+    seed_rows = ", ".join(
+        f"(-1, 42::UBIGINT)"
+        if i < 0
+        else f"({i}, {spark_seed_for_int(i)}::UBIGINT)"
+        for i in range(-1, 16)
+    )
+    hash_ctes = duck_xxh64_staged_ctes("db2", "seeds", "hs")
+    pivot = ", ".join(f"min(hv) FILTER (sid = {i}) AS m{i}" for i in range(16))
+
+    def band_sig(bi: int) -> str:
+        expr = "42::UBIGINT"
+        for r in range(4):
+            expr = duck_xxh64_long_sql(to_unsigned_sql(f"mh{bi * 4 + r}"), expr)
+        return to_signed_sql(expr)
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_id, {band_sig(bi)} AS band_sig FROM sig"
+        for bi in range(4)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_COPY_OFFSET},
+             array_to_string(string_split_regex(trim(text), '\\s+')[1:-3], ' ')
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\\s+')) > 12
+    ),
+    shingled AS MATERIALIZED ({_SHINGLE_SQL}),
+    dist AS (SELECT DISTINCT shingle FROM shingled),
+    seeds(sid, sd) AS (VALUES {seed_rows}),
+    db2 AS (SELECT shingle, b, len(b) AS n
+            FROM (SELECT shingle, {duck_utf8_bytes_sql('shingle')} AS b FROM dist)),
+    {hash_ctes},
+    hashed AS MATERIALIZED (
+      SELECT shingle, min(hv) FILTER (sid = -1) AS h, {pivot}
+      FROM hs GROUP BY shingle),
+    sh AS MATERIALIZED (
+      SELECT s.doc_id, h.h, {", ".join(f"h.m{i}" for i in range(16))}
+      FROM shingled s JOIN hashed h USING (shingle)),
+    sig AS (SELECT doc_id, {", ".join(f"min(m{i}) AS mh{i}" for i in range(16))}
+            FROM sh GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM bands x JOIN bands y
+               ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+                  AND x.doc_id < y.doc_id),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+              FROM shingled GROUP BY 1),
+    common AS (
+      SELECT c.id_a, c.id_b, CAST(count(DISTINCT a.h) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b2 ON b2.doc_id = c.id_b AND b2.h = a.h
+      GROUP BY 1, 2),
+    jacd AS (
+      SELECT id_a, id_b,
+             CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jac
+      FROM common JOIN sizes sa ON sa.doc_id = id_a
+                  JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, round(jac, 4) AS jaccard FROM jacd WHERE jac >= 0.6
+    """
+
+
+@query("ext_dedup_minhash", tier="C", oracle=_duck_minhash_oracle())
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (rows-only check): 16 xxhash64-derived
-    min-hashes per doc over 3-gram shingles, banded 4x4; docs sharing a band
-    signature become candidate pairs, verified by exact Jaccard >= 0.6.
+    """MinHash-LSH near-dup candidates (HASH-CHECKED since round 10 —
+    functions/xxhash_sql.py replays Spark's xxhash64 bit-for-bit in DuckDB,
+    retiring the round-3 "not SQL-oracle-expressible" pin): 16
+    xxhash64-derived min-hashes per doc over 3-gram shingles, banded 4x4;
+    docs sharing a band signature become candidate pairs, verified by
+    exact Jaccard >= 0.6.
 
     This is the 100 TB path for ``ext_dedup_ngram_jaccard``: the only wide
     join is on (band_id, band_signature) — bounded bucket sizes — instead of
@@ -312,12 +407,15 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         hashed = wordsed.select("doc_id", h3.alias("hsh"))
+        # single-arity lambda factory — a `lambda h, i=i:` closure would
+        # bind i to the ELEMENT INDEX via transform's index-aware form
+        # (the arity trap documented at functions/text.py::_salted_xxhash64)
         sh_arr = hashed.select(
             "doc_id",
             "hsh",
             *[
                 F.array_min(
-                    F.transform(F.col("hsh"), lambda h, i=i: F.xxhash64(F.lit(i), h))
+                    F.transform(F.col("hsh"), T._salted_xxhash64(i))
                 ).alias(f"mh{i}")
                 for i in range(16)
             ],
@@ -360,10 +458,77 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_dedup_simhash", tier="C", oracle=None)
+def _duck_simhash_oracle() -> str:
+    """Full DuckDB value oracle for the xxhash64 SimHash key (round 10 —
+    upgraded from rows-only, same replay machinery as
+    ``_duck_minhash_oracle``): hash each DISTINCT normalized token once
+    through the staged xxhash64 pipeline (single seed 42), rebuild the
+    64-bit majority-vote fingerprint with per-bit conditional sums
+    (strict ``2*ones > n`` — simhash_df's rule), extract the four 16-bit
+    bands arithmetically (identical to Spark's arithmetic-shift-and-mask
+    on the signed long), and verify band-colliding pairs by
+    ``bit_count(xor)`` Hamming distance <= 3."""
+    from flink_cdc_connectors_spark.functions.xxhash_sql import (
+        duck_utf8_bytes_sql,
+        duck_xxh64_staged_ctes,
+        to_unsigned_sql,
+    )
+
+    hash_ctes = duck_xxh64_staged_ctes("db2", "seeds", "hs")
+    ones = ",\n             ".join(
+        f"CAST(sum((hu // {1 << bb}) % 2) AS BIGINT) AS o{bb}" for bb in range(64)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN 2*o{bb} > n_tok THEN {1 << bb}::HUGEINT ELSE 0::HUGEINT END)"
+        for bb in range(64)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sig_u, {bb} AS band_id, "
+        f"((sig_u // {1 << (16 * bb)}) % 65536)::BIGINT AS band_val FROM sigs"
+        for bb in range(4)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_COPY_OFFSET},
+             array_to_string(string_split_regex(trim(text), '\\s+')[1:-2], ' ')
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\\s+')) > 12
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(string_split_regex({_NORM_SQL.format(c="text")}, '\\s+')) AS shingle
+      FROM corpus),
+    dist AS (SELECT DISTINCT shingle FROM tok),
+    seeds(sid, sd) AS (VALUES (0, 42::UBIGINT)),
+    db2 AS (SELECT shingle, b, len(b) AS n
+            FROM (SELECT shingle, {duck_utf8_bytes_sql('shingle')} AS b FROM dist)),
+    {hash_ctes},
+    wh AS MATERIALIZED (
+      SELECT shingle, {to_unsigned_sql('hv')} AS hu FROM hs),
+    agg AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             {ones}
+      FROM tok t JOIN wh USING (shingle) GROUP BY t.doc_id),
+    sigs AS (SELECT doc_id, ({sig_terms})::UBIGINT AS sig_u FROM agg),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.sig_u, b.sig_u)) AS INT) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig_u, b.sig_u)) <= 3)
+    SELECT id_a, id_b, hamming FROM cand
+    """
+
+
+@query("ext_dedup_simhash", tier="C", oracle=_duck_simhash_oracle())
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup detection (rows-only; hash functions are not
-    SQL-oracle-expressible): 64-bit Charikar fingerprint per document
+    """SimHash near-dup detection (HASH-CHECKED since round 10 — the
+    xxhash64 token hash is replayed in DuckDB by functions/xxhash_sql.py):
+    64-bit Charikar fingerprint per document
     (functions/text.py::simhash — one JVM-side pass over the token array),
     candidate pairs via 4x16-bit band collisions, confirmed by Hamming
     distance <= 3 (Manku et al., WWW'07). The band structure makes recall

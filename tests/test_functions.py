@@ -379,3 +379,101 @@ def test_fingerprint_hash_family_pins_across_the_scale_gate(spark, sf_dir):
         )
     with _pytest.raises(ValueError, match="hash_family"):
         ext_fingerprint(spark, sf_dir, hash_family="sha1")
+
+
+def test_duck_xxh64_matches_spark(spark):
+    """functions/xxhash_sql.py must reproduce Spark's xxhash64 bit-for-bit:
+    single-string (seed 42), the lit(i)-salted family (constant-seed and
+    seed-column staged forms), and the chained multi-long band form. This
+    is the foundation of the round-10 minhash/simhash value oracles."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from flink_cdc_connectors_spark.functions.xxhash_sql import (
+        duck_utf8_bytes_sql,
+        duck_xxh64_bytes_sql,
+        duck_xxh64_long_sql,
+        duck_xxh64_staged_ctes,
+        spark_seed_for_int,
+        to_signed_sql,
+        to_unsigned_sql,
+    )
+
+    strings = [
+        "", "a", "abc", "hello world", "x" * 7, "x" * 8, "y" * 31, "y" * 32,
+        "z" * 33, "w" * 64, "v" * 65, "naïve café 日本語", "three word shingle",
+    ]
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    exp = {
+        r["s"]: (r["h42"], r["h5"])
+        for r in df.select(
+            "s",
+            F.xxhash64("s").alias("h42"),
+            F.xxhash64(F.lit(5), F.col("s")).alias("h5"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    # constant-seed single-expression form
+    sql = f"""
+    WITH t AS (SELECT unnest(?) AS shingle),
+    db2 AS (SELECT shingle, b, len(b) AS n
+            FROM (SELECT shingle, {duck_utf8_bytes_sql('shingle')} AS b FROM t))
+    SELECT shingle, {to_signed_sql(duck_xxh64_bytes_sql('b', 'n', 42))} AS h42,
+           {to_signed_sql(duck_xxh64_bytes_sql('b', 'n', spark_seed_for_int(5)))} AS h5
+    FROM db2
+    """
+    for s, h42, h5 in con.execute(sql, [strings]).fetchall():
+        assert (h42, h5) == exp[s], s
+    # staged seed-column form
+    sql2 = f"""
+    WITH t AS (SELECT unnest(?) AS shingle),
+    seeds(sid, sd) AS (VALUES (0, 42::UBIGINT), (5, {spark_seed_for_int(5)}::UBIGINT)),
+    db2 AS (SELECT shingle, b, len(b) AS n
+            FROM (SELECT shingle, {duck_utf8_bytes_sql('shingle')} AS b FROM t)),
+    {duck_xxh64_staged_ctes('db2', 'seeds', 'hs')}
+    SELECT shingle, sid, hv FROM hs
+    """
+    for s, sid, hv in con.execute(sql2, [strings]).fetchall():
+        assert hv == exp[s][0 if sid == 0 else 1], (s, sid)
+    # chained 4-long band form
+    longs = [(-3, 2**62, -(2**63), 41)]
+    lf = spark.createDataFrame(longs, "a long, b long, c long, d long")
+    want = lf.select(F.xxhash64("a", "b", "c", "d").alias("h")).first()["h"]
+    expr = "42::UBIGINT"
+    for c in "abcd":
+        expr = duck_xxh64_long_sql(to_unsigned_sql(c), expr)
+    got = con.execute(
+        f"SELECT {to_signed_sql(expr)} FROM (SELECT {longs[0][0]} a, {longs[0][1]} b, "
+        f"{longs[0][2]} c, {longs[0][3]} d)"
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_minhash_members_are_independent(spark):
+    """Regression for the round-10 arity bug: a `lambda s, i=i:` closure
+    (arity 2 through the default arg) selects transform's INDEX-AWARE
+    form, binding i to the element index — every member then hashes
+    xxhash64(position, s) and the whole family collapses to one value.
+    The members must be pairwise distinct and equal the lit(i)-salted
+    reference."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_connectors_spark.functions.text import minhash_signature
+
+    df = spark.createDataFrame(
+        [(["apple pie crust", "banana split cream", "cherry tart glaze"],)],
+        "sh array<string>",
+    )
+    row = df.select(*minhash_signature(F.col("sh"), 16)).first()
+    vals = [row[f"mh{i}"] for i in range(16)]
+    assert len(set(vals)) == 16, "minhash members collapsed"
+    ref = df.select(
+        *[
+            F.array_min(
+                F.expr(f"transform(sh, s -> xxhash64({i}, s))")
+            ).alias(f"r{i}")
+            for i in range(16)
+        ]
+    ).first()
+    assert vals == [ref[f"r{i}"] for i in range(16)]

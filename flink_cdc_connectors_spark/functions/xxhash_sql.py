@@ -357,23 +357,31 @@ def duck_xxh64_staged_ctes(shingle_src: str, seeds_src: str, out: str) -> str:
         for c in (1, 2, 3)
     )
     pre1 = (
-        f"{out}_p1 AS (SELECT shingle, b, n, {terms}, "
+        f"{out}_p1 AS (SELECT shingle, n, {terms}, "
         f"{_mul_flat('k4', P1)} AS u4, "
         + ", ".join(f"{_mul_flat(f'rb{k}', P5)} AS p{k}" for k in (1, 2, 3))
         + f" FROM {out}_p0)"
     )
-    # --- seeded stages (hh threaded via SELECT * REPLACE) ----------------
+    # --- seeded stages (hh threaded, consumed columns DROPPED per stage:
+    # profiling showed the stage pipeline's cost was dominated by copying
+    # the byte-LIST column `b` and spent per-chunk terms through every
+    # projection — carrying only live columns cut the hashing term ~2x;
+    # `b` is re-joined only for n>=32 general-fallback rows at the end) --
+    pend = ["tl1", "tl2", "tl3", "u4", "p1", "p2", "p3"]
     stages = [
-        f"{out}_s0 AS (SELECT shingle, b, n, tl1, tl2, tl3, u4, p1, p2, p3, "
-        f"sid, sd, {_add(_add('sd', str(P5)), '(n)::UBIGINT')} AS hh "
+        f"{out}_s0 AS (SELECT shingle, n, sid, sd, {', '.join(pend)}, "
+        f"{_add(_add('sd', str(P5)), '(n)::UBIGINT')} AS hh "
         f"FROM {out}_p1 CROSS JOIN {seeds_src})"
     ]
 
-    def stage(idx: int, cond: str, expr: str) -> None:
+    def stage(idx: int, cond: str, expr: str, consumed: str | None) -> None:
         prev = f"{out}_s{idx - 1}"
+        if consumed:
+            pend.remove(consumed)
+        keep = ", ".join(["shingle", "n", "sid", "sd"] + pend)
         stages.append(
-            f"{out}_s{idx} AS (SELECT * REPLACE ("
-            f"(CASE WHEN {cond} THEN {expr} ELSE hh END) AS hh) FROM {prev})"
+            f"{out}_s{idx} AS (SELECT {keep}, "
+            f"(CASE WHEN {cond} THEN {expr} ELSE hh END) AS hh FROM {prev})"
         )
 
     i = 1
@@ -382,25 +390,42 @@ def duck_xxh64_staged_ctes(shingle_src: str, seeds_src: str, out: str) -> str:
             i,
             f"n >= {8 * c}",
             _add(_mul_flat(_rotl_flat(f"xor(hh, tl{c})", 27), P1), str(P4)),
+            f"tl{c}",
         )
         i += 1
-    stage(i, "n % 8 >= 4", _add(_mul_flat(_rotl_flat("xor(hh, u4)", 23), P2), str(P3)))
+    stage(
+        i,
+        "n % 8 >= 4",
+        _add(_mul_flat(_rotl_flat("xor(hh, u4)", 23), P2), str(P3)),
+        "u4",
+    )
     i += 1
     for k in (1, 2, 3):  # tail bytes
-        stage(i, f"n % 4 >= {k}", _mul_flat(_rotl_flat(f"xor(hh, p{k})", 11), P1))
+        stage(
+            i,
+            f"n % 4 >= {k}",
+            _mul_flat(_rotl_flat(f"xor(hh, p{k})", 11), P1),
+            f"p{k}",
+        )
         i += 1
-    for fm in (  # final avalanche
-        _mul_flat(f"xor(hh, hh // {1 << 33})", P2),
-        _mul_flat(f"xor(hh, hh // {1 << 29})", P3),
-        f"xor(hh, hh // {1 << 32})",
-    ):
-        stage(i, "TRUE", fm)
-        i += 1
+    # final avalanche: the first two steps fused per stage (the operand
+    # text duplicates 4x — still small — and each dropped stage saves a
+    # full 276k-row pass at sf0.01)
+    f1 = _mul_flat(f"xor(hh, hh // {1 << 33})", P2)
+    stage(i, "TRUE", _mul_flat(f"xor({f1}, {f1} // {1 << 29})", P3), None)
+    i += 1
+    stage(i, "TRUE", f"xor(hh, hh // {1 << 32})", None)
+    i += 1
     last = f"{out}_s{i - 1}"
-    general = duck_xxh64_bytes_sql("b", "n", "sd")
+    general = duck_xxh64_bytes_sql("d.b", "s.n", "s.sd")
+    # fallback join is EQUI-ONLY against a pre-filtered (usually empty)
+    # subquery: a mixed `ON s.n >= 32 AND ...` condition forced DuckDB
+    # into a 6.7 s blockwise nested-loop join over all 276k rows
     final = (
-        f"{out} AS (SELECT shingle, sid, "
-        f"CASE WHEN n < 32 THEN {to_signed_sql('hh')} "
-        f"ELSE {to_signed_sql(general)} END AS hv FROM {last})"
+        f"{out} AS (SELECT s.shingle, s.sid, "
+        f"CASE WHEN s.n < 32 THEN {to_signed_sql('s.hh')} "
+        f"ELSE {to_signed_sql(general)} END AS hv FROM {last} s "
+        f"LEFT JOIN (SELECT shingle, b FROM {shingle_src} WHERE n >= 32) d "
+        f"ON d.shingle = s.shingle)"
     )
     return ",\n".join([pre0, pre1] + stages + [final])

@@ -292,7 +292,7 @@ def _duck_minhash_oracle() -> str:
       FROM shingled s JOIN hashed h USING (shingle)),
     sig AS (SELECT doc_id, {", ".join(f"min(m{i}) AS mh{i}" for i in range(16))}
             FROM sh GROUP BY doc_id),
-    bands AS ({band_rows}),
+    bands AS MATERIALIZED ({band_rows}),
     cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
              FROM bands x JOIN bands y
                ON x.band_id = y.band_id AND x.band_sig = y.band_sig

@@ -727,8 +727,8 @@ def ext_sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixtures (where they hold bit-for-bit), not an unconditional guarantee;
 # strict cross-gate parity is unattainable regardless of rounding mode
 # because of the accumulation-order term, so we document rather than chase
-# it. Scale-mode docstrings cite this as "the GEMM rounding note" (tier_c,
-# above _srp_sig_batch).
+# it. Greppable anchor: GEMM-ROUNDING-NOTE (cited by the scale-mode
+# docstrings in tier_c / tier_c_ext3 / tier_c_ext4).
 
 
 def _srp_sig_batch(df: DataFrame, vec_col: str, planes: int) -> DataFrame:
@@ -868,7 +868,7 @@ def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole key becomes a single exchange on the bucket key. Rounding and
     # tie-breaks mirror the join form (round 6 BEFORE ranking,
     # (-sim, id_b) order); A/B at sf0.1 (9 planes): identical rows —
-    # empirically, with the residual GEMM rounding caveat (module note in tier_c.py).
+    # empirically, with the residual caveat: GEMM-ROUNDING-NOTE in tier_c.py.
     # Round 9: the bucket-assign itself also moves to a batched matmul
     # (_srp_sig_batch) — the per-plane interpreted HOF dot was the same
     # encode term the PQ fix removed.
@@ -1534,7 +1534,7 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an exchange, and the within-bucket pair scoring is one numpy matmul.
     # Occupancy calibration bounds the per-bucket matrix; A/B against the
     # join form at sf1: identical pair sets, max |cos| delta < 1e-6
-    # (empirical fixture pin — residual GEMM rounding note in tier_c.py (above _srp_sig_batch) applies at
+    # (empirical fixture pin — residual GEMM-ROUNDING-NOTE in tier_c.py applies at
     # the 0.5 threshold for sims within ~1 ulp of a 6-decimal boundary).
     # Round 9: bucket-assign via one matmul per Arrow batch instead of
     # the per-plane interpreted HOF dot (see _srp_sig_batch) — bit-equal

@@ -196,7 +196,7 @@ def _pq_adc_shortlist_gemm(corpus: DataFrame, probes: DataFrame, n_corpus: int) 
     unconditional: np.round is half-even vs F.round's HALF_UP and the
     GEMM accumulation order differs, so an adc within ~1 ulp of a
     6-decimal boundary can tie-break differently (see
-    the GEMM rounding note in tier_c.py (above _srp_sig_batch)))."""
+    GEMM-ROUNDING-NOTE in tier_c.py)."""
     import math
 
     from flink_cdc_connectors_spark.functions import vectors as V
@@ -292,7 +292,7 @@ def ext_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     — one numpy lookup-table pass per IVF cell, A/B-identical rows
     (pinned in tests/test_plan_audits.py, both salted and unsalted; an
     empirical fixture pin — residual half-even-vs-HALF_UP rounding
-    caveat in the GEMM rounding note in tier_c.py (above _srp_sig_batch))."""
+    caveat: GEMM-ROUNDING-NOTE in tier_c.py)."""
     from flink_cdc_connectors_spark.functions import vectors as V
 
     emb = load_table(spark, sf_dir, "embeddings")

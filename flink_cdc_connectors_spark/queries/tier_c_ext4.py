@@ -290,7 +290,7 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         # np.round is half-even vs the oracle's HALF_UP — a sim within
         # ~1 ulp of a 6-decimal boundary at the 0.95 threshold could
-        # differ (the GEMM rounding note in tier_c.py (above _srp_sig_batch)); fixture-pinned identical.
+        # differ (GEMM-ROUNDING-NOTE in tier_c.py); fixture-pinned identical.
         sims = np.round(mat @ mat.T, 6)
         # j dropped iff any i<j with cos >= 0.95 (ids ascending by sort)
         hit = np.triu(sims >= 0.95, k=1)

@@ -148,7 +148,10 @@ def all_queries() -> dict[str, QuerySpec]:
             ordered[k] = _REGISTRY[k]
     # remaining oracle-bearing keys (hash-checkable) before rows-only ones,
     # each group sorted — rows-only keys yield the weakest driver evidence,
-    # so they sit where a driver cap would trim first
+    # so they sit where a driver cap would trim first.  (Since round 10
+    # every key carries a value oracle — the xxhash64 keys were the last
+    # rows-only pair — so the oracle-None term is currently vacuous; it
+    # stays as the policy for any future rows-only addition.)
     for k in sorted(_REGISTRY, key=lambda k: (_REGISTRY[k].oracle is None, k)):
         ordered.setdefault(k, _REGISTRY[k])
     return ordered

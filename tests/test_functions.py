@@ -399,9 +399,11 @@ def test_duck_xxh64_matches_spark(spark):
         to_unsigned_sql,
     )
 
-    strings = [
-        "", "a", "abc", "hello world", "x" * 7, "x" * 8, "y" * 31, "y" * 32,
-        "z" * 33, "w" * 64, "v" * 65, "naïve café 日本語", "three word shingle",
+    # EVERY byte length 0..90 (covers all stripe/8-byte/4-byte/byte-tail
+    # combinations through two 32-byte stripes) plus multibyte UTF-8 —
+    # the full class sweep the module docstring claims is pinned here
+    strings = [chr(ord("a") + (k % 26)) * k for k in range(91)] + [
+        "hello world", "naïve café 日本語", "three word shingle", "é" * 20,
     ]
     df = spark.createDataFrame([(s,) for s in strings], "s string")
     exp = {

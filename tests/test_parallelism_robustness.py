@@ -50,8 +50,11 @@ for k in keys:
         spec = qs[k]
         df = spec.builder(spark, sf_dir)
         if spec.oracle is None:
+            # rows-only contract: DETERMINISTIC count (two independent
+            # executions agree) — count() >= 0 alone would be vacuous
             n = df.count()
-            assert n >= 0
+            n2 = spec.builder(spark, sf_dir).count()
+            assert n == n2, f"nondeterministic rows-only count: {n} != {n2}"
         else:
             assert_same(df.toPandas(), con.execute(spec.oracle).fetchdf(), k)
     except Exception as exc:  # noqa: BLE001 - report every key, then fail

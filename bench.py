@@ -92,6 +92,7 @@ def main() -> None:
     # construction; per-key deltas across rounds compare execution, not
     # compile luck.
     timings: dict[str, float] = {}
+    run_pairs: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
     for key in sorted(queries):
         # Round-5 protocol: warm ONCE at the TIMED scale (untimed), then
@@ -116,6 +117,10 @@ def main() -> None:
             t1 = run_one(spark, queries[key].builder, SF_DIR)
             t2 = run_one(spark, queries[key].builder, SF_DIR)
             timings[key] = round(min(t1, t2), 3)
+            # both runs go to the detail file: the r9->r10 adjudication
+            # spent a full quiet-rerun campaign distinguishing per-key
+            # regressions from in-run variance that the min alone hides
+            run_pairs[key] = [round(t1, 3), round(t2, 3)]
         except Exception as exc:  # keep benching; a failed query is reported
             failures[key] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -127,6 +132,9 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "load_start_1min": load_start,
         "load_end_1min": round(os.getloadavg()[0], 2),
+        # rides the full-detail line + BENCH_DETAIL.json (the compact
+        # driver-tail line below never includes it): per-key [t1, t2]
+        "run_pairs": run_pairs,
     }
     if failures:
         full["failures"] = failures

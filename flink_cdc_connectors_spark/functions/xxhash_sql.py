@@ -429,3 +429,131 @@ def duck_xxh64_staged_ctes(shingle_src: str, seeds_src: str, out: str) -> str:
         f"ON d.shingle = s.shingle)"
     )
     return ",\n".join([pre0, pre1] + stages + [final])
+
+
+def duck_xxh64_family_staged_ctes(
+    shingle_src: str, seeds: list, out: str
+) -> str:
+    """WIDE variant of ``duck_xxh64_staged_ctes``: the hash family rides
+    as parallel COLUMNS (one per seed) through the staged pipeline
+    instead of seed-crossed ROWS — same arithmetic, but ~|family|x fewer
+    per-stage row materializations (measured: the row-crossed form spent
+    ~8 s shuffling 280k rows through 13 stages at the 500-doc fixtures;
+    the column form threads 16.5k rows).  ``seeds`` is a list of
+    (sid, seed_int) pairs — CONSTANT seeds, so each column's init folds
+    at build time.  Output CTE: ``{out}(shingle, h_{sid}...)`` with
+    signed BIGINT hash columns (sid -1 is emitted as ``h_p``).  Rows with
+    n >= 32 are hashed by the general single-expression form through a
+    seed-COLUMN cross join over just those rows (one planned copy — 17
+    inlined copies cost ~83 s of binder time) and unioned back."""
+
+    def cname(sid: int) -> str:
+        return "h_p" if sid < 0 else f"h_{sid}"
+
+    cols = [cname(sid) for sid, _ in seeds]
+    # --- per-shingle precompute (seed-independent), n<32 rows only -------
+    raw = ", ".join(
+        f"CASE WHEN n >= {8 * c} THEN {_long8('b', str(8 * c - 7))} END AS l{c}"
+        for c in (1, 2, 3)
+    )
+    k4 = f"CASE WHEN n % 8 >= 4 THEN {_long4('b', '8*(n//8) + 1')} END AS k4"
+    tb = ", ".join(
+        f"CASE WHEN n % 4 >= {k} THEN b[4*(n//4) + {k}] END AS rb{k}"
+        for k in (1, 2, 3)
+    )
+    pre0 = (
+        f"{out}_p0 AS (SELECT shingle, b, n, {raw}, {k4}, {tb} "
+        f"FROM {shingle_src} WHERE n < 32)"
+    )
+    terms = ", ".join(
+        f"{_mul_flat(_rotl_flat(_mul_flat(f'l{c}', P2), 31), P1)} AS tl{c}"
+        for c in (1, 2, 3)
+    )
+    pre1 = (
+        f"{out}_p1 AS (SELECT shingle, n, {terms}, "
+        f"{_mul_flat('k4', P1)} AS u4, "
+        + ", ".join(f"{_mul_flat(f'rb{k}', P5)} AS p{k}" for k in (1, 2, 3))
+        + f" FROM {out}_p0)"
+    )
+    pend = ["tl1", "tl2", "tl3", "u4", "p1", "p2", "p3"]
+    inits = ", ".join(
+        f"{_add(str((sd + P5) % M64), '(n)::UBIGINT')} AS {cname(sid)}"
+        for sid, sd in seeds
+    )
+    stages = [
+        f"{out}_s0 AS (SELECT shingle, n, {', '.join(pend)}, {inits} "
+        f"FROM {out}_p1)"
+    ]
+
+    def stage(idx: int, cond: str, make_expr, consumed) -> None:
+        prev = f"{out}_s{idx - 1}"
+        if consumed:
+            pend.remove(consumed)
+        keep = ", ".join(["shingle", "n"] + pend)
+        reps = ", ".join(
+            f"(CASE WHEN {cond} THEN {make_expr(c)} ELSE {c} END) AS {c}"
+            for c in cols
+        )
+        stages.append(f"{out}_s{idx} AS (SELECT {keep}, {reps} FROM {prev})")
+
+    i = 1
+    for c8 in (1, 2, 3):
+        stage(
+            i,
+            f"n >= {8 * c8}",
+            lambda c, c8=c8: _add(
+                _mul_flat(_rotl_flat(f"xor({c}, tl{c8})", 27), P1), str(P4)
+            ),
+            f"tl{c8}",
+        )
+        i += 1
+    stage(
+        i,
+        "n % 8 >= 4",
+        lambda c: _add(_mul_flat(_rotl_flat(f"xor({c}, u4)", 23), P2), str(P3)),
+        "u4",
+    )
+    i += 1
+    for k in (1, 2, 3):
+        stage(
+            i,
+            f"n % 4 >= {k}",
+            lambda c, k=k: _mul_flat(_rotl_flat(f"xor({c}, p{k})", 11), P1),
+            f"p{k}",
+        )
+        i += 1
+    f1 = lambda c: _mul_flat(f"xor({c}, {c} // {1 << 33})", P2)
+    stage(
+        i,
+        "TRUE",
+        lambda c: _mul_flat(f"xor({f1(c)}, {f1(c)} // {1 << 29})", P3),
+        None,
+    )
+    i += 1
+    stage(i, "TRUE", lambda c: f"xor({c}, {c} // {1 << 32})", None)
+    i += 1
+    last = f"{out}_s{i - 1}"
+    short = (
+        f"{out}_short AS (SELECT shingle, "
+        + ", ".join(f"{to_signed_sql(c)} AS {c}" for c in cols)
+        + f" FROM {last})"
+    )
+    # --- n >= 32 fallback: general expression, seed-column form ----------
+    seed_rows = ", ".join(f"({sid}, {sd}::UBIGINT)" for sid, sd in seeds)
+    general = to_signed_sql(duck_xxh64_bytes_sql("b", "n", "sd"))
+    fb = (
+        f"{out}_fbseeds(sid, sd) AS (VALUES {seed_rows}), "
+        f"{out}_fb AS (SELECT shingle, sid, {general} AS hv "
+        f"FROM (SELECT shingle, b, n FROM {shingle_src} WHERE n >= 32) "
+        f"CROSS JOIN {out}_fbseeds), "
+        f"{out}_fbp AS (SELECT shingle, "
+        + ", ".join(
+            f"min(hv) FILTER (sid = {sid}) AS {cname(sid)}" for sid, _ in seeds
+        )
+        + f" FROM {out}_fb GROUP BY shingle)"
+    )
+    final = (
+        f"{out} AS (SELECT * FROM {out}_short "
+        f"UNION ALL SELECT * FROM {out}_fbp)"
+    )
+    return ",\n".join([pre0, pre1] + stages + [short, fb, final])

@@ -234,30 +234,25 @@ def _duck_minhash_oracle() -> str:
     different hash family, warned at the gate)."""
     from flink_cdc_connectors_spark.functions.xxhash_sql import (
         duck_utf8_bytes_sql,
+        duck_xxh64_family_staged_ctes,
         duck_xxh64_long_sql,
-        duck_xxh64_staged_ctes,
         spark_seed_for_int,
         to_signed_sql,
         to_unsigned_sql,
     )
 
-    # ONE staged hash PIPELINE with the seed as a COLUMN, evaluated over
-    # dist x seeds. Two measured DuckDB cost cliffs shaped this: (a) 17
+    # ONE staged hash PIPELINE with the 17 family members as parallel
+    # COLUMNS. Three measured DuckDB cost cliffs shaped this: (a) 17
     # inlined copies of the single-expression hash cost ~83 s of BINDER
-    # time alone (one seed-column copy plans in ~2 s); (b) the
-    # single-expression form executes through per-row lambda
-    # interpretation at ~100 us/hash (~30 s for the family) — the staged
-    # CTE form (duck_xxh64_staged_ctes) unrolls the <32-byte path into
-    # flat vectorized column arithmetic. sid -1 = the plain xxhash64(s)
-    # (seed 42), sids 0..15 = the family members (hashInt(i, 42) seeds).
-    seed_rows = ", ".join(
-        f"(-1, 42::UBIGINT)"
-        if i < 0
-        else f"({i}, {spark_seed_for_int(i)}::UBIGINT)"
-        for i in range(-1, 16)
-    )
-    hash_ctes = duck_xxh64_staged_ctes("db2", "seeds", "hs")
-    pivot = ", ".join(f"min(hv) FILTER (sid = {i}) AS m{i}" for i in range(16))
+    # time alone; (b) the single-expression form executes through
+    # per-row lambda interpretation at ~100 us/hash (~30 s for the
+    # family); (c) the seed-CROSS-JOIN staged form still paid ~8 s of
+    # per-stage row materialization over 280k seed-crossed rows — the
+    # wide form (duck_xxh64_family_staged_ctes) threads 16.5k shingle
+    # rows with 17 flat expressions per stage. h_p = the plain
+    # xxhash64(s) (seed 42), h_0..h_15 = members (hashInt(i, 42) seeds).
+    seeds = [(-1, 42)] + [(i, spark_seed_for_int(i)) for i in range(16)]
+    hash_ctes = duck_xxh64_family_staged_ctes("db2", seeds, "hw")
 
     def band_sig(bi: int) -> str:
         expr = "42::UBIGINT"
@@ -280,13 +275,12 @@ def _duck_minhash_oracle() -> str:
     ),
     shingled AS MATERIALIZED ({_SHINGLE_SQL}),
     dist AS (SELECT DISTINCT shingle FROM shingled),
-    seeds(sid, sd) AS (VALUES {seed_rows}),
     db2 AS (SELECT shingle, b, len(b) AS n
             FROM (SELECT shingle, {duck_utf8_bytes_sql('shingle')} AS b FROM dist)),
     {hash_ctes},
     hashed AS MATERIALIZED (
-      SELECT shingle, min(hv) FILTER (sid = -1) AS h, {pivot}
-      FROM hs GROUP BY shingle),
+      SELECT shingle, h_p AS h, {", ".join(f"h_{i} AS m{i}" for i in range(16))}
+      FROM hw),
     sh AS MATERIALIZED (
       SELECT s.doc_id, h.h, {", ".join(f"h.m{i}" for i in range(16))}
       FROM shingled s JOIN hashed h USING (shingle)),
@@ -470,11 +464,11 @@ def _duck_simhash_oracle() -> str:
     ``bit_count(xor)`` Hamming distance <= 3."""
     from flink_cdc_connectors_spark.functions.xxhash_sql import (
         duck_utf8_bytes_sql,
-        duck_xxh64_staged_ctes,
+        duck_xxh64_family_staged_ctes,
         to_unsigned_sql,
     )
 
-    hash_ctes = duck_xxh64_staged_ctes("db2", "seeds", "hs")
+    hash_ctes = duck_xxh64_family_staged_ctes("db2", [(0, 42)], "hw")
     ones = ",\n             ".join(
         f"CAST(sum((hu // {1 << bb}) % 2) AS BIGINT) AS o{bb}" for bb in range(64)
     )
@@ -501,12 +495,11 @@ def _duck_simhash_oracle() -> str:
              unnest(string_split_regex({_NORM_SQL.format(c="text")}, '\\s+')) AS shingle
       FROM corpus),
     dist AS (SELECT DISTINCT shingle FROM tok),
-    seeds(sid, sd) AS (VALUES (0, 42::UBIGINT)),
     db2 AS (SELECT shingle, b, len(b) AS n
             FROM (SELECT shingle, {duck_utf8_bytes_sql('shingle')} AS b FROM dist)),
     {hash_ctes},
     wh AS MATERIALIZED (
-      SELECT shingle, {to_unsigned_sql('hv')} AS hu FROM hs),
+      SELECT shingle, {to_unsigned_sql('h_0')} AS hu FROM hw),
     agg AS (
       SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
              {ones}

@@ -322,121 +322,14 @@ def _rotl_flat(x: str, r: int) -> str:
     return f"({_mul_flat(x, 1 << r)} + (({x})::UBIGINT // {1 << (64 - r)}))"
 
 
-def duck_xxh64_staged_ctes(shingle_src: str, seeds_src: str, out: str) -> str:
-    """CTE-chain text computing ``{out}(shingle, sid, hv)`` — signed
-    xxhash64 per (shingle x seed) — as FLAT COLUMN STAGES.
-
-    ``shingle_src`` must provide (shingle, b UBIGINT[], n BIGINT);
-    ``seeds_src`` must provide (sid, sd UBIGINT).
-
-    Why this exists: the single-expression form costs ~100 us per hash in
-    DuckDB's lambda interpreter (list_transform/list_reduce allocate per
-    ROW), so a 16-member family over ~16k distinct shingles burned ~30 s
-    of oracle wall.  Strings under 32 bytes need at most three 8-byte
-    chunks, one 4-byte chunk and three tail bytes — fully unrollable into
-    ~13 chained CTE stages of flat vectorized arithmetic over columns
-    (the seed-independent per-chunk terms are precomputed ONCE per
-    shingle, before the seed cross join).  Rows with n >= 32 fall back to
-    the general single-expression form in the final stage (planned once,
-    executed only for such rows — none in the word-shingle corpora, but
-    the oracle stays correct for arbitrary fixtures).  Measured: ~30 s ->
-    well under a second for the hashing term at sf0.01."""
-    # --- per-shingle precompute (seed-independent) -----------------------
-    raw = ", ".join(
-        f"CASE WHEN n >= {8 * c} THEN {_long8('b', str(8 * c - 7))} END AS l{c}"
-        for c in (1, 2, 3)
-    )
-    k4 = f"CASE WHEN n % 8 >= 4 THEN {_long4('b', '8*(n//8) + 1')} END AS k4"
-    tb = ", ".join(
-        f"CASE WHEN n % 4 >= {k} THEN b[4*(n//4) + {k}] END AS rb{k}"
-        for k in (1, 2, 3)
-    )
-    pre0 = f"{out}_p0 AS (SELECT shingle, b, n, {raw}, {k4}, {tb} FROM {shingle_src})"
-    terms = ", ".join(
-        f"{_mul_flat(_rotl_flat(_mul_flat(f'l{c}', P2), 31), P1)} AS tl{c}"
-        for c in (1, 2, 3)
-    )
-    pre1 = (
-        f"{out}_p1 AS (SELECT shingle, n, {terms}, "
-        f"{_mul_flat('k4', P1)} AS u4, "
-        + ", ".join(f"{_mul_flat(f'rb{k}', P5)} AS p{k}" for k in (1, 2, 3))
-        + f" FROM {out}_p0)"
-    )
-    # --- seeded stages (hh threaded, consumed columns DROPPED per stage:
-    # profiling showed the stage pipeline's cost was dominated by copying
-    # the byte-LIST column `b` and spent per-chunk terms through every
-    # projection — carrying only live columns cut the hashing term ~2x;
-    # `b` is re-joined only for n>=32 general-fallback rows at the end) --
-    pend = ["tl1", "tl2", "tl3", "u4", "p1", "p2", "p3"]
-    stages = [
-        f"{out}_s0 AS (SELECT shingle, n, sid, sd, {', '.join(pend)}, "
-        f"{_add(_add('sd', str(P5)), '(n)::UBIGINT')} AS hh "
-        f"FROM {out}_p1 CROSS JOIN {seeds_src})"
-    ]
-
-    def stage(idx: int, cond: str, expr: str, consumed: str | None) -> None:
-        prev = f"{out}_s{idx - 1}"
-        if consumed:
-            pend.remove(consumed)
-        keep = ", ".join(["shingle", "n", "sid", "sd"] + pend)
-        stages.append(
-            f"{out}_s{idx} AS (SELECT {keep}, "
-            f"(CASE WHEN {cond} THEN {expr} ELSE hh END) AS hh FROM {prev})"
-        )
-
-    i = 1
-    for c in (1, 2, 3):  # 8-byte chunks
-        stage(
-            i,
-            f"n >= {8 * c}",
-            _add(_mul_flat(_rotl_flat(f"xor(hh, tl{c})", 27), P1), str(P4)),
-            f"tl{c}",
-        )
-        i += 1
-    stage(
-        i,
-        "n % 8 >= 4",
-        _add(_mul_flat(_rotl_flat("xor(hh, u4)", 23), P2), str(P3)),
-        "u4",
-    )
-    i += 1
-    for k in (1, 2, 3):  # tail bytes
-        stage(
-            i,
-            f"n % 4 >= {k}",
-            _mul_flat(_rotl_flat(f"xor(hh, p{k})", 11), P1),
-            f"p{k}",
-        )
-        i += 1
-    # final avalanche: the first two steps fused per stage (the operand
-    # text duplicates 4x — still small — and each dropped stage saves a
-    # full 276k-row pass at sf0.01)
-    f1 = _mul_flat(f"xor(hh, hh // {1 << 33})", P2)
-    stage(i, "TRUE", _mul_flat(f"xor({f1}, {f1} // {1 << 29})", P3), None)
-    i += 1
-    stage(i, "TRUE", f"xor(hh, hh // {1 << 32})", None)
-    i += 1
-    last = f"{out}_s{i - 1}"
-    general = duck_xxh64_bytes_sql("d.b", "s.n", "s.sd")
-    # fallback join is EQUI-ONLY against a pre-filtered (usually empty)
-    # subquery: a mixed `ON s.n >= 32 AND ...` condition forced DuckDB
-    # into a 6.7 s blockwise nested-loop join over all 276k rows
-    final = (
-        f"{out} AS (SELECT s.shingle, s.sid, "
-        f"CASE WHEN s.n < 32 THEN {to_signed_sql('s.hh')} "
-        f"ELSE {to_signed_sql(general)} END AS hv FROM {last} s "
-        f"LEFT JOIN (SELECT shingle, b FROM {shingle_src} WHERE n >= 32) d "
-        f"ON d.shingle = s.shingle)"
-    )
-    return ",\n".join([pre0, pre1] + stages + [final])
-
-
 def duck_xxh64_family_staged_ctes(
     shingle_src: str, seeds: list, out: str
 ) -> str:
-    """WIDE variant of ``duck_xxh64_staged_ctes``: the hash family rides
-    as parallel COLUMNS (one per seed) through the staged pipeline
-    instead of seed-crossed ROWS — same arithmetic, but ~|family|x fewer
+    """Staged-CTE hash-family pipeline: the members ride as parallel
+    COLUMNS (one per seed) through flat vectorized stages rather than as
+    seed-crossed ROWS (the earlier row-crossed variant, removed once
+    both oracles migrated here, paid ~|family|x more per-stage row
+    materializations for the same arithmetic) — same arithmetic, but ~|family|x fewer
     per-stage row materializations (measured: the row-crossed form spent
     ~8 s shuffling 280k rows through 13 stages at the 500-doc fixtures;
     the column form threads 16.5k rows).  ``seeds`` is a list of

@@ -393,7 +393,7 @@ def test_duck_xxh64_matches_spark(spark):
         duck_utf8_bytes_sql,
         duck_xxh64_bytes_sql,
         duck_xxh64_long_sql,
-        duck_xxh64_staged_ctes,
+        duck_xxh64_family_staged_ctes,
         spark_seed_for_int,
         to_signed_sql,
         to_unsigned_sql,
@@ -427,17 +427,16 @@ def test_duck_xxh64_matches_spark(spark):
     """
     for s, h42, h5 in con.execute(sql, [strings]).fetchall():
         assert (h42, h5) == exp[s], s
-    # staged seed-column form
+    # staged wide-family form (the one the oracles use)
     sql2 = f"""
     WITH t AS (SELECT unnest(?) AS shingle),
-    seeds(sid, sd) AS (VALUES (0, 42::UBIGINT), (5, {spark_seed_for_int(5)}::UBIGINT)),
     db2 AS (SELECT shingle, b, len(b) AS n
             FROM (SELECT shingle, {duck_utf8_bytes_sql('shingle')} AS b FROM t)),
-    {duck_xxh64_staged_ctes('db2', 'seeds', 'hs')}
-    SELECT shingle, sid, hv FROM hs
+    {duck_xxh64_family_staged_ctes('db2', [(-1, 42), (5, spark_seed_for_int(5))], 'hw')}
+    SELECT shingle, h_p, h_5 FROM hw
     """
-    for s, sid, hv in con.execute(sql2, [strings]).fetchall():
-        assert hv == exp[s][0 if sid == 0 else 1], (s, sid)
+    for s, hp, h5 in con.execute(sql2, [strings]).fetchall():
+        assert (hp, h5) == exp[s], s
     # chained 4-long band form
     longs = [(-3, 2**62, -(2**63), 41)]
     lf = spark.createDataFrame(longs, "a long, b long, c long, d long")

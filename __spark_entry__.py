@@ -54,3 +54,21 @@ def oracle_sql() -> dict[str, str]:
         for key, spec in all_queries().items()
         if spec.oracle is not None
     }
+
+
+def oracle_gates() -> dict[str, int]:
+    """Corpus-size validity gates for the value oracles (ADVICE r10).
+
+    For each listed key, the SQL in ``oracle_sql()`` replays the builder's
+    sub-gate hash family and is valid ONLY while ``count(documents)`` at
+    the compared fixture is <= the returned threshold; above it the
+    builder switches families (word-tuple xxhash64) and a value comparison
+    would report a false mismatch.  Every driver fixture (sf0.001-0.1) is
+    far below every gate, so this is informational for the standard
+    CORRECTNESS run and binding only for synthetic scale fixtures.  Keys
+    not listed have scale-independent oracles."""
+    return {
+        key: spec.oracle_max_docs
+        for key, spec in all_queries().items()
+        if spec.oracle_max_docs is not None
+    }

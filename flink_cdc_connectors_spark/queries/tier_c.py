@@ -308,7 +308,16 @@ def _duck_minhash_oracle() -> str:
     """
 
 
-@query("ext_dedup_minhash", tier="C", oracle=_duck_minhash_oracle())
+# oracle_max_docs (ADVICE r10): past _MINHASH_SCALE_DOCS the builder
+# switches to the word-triple hash family, whose band candidates differ
+# from the string-shingle family the oracle replays — a harness comparing
+# the value oracle above the gate must skip/flag, not report a mismatch.
+@query(
+    "ext_dedup_minhash",
+    tier="C",
+    oracle=_duck_minhash_oracle(),
+    oracle_max_docs=_MINHASH_SCALE_DOCS,
+)
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (HASH-CHECKED since round 10 —
     functions/xxhash_sql.py replays Spark's xxhash64 bit-for-bit in DuckDB,
@@ -1164,6 +1173,11 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_fingerprint",
     tier="C",
+    # oracle_max_docs (ADVICE r10): the oracle replays the sub-gate md5
+    # family; past the gate the fingerprint VALUES are the xxhash64
+    # family's (see CROSS-SCALE CONTRACT in the docstring), so the value
+    # oracle must be skipped/flagged above the gate.
+    oracle_max_docs=_MINHASH_SCALE_DOCS,
     oracle=f"""
     WITH corpus AS ({_WITH_COPIES_SQL}),
     words AS (

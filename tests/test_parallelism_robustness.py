@@ -34,7 +34,7 @@ sys.path.insert(0, repo)
 sys.path.insert(0, os.path.join(repo, "tests"))
 keys = json.loads(keys_json)
 from flink_cdc_connectors_spark import TABLES
-from flink_cdc_connectors_spark.registry import all_queries
+from flink_cdc_connectors_spark.registry import all_queries, oracle_valid_at
 from flink_cdc_connectors_spark.session import get_spark
 import duckdb
 from oracle_compare import assert_same
@@ -44,14 +44,17 @@ qs = all_queries()
 con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
 failures = {}
 for k in keys:
     try:
         spec = qs[k]
         df = spec.builder(spark, sf_dir)
-        if spec.oracle is None:
-            # rows-only contract: DETERMINISTIC count (two independent
-            # executions agree) — count() >= 0 alone would be vacuous
+        if spec.oracle is None or not oracle_valid_at(spec, n_docs):
+            # no oracle, or corpus-gated oracle above its validity gate
+            # (a value compare there is a false mismatch — ADVICE r10):
+            # rows-only contract instead — DETERMINISTIC count (two
+            # independent executions agree); count() >= 0 alone is vacuous
             n = df.count()
             n2 = spec.builder(spark, sf_dir).count()
             assert n == n2, f"nondeterministic rows-only count: {n} != {n2}"
@@ -66,13 +69,26 @@ sys.exit(1 if failures else 0)
 """
 
 
-def _weekly_slice(keys: list[str], n: int) -> list[str]:
-    """Deterministic within an ISO week, rotating across weeks, spread
+def _selected_week() -> int:
+    """ISO week driving the slice rotation.  Pinnable via
+    ``SPARK_GRAFT_ROBUSTNESS_WEEK`` (ADVICE r10): without the pin, a slice
+    that failed is irreproducible after the calendar week rolls over, and
+    a key broken only under local[3] can silently rotate out of coverage.
+    The selected week (and the keys it picked) is printed on BOTH the pass
+    and fail paths, so any run can be replayed exactly with
+    ``SPARK_GRAFT_ROBUSTNESS_WEEK=<week> pytest ...``."""
+    pinned = os.environ.get("SPARK_GRAFT_ROBUSTNESS_WEEK")
+    if pinned is not None:
+        return int(pinned)
+    return datetime.date.today().isocalendar()[1]
+
+
+def _weekly_slice(keys: list[str], n: int, week: int) -> list[str]:
+    """Deterministic for a given week, rotating across weeks, spread
     across the sorted key space.  Modular stride sampling with a
     week-rotating offset: indices (offset + i*stride) % len(keys) — the
     wraparound matters, a plain ``keys[offset::stride][:n]`` permanently
     excludes the last ``len(keys) % stride`` keys from every week."""
-    week = datetime.date.today().isocalendar()[1]
     if not keys:
         return []
     stride = max(1, len(keys) // n)
@@ -87,7 +103,11 @@ def _weekly_slice(keys: list[str], n: int) -> list[str]:
 def test_local3_rotating_slice(sf_dir):
     from flink_cdc_connectors_spark.registry import all_queries
 
-    keys = _weekly_slice(sorted(all_queries()), _SLICE)
+    week = _selected_week()
+    keys = _weekly_slice(sorted(all_queries()), _SLICE, week)
+    # pass-path reproducibility record (shown with -rA / -s; always in the
+    # captured output a failure dumps)
+    print(f"LOCAL3_SLICE week={week} keys={keys}")
     assert len(keys) >= _SLICE // 2
     env = dict(os.environ, SPARK_GRAFT_CPUS="3")
     proc = subprocess.run(
@@ -101,7 +121,8 @@ def test_local3_rotating_slice(sf_dir):
         ln for ln in proc.stdout.splitlines() if ln.startswith("LOCAL3_RESULT ")
     ]
     assert proc.returncode == 0 and marker, (
-        f"local[3] slice failed (rc={proc.returncode}) keys={keys}\n"
+        f"local[3] slice failed (rc={proc.returncode}) week={week} keys={keys}\n"
+        f"replay: SPARK_GRAFT_ROBUSTNESS_WEEK={week} pytest {__file__}\n"
         f"result={marker or 'no marker'}\n"
         f"stderr tail: {proc.stderr[-2000:]}"
     )

@@ -37,3 +37,31 @@ def test_registry_matches_survey_section2():
     missing_impls = survey - registry
     assert not missing_rows, f"registered keys with no SURVEY §2 row: {sorted(missing_rows)}"
     assert not missing_impls, f"SURVEY §2 keys with no registry entry: {sorted(missing_impls)}"
+
+
+def test_oracle_gate_flags():
+    """The corpus-gate oracle contract (ADVICE r10): exactly the keys whose
+    builder switches hash family past ``_MINHASH_SCALE_DOCS`` carry
+    ``oracle_max_docs``; ``oracle_valid_at`` flips at the gate; the
+    gate set is exposed to the driver via ``__spark_entry__.oracle_gates``.
+    Family-switching keys whose outputs stay value-identical across the
+    gate (equality-only gram keys: decontaminate/substring/curation;
+    engine-only gates: token_count, the GEMM paths) intentionally carry NO
+    flag — their oracles are valid at every corpus size."""
+    from flink_cdc_connectors_spark.queries.tier_c import _MINHASH_SCALE_DOCS
+    from flink_cdc_connectors_spark.registry import oracle_valid_at
+
+    import __spark_entry__ as entry_mod
+
+    qs = all_queries()
+    gated = {k: s.oracle_max_docs for k, s in qs.items() if s.oracle_max_docs is not None}
+    assert gated == {
+        "ext_dedup_minhash": _MINHASH_SCALE_DOCS,
+        "ext_fingerprint": _MINHASH_SCALE_DOCS,
+    }
+    spec = qs["ext_dedup_minhash"]
+    assert oracle_valid_at(spec, _MINHASH_SCALE_DOCS)
+    assert not oracle_valid_at(spec, _MINHASH_SCALE_DOCS + 1)
+    # ungated keys are valid at any corpus size
+    assert oracle_valid_at(qs["ext_dedup_simhash"], 10**12)
+    assert entry_mod.oracle_gates() == gated

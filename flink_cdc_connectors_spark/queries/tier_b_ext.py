@@ -1153,12 +1153,22 @@ def stream_e2e_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
-    return ns.table(name).select(
+    result = ns.table(name).select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
         "op",
         "n",
         "sum_value",
     )
+    # Localize THEN drop the memory-sink table (ADVICE r10): the sink rows
+    # live on the driver anyway (that is what a memory sink is), so this
+    # collect adds no distribution cost — and returning a frame built on
+    # the CALLER's session makes the child session disposable.  Without
+    # the drop, every invocation retained its accumulated sink rows and
+    # child-session state for the SparkContext's lifetime (a leak under
+    # bench/test loops that invoke the builder hundreds of times).
+    rows = result.collect()
+    ns.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, result.schema)
 
 
 @query(

@@ -285,3 +285,31 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream_
     assert list(got.index) == list(want.index)
     assert (got["n_pairs"] == want["n_pairs"]).all()
     assert (got["sum_value"] - want["sum_value"]).abs().max() < 1e-6
+
+
+def test_e2e_windowed_sink_is_localized_and_dropped(spark, sf_dir, monkeypatch):
+    """ADVICE r10: stream_e2e_windowed's memory-sink table (and the child
+    session holding it) must not outlive the builder.  Pins: (a) the
+    returned frame belongs to the CALLER's session (pre-fix it was a lazy
+    read of the child session's memory table), (b) the child session's
+    catalog holds no temp view after the builder returns, (c) two
+    invocations agree — the sink drop cannot change the answer."""
+    import pyspark.sql.session as S
+
+    children = []
+    orig = S.SparkSession.newSession
+
+    def tracking_new_session(self):
+        ns = orig(self)
+        children.append(ns)
+        return ns
+
+    monkeypatch.setattr(S.SparkSession, "newSession", tracking_new_session)
+    df1 = Q["stream_e2e_windowed"].builder(spark, sf_dir)
+    assert df1.sparkSession is spark
+    assert children, "builder no longer uses an isolated child session?"
+    for ns in children:
+        assert ns.catalog.listTables() == []
+    rows1 = sorted(map(tuple, df1.collect()))
+    rows2 = sorted(map(tuple, Q["stream_e2e_windowed"].builder(spark, sf_dir).collect()))
+    assert rows1 == rows2 and len(rows1) > 0

@@ -7,10 +7,27 @@ similarity-search operators (SURVEY.md §2.C).
 
 from __future__ import annotations
 
+import sys
 from functools import lru_cache
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# Executor closures in the GEMM scale paths (tier_c / tier_c_ext3 /
+# tier_c_ext4) capture round_half_up6 below; a plain module-level function
+# pickles BY REFERENCE, so Python workers launched outside the repo
+# (driver cwd elsewhere, no PYTHONPATH — exactly how the driver runs the
+# contract) fail with ModuleNotFoundError.  Ship this module BY VALUE
+# inside any pickle that references it — the same self-containment fix as
+# sources/datasource.py::register and functions/spatial.py (caught by the
+# round-11 foreign-cwd driver simulation: ext_dedup_embedding /
+# ext_semdedup red from /tmp, green from the repo root).
+try:  # driver-side only; harmless if cloudpickle's layout ever changes
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - defensive: never block imports
+    pass
 
 
 def as_double(v: Column) -> Column:
@@ -185,6 +202,46 @@ def pq_codes(v: Column, m: int = 8, k: int = 16, dim: int = 64) -> Column:
         )
         parts.append((F.array_position(scores, F.array_max(scores)) - 1).cast("int"))
     return F.array(*parts)
+
+
+def round_half_up6(a):
+    """Spark-``F.round(x, 6)``-compatible rounding over a float64 ndarray —
+    closes the GEMM-ROUNDING-NOTE caveat (VERDICT r10 #5): the numpy scale
+    paths previously used ``np.round`` (round-half-EVEN over the binary
+    double) while the sub-gate join forms use Spark's round (BigDecimal
+    HALF_UP over the double's shortest decimal repr, via
+    ``BigDecimal.valueOf``), so a score within ~1 ulp of a 6-decimal
+    half-boundary could round differently across the engine gate and flip
+    a top-k tie-break.
+
+    Exact emulation, vectorized: HALF_UP == round-half-away-from-zero, so
+    ``copysign(floor(|x|*1e6 + 0.5), x)/1e6`` matches BigDecimal for every
+    element EXCEPT those whose shortest decimal repr sits exactly ON (or
+    within binary noise of) a half-boundary — ``|x|*1e6`` lands within
+    ~1e-9 of a half-integer there, and the binary product may sit on the
+    wrong side.  Those elements (a vanishing fraction of real score
+    matrices; often zero) are re-rounded exactly through
+    ``decimal.Decimal(repr(x))`` — the same shortest-repr decimal Java's
+    ``Double.toString`` feeds ``BigDecimal.valueOf``.  NaN passes through
+    (comparisons push NaN out of every top-k anyway).  Boundary-exact
+    parity against Spark is pinned in tests/test_functions.py."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.float64)
+    scaled = np.abs(a) * 1e6
+    out = np.copysign(np.floor(scaled + 0.5) / 1e6, a)
+    with np.errstate(invalid="ignore"):
+        near = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-6
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("1e-6")
+        flat_out, flat_a = out.reshape(-1), a.reshape(-1)
+        for i in np.nonzero(near.reshape(-1))[0]:
+            flat_out[i] = float(
+                Decimal(repr(float(flat_a[i]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    return out
 
 
 def srp_planes_np(num_planes: int = 8, dim: int = 64):

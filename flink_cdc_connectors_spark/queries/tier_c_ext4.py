@@ -282,16 +282,19 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             _assign_factory(codebook), "vec_id long, e array<double>, cell int"
         )
 
+    _rhu6 = V.round_half_up6  # bound into the closure as a plain function
+
     def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         mat = np.stack(pdf["e"].to_numpy()[order]).astype(np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        # np.round is half-even vs the oracle's HALF_UP — a sim within
-        # ~1 ulp of a 6-decimal boundary at the 0.95 threshold could
-        # differ (GEMM-ROUNDING-NOTE in tier_c.py); fixture-pinned identical.
-        sims = np.round(mat @ mat.T, 6)
+        # HALF_UP to match the oracle's F.round semantics exactly
+        # (vectors.round_half_up6, round 11 — the rounding-mode half of
+        # GEMM-ROUNDING-NOTE is closed; accumulation order remains the
+        # documented residual); fixture-pinned identical.
+        sims = _rhu6(mat @ mat.T)
         # j dropped iff any i<j with cos >= 0.95 (ids ascending by sort)
         hit = np.triu(sims >= 0.95, k=1)
         dropped = int(hit.any(axis=0).sum())

@@ -478,3 +478,54 @@ def test_minhash_members_are_independent(spark):
         ]
     ).first()
     assert vals == [ref[f"r{i}"] for i in range(16)]
+
+
+def test_round_half_up6_matches_spark_round(spark):
+    """GEMM-ROUNDING-NOTE closure pin (VERDICT r10 #5): the numpy scale
+    paths' vectors.round_half_up6 must equal Spark's F.round(x, 6)
+    (BigDecimal HALF_UP over the shortest decimal repr) element-for-
+    element — including exact half-boundary values, where np.round
+    (half-EVEN) provably differs.  This is the tie-break A/B: a score at
+    a boundary rounds the same on both sides of every engine gate."""
+    import numpy as np
+
+    boundary = [
+        0.1234565,    # shortest repr ON a half-boundary, binary just below
+        -0.1234565,
+        0.9999995,
+        -0.9999995,
+        0.0000005,
+        -0.0000005,
+        0.5e-6,
+        2.5e-6,       # half-even would give 0.000002, HALF_UP gives 0.000003
+        -2.5e-6,
+        0.1234575,    # half-even rounds UP here too (odd->even) — still must match
+        1.0, -1.0, 0.0,
+        0.123456499999999,  # just below the boundary
+        0.12345650000001,   # just above
+    ]
+    rng = np.random.default_rng(42)
+    rand = (rng.random(20_000) * 2.0 - 1.0).tolist()
+    vals = boundary + rand
+    arr = np.array(vals, dtype=np.float64)
+    got = V.round_half_up6(arr)
+    want = [
+        r["r"]
+        for r in (
+            spark.createDataFrame([(float(v),) for v in vals], "x double")
+            .select(F.round("x", 6).alias("r"))
+            .collect()
+        )
+    ]
+    for i, (g, w) in enumerate(zip(got.tolist(), want)):
+        assert g == w, f"idx {i}: input {vals[i]!r}: helper {g!r} != spark {w!r}"
+    # non-vacuity: np.round (the pre-round-11 mode) disagrees with Spark on
+    # at least one of the boundary cases, so this test distinguishes modes
+    old = np.round(np.array(boundary), 6).tolist()
+    spark_b = want[: len(boundary)]
+    assert old != spark_b, "boundary cases no longer exercise the mode split"
+    # shape + NaN passthrough
+    m = np.array([[0.1234565, float("nan")], [-2.5e-6, 0.25]])
+    out = V.round_half_up6(m)
+    assert out.shape == m.shape and math.isnan(out[0, 1])
+    assert out[0, 0] == 0.123457 and out[1, 0] == -0.000003 and out[1, 1] == 0.25

@@ -127,3 +127,66 @@ def test_local3_rotating_slice(sf_dir):
         f"stderr tail: {proc.stderr[-2000:]}"
     )
     assert json.loads(marker[0][len("LOCAL3_RESULT "):]) == {}
+
+
+_FOREIGN_CWD_RUNNER = r"""
+import json, os, sys
+repo, sf_dir, keys_json = sys.argv[1], sys.argv[2], sys.argv[3]
+sys.path.insert(0, repo)
+sys.path.insert(0, os.path.join(repo, "tests"))
+keys = json.loads(keys_json)
+from flink_cdc_connectors_spark import TABLES
+import duckdb
+from oracle_compare import assert_same
+# PLAIN session (the driver does not use session.py) from a FOREIGN cwd
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+from flink_cdc_connectors_spark.registry import all_queries
+qs = all_queries()
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+failures = {}
+for k in keys:
+    try:
+        assert_same(qs[k].builder(spark, sf_dir).toPandas(),
+                    con.execute(qs[k].oracle).fetchdf(), k)
+    except Exception as exc:  # noqa: BLE001
+        failures[k] = f"{type(exc).__name__}: {exc}"[:300]
+print("FOREIGN_CWD_RESULT " + json.dumps(failures))
+sys.exit(1 if failures else 0)
+"""
+
+
+def test_foreign_cwd_python_worker_self_containment(sf_dir, tmp_path):
+    """Round-11 regression pin: executor-closure pickles must be
+    self-contained (cloudpickle by-value registration in
+    functions/vectors.py, sources/datasource.py, functions/spatial.py).
+    The in-repo pytest run can NEVER catch a by-reference leak — its cwd
+    puts the package on every worker's sys.path — so this test runs the
+    keys whose closures capture package helpers from a FOREIGN cwd with
+    no PYTHONPATH, exactly how the driver launches.  ext_dedup_embedding
+    and ext_semdedup were red from /tmp (ModuleNotFoundError in the
+    Python worker) while the whole suite was green from the repo root."""
+    keys = ["ext_dedup_embedding", "ext_semdedup", "cdc_spatial_decode"]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [sys.executable, "-c", _FOREIGN_CWD_RUNNER, REPO, sf_dir, json.dumps(keys)],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+        cwd=str(tmp_path),
+    )
+    marker = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("FOREIGN_CWD_RESULT ")
+    ]
+    assert proc.returncode == 0 and marker, (
+        f"foreign-cwd run failed (rc={proc.returncode}) keys={keys}\n"
+        f"result={marker or 'no marker'}\n"
+        f"stderr tail: {proc.stderr[-2000:]}"
+    )
+    assert json.loads(marker[0][len("FOREIGN_CWD_RESULT "):]) == {}

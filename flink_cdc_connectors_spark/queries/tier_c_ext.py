@@ -528,14 +528,32 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_minhash_recall_oracle() -> str:
+    """Replays the SHIPPED xxhash64 MinHash family (VERDICT r10 #3 — the
+    md5 stand-in predated functions/xxhash_sql.py; now that the production
+    family is oracle-replayable, the recall measurement describes the path
+    ``ext_dedup_minhash`` actually ships).  Same staged-CTE machinery as
+    ``_duck_minhash_oracle``: member i's seed is Spark's
+    xxhash64-of-int(i) intermediate (spark_seed_for_int), hashing runs
+    once per DISTINCT shingle, and min() over the SIGNED value mirrors
+    Spark's array_min over longs.  The ground-truth (exact Jaccard) CTEs
+    are hash-family-independent and unchanged."""
+    from flink_cdc_connectors_spark.functions.xxhash_sql import (
+        duck_utf8_bytes_sql,
+        duck_xxh64_family_staged_ctes,
+        spark_seed_for_int,
+    )
     from flink_cdc_connectors_spark.queries.tier_c import _SHINGLE_SQL
 
-    mins = ",".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(16))
+    seeds = [(i, spark_seed_for_int(i)) for i in range(16)]
+    hash_ctes = duck_xxh64_family_staged_ctes("db2", seeds, "hw")
+    mins = ",".join(f"min(m{i}) AS mh{i}" for i in range(16))
 
     def bands(n_bands: int, rows_per: int) -> str:
         selects = []
         for b in range(n_bands):
-            cols = "||'|'||".join(f"mh{b * rows_per + r}" for r in range(rows_per))
+            cols = "||'|'||".join(
+                f"CAST(mh{b * rows_per + r} AS VARCHAR)" for r in range(rows_per)
+            )
             selects.append(f"SELECT doc_id, {b} AS band_id, {cols} AS band_sig FROM sig")
         return " UNION ALL ".join(selects)
 
@@ -559,7 +577,7 @@ def _duck_minhash_recall_oracle() -> str:
       FROM documents
       WHERE doc_id < 200 AND len(string_split_regex(trim(text), '\\s+')) > 12
     ),
-    shingled AS ({_SHINGLE_SQL}),
+    shingled AS MATERIALIZED ({_SHINGLE_SQL}),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY 1),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
@@ -571,7 +589,14 @@ def _duck_minhash_recall_oracle() -> str:
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6),
-    sig AS (SELECT doc_id, {mins} FROM shingled GROUP BY doc_id),
+    dist AS (SELECT DISTINCT shingle FROM shingled),
+    db2 AS (SELECT shingle, b, len(b) AS n
+            FROM (SELECT shingle, {duck_utf8_bytes_sql('shingle')} AS b FROM dist)),
+    {hash_ctes},
+    sh AS MATERIALIZED (
+      SELECT s.doc_id, {", ".join(f"h.h_{i} AS m{i}" for i in range(16))}
+      FROM shingled s JOIN hw h USING (shingle)),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
     bands_hp AS ({bands(4, 4)}),
     cand_hp AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
@@ -595,17 +620,18 @@ def _duck_minhash_recall_oracle() -> str:
 def ext_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall AND cost of MinHash-LSH banding against the exact
     3-gram Jaccard >= 0.6 ground truth — the text-side counterpart of
-    ``ext_ann_recall``. HASH-CHECKED since round 3: this measurement query
-    uses the md5-string MinHash family
-    (functions/text.py::minhash_signature_md5 — lexicographic min of
-    ``md5('i:'||shingle)``, identical banding statistics to any uniform
-    family), which both engines compute bit-identically, so the DuckDB
-    oracle replays signatures, banding, candidate join, exact-Jaccard
-    verification, AND the truth set — the driver's value hash covers the
-    recall numbers themselves. The corpus-scale dedup path
-    (``ext_dedup_minhash``) keeps the ~10x-cheaper JVM-native xxhash64
-    family; this bounded 200-doc measurement pays the md5 cost for full
-    replayability.
+    ``ext_ann_recall``. HASH-CHECKED since round 3; since round 11 it
+    measures the SHIPPED hash family (VERDICT r10 #3): the same
+    xxhash64 members ``ext_dedup_minhash`` ships
+    (functions/text.py::minhash_signature — min over shingles of
+    ``xxhash64(lit(i), shingle)``), replayed bit-for-bit in DuckDB by
+    functions/xxhash_sql.py, so the driver's value hash covers recall
+    numbers that describe the production dedup path, not an md5 stand-in
+    (the stand-in predated the xxhash64 oracle; a same-fixture family A/B
+    is recorded in BASELINE.md round 11). Banding here concatenates the
+    band's minhashes as the signature — an equality key with the same
+    collision structure as production's xxhash64-fold band signature
+    (a fold collision adds P ~ 2^-64 per pair, unobservable).
     Two operating points from the SAME 16 minhashes: 4 bands x 4 rows
     (high precision) and 8 bands x 2 rows (high recall, more candidates).
     Output per config: truth pairs, candidate pairs BEFORE verification
@@ -641,7 +667,12 @@ def ext_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth_agg = truth.agg(F.count(F.lit(1)).alias("n_truth"))
 
-    sig = T.minhash_signatures_md5(sh, "doc_id", "sh", 16).cache()
+    # The shipped family, as a pure PROJECTION over the cached shingle
+    # arrays (round 11 — the md5 form needed an explode + groupBy MIN
+    # shuffle; the xxhash64 members are array_min over longs, which is
+    # cache-safe by value, so the signature stage is now shuffle-free,
+    # exactly like production ext_dedup_minhash)
+    sig = sh.select("doc_id", *T.minhash_signature(F.col("sh"), 16)).cache()
 
     def config(n_bands: int, rows_per: int) -> DataFrame:
         bands = sig.select(
@@ -650,7 +681,11 @@ def ext_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(
                     *[
                         F.concat_ws(
-                            "|", *[F.col(f"mh{bd * rows_per + r}") for r in range(rows_per)]
+                            "|",
+                            *[
+                                F.col(f"mh{bd * rows_per + r}").cast("string")
+                                for r in range(rows_per)
+                            ],
                         )
                         for bd in range(n_bands)
                     ]

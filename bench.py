@@ -50,13 +50,18 @@ def run_one(spark, builder, sf_dir: str) -> float:
     return elapsed
 
 
-def main() -> None:
+def run_suite(sf_dir: str = SF_DIR, app_name: str = "bench") -> dict:
+    """Run the full warmed min-of-2 suite and return the detail record
+    (the ``full`` dict bench prints / writes to BENCH_DETAIL.json).
+    Factored out of main() so the quiet-anchor wrapper (bench_quiet.py,
+    VERDICT r10 #4) can run the identical protocol and write its own
+    standing artifact.  Stops the session it creates."""
     # 1-min load BEFORE the session spins up: the round-9/10 bench
     # adjudications showed per-key readings inflate 1.3-1.7x under
     # ambient neighbor load, and the recorded JSON previously carried no
     # way to tell a loaded window from a quiet one after the fact.
     load_start = round(os.getloadavg()[0], 2)
-    spark = get_spark(app_name="bench")
+    spark = get_spark(app_name=app_name)
     queries = all_queries()
     # Session warmup: the smallest fixture absorbs JVM/session startup so
     # the first key doesn't pay it, and one Arrow-UDF key spins up the
@@ -67,11 +72,11 @@ def main() -> None:
     # SF_DIR itself); a failed warmup logs a warning instead of silently
     # skipping — a silent no-op reintroduces the cold-compile skew the
     # warmup exists to remove.
-    sf_root = os.path.dirname(SF_DIR.rstrip("/"))
+    sf_root = os.path.dirname(sf_dir.rstrip("/"))
 
     def warm_dir(name: str) -> str:
         d = os.path.join(sf_root, name)
-        return d if os.path.isdir(d) else SF_DIR
+        return d if os.path.isdir(d) else sf_dir
 
     for wd, warm in [
         (warm_dir("sf0.001"), next(iter(sorted(queries)))),
@@ -110,12 +115,12 @@ def main() -> None:
         # small-warm protocol it replaces. A warm failure degrades to a
         # WARN; the timed attempts report the real failure.
         try:
-            run_one(spark, queries[key].builder, SF_DIR)
+            run_one(spark, queries[key].builder, sf_dir)
         except Exception as exc:
-            print(f"WARN bench warm {key} @ {SF_DIR} failed: {exc}", file=sys.stderr)
+            print(f"WARN bench warm {key} @ {sf_dir} failed: {exc}", file=sys.stderr)
         try:
-            t1 = run_one(spark, queries[key].builder, SF_DIR)
-            t2 = run_one(spark, queries[key].builder, SF_DIR)
+            t1 = run_one(spark, queries[key].builder, sf_dir)
+            t2 = run_one(spark, queries[key].builder, sf_dir)
             timings[key] = round(min(t1, t2), 3)
             # both runs go to the detail file: the r9->r10 adjudication
             # spent a full quiet-rerun campaign distinguishing per-key
@@ -129,7 +134,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": _sf_from_dir(SF_DIR),
+        "sf": _sf_from_dir(sf_dir),
         "load_start_1min": load_start,
         "load_end_1min": round(os.getloadavg()[0], 2),
         # rides the full-detail line + BENCH_DETAIL.json (the compact
@@ -138,6 +143,12 @@ def main() -> None:
     }
     if failures:
         full["failures"] = failures
+    spark.stop()
+    return full
+
+
+def main() -> None:
+    full = run_suite()
     # Full per-query detail: an EARLIER stdout line + a repo-local file.
     # The driver records only a ~2 KB stdout tail, and the 114-query dict
     # alone is ~3.4 KB — round 2's final line outgrew the tail window and
@@ -154,8 +165,8 @@ def main() -> None:
     # under the driver's tail window by carrying only the slowest queries
     # (the ones every per-query regression analysis actually reads —
     # full detail is on the line above and in BENCH_DETAIL.json).
-    # Printed after spark.stop() so no executor-shutdown chatter can trail.
-    spark.stop()
+    # Printed after the session stops so no executor-shutdown chatter trails.
+    timings, failures = full["queries"], full.get("failures", {})
     compact = {
         "metric": full["metric"],
         "value": full["value"],

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Quiet-anchor bench wrapper (VERDICT r10 #4) — the standing artifact the
+round-over-round adjudications kept reconstructing by hand.
+
+The driver's per-round BENCH_r{N}.json is measured in whatever load window
+the driver happens to run in; the r9->r10 adjudications repeatedly needed a
+QUIET same-tree number next to it to tell real regressions from neighbor
+load (timing protocol: 1-min load < 1 at start, warmed min-of-2 per key).
+This wrapper waits for a quiet window, runs the EXACT bench.py protocol
+(same warmups, same warmed min-of-2, same noop sink), and writes
+``BENCH_QUIET_r{N}.json`` — per-key mins + both raw runs + the load fields —
+so every round has its quiet anchor on the record without a manual rerun
+campaign.
+
+Usage:
+    python bench_quiet.py                  # infer round from BENCH_r*.json
+    python bench_quiet.py --round 11
+    SPARK_GRAFT_QUIET_LOAD=2.0 python bench_quiet.py   # relax the gate
+Round inference: 1 + max N over existing BENCH_r{N}.json in the repo root
+(the driver writes BENCH_r{N} AFTER the round closes, so while round N+1
+is being built the max on disk is N).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "1.0"))
+QUIET_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_QUIET_TIMEOUT_S", "600"))
+
+
+def infer_round() -> int:
+    ns = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+    ]
+    return (max(ns) + 1) if ns else 1
+
+
+def wait_for_quiet() -> tuple[float, float]:
+    """Block until 1-min load < QUIET_LOAD (timing-protocol quiet window;
+    load decays over ~4 min after any Spark JVM exits) or the timeout
+    lapses — in which case proceed anyway but the recorded load fields
+    flag the window as loaded."""
+    t0 = time.monotonic()
+    load = os.getloadavg()[0]
+    while load >= QUIET_LOAD and time.monotonic() - t0 < QUIET_TIMEOUT_S:
+        time.sleep(10)
+        load = os.getloadavg()[0]
+    return round(load, 2), round(time.monotonic() - t0, 1)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, default=None)
+    ap.add_argument("--out", default=None, help="override output path")
+    args = ap.parse_args()
+    rnd = args.round if args.round is not None else infer_round()
+    out = args.out or os.path.join(REPO, f"BENCH_QUIET_r{rnd}.json")
+
+    load_at_gate, waited = wait_for_quiet()
+
+    from bench import SF_DIR, run_suite
+
+    full = run_suite(SF_DIR, app_name="bench_quiet")
+    full["metric"] = "quiet_anchor_suite_wall_time"
+    full["round"] = rnd
+    full["quiet_gate_load"] = QUIET_LOAD
+    full["load_at_gate_1min"] = load_at_gate
+    full["quiet_wait_s"] = waited
+    full["quiet"] = bool(full["load_start_1min"] < QUIET_LOAD)
+    with open(out, "w") as f:
+        json.dump(full, f, indent=1)
+    print(
+        json.dumps(
+            {
+                "metric": full["metric"],
+                "value": full["value"],
+                "unit": "sec",
+                "sf": full["sf"],
+                "round": rnd,
+                "quiet": full["quiet"],
+                "load_start_1min": full["load_start_1min"],
+                "n_queries": len(full["queries"]),
+                "n_failures": len(full.get("failures", {})),
+                "artifact": os.path.basename(out),
+            }
+        )
+    )
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

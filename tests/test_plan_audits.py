@@ -852,3 +852,19 @@ def test_srp_batch_sig_matches_hof(spark, sf_dir):
             .reset_index(drop=True)
         )
         assert jvm.equals(batch), f"bucket mismatch at {planes} planes"
+
+
+def test_minhash_recall_signature_stage_is_shuffle_free(spark, sf_dir):
+    """Round 11: ext_minhash_recall measures the SHIPPED xxhash64 family,
+    whose signature is array_min over a transform — a pure projection.
+    The retired md5 form paid an explode + groupBy(doc_id) MIN exchange
+    just to build signatures; pin that no hashpartitioning(doc_id) ever
+    reappears in the plan (the only doc-keyed exchanges allowed are the
+    band-candidate distinct on (id_a, id_b))."""
+    from flink_cdc_connectors_spark.registry import all_queries
+
+    df = all_queries()["ext_minhash_recall"].builder(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert "hashpartitioning(doc_id" not in plan, (
+        "signature stage regressed to a doc_id shuffle:\n" + plan[:2000]
+    )

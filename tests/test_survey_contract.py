@@ -65,3 +65,20 @@ def test_oracle_gate_flags():
     # ungated keys are valid at any corpus size
     assert oracle_valid_at(qs["ext_dedup_simhash"], 10**12)
     assert entry_mod.oracle_gates() == gated
+
+
+def test_check_first_keys_are_registered_and_unique():
+    """_CHECK_FIRST drives which keys the driver's bounded CORRECTNESS
+    budget samples first; all_queries() silently skips unknown names, so a
+    typo would silently drop a key from the front of the sample (exactly
+    the failure mode the round-11 rotation exists to prevent for
+    ext_dedup_simhash)."""
+    from flink_cdc_connectors_spark.registry import _CHECK_FIRST
+
+    registry = set(all_queries())
+    unknown = [k for k in _CHECK_FIRST if k not in registry]
+    assert unknown == [], f"_CHECK_FIRST names not in the registry: {unknown}"
+    assert len(set(_CHECK_FIRST)) == len(_CHECK_FIRST), "duplicate _CHECK_FIRST keys"
+    # the round-11 rotation contract: the one key with no driver hash row
+    # ever sits at position 0
+    assert _CHECK_FIRST[0] == "ext_dedup_simhash"

@@ -1161,14 +1161,19 @@ def stream_e2e_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Localize THEN drop the memory-sink table (ADVICE r10): the sink rows
     # live on the driver anyway (that is what a memory sink is), so this
-    # collect adds no distribution cost — and returning a frame built on
+    # drain adds no distribution cost — and returning a frame built on
     # the CALLER's session makes the child session disposable.  Without
     # the drop, every invocation retained its accumulated sink rows and
     # child-session state for the SparkContext's lifetime (a leak under
     # bench/test loops that invoke the builder hundreds of times).
-    rows = result.collect()
+    # Arrow localization, not collect()+Rows: a Row-list createDataFrame is
+    # a PYTHON-RDD-backed frame, so every downstream action pays a Python
+    # worker round trip per partition (profiled 0.35 s warm / 1.5 s cold on
+    # the noop sink at sf0.1); the pandas/Arrow form scans JVM-side Arrow
+    # batches (0.10 s warm, no Python in the consumer's plan).
+    pdf = result.toPandas()
     ns.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, result.schema)
+    return spark.createDataFrame(pdf, schema=result.schema)
 
 
 @query(

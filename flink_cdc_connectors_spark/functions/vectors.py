@@ -228,20 +228,41 @@ def round_half_up6(a):
     import numpy as np
 
     a = np.asarray(a, dtype=np.float64)
-    scaled = np.abs(a) * 1e6
-    out = np.copysign(np.floor(scaled + 0.5) / 1e6, a)
+    # Fast path: rint (round-half-even) equals HALF_UP for every element
+    # NOT within binary noise of a half-boundary — the two modes can only
+    # disagree AT a tie, and a float64 product is exactly .5e-6 off a
+    # 6-decimal grid point only inside a ~1e-9-wide band.  So rint
+    # everything, then re-round just the band elements exactly.  The pass
+    # structure is deliberately in-place-heavy: the first version of this
+    # helper (abs/floor/copysign + a second floor for the band mask, ~10
+    # full-matrix passes and 7 temporaries) measured 2-4x on
+    # ext_semdedup's per-cell n^2 sims matrix at the 100x corpus — the
+    # rounding pass must stay O(np.round)-ish because the GEMM it follows
+    # is BLAS-fast.
+    s = a * 1e6  # temp 1
+    r = np.rint(s)  # temp 2
     with np.errstate(invalid="ignore"):
-        near = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-6
+        # band detector, reusing s as scratch: |(|s - r|) - 0.5| < 1e-6
+        # (elements whose fractional part sits within noise of .5)
+        np.subtract(s, r, out=s)
+        np.abs(s, out=s)
+        np.subtract(s, 0.5, out=s)
+        np.abs(s, out=s)
+        near = s < 1e-6  # bool temp
+    # divide by the EXACT double 1e6 — multiplying by the inexact 1e-6
+    # lands one ulp off the decimal value (e.g. -122243*1e-6 !=
+    # -122243/1e6) and would diverge from BigDecimal's toDouble
+    np.divide(r, 1e6, out=r)
     if near.any():
         from decimal import ROUND_HALF_UP, Decimal
 
         q = Decimal("1e-6")
-        flat_out, flat_a = out.reshape(-1), a.reshape(-1)
+        flat_r, flat_a = r.reshape(-1), a.reshape(-1)
         for i in np.nonzero(near.reshape(-1))[0]:
-            flat_out[i] = float(
+            flat_r[i] = float(
                 Decimal(repr(float(flat_a[i]))).quantize(q, rounding=ROUND_HALF_UP)
             )
-    return out
+    return r
 
 
 def srp_planes_np(num_planes: int = 8, dim: int = 64):

@@ -170,8 +170,20 @@ def test_foreign_cwd_python_worker_self_containment(sf_dir, tmp_path):
     keys whose closures capture package helpers from a FOREIGN cwd with
     no PYTHONPATH, exactly how the driver launches.  ext_dedup_embedding
     and ext_semdedup were red from /tmp (ModuleNotFoundError in the
-    Python worker) while the whole suite was green from the repo root."""
-    keys = ["ext_dedup_embedding", "ext_semdedup", "cdc_spatial_decode"]
+    Python worker) while the whole suite was green from the repo root.
+
+    Fixed sentinels (the three known helper-capturing families) PLUS a
+    weekly-rotating slice offset half a year from the local[3] slice's —
+    a future by-reference leak can enter through ANY key, and the
+    rotating half keeps the whole surface cycling through foreign-cwd
+    coverage rather than pinning only the historical offenders."""
+    from flink_cdc_connectors_spark.registry import all_queries
+
+    week = _selected_week()
+    sentinels = ["ext_dedup_embedding", "ext_semdedup", "cdc_spatial_decode"]
+    rotating = _weekly_slice(sorted(all_queries()), 6, week + 26)
+    keys = sorted(set(sentinels) | set(rotating))
+    print(f"FOREIGN_CWD_SLICE week={week} keys={keys}")
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     proc = subprocess.run(
         [sys.executable, "-c", _FOREIGN_CWD_RUNNER, REPO, sf_dir, json.dumps(keys)],
@@ -185,7 +197,8 @@ def test_foreign_cwd_python_worker_self_containment(sf_dir, tmp_path):
         ln for ln in proc.stdout.splitlines() if ln.startswith("FOREIGN_CWD_RESULT ")
     ]
     assert proc.returncode == 0 and marker, (
-        f"foreign-cwd run failed (rc={proc.returncode}) keys={keys}\n"
+        f"foreign-cwd run failed (rc={proc.returncode}) week={week} keys={keys}\n"
+        f"replay: SPARK_GRAFT_ROBUSTNESS_WEEK={week} pytest {__file__}\n"
         f"result={marker or 'no marker'}\n"
         f"stderr tail: {proc.stderr[-2000:]}"
     )

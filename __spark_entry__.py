@@ -42,9 +42,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Insertion order is deliberate (registry._CHECK_FIRST): the round-1
-    # driver compared only the first 50 keys, so keys lacking a round-1
-    # correctness row are emitted first.  Do not sort here.
+    # Insertion order is deliberate (registry._CHECK_FIRST): the driver's
+    # bounded CORRECTNESS budget compares roughly the first 50 keys in
+    # emission order, so each round front-loads the keys with the weakest
+    # or oldest driver evidence (rotation policy documented at the
+    # _CHECK_FIRST definition).  Do not sort here.
     return {key: spec.builder for key, spec in all_queries().items()}
 
 

@@ -73,10 +73,16 @@ def minhash_signatures_md5(
     Returns a DataFrame (id_col, mh0..mh{n-1}).
 
     Any uniform hash family gives statistically identical MinHash/banding
-    behavior; this one trades the ~10x hashing speed of xxhash64 for
-    cross-engine replayability, so it is used ONLY by bounded measurement
-    queries (``ext_minhash_recall``) — the corpus-scale dedup path
-    (``ext_dedup_minhash``) keeps the JVM-native xxhash64 family.
+    behavior; this one trades the ~10x hashing speed of xxhash64 for a
+    CHEAP oracle replay (one md5() call per member vs the ~5 s staged
+    xxhash64 pipeline functions/xxhash_sql.py needs per oracle).  Since
+    round 11 xxhash64 IS oracle-replayable, so the remaining users are a
+    cost choice, not an expressibility pin: ``ext_dedup_incremental`` and
+    the ``cdc_stream_dedup_index`` capstone keep this family (their
+    oracles replay signatures inside already-heavy incremental MERGE
+    replays); the production dedup path (``ext_dedup_minhash``) and the
+    recall measurement (``ext_minhash_recall``, switched in round 11)
+    use the shipped JVM-native xxhash64 family.
 
     Deliberately explode -> groupBy MIN aggregates, NOT
     ``array_min(transform(...))`` like the xxhash64 family: on Spark 4.1,

@@ -17,7 +17,9 @@ limited by the ``debezium.max.batch.size`` passthrough so the tail
 arrives as genuine multi-micro-batch increments) streams the events
 changelog; ``foreachBatch`` folds each increment into a per-document
 changelog (latest-per-key, tombstones), computes md5-family MinHash
-signatures for JUST the changed docs, and MERGEs them into the stored
+signatures for JUST the changed docs (md5 kept post-round-11 as an
+oracle-COST choice, not an expressibility pin — see
+functions/text.py::minhash_signatures_md5), and MERGEs them into the stored
 index state (replace-on-update, remove-on-delete — the foreachBatch +
 storage-MERGE shape, here an epoch rewrite of small parquet state like
 ``streaming/changelog.py``). After the drain, verdicts are computed FROM

@@ -877,7 +877,13 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Uses the md5-string MinHash family (functions/text.py::
     minhash_signatures_md5) so the DuckDB oracle replays signatures,
     banding, the asymmetric candidate join, and the verification —
-    hash-checked end to end, unlike the xxhash64 corpus-scale twin.
+    hash-checked end to end.  Since round 11 the xxhash64 family is
+    ALSO oracle-replayable (functions/xxhash_sql.py); this key keeps md5
+    as a cost choice — its oracle already replays the full incremental
+    MERGE shape, and the staged xxhash pipeline would add ~5 s per
+    driver-gate run for zero semantic gain (the dedup verdicts are
+    family-independent set algebra; family parity itself is pinned by
+    ext_dedup_minhash and ext_minhash_recall on the shipped family).
 
     Scale: this is the daily-increment 100 TB pattern — per-increment
     cost is O(batch) signatures + band joins against a STORED index

@@ -214,17 +214,18 @@ def round_half_up6(a):
     half-boundary could round differently across the engine gate and flip
     a top-k tie-break.
 
-    Exact emulation, vectorized: HALF_UP == round-half-away-from-zero, so
-    ``copysign(floor(|x|*1e6 + 0.5), x)/1e6`` matches BigDecimal for every
-    element EXCEPT those whose shortest decimal repr sits exactly ON (or
-    within binary noise of) a half-boundary — ``|x|*1e6`` lands within
-    ~1e-9 of a half-integer there, and the binary product may sit on the
-    wrong side.  Those elements (a vanishing fraction of real score
-    matrices; often zero) are re-rounded exactly through
-    ``decimal.Decimal(repr(x))`` — the same shortest-repr decimal Java's
-    ``Double.toString`` feeds ``BigDecimal.valueOf``.  NaN passes through
-    (comparisons push NaN out of every top-k anyway).  Boundary-exact
-    parity against Spark is pinned in tests/test_functions.py."""
+    Exact emulation, vectorized: round-to-nearest modes can only disagree
+    AT a half-boundary tie, so ``rint(x*1e6)/1e6`` (half-even) already
+    equals HALF_UP for every element except those whose scaled value sits
+    within binary noise (~1e-9) of a half-integer — including the ones
+    whose SHORTEST DECIMAL REPR is exactly on the boundary while the
+    binary double is infinitesimally off.  Those band elements (4 of
+    2.4M on real sf10 score matrices; often zero) are re-rounded exactly
+    through ``decimal.Decimal(repr(x))`` — the same shortest-repr decimal
+    Java's ``Double.toString`` feeds ``BigDecimal.valueOf``.  NaN passes
+    through (comparisons push NaN out of every top-k anyway).
+    Boundary-exact parity against Spark is pinned in
+    tests/test_functions.py::test_round_half_up6_matches_spark_round."""
     import numpy as np
 
     a = np.asarray(a, dtype=np.float64)

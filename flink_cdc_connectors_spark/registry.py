@@ -98,72 +98,68 @@ def oracle_valid_at(spec: QuerySpec, n_docs: int) -> bool:
 # instead, the ordering is a no-op.  Everything not listed follows in
 # sorted order.
 #
-# Round-11 set (VERDICT r10 "Next round" #1): (0) ext_dedup_simhash — the
-# ONLY key in the repo's history with zero driver hash evidence (its
-# xxhash64 oracle landed after the r10 sample was drawn); (1) the 17 keys
-# whose newest driver row is round 7, the oldest surviving evidence;
-# (2) keys whose builders/oracles round 11 touches — the recall-family
-# switch, the streaming-sink localization, the GEMM HALF_UP rounding, and
-# the gate-flagged keys; (3) the four r10 loaded-window bench movers so
-# the driver refreshes their evidence alongside the quiet re-timing;
-# (4) r8-evidence keys, heaviest bench weight first, filling ~50.
+# Round-12 set (VERDICT r11 "Next round" #1): (1) the 24 keys whose newest
+# driver row is round 8 — the oldest surviving evidence after the r11
+# rotation — ordered by BENCH_QUIET_r11 per-key weight, heaviest first;
+# (2) cdc_stream_dedup_index, the heaviest suite key, whose r11 quiet pair
+# sat above its r10 band without an era-verdict row (VERDICT r11 "What's
+# wrong" #3) — a fresh driver row lands alongside this round's ABAB
+# adjudication; (3) r9-evidence keys, heaviest quiet weight first, to ~50.
 _CHECK_FIRST = (
-    # -- 0: the one key with no driver hash row ever --------------------------
-    "ext_dedup_simhash",
-    # -- 1: the 17 keys whose newest driver row is round 7 --------------------
-    "agg_global",
-    "agg_groupby",
-    "agg_having",
-    "agg_rollup",
-    "array_ops",
-    "cdc_snapshot_scan",
-    "cdc_table_discovery",
-    "ext_quality_score",
-    "ext_text_stats",
-    "filter_pred",
-    "map_ops",
-    "pivot_agg",
-    "stream_dedup_keep_first",
-    "subquery_not_in",
-    "subquery_scalar",
-    "window_first_last",
-    "window_ntile_dist",
-    # -- 2: implementation/oracle files changed this round --------------------
-    "ext_minhash_recall",
-    "stream_e2e_windowed",
-    "ext_dedup_minhash",
-    "ext_fingerprint",
-    "ext_sim_search_cosine",
-    "ext_sim_search_lsh",
-    "ext_sim_search_pq",
-    "ext_dedup_embedding",
-    "ext_dedup_embedding_lsh",
-    "ext_semdedup",
-    # -- 3: the four r10 loaded-window bench movers ---------------------------
-    "cdc_tikv_two_phase",
-    "cdc_changelog_mode_upsert",
-    "cdc_envelope_retract_agg",
-    "cdc_dsv2_stream",
-    # -- 4: r8-evidence keys, heaviest bench weight first, to ~50 -------------
-    "cdc_format_roundtrip",
-    "ext_curation_pipeline",
-    "cdc_multi_table_route",
-    "agg_approx_percentile",
-    "cdc_mongo_update_lookup",
-    "cdc_newly_added_tables",
-    "cdc_pgoutput_relation",
-    "cdc_schema_evolution",
-    "join_colocated_bucketed",
-    "cdc_decimal_handling",
-    "cdc_mongo_copy_existing",
-    "cdc_chunk_split_sampled",
-    "agg_arg_extremes",
-    "cdc_chunk_split_region",
-    "join_left_multi",
-    "cdc_server_timezone",
-    "agg_cube",
-    "scalar_math",
-    # -- r8+ greens follow in sorted order; rows-only keys at the tail --
+    # -- 1: the 24 keys whose newest driver row is round 8, heaviest first ----
+    "cdc_txn_metadata",
+    "agg_grouping_sets",
+    "join_range",
+    "scalar_json",
+    "join_full_outer",
+    "scalar_typecast",
+    "agg_skew_salted",
+    "cdc_sql_ddl_source",
+    "ext_multimodal_image",
+    "join_temporal_asof",
+    "join_broadcast",
+    "cdc_sql_ddl_join",
+    "pattern_funnel",
+    "agg_filter_where",
+    "ext_multimodal_video",
+    "cdc_heartbeat",
+    "join_interval",
+    "join_inner",
+    "join_semi",
+    "set_distinct_union",
+    "scalar_date",
+    "scalar_string",
+    "scan_project",
+    "scalar_conditional",
+    # -- 2: this round's adjudication target (r11 What's-wrong #3) ------------
+    "cdc_stream_dedup_index",
+    # -- 3: r9-evidence keys, heaviest quiet weight first, to ~50 -------------
+    "ext_ann_recall",
+    "ext_dedup_keeper_quality",
+    "ext_bloom_decontaminate",
+    "ext_kmeans_spherical",
+    "cdc_type_change_resnapshot",
+    "ext_dedup_lines",
+    "ext_sequence_pack",
+    "cdc_jdbc_incremental",
+    "cdc_mongo_changestream",
+    "ext_dedup_cluster",
+    "ext_filter_ensemble",
+    "ext_decontaminate",
+    "agg_approx_distinct",
+    "ext_dedup_substring",
+    "cdc_capture_sqlserver",
+    "cdc_capture_db2",
+    "cdc_upsert_sink",
+    "ext_unigram_logprob",
+    "agg_percentiles",
+    "cdc_postgres_wal2json",
+    "cdc_oceanbase_commit_order",
+    "agg_continuous_rollup",
+    "cdc_logminer_redo",
+    "cdc_gtid_failover",
+    "ext_domain_mix",
+    # -- r9+ greens follow in sorted order; rows-only keys at the tail --
 )
 
 

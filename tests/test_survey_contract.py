@@ -79,6 +79,20 @@ def test_check_first_keys_are_registered_and_unique():
     unknown = [k for k in _CHECK_FIRST if k not in registry]
     assert unknown == [], f"_CHECK_FIRST names not in the registry: {unknown}"
     assert len(set(_CHECK_FIRST)) == len(_CHECK_FIRST), "duplicate _CHECK_FIRST keys"
-    # the round-11 rotation contract: the one key with no driver hash row
-    # ever sits at position 0
-    assert _CHECK_FIRST[0] == "ext_dedup_simhash"
+    # the round-12 rotation contract: every key whose newest driver
+    # evidence is round 8 (VERDICT r11 What's-wrong #1) is in the rotation,
+    # so CORRECTNESS_r12 leaves no key's evidence older than round 9
+    r8_stale = {
+        "agg_filter_where", "agg_grouping_sets", "agg_skew_salted",
+        "cdc_heartbeat", "cdc_sql_ddl_join", "cdc_sql_ddl_source",
+        "cdc_txn_metadata", "ext_multimodal_image", "ext_multimodal_video",
+        "join_broadcast", "join_full_outer", "join_inner", "join_interval",
+        "join_range", "join_semi", "join_temporal_asof", "pattern_funnel",
+        "scalar_conditional", "scalar_date", "scalar_json", "scalar_string",
+        "scalar_typecast", "scan_project", "set_distinct_union",
+    }
+    missing = r8_stale - set(_CHECK_FIRST[:24])
+    assert missing == set(), f"r8-stale keys not in the first 24 slots: {missing}"
+    # ... and the heaviest unadjudicated key (r11 What's-wrong #3) rides
+    # along so the ABAB era verdict gets a same-round driver row
+    assert "cdc_stream_dedup_index" in _CHECK_FIRST[:26]

@@ -50,28 +50,15 @@ def run_one(spark, builder, sf_dir: str) -> float:
     return elapsed
 
 
-def run_suite(sf_dir: str = SF_DIR, app_name: str = "bench") -> dict:
-    """Run the full warmed min-of-2 suite and return the detail record
-    (the ``full`` dict bench prints / writes to BENCH_DETAIL.json).
-    Factored out of main() so the quiet-anchor wrapper (bench_quiet.py,
-    VERDICT r10 #4) can run the identical protocol and write its own
-    standing artifact.  Stops the session it creates."""
-    # 1-min load BEFORE the session spins up: the round-9/10 bench
-    # adjudications showed per-key readings inflate 1.3-1.7x under
-    # ambient neighbor load, and the recorded JSON previously carried no
-    # way to tell a loaded window from a quiet one after the fact.
-    load_start = round(os.getloadavg()[0], 2)
-    spark = get_spark(app_name=app_name)
-    queries = all_queries()
-    # Session warmup: the smallest fixture absorbs JVM/session startup so
-    # the first key doesn't pay it, and one Arrow-UDF key spins up the
-    # Python-worker pool (fork + pandas import per core, ~5 s one-time).
-    # Per-PLAN warm-then-time happens inside the main loop below. Warm
-    # dirs derive from the SAME env-var root as SF_DIR (a relocated
-    # fixture tree warms from its own sibling dirs, falling back to
-    # SF_DIR itself); a failed warmup logs a warning instead of silently
-    # skipping — a silent no-op reintroduces the cold-compile skew the
-    # warmup exists to remove.
+def warm_session(spark, queries, sf_dir: str) -> None:
+    """Session warmup: the smallest fixture absorbs JVM/session startup so
+    the first key doesn't pay it, and one Arrow-UDF key spins up the
+    Python-worker pool (fork + pandas import per core, ~5 s one-time).
+    Per-PLAN warm-then-time happens inside bench_keys. Warm dirs derive
+    from the SAME env-var root as SF_DIR (a relocated fixture tree warms
+    from its own sibling dirs, falling back to SF_DIR itself); a failed
+    warmup logs a warning instead of silently skipping — a silent no-op
+    reintroduces the cold-compile skew the warmup exists to remove."""
     sf_root = os.path.dirname(sf_dir.rstrip("/"))
 
     def warm_dir(name: str) -> str:
@@ -87,37 +74,41 @@ def run_suite(sf_dir: str = SF_DIR, app_name: str = "bench") -> dict:
         except Exception as exc:
             print(f"WARN bench warmup {warm} @ {wd} failed: {exc}", file=sys.stderr)
 
-    # Per-key warm-then-time (round 4): warming a shared list of family
-    # representatives up front proved ordering-fragile — the one-time
-    # compile cost is per PLAN, and anything that perturbs the session
-    # between warmup and timed run can reattribute an 8-16 s first-run
-    # cost to a single unlucky key (the round-3 driver bench's 21 s
-    # cdc_multi_table_route outlier). Warming THE SAME key immediately
-    # before timing it makes every timed number steady-state by
-    # construction; per-key deltas across rounds compare execution, not
-    # compile luck.
+
+def bench_keys(
+    spark, queries, keys, sf_dir: str
+) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str], dict[str, list[float]]]:
+    """The per-key warm-then-min-of-2 measurement protocol over ``keys``.
+
+    Round-5 protocol: warm ONCE at the TIMED scale (untimed), then time
+    TWO runs and record the MIN. The warm pass absorbs plan analysis,
+    Janino compile, and HotSpot C2 tiering — one small-fixture warm proved
+    insufficient (ext_kmeans_spherical measured 18.0 / 6.5 / 3.8 / 3.5 s
+    across identical consecutive sf0.1 runs: the first full-scale run is
+    still JIT-tiering the generated aggregate loops, so a single-warm
+    protocol timed run #2's lottery and bench totals swung 156-249 s with
+    different victims each run). min-of-2 additionally defends the judged
+    number against ambient neighbor CPU on a shared box (observed 2-3x
+    single-run inflation on random keys at load >5) — standard
+    repeated-measurement practice, same 3-full-pass wall cost as the
+    small-warm protocol it replaces. A warm failure degrades to a WARN;
+    the timed attempts report the real failure.
+
+    Factored out of run_suite (round 12) so the quiet-anchor wrapper can
+    re-run contaminated keys through the IDENTICAL protocol. Returns
+    (timings, run_pairs, failures, windows); windows[key] =
+    [epoch_start, epoch_end] of the key's TIMED (post-warm) interval so a
+    concurrent load sampler can attribute bursts to the keys they hit."""
     timings: dict[str, float] = {}
     run_pairs: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
-    for key in sorted(queries):
-        # Round-5 protocol: warm ONCE at the TIMED scale (untimed), then
-        # time TWO runs and record the MIN. The warm pass absorbs plan
-        # analysis, Janino compile, and HotSpot C2 tiering — one
-        # small-fixture warm proved insufficient (ext_kmeans_spherical
-        # measured 18.0 / 6.5 / 3.8 / 3.5 s across identical consecutive
-        # sf0.1 runs: the first full-scale run is still JIT-tiering the
-        # generated aggregate loops, so a single-warm protocol timed run
-        # #2's lottery and bench totals swung 156-249 s with different
-        # victims each run). min-of-2 additionally defends the judged
-        # number against ambient neighbor CPU on a shared box (observed
-        # 2-3x single-run inflation on random keys at load >5) — standard
-        # repeated-measurement practice, same 3-full-pass wall cost as the
-        # small-warm protocol it replaces. A warm failure degrades to a
-        # WARN; the timed attempts report the real failure.
+    windows: dict[str, list[float]] = {}
+    for key in keys:
         try:
             run_one(spark, queries[key].builder, sf_dir)
         except Exception as exc:
             print(f"WARN bench warm {key} @ {sf_dir} failed: {exc}", file=sys.stderr)
+        w0 = time.time()
         try:
             t1 = run_one(spark, queries[key].builder, sf_dir)
             t2 = run_one(spark, queries[key].builder, sf_dir)
@@ -128,6 +119,37 @@ def run_suite(sf_dir: str = SF_DIR, app_name: str = "bench") -> dict:
             run_pairs[key] = [round(t1, 3), round(t2, 3)]
         except Exception as exc:  # keep benching; a failed query is reported
             failures[key] = f"{type(exc).__name__}: {exc}"[:200]
+        windows[key] = [round(w0, 2), round(time.time(), 2)]
+    return timings, run_pairs, failures, windows
+
+
+def run_suite(sf_dir: str = SF_DIR, app_name: str = "bench") -> dict:
+    """Run the full warmed min-of-2 suite and return the detail record
+    (the ``full`` dict bench prints / writes to BENCH_DETAIL.json).
+    Factored out of main() so the quiet-anchor wrapper (bench_quiet.py,
+    VERDICT r10 #4) can run the identical protocol and write its own
+    standing artifact.  Stops the session it creates."""
+    # 1-min load BEFORE the session spins up: the round-9/10 bench
+    # adjudications showed per-key readings inflate 1.3-1.7x under
+    # ambient neighbor load, and the recorded JSON previously carried no
+    # way to tell a loaded window from a quiet one after the fact.
+    load_start = round(os.getloadavg()[0], 2)
+    spark = get_spark(app_name=app_name)
+    queries = all_queries()
+    warm_session(spark, queries, sf_dir)
+
+    # Per-key warm-then-time (round 4): warming a shared list of family
+    # representatives up front proved ordering-fragile — the one-time
+    # compile cost is per PLAN, and anything that perturbs the session
+    # between warmup and timed run can reattribute an 8-16 s first-run
+    # cost to a single unlucky key (the round-3 driver bench's 21 s
+    # cdc_multi_table_route outlier). Warming THE SAME key immediately
+    # before timing it makes every timed number steady-state by
+    # construction; per-key deltas across rounds compare execution, not
+    # compile luck.
+    timings, run_pairs, failures, _ = bench_keys(
+        spark, queries, sorted(queries), sf_dir
+    )
 
     full = {
         "metric": "full_query_suite_wall_time",

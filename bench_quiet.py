@@ -1,24 +1,49 @@
 #!/usr/bin/env python
-"""Quiet-anchor bench wrapper (VERDICT r10 #4) — the standing artifact the
-round-over-round adjudications kept reconstructing by hand.
+"""Quiet-anchor bench wrapper (VERDICT r10 #4, burst-proofed r12) — the
+standing artifact the round-over-round adjudications kept reconstructing
+by hand.
 
 The driver's per-round BENCH_r{N}.json is measured in whatever load window
-the driver happens to run in; the r9->r10 adjudications repeatedly needed a
-QUIET same-tree number next to it to tell real regressions from neighbor
-load (timing protocol: 1-min load < 1 at start, warmed min-of-2 per key).
-This wrapper waits for a quiet window, runs the EXACT bench.py protocol
-(same warmups, same warmed min-of-2, same noop sink), and writes
-``BENCH_QUIET_r{N}.json`` — per-key mins + both raw runs + the load fields —
-so every round has its quiet anchor on the record without a manual rerun
-campaign.
+the driver happens to run in; adjudications repeatedly need a QUIET
+same-tree number next to it to tell real regressions from neighbor load
+(timing protocol: 1-min load < 1 at start, warmed min-of-2 per key).
+
+Round-12 protocol (VERDICT r11 #2): the neighbor-burst cadence on this box
+(~10 min) is now SHORTER than the ~9-min suite, so a single uninterrupted
+quiet run no longer exists — both r11 final-tree attempts self-flagged.
+Instead of one all-or-nothing run:
+
+  1. a sampler thread records (epoch, 1-min load) every 5 s for the whole
+     invocation;
+  2. pass 1 runs the full warmed min-of-2 suite (bench.bench_keys — the
+     EXACT driver protocol) and tags every key with the max load sampled
+     over its timed window (30 s lookback: 1-min load is an EWMA, a burst
+     shortly before the window still inflates it);
+  3. keys whose window saw load >= the own-load ceiling (5.0 — own-only
+     full-suite runs peak ~3.4 on 32 cpus; contaminated windows read
+     6.8+) are RE-RUN through the same warm+min-of-2 protocol after the
+     load decays back under the quiet gate, up to a retry budget — i.e.
+     the suite pauses at a burst and resumes quiet, per key;
+  4. the artifact carries ``per_key_min_of_record``: the per-key MIN over
+     every CLEAN-window run, merged across same-round same-commit
+     invocations of this wrapper — the round's number of record
+     (``min_of_record_total``) is machine-readable, not BASELINE prose.
+
+``quiet: true`` now means: every key's reading of record came from a
+clean window (not: the whole wall-clock interval was clean).
 
 Usage:
     python bench_quiet.py                  # infer round from BENCH_r*.json
-    python bench_quiet.py --round 11
+    python bench_quiet.py --round 12
     SPARK_GRAFT_QUIET_LOAD=2.0 python bench_quiet.py   # relax the gate
-Round inference: 1 + max N over existing BENCH_r{N}.json in the repo root
-(the driver writes BENCH_r{N} AFTER the round closes, so while round N+1
-is being built the max on disk is N).
+
+Round inference: 1 + max N over existing BENCH_r{N}.json. The driver
+commits BENCH_r{N} when round N closes, so a TRACKED max means round N is
+closed and N+1 is being built; an UNTRACKED max (ADVICE r11: the driver
+can also write the current round's file mid-build) makes the inference
+ambiguous — then --round is required. The artifact records the HEAD
+commit either way so a mislabeled file is always detectable after the
+fact.
 """
 
 from __future__ import annotations
@@ -28,7 +53,9 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -37,28 +64,113 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "1.0"))
 QUIET_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_QUIET_TIMEOUT_S", "600"))
+# own-run load ceiling: the suite itself generates ~2-4 of 1-min load on
+# 32 cpus; a key window reading >= this saw an EXTERNAL burst on top
+# (own-only runs peak ~3.4; contaminated runs read 6.8+)
+OWN_LOAD_CEIL = float(os.environ.get("SPARK_GRAFT_QUIET_OWN_CEIL", "5.0"))
+# total wall budget for burst-retry passes after pass 1
+RETRY_BUDGET_S = int(os.environ.get("SPARK_GRAFT_QUIET_RETRY_BUDGET_S", "1200"))
+# EWMA lookback when attributing load samples to a key's timed window
+_LOOKBACK_S = 30.0
 
 
-def infer_round() -> int:
-    ns = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+def head_commit() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True, text=True, cwd=REPO, timeout=10,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001 - artifact still useful without it
+        return "unknown"
+
+
+def infer_round(repo: str = REPO) -> tuple[int, bool]:
+    """(round, ambiguous). Ambiguous when the newest BENCH_r{N}.json is
+    untracked — the driver wrote it for the CURRENT tree, so max+1 would
+    mislabel the artifact one round ahead (ADVICE r11)."""
+    paths = {
+        int(m.group(1)): p
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
         if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
-    ]
-    return (max(ns) + 1) if ns else 1
+    }
+    if not paths:
+        return 1, False
+    n = max(paths)
+    tracked = subprocess.run(
+        ["git", "ls-files", "--error-unmatch", os.path.basename(paths[n])],
+        capture_output=True, text=True, cwd=repo, timeout=10,
+    ).returncode == 0
+    return n + 1, not tracked
 
 
-def wait_for_quiet() -> tuple[float, float]:
-    """Block until 1-min load < QUIET_LOAD (timing-protocol quiet window;
-    load decays over ~4 min after any Spark JVM exits) or the timeout
-    lapses — in which case proceed anyway but the recorded load fields
-    flag the window as loaded."""
+def merge_min_of_record(
+    prev: dict | None,
+    commit: str,
+    sf: float,
+    rnd: int,
+    clean_min: dict[str, float],
+) -> tuple[dict[str, float], int]:
+    """Fold this invocation's CLEAN per-key mins into a prior artifact's
+    ``per_key_min_of_record`` — but only when the prior artifact measured
+    the SAME tree (head_commit), fixture scale (sf), and round; a
+    different tree or scale is a different population and starts fresh.
+    Returns (merged_map, invocation_count)."""
+    merged = dict(clean_min)
+    if (
+        prev
+        and prev.get("head_commit") == commit
+        and prev.get("sf") == sf
+        and prev.get("round") == rnd
+    ):
+        for k, v in (prev.get("per_key_min_of_record") or {}).items():
+            merged[k] = min(v, merged[k]) if k in merged else v
+        return merged, int(prev.get("min_of_record_invocations", 1)) + 1
+    return merged, 1
+
+
+def wait_for_quiet(timeout_s: float = QUIET_TIMEOUT_S) -> tuple[float, float]:
+    """Block until 1-min load < QUIET_LOAD (load decays over ~4 min after
+    any Spark JVM goes idle) or the timeout lapses — in which case proceed
+    anyway; the per-key window tagging flags whatever stays loaded."""
     t0 = time.monotonic()
     load = os.getloadavg()[0]
-    while load >= QUIET_LOAD and time.monotonic() - t0 < QUIET_TIMEOUT_S:
+    while load >= QUIET_LOAD and time.monotonic() - t0 < timeout_s:
         time.sleep(10)
         load = os.getloadavg()[0]
     return round(load, 2), round(time.monotonic() - t0, 1)
+
+
+class LoadSampler:
+    """Background (epoch, 1-min load) tape for the whole invocation."""
+
+    def __init__(self, period_s: float = 5.0):
+        self.samples: list[tuple[float, float]] = []
+        self._period = period_s
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.wait(self._period):
+            self.samples.append((time.time(), os.getloadavg()[0]))
+
+    def __enter__(self) -> "LoadSampler":
+        self.samples.append((time.time(), os.getloadavg()[0]))
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._t.join(timeout=5)
+
+    def window_max(self, w0: float, w1: float) -> float:
+        """Max sampled load over [w0 - lookback, w1 + one period]; nearest
+        sample if the window is shorter than the sampling period."""
+        lo, hi = w0 - _LOOKBACK_S, w1 + self._period
+        vals = [ld for ts, ld in self.samples if lo <= ts <= hi]
+        if not vals:  # sub-period window between two samples
+            nearest = min(self.samples, key=lambda s: abs(s[0] - w0), default=None)
+            vals = [nearest[1]] if nearest else [os.getloadavg()[0]]
+        return round(max(vals), 2)
 
 
 def main() -> None:
@@ -66,46 +178,154 @@ def main() -> None:
     ap.add_argument("--round", type=int, default=None)
     ap.add_argument("--out", default=None, help="override output path")
     args = ap.parse_args()
-    rnd = args.round if args.round is not None else infer_round()
+    if args.round is not None:
+        rnd = args.round
+    else:
+        rnd, ambiguous = infer_round()
+        if ambiguous:
+            sys.exit(
+                f"bench_quiet: the newest BENCH_r*.json is untracked — the "
+                f"driver wrote it for the CURRENT round, so inferring "
+                f"round {rnd} would mislabel the artifact (ADVICE r11). "
+                f"Pass --round explicitly."
+            )
     out = args.out or os.path.join(REPO, f"BENCH_QUIET_r{rnd}.json")
+    commit = head_commit()
 
     load_at_gate, waited = wait_for_quiet()
 
-    from bench import SF_DIR, run_suite
+    from bench import SF_DIR, _sf_from_dir, bench_keys, warm_session
+    from flink_cdc_connectors_spark.registry import all_queries
+    from flink_cdc_connectors_spark.session import get_spark
 
-    # Mid-run load sampler: a neighbor burst that decays before the suite
-    # ends is invisible to the start/end fields (observed: start 0.31,
-    # end 3.35, but 1-min load 6.8 mid-run inflating the total 16%) —
-    # record the max so a contaminated "quiet" artifact is self-flagging.
-    import threading
+    sf = _sf_from_dir(SF_DIR)
+    t_start = time.time()
+    load_start = round(os.getloadavg()[0], 2)
 
-    load_max = [os.getloadavg()[0]]
-    stop = threading.Event()
+    with LoadSampler() as sampler:
+        spark = get_spark(app_name="bench_quiet")
+        queries = all_queries()
+        warm_session(spark, queries, SF_DIR)
 
-    def sample():
-        while not stop.wait(15):
-            load_max[0] = max(load_max[0], os.getloadavg()[0])
+        # -- pass 1: the full suite, exact driver protocol ----------------
+        timings, run_pairs, failures, windows = bench_keys(
+            spark, queries, sorted(queries), SF_DIR
+        )
+        key_load_max = {
+            k: sampler.window_max(w[0], w[1]) for k, w in windows.items()
+        }
+        clean_min: dict[str, float] = {
+            k: timings[k]
+            for k in timings
+            if key_load_max[k] < OWN_LOAD_CEIL
+        }
+        contaminated = sorted(
+            k for k in timings if k not in clean_min
+        )
+        print(
+            f"bench_quiet pass1: {len(timings)} keys, "
+            f"{len(contaminated)} burst-contaminated: {contaminated}",
+            file=sys.stderr,
+        )
 
-    t = threading.Thread(target=sample, daemon=True)
-    t.start()
-    try:
-        full = run_suite(SF_DIR, app_name="bench_quiet")
-    finally:
-        stop.set()
-        t.join(timeout=5)
-    full["metric"] = "quiet_anchor_suite_wall_time"
-    full["round"] = rnd
-    full["quiet_gate_load"] = QUIET_LOAD
-    full["load_at_gate_1min"] = load_at_gate
-    full["quiet_wait_s"] = waited
-    full["load_max_1min"] = round(load_max[0], 2)
-    # own-run load: the suite itself generates ~2-4 of 1-min load on 32
-    # cpus; "quiet" means no EXTERNAL burst beyond that on top of a quiet
-    # start. 5.0 empirically separates own-load ceilings from neighbor
-    # bursts (own-only runs peak ~3.4; contaminated runs read 6.8+).
-    full["quiet"] = bool(
-        full["load_start_1min"] < QUIET_LOAD and load_max[0] < 5.0
-    )
+        # -- burst-retry passes: pause at the burst, resume quiet ---------
+        retry_rounds = 0
+        retry_budget_t0 = time.monotonic()
+        while contaminated and time.monotonic() - retry_budget_t0 < RETRY_BUDGET_S:
+            retry_rounds += 1
+            # own JVM is idle now; the decay back under the gate IS the
+            # pause-at-burst. Cap each wait so one long neighbor job
+            # can't eat the whole budget before a single retry.
+            gate_load, gate_wait = wait_for_quiet(
+                min(QUIET_TIMEOUT_S, RETRY_BUDGET_S - (time.monotonic() - retry_budget_t0))
+            )
+            if gate_load >= QUIET_LOAD:
+                print(
+                    f"bench_quiet retry {retry_rounds}: gate never opened "
+                    f"(load {gate_load}), stopping retries",
+                    file=sys.stderr,
+                )
+                break
+            rt, rp, rf, rw = bench_keys(spark, queries, contaminated, SF_DIR)
+            still: list[str] = []
+            for k in contaminated:
+                if k in rf:
+                    failures[k] = rf[k]
+                    still.append(k)
+                    continue
+                lm = sampler.window_max(rw[k][0], rw[k][1])
+                run_pairs[k] = run_pairs.get(k, []) + rp[k]
+                key_load_max[k] = min(key_load_max[k], lm)
+                # min over every run regardless; CLEAN status only from a
+                # clean window
+                timings[k] = min(timings[k], rt[k])
+                if lm < OWN_LOAD_CEIL:
+                    clean_min[k] = rt[k]
+                else:
+                    still.append(k)
+            print(
+                f"bench_quiet retry {retry_rounds}: gate load {gate_load} "
+                f"(waited {gate_wait}s), {len(contaminated) - len(still)} "
+                f"cleaned, {len(still)} remain",
+                file=sys.stderr,
+            )
+            contaminated = still
+        spark.stop()
+
+    # reading of record per key: the clean min when one exists, else the
+    # best (min) contaminated reading — flagged via contaminated_keys
+    record = {k: clean_min.get(k, timings[k]) for k in sorted(timings)}
+
+    # -- cross-invocation min-of-record merge ------------------------------
+    # Only CLEAN readings enter the min-of-record, and only same-round,
+    # same-commit, same-sf prior artifacts merge (a different tree or
+    # fixture scale is a different population).
+    prev = None
+    if os.path.exists(out):
+        try:
+            prev = json.load(open(out))
+        except (OSError, ValueError) as exc:
+            print(f"WARN bench_quiet: could not merge {out}: {exc}", file=sys.stderr)
+    merged_min, merge_count = merge_min_of_record(prev, commit, sf, rnd, clean_min)
+    if prev is not None and merge_count == 1:
+        print(
+            "bench_quiet: existing artifact is a different tree/round/sf — "
+            "starting a fresh min-of-record",
+            file=sys.stderr,
+        )
+
+    missing_from_record = sorted(set(timings) - set(merged_min))
+    full = {
+        "metric": "quiet_anchor_suite_wall_time",
+        "value": round(sum(record.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+        "round": rnd,
+        "head_commit": commit,
+        "queries": {k: round(v, 3) for k, v in record.items()},
+        "run_pairs": run_pairs,
+        "key_load_max": key_load_max,
+        "quiet_gate_load": QUIET_LOAD,
+        "own_load_ceil": OWN_LOAD_CEIL,
+        "load_at_gate_1min": load_at_gate,
+        "quiet_wait_s": waited,
+        "load_start_1min": load_start,
+        "load_max_1min": round(max((ld for _, ld in sampler.samples), default=0.0), 2),
+        "retry_rounds": retry_rounds,
+        "contaminated_keys": contaminated,
+        # every key's reading of record came from a clean window
+        "quiet": not contaminated and not failures,
+        # the round's machine-readable number of record (VERDICT r11 #2)
+        "per_key_min_of_record": {k: round(v, 3) for k, v in sorted(merged_min.items())},
+        "min_of_record_total": (
+            round(sum(merged_min.values()), 3) if not missing_from_record else None
+        ),
+        "min_of_record_missing_keys": missing_from_record,
+        "min_of_record_invocations": merge_count,
+        "wall_s": round(time.time() - t_start, 1),
+    }
+    if failures:
+        full["failures"] = failures
     with open(out, "w") as f:
         json.dump(full, f, indent=1)
     print(
@@ -117,8 +337,9 @@ def main() -> None:
                 "sf": full["sf"],
                 "round": rnd,
                 "quiet": full["quiet"],
-                "load_start_1min": full["load_start_1min"],
-                "load_max_1min": full["load_max_1min"],
+                "min_of_record_total": full["min_of_record_total"],
+                "contaminated": len(contaminated),
+                "retry_rounds": retry_rounds,
                 "n_queries": len(full["queries"]),
                 "n_failures": len(full.get("failures", {})),
                 "artifact": os.path.basename(out),

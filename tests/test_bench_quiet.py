@@ -1,0 +1,89 @@
+"""Unit pins for the quiet-anchor wrapper's pure logic (VERDICT r11 #2 +
+ADVICE r11): round inference must refuse to mislabel, and the cross-
+invocation min-of-record merge must only fold same-population artifacts.
+
+No Spark here — bench_quiet's measurement path IS bench.bench_keys (the
+driver protocol, exercised by every bench run); what needs pinning is the
+artifact bookkeeping around it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench_quiet import LoadSampler, infer_round, merge_min_of_record  # noqa: E402
+
+
+def _git(repo, *args):
+    subprocess.run(["git", *args], cwd=repo, check=True, capture_output=True)
+
+
+def test_infer_round_flags_untracked_current_round(tmp_path):
+    """ADVICE r11: the driver can write BENCH_r{N}.json for the CURRENT
+    round mid-build (observed: untracked BENCH_r11.json on the r11 tree),
+    so max+1 would label the quiet anchor one round ahead.  Tracked max =
+    round closed = unambiguous; untracked max = ambiguous, caller must
+    pass --round."""
+    repo = str(tmp_path)
+    _git(repo, "init", "-q")
+    _git(repo, "config", "user.email", "t@t")
+    _git(repo, "config", "user.name", "t")
+    # no BENCH files at all -> round 1, unambiguous
+    assert infer_round(repo) == (1, False)
+    # tracked r1 -> round 2, unambiguous
+    (tmp_path / "BENCH_r1.json").write_text("{}")
+    _git(repo, "add", "BENCH_r1.json")
+    _git(repo, "commit", "-qm", "r1")
+    assert infer_round(repo) == (2, False)
+    # untracked r2 (driver wrote the CURRENT round's file) -> ambiguous
+    (tmp_path / "BENCH_r2.json").write_text("{}")
+    assert infer_round(repo) == (3, True)
+    # tracked r2 -> round 3 unambiguous again
+    _git(repo, "add", "BENCH_r2.json")
+    _git(repo, "commit", "-qm", "r2")
+    assert infer_round(repo) == (3, False)
+
+
+def test_merge_min_of_record_same_population_only():
+    clean = {"a": 2.0, "b": 5.0}
+    # no prior artifact -> fresh
+    merged, n = merge_min_of_record(None, "c1", 0.1, 12, clean)
+    assert merged == clean and n == 1
+    # same commit+sf+round -> per-key min, union of keys, count bumps
+    prev = {
+        "head_commit": "c1",
+        "sf": 0.1,
+        "round": 12,
+        "per_key_min_of_record": {"a": 3.0, "b": 4.0, "c": 1.0},
+        "min_of_record_invocations": 2,
+    }
+    merged, n = merge_min_of_record(prev, "c1", 0.1, 12, clean)
+    assert merged == {"a": 2.0, "b": 4.0, "c": 1.0} and n == 3
+    # a different tree/scale/round is a different population -> fresh
+    for other in (
+        {**prev, "head_commit": "c2"},
+        {**prev, "sf": 0.01},
+        {**prev, "round": 11},
+    ):
+        merged, n = merge_min_of_record(other, "c1", 0.1, 12, clean)
+        assert merged == clean and n == 1
+
+
+def test_load_sampler_window_attribution():
+    """window_max must cover the EWMA lookback (a burst shortly before a
+    key's timed window still inflates its 1-min load) and fall back to the
+    nearest sample for sub-period windows."""
+    s = LoadSampler()
+    s.samples = [(100.0, 0.5), (105.0, 8.0), (110.0, 0.6), (140.0, 0.4), (170.0, 0.3)]
+    # burst at t=105 attributed to a window starting t=120 (30 s lookback)
+    assert s.window_max(120.0, 125.0) == 8.0
+    # a clean window whose 30 s lookback clears the burst
+    assert s.window_max(165.0, 168.0) == 0.4
+    # sub-period window with no in-range samples -> nearest sample
+    assert s.window_max(1000.0, 1000.2) == 0.3

@@ -225,7 +225,16 @@ def round_half_up6(a):
     Java's ``Double.toString`` feeds ``BigDecimal.valueOf``.  NaN passes
     through (comparisons push NaN out of every top-k anyway).
     Boundary-exact parity against Spark is pinned in
-    tests/test_functions.py::test_round_half_up6_matches_spark_round."""
+    tests/test_functions.py::test_round_half_up6_matches_spark_round.
+
+    Validity bound (ADVICE r11): the band detector compares against an
+    ABSOLUTE 1e-6 threshold on the x*1e6-scaled value, which is sound only
+    while ulp(x*1e6) stays well below 1e-6 — i.e. |x| <= ~1e3 gives a
+    >=1000x margin, and the multiplication error erodes it from ~1e6 up
+    (at |x| ~ 1e9, ulp(x*1e6) ~ 0.25 and the band silently misses true
+    boundaries).  Every in-repo caller feeds cosine/ADC similarity scores
+    (|x| <= a few), far inside the margin; the guard below rejects
+    out-of-domain magnitudes instead of mis-rounding them."""
     import numpy as np
 
     a = np.asarray(a, dtype=np.float64)
@@ -250,6 +259,15 @@ def round_half_up6(a):
         np.subtract(s, 0.5, out=s)
         np.abs(s, out=s)
         near = s < 1e-6  # bool temp
+    # Domain guard (ADVICE r11): two allocation-free reductions over the
+    # already-materialized r (= rint(x*1e6)); 1e12 scaled = |x| <= 1e6,
+    # where ulp(x*1e6) <= 2^-12 * 1e-6-ish margin still holds >100x.
+    if r.size and (np.nanmax(r) > 1e12 or np.nanmin(r) < -1e12):
+        raise ValueError(
+            "round_half_up6: |x| > 1e6 is outside the half-boundary "
+            "detector's validity domain (see docstring); use Spark-side "
+            "F.round for large-magnitude columns"
+        )
     # divide by the EXACT double 1e6 — multiplying by the inexact 1e-6
     # lands one ulp off the decimal value (e.g. -122243*1e-6 !=
     # -122243/1e6) and would diverge from BigDecimal's toDouble

@@ -529,3 +529,13 @@ def test_round_half_up6_matches_spark_round(spark):
     out = V.round_half_up6(m)
     assert out.shape == m.shape and math.isnan(out[0, 1])
     assert out[0, 0] == 0.123457 and out[1, 0] == -0.000003 and out[1, 1] == 0.25
+    # domain guard (ADVICE r11): the absolute-threshold band detector is
+    # only valid while ulp(x*1e6) << 1e-6; out-of-domain magnitudes must
+    # raise, not silently mis-round — in either sign
+    import pytest as _pytest
+
+    for bad in (2e6, -2e6, 1e9):
+        with _pytest.raises(ValueError, match="validity domain"):
+            V.round_half_up6(np.array([0.5, bad]))
+    # the guard's edge sits past any similarity-score magnitude
+    assert V.round_half_up6(np.array([1e5 + 0.1234565]))[0] == 100000.123457

@@ -45,12 +45,13 @@ con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+n_emb = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
 failures = {}
 for k in keys:
     try:
         spec = qs[k]
         df = spec.builder(spark, sf_dir)
-        if spec.oracle is None or not oracle_valid_at(spec, n_docs):
+        if spec.oracle is None or not oracle_valid_at(spec, n_docs, n_emb):
             # no oracle, or corpus-gated oracle above its validity gate
             # (a value compare there is a false mismatch — ADVICE r10):
             # rows-only contract instead — DETERMINISTIC count (two
@@ -144,16 +145,27 @@ spark = (SparkSession.builder.master("local[4]")
          .config("spark.sql.shuffle.partitions", "4")
          .config("spark.ui.enabled", "false")
          .config("spark.sql.session.timeZone", "UTC").getOrCreate())
-from flink_cdc_connectors_spark.registry import all_queries
+from flink_cdc_connectors_spark.registry import all_queries, oracle_valid_at
 qs = all_queries()
 con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+n_emb = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
 failures = {}
 for k in keys:
     try:
-        assert_same(qs[k].builder(spark, sf_dir).toPandas(),
-                    con.execute(qs[k].oracle).fetchdf(), k)
+        spec = qs[k]
+        df = spec.builder(spark, sf_dir)
+        if spec.oracle is None or not oracle_valid_at(spec, n_docs, n_emb):
+            # mirror the local[3] runner (ADVICE r11): an oracle-less or
+            # above-gate key falls back to the deterministic-count
+            # contract instead of a false duckdb failure
+            n = df.count()
+            n2 = spec.builder(spark, sf_dir).count()
+            assert n == n2, f"nondeterministic rows-only count: {n} != {n2}"
+        else:
+            assert_same(df.toPandas(), con.execute(spec.oracle).fetchdf(), k)
     except Exception as exc:  # noqa: BLE001
         failures[k] = f"{type(exc).__name__}: {exc}"[:300]
 print("FOREIGN_CWD_RESULT " + json.dumps(failures))

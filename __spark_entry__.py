@@ -74,3 +74,15 @@ def oracle_gates() -> dict[str, int]:
         for key, spec in all_queries().items()
         if spec.oracle_max_docs is not None
     }
+
+
+def oracle_embedding_gates() -> dict[str, int]:
+    """Same contract as :func:`oracle_gates`, over ``count(embeddings)``
+    (VERDICT r11 #4): the vector keys whose LSH-parameter formulas widen
+    past a corpus point have static oracles valid only while the compared
+    fixture's ``embeddings`` table is <= the returned threshold."""
+    return {
+        key: spec.oracle_max_embeddings
+        for key, spec in all_queries().items()
+        if spec.oracle_max_embeddings is not None
+    }

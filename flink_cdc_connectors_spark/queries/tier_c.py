@@ -1453,7 +1453,15 @@ def _duck_emb_lsh_oracle() -> str:
     """
 
 
-@query("ext_dedup_embedding_lsh", tier="C", oracle=_duck_emb_lsh_oracle())
+# oracle_max_embeddings (VERDICT r11 #4): the plane formula widens past
+# n_corpus = 2*count(embeddings) = 24_000 and the static 8-plane oracle
+# stops applying — previously only a runtime warning; now machine-readable
+@query(
+    "ext_dedup_embedding_lsh",
+    tier="C",
+    oracle=_duck_emb_lsh_oracle(),
+    oracle_max_embeddings=12_000,
+)
 def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-FED semantic dedup at full table size — the 100 TB path.
     Candidates come from sign-random-projection bucket collisions (one

@@ -192,7 +192,15 @@ def _duck_semdedup_oracle() -> str:
     """
 
 
-@query("ext_semdedup", tier="C", oracle=_duck_semdedup_oracle())
+# oracle_max_embeddings (VERDICT r11 #4): the cell count k widens past
+# n_corpus = 2*count(embeddings) = 48_000 and the static 16-cell oracle
+# stops applying — previously only a runtime warning; now machine-readable
+@query(
+    "ext_semdedup",
+    tier="C",
+    oracle=_duck_semdedup_oracle(),
+    oracle_max_embeddings=24_000,
+)
 def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
     deduplication by CLUSTER-then-dedup — vectors are clustered (here the

@@ -58,6 +58,12 @@ class QuerySpec:
     # a false mismatch.  None = the oracle is valid at every corpus size
     # (engine gates that are value-identical across the gate stay None).
     oracle_max_docs: int | None = None
+    # Same contract over count(embeddings) (round 12, VERDICT r11 #4):
+    # the vector keys whose LSH-parameter formulas widen past a corpus
+    # point (ext_dedup_embedding_lsh's plane count, ext_semdedup's cell
+    # count) have static oracles valid only below it.  Previously these
+    # were runtime warnings only — machine-unreadable to a harness.
+    oracle_max_embeddings: int | None = None
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -68,6 +74,7 @@ def query(
     tier: str,
     oracle: str | None = None,
     oracle_max_docs: int | None = None,
+    oracle_max_embeddings: int | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Register a query builder under a SURVEY.md §2 key."""
 
@@ -75,20 +82,38 @@ def query(
         if key in _REGISTRY:
             raise ValueError(f"duplicate query key: {key}")
         _REGISTRY[key] = QuerySpec(
-            key, tier, fn, oracle, (fn.__doc__ or "").strip(), oracle_max_docs
+            key,
+            tier,
+            fn,
+            oracle,
+            (fn.__doc__ or "").strip(),
+            oracle_max_docs,
+            oracle_max_embeddings,
         )
         return fn
 
     return deco
 
 
-def oracle_valid_at(spec: QuerySpec, n_docs: int) -> bool:
+def oracle_valid_at(
+    spec: QuerySpec, n_docs: int, n_embeddings: int | None = None
+) -> bool:
     """True when ``spec``'s value oracle is comparable for a fixture whose
-    ``documents`` table holds ``n_docs`` rows (the corpus-gate contract
-    above).  Harnesses call this before a value comparison; every driver
-    fixture (sf0.001-0.1, 50-5000 docs) is far below every gate, so this
-    only bites synthetic scale fixtures."""
-    return spec.oracle_max_docs is None or n_docs <= spec.oracle_max_docs
+    ``documents`` table holds ``n_docs`` rows and whose ``embeddings``
+    table holds ``n_embeddings`` (the corpus-gate contract above).
+    Harnesses call this before a value comparison; every driver fixture
+    (sf0.001-0.1, 500-5000 docs / 500-2000 embeddings) is far below every
+    gate, so this only bites synthetic scale fixtures.  When a spec
+    carries an embeddings gate and the caller didn't supply the count,
+    the answer is conservatively False — skipping a valid compare is
+    recoverable, reporting a false mismatch is not."""
+    if spec.oracle_max_docs is not None and n_docs > spec.oracle_max_docs:
+        return False
+    if spec.oracle_max_embeddings is not None and (
+        n_embeddings is None or n_embeddings > spec.oracle_max_embeddings
+    ):
+        return False
+    return True
 
 
 # Driver coverage cap: each round's CORRECTNESS_r{N}.json compares only the

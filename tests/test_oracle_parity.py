@@ -19,6 +19,10 @@ def _n_docs(duck) -> int:
     return duck.execute("SELECT count(*) FROM documents").fetchone()[0]
 
 
+def _n_embeddings(duck) -> int:
+    return duck.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+
+
 @pytest.mark.parametrize("key", sorted(QUERIES))
 def test_query_vs_oracle(key, spark, duck, sf_dir):
     spec = QUERIES[key]
@@ -33,13 +37,17 @@ def test_query_vs_oracle(key, spark, duck, sf_dir):
         again = spec.builder(spark, sf_dir).toPandas()
         assert len(spark_pdf) == len(again), f"{key}: nondeterministic row count"
         return
-    if not oracle_valid_at(spec, _n_docs(duck)):
-        # Corpus-gated oracle (ADVICE r10): above spec.oracle_max_docs the
-        # builder runs a different hash family than the oracle replays —
-        # a value comparison there is a FALSE mismatch, not evidence.
-        # Unreachable at the test fixtures (50-5000 docs vs 24k gates);
-        # kept as the explicit skip so a scale-fixture run flags instead
-        # of failing.
-        pytest.skip(f"{key}: oracle gated to <= {spec.oracle_max_docs} docs")
+    if not oracle_valid_at(spec, _n_docs(duck), _n_embeddings(duck)):
+        # Corpus-gated oracle (ADVICE r10 / VERDICT r11 #4): above
+        # spec.oracle_max_docs (or .oracle_max_embeddings) the builder
+        # runs a different hash family / parameter formula than the
+        # oracle replays — a value comparison there is a FALSE mismatch,
+        # not evidence.  Unreachable at the test fixtures (50-5000 docs
+        # vs 24k gates); kept as the explicit skip so a scale-fixture run
+        # flags instead of failing.
+        pytest.skip(
+            f"{key}: oracle gated to <= {spec.oracle_max_docs} docs / "
+            f"<= {spec.oracle_max_embeddings} embeddings"
+        )
     duck_pdf = duck.execute(spec.oracle).fetchdf()
     assert_same(spark_pdf, duck_pdf, key)

@@ -868,3 +868,34 @@ def test_minhash_recall_signature_stage_is_shuffle_free(spark, sf_dir):
     assert "hashpartitioning(doc_id" not in plan, (
         "signature stage regressed to a doc_id shuffle:\n" + plan[:2000]
     )
+
+
+def test_gram_hash_family_gates_are_value_identical(spark, sf_dir, monkeypatch):
+    """VERDICT r11 #4 — the three equality-only gram-key gates. Past
+    _MINHASH_SCALE_DOCS, ext_dedup_substring / ext_decontaminate /
+    ext_curation_pipeline swap md5-over-joined-words grams for xxhash64
+    word-tuple hashes. The gram value never reaches the output — only its
+    EQUALITY classes do — so the gate may not change a single cell
+    (modulo 64-bit collisions, absent on every fixture). This is the
+    forced-gate A/B that lets these keys carry no oracle_max_docs flag:
+    their oracles stay valid at every corpus size because the families
+    are value-identical, and this pin is what makes that claim checked
+    rather than asserted in a docstring."""
+    from flink_cdc_connectors_spark.queries import tier_c as TC
+    from flink_cdc_connectors_spark.registry import all_queries
+
+    qs = all_queries()
+    for key in ("ext_dedup_substring", "ext_decontaminate", "ext_curation_pipeline"):
+        def run(k=key):
+            pdf = qs[k].builder(spark, sf_dir).toPandas()
+            return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+        sub_gate = run()
+        monkeypatch.setattr(TC, "_MINHASH_SCALE_DOCS", -1)
+        forced = run().astype(sub_gate.dtypes.to_dict())
+        monkeypatch.undo()
+        assert sub_gate.equals(forced), (
+            f"{key}: xxhash64 gram family diverged from the md5 family "
+            "the oracle replays"
+        )
+        assert len(sub_gate) > 0, f"{key}: vacuous A/B (0 rows)"

@@ -63,8 +63,29 @@ def test_oracle_gate_flags():
     assert oracle_valid_at(spec, _MINHASH_SCALE_DOCS)
     assert not oracle_valid_at(spec, _MINHASH_SCALE_DOCS + 1)
     # ungated keys are valid at any corpus size
-    assert oracle_valid_at(qs["ext_dedup_simhash"], 10**12)
+    assert oracle_valid_at(qs["ext_dedup_simhash"], 10**12, 10**12)
     assert entry_mod.oracle_gates() == gated
+
+    # embeddings-count gates (VERDICT r11 #4): the vector keys whose LSH
+    # parameter formulas widen past a corpus point — previously runtime
+    # warnings only, now machine-readable
+    emb_gated = {
+        k: s.oracle_max_embeddings
+        for k, s in qs.items()
+        if s.oracle_max_embeddings is not None
+    }
+    assert emb_gated == {
+        "ext_dedup_embedding_lsh": 12_000,  # planes widen past 2*emb > 24k
+        "ext_semdedup": 24_000,  # cells widen past 2*emb > 48k
+    }
+    lsh = qs["ext_dedup_embedding_lsh"]
+    assert oracle_valid_at(lsh, 0, 12_000)
+    assert not oracle_valid_at(lsh, 0, 12_001)
+    # unknown embeddings count + an embeddings gate -> conservatively
+    # not comparable (skipping a valid compare is recoverable; a false
+    # mismatch is not)
+    assert not oracle_valid_at(lsh, 0)
+    assert entry_mod.oracle_embedding_gates() == emb_gated
 
 
 def test_check_first_keys_are_registered_and_unique():
@@ -96,3 +117,111 @@ def test_check_first_keys_are_registered_and_unique():
     # ... and the heaviest unadjudicated key (r11 What's-wrong #3) rides
     # along so the ABAB era verdict gets a same-round driver row
     assert "cdc_stream_dedup_index" in _CHECK_FIRST[:26]
+
+
+def test_every_corpus_gate_is_flagged_or_pinned():
+    """VERDICT r11 #4 — the gate audit. A corpus-size engine gate in a
+    builder is only safe if a harness can tell what happens above it.
+    This test DETECTS gates mechanically (gate-constant references and
+    corpus-adaptive log2 parameter formulas in each builder's source) and
+    asserts every detected key carries exactly one of the accepted
+    coverage mechanisms, so a future gated key cannot ship unflagged:
+
+    - ``flag-docs`` / ``flag-emb``: a machine-readable validity bound on
+      the QuerySpec (oracle_max_docs / oracle_max_embeddings) — the
+      harness skips the value compare above it;
+    - ``pinned``: the families are VALUE-IDENTICAL across the gate,
+      proven by a named forced-gate A/B test (monkeypatched gate, exact
+      frame equality) — the oracle stays valid at every size;
+    - ``formula-oracle``: the oracle SQL replays the adaptive parameter
+      formula itself, so it tracks the builder at every size;
+    - ``raises``: the builder refuses to run above the cap (loud error,
+      never a silent family switch).
+    """
+    import inspect
+    import re as _re
+
+    import tests.test_plan_audits as plan_audits
+
+    # Three gate signatures: (a) the gate-constant naming convention
+    # (…_SCALE_DOCS / …_GEMM_MIN_ROWS / …_MAX_ROWS — semantic parameters
+    # like _BOILER_MIN_DOCS or fixed corpus-slice sizes like _IMG_DOCS
+    # deliberately do NOT match: they're replayed by the oracle, not
+    # engine gates); (b) corpus-adaptive log2 parameter formulas; (c) a
+    # runtime .count() compared directly — the gate shape itself, however
+    # its constant is named.
+    GATE_MARKERS = _re.compile(
+        r"\b_[A-Z][A-Z0-9_]*(?:SCALE_DOCS|GEMM_MIN_ROWS|MAX_ROWS)\b"
+        r"|math\.log2"
+        r"|\.count\(\)\s*(?:<=|<|>=|>)"
+    )
+    qs = all_queries()
+    detected = {
+        k for k, s in qs.items() if GATE_MARKERS.search(inspect.getsource(s.builder))
+    }
+
+    mechanisms = {
+        # md5 -> xxhash64 shingle FAMILY switch; oracle replays sub-gate only
+        "ext_dedup_minhash": "flag-docs",
+        "ext_fingerprint": "flag-docs",
+        # LSH parameter formulas widen past the corpus point; static oracles
+        "ext_dedup_embedding_lsh": "flag-emb",
+        "ext_semdedup": "flag-emb",
+        # engine-only gates, value-identical, each with a forced-gate A/B
+        "ext_token_count": (
+            "pinned",
+            "test_token_count_batch_engine_matches_jvm_regex",
+        ),
+        "ext_sim_search_cosine": ("pinned", "test_cosine_gemm_matches_join_form"),
+        "ext_sim_search_pq": ("pinned", "test_pq_gemm_adc_matches_join_form"),
+        "ext_dedup_substring": (
+            "pinned",
+            "test_gram_hash_family_gates_are_value_identical",
+        ),
+        "ext_decontaminate": (
+            "pinned",
+            "test_gram_hash_family_gates_are_value_identical",
+        ),
+        "ext_curation_pipeline": (
+            "pinned",
+            "test_gram_hash_family_gates_are_value_identical",
+        ),
+        # adaptive plane count replayed INSIDE the oracle SQL
+        "ext_sim_search_lsh": "formula-oracle",
+        # hard cap: raises with a pointer to the LSH key, never switches
+        "ext_dedup_embedding": "raises",
+    }
+
+    unaccounted = detected - set(mechanisms)
+    assert unaccounted == set(), (
+        f"corpus-gated builders with NO declared coverage mechanism: "
+        f"{sorted(unaccounted)} — add oracle_max_docs/_embeddings, a "
+        f"forced-gate A/B pin, a formula-replaying oracle, or a hard cap, "
+        f"then record it here"
+    )
+    stale = set(mechanisms) - detected
+    assert stale == set(), (
+        f"mechanism table lists keys the detector no longer flags "
+        f"(gate removed or moved out of the builder?): {sorted(stale)}"
+    )
+
+    for key, mech in mechanisms.items():
+        spec = qs[key]
+        if mech == "flag-docs":
+            assert spec.oracle_max_docs is not None, f"{key}: flag-docs missing"
+        elif mech == "flag-emb":
+            assert spec.oracle_max_embeddings is not None, f"{key}: flag-emb missing"
+        elif mech == "formula-oracle":
+            assert spec.oracle and "log2" in spec.oracle, (
+                f"{key}: oracle no longer replays the adaptive formula"
+            )
+        elif mech == "raises":
+            src = inspect.getsource(spec.builder)
+            assert "raise" in src, f"{key}: cap no longer raises"
+        else:
+            kind, test_name = mech
+            assert kind == "pinned"
+            assert hasattr(plan_audits, test_name), (
+                f"{key}: forced-gate pin {test_name} not found in "
+                f"tests/test_plan_audits.py"
+            )

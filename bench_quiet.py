@@ -141,20 +141,47 @@ def wait_for_quiet(timeout_s: float = QUIET_TIMEOUT_S) -> tuple[float, float]:
 
 
 class LoadSampler:
-    """Background (epoch, 1-min load) tape for the whole invocation."""
+    """Background (epoch, 1-min load, iowait%) tape for the whole
+    invocation.  The iowait channel exists because the round-12 capstone
+    ABAB showed a 10-18 s per-key band drift at 1-min start loads of
+    0.36-0.42 — interference the load gate cannot see (neighbor IO
+    stalling our shuffle/state writes shows up as iowait, not runnable
+    load).  It is RECORDED per key, not gated on: adjudications read it
+    after the fact."""
 
     def __init__(self, period_s: float = 5.0):
-        self.samples: list[tuple[float, float]] = []
+        self.samples: list[tuple[float, float, float]] = []
         self._period = period_s
         self._stop = threading.Event()
         self._t = threading.Thread(target=self._run, daemon=True)
+        self._last_cpu: tuple[int, int] | None = None
+
+    def _iowait_pct(self) -> float:
+        """iowait share of total cpu time since the previous sample (%),
+        from /proc/stat; 0.0 on the first sample or a non-Linux box."""
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            vals = [int(x) for x in parts[1:9]]
+            total, iowait = sum(vals), vals[4]
+        except (OSError, ValueError, IndexError):
+            return 0.0
+        prev, self._last_cpu = self._last_cpu, (total, iowait)
+        if prev is None or total <= prev[0]:
+            return 0.0
+        return 100.0 * (iowait - prev[1]) / (total - prev[0])
+
+    def _sample(self) -> None:
+        self.samples.append(
+            (time.time(), os.getloadavg()[0], round(self._iowait_pct(), 1))
+        )
 
     def _run(self) -> None:
         while not self._stop.wait(self._period):
-            self.samples.append((time.time(), os.getloadavg()[0]))
+            self._sample()
 
     def __enter__(self) -> "LoadSampler":
-        self.samples.append((time.time(), os.getloadavg()[0]))
+        self._sample()
         self._t.start()
         return self
 
@@ -162,15 +189,22 @@ class LoadSampler:
         self._stop.set()
         self._t.join(timeout=5)
 
-    def window_max(self, w0: float, w1: float) -> float:
-        """Max sampled load over [w0 - lookback, w1 + one period]; nearest
-        sample if the window is shorter than the sampling period."""
+    def _window(self, w0: float, w1: float) -> list[tuple[float, float, float]]:
         lo, hi = w0 - _LOOKBACK_S, w1 + self._period
-        vals = [ld for ts, ld in self.samples if lo <= ts <= hi]
-        if not vals:  # sub-period window between two samples
+        rows = [s for s in self.samples if lo <= s[0] <= hi]
+        if not rows:  # sub-period window between two samples
             nearest = min(self.samples, key=lambda s: abs(s[0] - w0), default=None)
-            vals = [nearest[1]] if nearest else [os.getloadavg()[0]]
-        return round(max(vals), 2)
+            rows = [nearest] if nearest else [(w0, os.getloadavg()[0], 0.0)]
+        return rows
+
+    def window_max(self, w0: float, w1: float) -> float:
+        """Max sampled 1-min load over [w0 - lookback, w1 + one period];
+        nearest sample if the window is shorter than the sampling period."""
+        return round(max(r[1] for r in self._window(w0, w1)), 2)
+
+    def window_iowait_max(self, w0: float, w1: float) -> float:
+        """Max sampled iowait%% over the same attribution window."""
+        return round(max(r[2] for r in self._window(w0, w1)), 1)
 
 
 def main() -> None:
@@ -214,6 +248,9 @@ def main() -> None:
         key_load_max = {
             k: sampler.window_max(w[0], w[1]) for k, w in windows.items()
         }
+        key_iowait_max = {
+            k: sampler.window_iowait_max(w[0], w[1]) for k, w in windows.items()
+        }
         clean_min: dict[str, float] = {
             k: timings[k]
             for k in timings
@@ -256,6 +293,9 @@ def main() -> None:
                 lm = sampler.window_max(rw[k][0], rw[k][1])
                 run_pairs[k] = run_pairs.get(k, []) + rp[k]
                 key_load_max[k] = min(key_load_max[k], lm)
+                key_iowait_max[k] = min(
+                    key_iowait_max[k], sampler.window_iowait_max(rw[k][0], rw[k][1])
+                )
                 # min over every run regardless; CLEAN status only from a
                 # clean window
                 timings[k] = min(timings[k], rt[k])
@@ -305,6 +345,9 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in record.items()},
         "run_pairs": run_pairs,
         "key_load_max": key_load_max,
+        # recorded, not gated on: neighbor IO stalls show up here while
+        # staying invisible to 1-min load (round-12 capstone ABAB finding)
+        "key_iowait_max_pct": key_iowait_max,
         "quiet_gate_load": QUIET_LOAD,
         "own_load_ceil": OWN_LOAD_CEIL,
         "load_at_gate_1min": load_at_gate,

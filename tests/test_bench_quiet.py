@@ -87,3 +87,25 @@ def test_load_sampler_window_attribution():
     assert s.window_max(165.0, 168.0) == 0.4
     # sub-period window with no in-range samples -> nearest sample
     assert s.window_max(1000.0, 1000.2) == 0.3
+
+
+def test_load_sampler_iowait_channel():
+    """The iowait tape (round-12 capstone ABAB finding: neighbor IO
+    stalls drift per-key bands 10-18 s while 1-min load reads < 0.5).
+    Recorded per key, never gated on — this pins the delta computation
+    and the window attribution."""
+    s = LoadSampler()
+    # simulate two /proc/stat reads 5 s apart: 8 cpus, 40 ticks total,
+    # 12 of them iowait -> 30%
+    s._last_cpu = (1000, 100)
+    s.samples = [(100.0, 0.2, 0.0), (105.0, 0.3, 30.0), (140.0, 0.2, 1.0)]
+    assert s.window_iowait_max(103.0, 106.0) == 30.0
+    assert s.window_iowait_max(133.0, 141.0) == 30.0  # 30 s lookback covers 105
+    assert s.window_iowait_max(138.0, 141.0) == 1.0   # ... and 138-30 clears it
+    assert s.window_iowait_max(170.0, 171.0) == 1.0   # nearest fallback
+    # live read smoke: monotone counters give a bounded percentage
+    s2 = LoadSampler()
+    first = s2._iowait_pct()   # no previous sample -> 0.0
+    assert first == 0.0
+    pct = s2._iowait_pct()
+    assert 0.0 <= pct <= 100.0

@@ -206,6 +206,10 @@ class LoadSampler:
         """Max sampled iowait%% over the same attribution window."""
         return round(max(r[2] for r in self._window(w0, w1)), 1)
 
+    def load_max(self) -> float:
+        """Max 1-min load over the whole tape (artifact headline field)."""
+        return round(max((s[1] for s in self.samples), default=0.0), 2)
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -353,7 +357,7 @@ def main() -> None:
         "load_at_gate_1min": load_at_gate,
         "quiet_wait_s": waited,
         "load_start_1min": load_start,
-        "load_max_1min": round(max((ld for _, ld in sampler.samples), default=0.0), 2),
+        "load_max_1min": sampler.load_max(),
         "retry_rounds": retry_rounds,
         "contaminated_keys": contaminated,
         # every key's reading of record came from a clean window

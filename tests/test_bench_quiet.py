@@ -80,13 +80,25 @@ def test_load_sampler_window_attribution():
     key's timed window still inflates its 1-min load) and fall back to the
     nearest sample for sub-period windows."""
     s = LoadSampler()
-    s.samples = [(100.0, 0.5), (105.0, 8.0), (110.0, 0.6), (140.0, 0.4), (170.0, 0.3)]
+    # full 3-tuple (epoch, load, iowait) sample shape — the artifact path
+    # consumes all three channels, so the pins must too (a 2-tuple fixture
+    # let a tape-wide unpack bug through once)
+    s.samples = [
+        (100.0, 0.5, 0.0),
+        (105.0, 8.0, 2.0),
+        (110.0, 0.6, 0.0),
+        (140.0, 0.4, 0.0),
+        (170.0, 0.3, 0.0),
+    ]
     # burst at t=105 attributed to a window starting t=120 (30 s lookback)
     assert s.window_max(120.0, 125.0) == 8.0
     # a clean window whose 30 s lookback clears the burst
     assert s.window_max(165.0, 168.0) == 0.4
     # sub-period window with no in-range samples -> nearest sample
     assert s.window_max(1000.0, 1000.2) == 0.3
+    # tape-wide max over 3-tuple samples (the load_max_1min artifact field)
+    assert s.load_max() == 8.0
+    assert LoadSampler().load_max() == 0.0
 
 
 def test_load_sampler_iowait_channel():

@@ -360,8 +360,11 @@ def main() -> None:
         "load_max_1min": sampler.load_max(),
         "retry_rounds": retry_rounds,
         "contaminated_keys": contaminated,
-        # every key's reading of record came from a clean window
-        "quiet": not contaminated and not failures,
+        # every key's reading of record came from a clean window — judged
+        # against the MERGED record, not this invocation alone: a key whose
+        # clean min landed in a prior same-tree invocation stays covered
+        # even if this invocation's retry budget ran out on it
+        "quiet": not missing_from_record and not failures,
         # the round's machine-readable number of record (VERDICT r11 #2)
         "per_key_min_of_record": {k: round(v, 3) for k, v in sorted(merged_min.items())},
         "min_of_record_total": (

@@ -65,6 +65,10 @@ def test_merge_min_of_record_same_population_only():
     }
     merged, n = merge_min_of_record(prev, "c1", 0.1, 12, clean)
     assert merged == {"a": 2.0, "b": 4.0, "c": 1.0} and n == 3
+    # the quiet flag is judged against the MERGED record: 'c' has no clean
+    # reading in THIS invocation but stays covered by the prior one, so a
+    # suite over {a, b, c} has no missing-from-record keys here
+    assert set(merged) == {"a", "b", "c"}
     # a different tree/scale/round is a different population -> fresh
     for other in (
         {**prev, "head_commit": "c2"},

@@ -21,16 +21,30 @@ Instead of one all-or-nothing run:
      shortly before the window still inflates it);
   3. keys whose window saw load >= the own-load ceiling (5.0 — own-only
      full-suite runs peak ~3.4 on 32 cpus; contaminated windows read
-     6.8+) are RE-RUN through the same warm+min-of-2 protocol after the
-     load decays back under the quiet gate, up to a retry budget — i.e.
-     the suite pauses at a burst and resumes quiet, per key;
+     6.8+), plus keys that FAILED outright (a burst-induced timeout is a
+     worse disturbance than an inflated timing), are RE-RUN through the
+     same warm+min-of-2 protocol after the load decays back under the
+     quiet gate, up to a retry budget — i.e. the suite pauses at a burst
+     and resumes quiet, per key;
   4. the artifact carries ``per_key_min_of_record``: the per-key MIN over
      every CLEAN-window run, merged across same-round same-commit
-     invocations of this wrapper — the round's number of record
-     (``min_of_record_total``) is machine-readable, not BASELINE prose.
+     invocations of this wrapper — and the headline ``value`` IS that
+     number of record whenever it is complete (``invocation_total``
+     keeps this run's own sum), so cross-round consumers of ``value``
+     never read a burst-polluted total under a quiet flag.
+
+CLEAN requires both gates: the pass started under the quiet gate (a
+timed-out wait under sustained external load in [gate, ceiling) can't
+mint clean readings — own suite load is indistinguishable from
+own+external there) AND the key's sampled window stayed below the
+own-load ceiling.  Sustained external load arriving mid-pass after a
+clean gate start remains the documented residual blind spot; merging
+min-of-record across invocations is the defense.
 
 ``quiet: true`` now means: every key's reading of record came from a
-clean window (not: the whole wall-clock interval was clean).
+clean window (not: the whole wall-clock interval was clean) — judged
+against the MERGED record, so a prior invocation's clean reading keeps
+a key covered when a later invocation's retry budget runs out on it.
 
 Usage:
     python bench_quiet.py                  # infer round from BENCH_r*.json
@@ -74,12 +88,37 @@ RETRY_BUDGET_S = int(os.environ.get("SPARK_GRAFT_QUIET_RETRY_BUDGET_S", "1200"))
 _LOOKBACK_S = 30.0
 
 
-def head_commit() -> str:
+def head_commit(repo: str = REPO) -> str:
+    """Tree identity for the same-population merge: HEAD commit, suffixed
+    with a hash of the working-tree delta when dirty.  A bare HEAD string
+    would merge artifacts measured on DIFFERENT code (edit a builder
+    uncommitted between invocations and the min-of-record becomes a
+    number no single tree ever measured); a failed git call must return
+    'unknown' (which never equals itself across artifacts in spirit —
+    but conservatively DOES string-match, so a non-git checkout still
+    merges; the round/sf keys bound the damage) rather than ''."""
     try:
-        return subprocess.run(
+        p = subprocess.run(
             ["git", "rev-parse", "HEAD"],
-            capture_output=True, text=True, cwd=REPO, timeout=10,
-        ).stdout.strip()
+            capture_output=True, text=True, cwd=repo, timeout=10,
+        )
+        if p.returncode != 0:
+            return "unknown"
+        commit = p.stdout.strip() or "unknown"
+        st = subprocess.run(
+            ["git", "status", "--porcelain"],
+            capture_output=True, text=True, cwd=repo, timeout=10,
+        )
+        if st.returncode == 0 and st.stdout.strip():
+            import hashlib
+
+            diff = subprocess.run(
+                ["git", "diff", "HEAD"],
+                capture_output=True, text=True, cwd=repo, timeout=30,
+            ).stdout
+            h = hashlib.sha1((st.stdout + diff).encode()).hexdigest()[:8]
+            return f"{commit}-dirty-{h}"
+        return commit
     except Exception:  # noqa: BLE001 - artifact still useful without it
         return "unknown"
 
@@ -96,10 +135,13 @@ def infer_round(repo: str = REPO) -> tuple[int, bool]:
     if not paths:
         return 1, False
     n = max(paths)
-    tracked = subprocess.run(
-        ["git", "ls-files", "--error-unmatch", os.path.basename(paths[n])],
-        capture_output=True, text=True, cwd=repo, timeout=10,
-    ).returncode == 0
+    try:
+        tracked = subprocess.run(
+            ["git", "ls-files", "--error-unmatch", os.path.basename(paths[n])],
+            capture_output=True, text=True, cwd=repo, timeout=10,
+        ).returncode == 0
+    except Exception:  # noqa: BLE001 - no git / hung git: can't disambiguate
+        tracked = False
     return n + 1, not tracked
 
 
@@ -126,6 +168,57 @@ def merge_min_of_record(
             merged[k] = min(v, merged[k]) if k in merged else v
         return merged, int(prev.get("min_of_record_invocations", 1)) + 1
     return merged, 1
+
+
+def fold_retry_results(
+    contaminated: list[str],
+    rt: dict[str, float],
+    rp: dict[str, list[float]],
+    rf: dict[str, str],
+    lm_map: dict[str, float],
+    iw_map: dict[str, float],
+    timings: dict[str, float],
+    run_pairs: dict[str, list[float]],
+    failures: dict[str, str],
+    key_load_max: dict[str, float],
+    key_iowait_max: dict[str, float],
+    clean_min: dict[str, float],
+    own_ceil: float = OWN_LOAD_CEIL,
+) -> list[str]:
+    """Fold one retry pass's results (``rt``/``rp``/``rf`` from
+    bench_keys, ``lm_map``/``iw_map`` = the sampler's per-key window
+    load/iowait maxima) into the invocation record, mutating it; returns
+    the still-contaminated keys.  Pure bookkeeping, factored out of
+    main() so its three subtle rules are unit-pinnable:
+
+    - a retried SUCCESS supersedes an earlier failure record for the key
+      (a transient burst error must not force quiet:false forever);
+    - load/iowait attribution FOLLOWS the reading of record — a clean
+      retry reading becomes the record even when a contaminated attempt
+      was numerically faster, so its window describes it; min()-ing
+      across attempt windows would let a low-iowait CPU-burst window
+      mask the IO stall of the window actually measured;
+    - keys absent from ``timings`` (they failed every earlier pass) are
+      first-class: their retry reading seeds the record directly."""
+    still: list[str] = []
+    for k in contaminated:
+        if k in rf:
+            failures[k] = rf[k]
+            still.append(k)
+            continue
+        lm, iw = lm_map[k], iw_map[k]
+        run_pairs[k] = run_pairs.get(k, []) + rp[k]
+        failures.pop(k, None)
+        adopted = lm < own_ceil or rt[k] <= timings.get(k, rt[k])
+        if adopted:
+            key_load_max[k] = lm
+            key_iowait_max[k] = iw
+        timings[k] = min(timings.get(k, rt[k]), rt[k])
+        if lm < own_ceil:
+            clean_min[k] = rt[k]
+        else:
+            still.append(k)
+    return still
 
 
 def wait_for_quiet(timeout_s: float = QUIET_TIMEOUT_S) -> tuple[float, float]:
@@ -255,13 +348,27 @@ def main() -> None:
         key_iowait_max = {
             k: sampler.window_iowait_max(w[0], w[1]) for k, w in windows.items()
         }
+        # A pass-1 reading is CLEAN only when the invocation actually
+        # started under the quiet gate AND its window stayed below the
+        # own-load ceiling.  The gate term matters: when wait_for_quiet
+        # times out under sustained external load in [gate, ceiling), the
+        # per-key window check alone cannot tell own suite load (~2-4)
+        # from own+external — dropping the gate term here would let such
+        # a run mint 'clean' readings inflated 1.3-1.7x.  (Sustained
+        # external load ARRIVING mid-run after a clean gate remains the
+        # documented residual — same blind spot the single-run protocol
+        # had; min-of-record across invocations is the defense.)
+        pass1_gated = load_at_gate < QUIET_LOAD
         clean_min: dict[str, float] = {
             k: timings[k]
             for k in timings
-            if key_load_max[k] < OWN_LOAD_CEIL
+            if pass1_gated and key_load_max[k] < OWN_LOAD_CEIL
         }
+        # burst-retry covers FAILED keys too: a burst-induced timeout is a
+        # worse disturbance than an inflated timing and deserves the same
+        # gated re-attempt (a retried success clears the failure record)
         contaminated = sorted(
-            k for k in timings if k not in clean_min
+            (set(timings) | set(failures)) - set(clean_min)
         )
         print(
             f"bench_quiet pass1: {len(timings)} keys, "
@@ -288,25 +395,20 @@ def main() -> None:
                 )
                 break
             rt, rp, rf, rw = bench_keys(spark, queries, contaminated, SF_DIR)
-            still: list[str] = []
-            for k in contaminated:
-                if k in rf:
-                    failures[k] = rf[k]
-                    still.append(k)
-                    continue
-                lm = sampler.window_max(rw[k][0], rw[k][1])
-                run_pairs[k] = run_pairs.get(k, []) + rp[k]
-                key_load_max[k] = min(key_load_max[k], lm)
-                key_iowait_max[k] = min(
-                    key_iowait_max[k], sampler.window_iowait_max(rw[k][0], rw[k][1])
-                )
-                # min over every run regardless; CLEAN status only from a
-                # clean window
-                timings[k] = min(timings[k], rt[k])
-                if lm < OWN_LOAD_CEIL:
-                    clean_min[k] = rt[k]
-                else:
-                    still.append(k)
+            still = fold_retry_results(
+                contaminated,
+                rt,
+                rp,
+                rf,
+                {k: sampler.window_max(w[0], w[1]) for k, w in rw.items()},
+                {k: sampler.window_iowait_max(w[0], w[1]) for k, w in rw.items()},
+                timings,
+                run_pairs,
+                failures,
+                key_load_max,
+                key_iowait_max,
+                clean_min,
+            )
             print(
                 f"bench_quiet retry {retry_rounds}: gate load {gate_load} "
                 f"(waited {gate_wait}s), {len(contaminated) - len(still)} "
@@ -339,14 +441,27 @@ def main() -> None:
         )
 
     missing_from_record = sorted(set(timings) - set(merged_min))
+    invocation_total = round(sum(record.values()), 3)
+    # the headline value IS the number of record when every key has a
+    # clean reading (prior rounds' consumers compare `value` across
+    # rounds as THE quiet number — it must never sum burst-contaminated
+    # fallbacks under a quiet:true flag); only an incomplete record
+    # falls back to this invocation's total (and then quiet is false)
+    record_total = (
+        round(sum(merged_min.values()), 3) if not missing_from_record else None
+    )
     full = {
         "metric": "quiet_anchor_suite_wall_time",
-        "value": round(sum(record.values()), 3),
+        "value": record_total if record_total is not None else invocation_total,
         "unit": "sec",
         "sf": sf,
         "round": rnd,
         "head_commit": commit,
+        # THIS invocation's per-key readings (clean where possible,
+        # best-contaminated fallback otherwise — see contaminated_keys);
+        # the cross-invocation number of record is per_key_min_of_record
         "queries": {k: round(v, 3) for k, v in record.items()},
+        "invocation_total": invocation_total,
         "run_pairs": run_pairs,
         "key_load_max": key_load_max,
         # recorded, not gated on: neighbor IO stalls show up here while
@@ -367,9 +482,7 @@ def main() -> None:
         "quiet": not missing_from_record and not failures,
         # the round's machine-readable number of record (VERDICT r11 #2)
         "per_key_min_of_record": {k: round(v, 3) for k, v in sorted(merged_min.items())},
-        "min_of_record_total": (
-            round(sum(merged_min.values()), 3) if not missing_from_record else None
-        ),
+        "min_of_record_total": record_total,
         "min_of_record_missing_keys": missing_from_record,
         "min_of_record_invocations": merge_count,
         "wall_s": round(time.time() - t_start, 1),
@@ -383,6 +496,7 @@ def main() -> None:
             {
                 "metric": full["metric"],
                 "value": full["value"],
+                "invocation_total": full["invocation_total"],
                 "unit": "sec",
                 "sf": full["sf"],
                 "round": rnd,

@@ -227,14 +227,18 @@ def round_half_up6(a):
     Boundary-exact parity against Spark is pinned in
     tests/test_functions.py::test_round_half_up6_matches_spark_round.
 
-    Validity bound (ADVICE r11): the band detector compares against an
-    ABSOLUTE 1e-6 threshold on the x*1e6-scaled value, which is sound only
-    while ulp(x*1e6) stays well below 1e-6 — i.e. |x| <= ~1e3 gives a
-    >=1000x margin, and the multiplication error erodes it from ~1e6 up
-    (at |x| ~ 1e9, ulp(x*1e6) ~ 0.25 and the band silently misses true
-    boundaries).  Every in-repo caller feeds cosine/ADC similarity scores
-    (|x| <= a few), far inside the margin; the guard below rejects
-    out-of-domain magnitudes instead of mis-rounding them."""
+    Validity bound (ADVICE r11, tightened round 12): the band detector
+    compares against an ABSOLUTE 1e-6 threshold on the x*1e6-scaled
+    value, which is sound only while the scaled representation error
+    (~1.5 * ulp(x*1e6): half an ulp from the multiply plus the double's
+    own scaled repr error) stays below 1e-6.  The guard bounds
+    |x*1e6| <= 1e9, where ulp = 1.2e-7 gives a ~5x worst-case margin at
+    the edge and ~8000x at |x| <= 1 (the first guard shipped 1e12 =
+    |x| <= 1e6, which admits real misses: 17083.4064815 scales to ulp
+    1.9e-6 > the band, silently rounding half-even).  Every in-repo
+    caller feeds cosine/ADC similarity scores (|x| <= a few), far inside
+    the domain; the guard below rejects out-of-domain magnitudes instead
+    of mis-rounding them."""
     import numpy as np
 
     a = np.asarray(a, dtype=np.float64)
@@ -260,11 +264,12 @@ def round_half_up6(a):
         np.abs(s, out=s)
         near = s < 1e-6  # bool temp
     # Domain guard (ADVICE r11): two allocation-free reductions over the
-    # already-materialized r (= rint(x*1e6)); 1e12 scaled = |x| <= 1e6,
-    # where ulp(x*1e6) <= 2^-12 * 1e-6-ish margin still holds >100x.
-    if r.size and (np.nanmax(r) > 1e12 or np.nanmin(r) < -1e12):
+    # already-materialized r (= rint(x*1e6)); 1e9 scaled = |x| <= 1e3,
+    # the largest decade where 1.5*ulp (~1.8e-7) stays under the 1e-6
+    # band with margin — see the docstring for the 1e12-bound miss.
+    if r.size and (np.nanmax(r) > 1e9 or np.nanmin(r) < -1e9):
         raise ValueError(
-            "round_half_up6: |x| > 1e6 is outside the half-boundary "
+            "round_half_up6: |x| > 1e3 is outside the half-boundary "
             "detector's validity domain (see docstring); use Spark-side "
             "F.round for large-magnitude columns"
         )

@@ -125,3 +125,134 @@ def test_load_sampler_iowait_channel():
     assert first == 0.0
     pct = s2._iowait_pct()
     assert 0.0 <= pct <= 100.0
+
+
+def test_head_commit_distinguishes_dirty_trees(tmp_path):
+    """The same-population merge keys on head_commit; a bare HEAD string
+    would merge artifacts measured on different code when a file was
+    edited uncommitted between invocations.  Dirty trees get a suffix
+    derived from the working-tree delta, so two invocations on the same
+    dirty state still merge while a further edit splits the population."""
+    from bench_quiet import head_commit
+
+    repo = str(tmp_path)
+    _git(repo, "init", "-q")
+    _git(repo, "config", "user.email", "t@t")
+    _git(repo, "config", "user.name", "t")
+    (tmp_path / "f.py").write_text("x = 1\n")
+    _git(repo, "add", "f.py")
+    _git(repo, "commit", "-qm", "c1")
+    clean = head_commit(repo)
+    assert len(clean) == 40 and "-dirty-" not in clean
+    # dirty tree -> suffixed, stable across calls on the same state
+    (tmp_path / "f.py").write_text("x = 2\n")
+    d1 = head_commit(repo)
+    assert d1.startswith(clean + "-dirty-") and d1 == head_commit(repo)
+    # a FURTHER edit is a different population
+    (tmp_path / "f.py").write_text("x = 3\n")
+    assert head_commit(repo) != d1
+    # non-git dir -> 'unknown', never ''
+    assert head_commit(str(tmp_path / "nowhere")) == "unknown"
+
+
+def test_infer_round_degrades_without_git(tmp_path, monkeypatch):
+    """A missing/hung git binary must degrade to 'ambiguous' (caller
+    passes --round), not crash with a traceback before main() can say
+    so."""
+    import bench_quiet as bq
+
+    (tmp_path / "BENCH_r7.json").write_text("{}")
+
+    def boom(*a, **kw):
+        raise FileNotFoundError("git")
+
+    monkeypatch.setattr(bq.subprocess, "run", boom)
+    assert bq.infer_round(str(tmp_path)) == (8, True)
+
+
+def test_fold_retry_results_bookkeeping():
+    """The three retry-fold rules (see fold_retry_results docstring):
+    failure supersession, record-following attribution, and
+    failed-in-every-earlier-pass keys seeding the record."""
+    from bench_quiet import fold_retry_results
+
+    # state after pass 1: a/b contaminated readings, c failed outright
+    timings = {"a": 1.8, "b": 2.0}
+    run_pairs = {"a": [1.8, 2.1], "b": [2.0, 2.4]}
+    failures = {"c": "Py4JError: transient"}
+    key_load_max = {"a": 7.0, "b": 6.5}
+    key_iowait_max = {"a": 0.5, "b": 0.3}
+    clean_min: dict[str, float] = {}
+
+    # retry: a clean-but-slower (2.2 @ load 0.4, iowait 20 — the IO-stall
+    # window), b clean-and-faster, c now succeeds clean
+    still = fold_retry_results(
+        ["a", "b", "c"],
+        rt={"a": 2.2, "b": 1.7, "c": 3.0},
+        rp={"a": [2.2, 2.5], "b": [1.7, 1.9], "c": [3.0, 3.2]},
+        rf={},
+        lm_map={"a": 0.4, "b": 0.5, "c": 0.6},
+        iw_map={"a": 20.0, "b": 0.1, "c": 0.2},
+        timings=timings,
+        run_pairs=run_pairs,
+        failures=failures,
+        key_load_max=key_load_max,
+        key_iowait_max=key_iowait_max,
+        clean_min=clean_min,
+        own_ceil=5.0,
+    )
+    assert still == []
+    # clean readings recorded for all three; c seeded from nothing
+    assert clean_min == {"a": 2.2, "b": 1.7, "c": 3.0}
+    # c's transient failure is superseded by the clean success
+    assert failures == {}
+    # attribution follows the reading of record: a's record is the clean
+    # retry window (load 0.4, iowait 20) even though the contaminated
+    # pass-1 attempt was numerically faster — min()-ing would have kept
+    # (7.0, 0.5) and hidden the IO stall of the measured window
+    assert key_load_max["a"] == 0.4 and key_iowait_max["a"] == 20.0
+    assert key_load_max["b"] == 0.5 and key_iowait_max["b"] == 0.1
+    # timings keeps the cross-attempt min (detail), record prefers clean
+    assert timings == {"a": 1.8, "b": 1.7, "c": 3.0}
+
+    # a retry that is STILL burst-hit: no clean entry, stays contaminated,
+    # attribution only adopted if the new reading IS the running min
+    timings2 = {"d": 3.0}
+    klm2, kim2 = {"d": 8.0}, {"d": 1.0}
+    still2 = fold_retry_results(
+        ["d"],
+        rt={"d": 2.5},
+        rp={"d": [2.5, 2.8]},
+        rf={},
+        lm_map={"d": 6.0},
+        iw_map={"d": 9.9},
+        timings=timings2,
+        run_pairs={"d": [3.0, 3.3]},
+        failures={},
+        key_load_max=klm2,
+        key_iowait_max=kim2,
+        clean_min={},
+        own_ceil=5.0,
+    )
+    assert still2 == ["d"] and timings2["d"] == 2.5
+    # 2.5 became the running min -> its window (6.0, 9.9) describes it
+    assert klm2["d"] == 6.0 and kim2["d"] == 9.9
+
+    # a retry that fails keeps the key failed and contaminated
+    failures3 = {}
+    still3 = fold_retry_results(
+        ["e"],
+        rt={},
+        rp={},
+        rf={"e": "OOM"},
+        lm_map={},
+        iw_map={},
+        timings={},
+        run_pairs={},
+        failures=failures3,
+        key_load_max={},
+        key_iowait_max={},
+        clean_min={},
+        own_ceil=5.0,
+    )
+    assert still3 == ["e"] and failures3 == {"e": "OOM"}

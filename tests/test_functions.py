@@ -503,6 +503,8 @@ def test_round_half_up6_matches_spark_round(spark):
         1.0, -1.0, 0.0,
         0.123456499999999,  # just below the boundary
         0.12345650000001,   # just above
+        999.1234565,        # half-boundary at the guard's domain edge
+        -999.1234565,
     ]
     rng = np.random.default_rng(42)
     rand = (rng.random(20_000) * 2.0 - 1.0).tolist()
@@ -529,13 +531,17 @@ def test_round_half_up6_matches_spark_round(spark):
     out = V.round_half_up6(m)
     assert out.shape == m.shape and math.isnan(out[0, 1])
     assert out[0, 0] == 0.123457 and out[1, 0] == -0.000003 and out[1, 1] == 0.25
-    # domain guard (ADVICE r11): the absolute-threshold band detector is
-    # only valid while ulp(x*1e6) << 1e-6; out-of-domain magnitudes must
-    # raise, not silently mis-round — in either sign
+    # domain guard (ADVICE r11, tightened r12): the absolute-threshold
+    # band detector is only valid while ulp(x*1e6) << 1e-6; out-of-domain
+    # magnitudes must raise, not silently mis-round — in either sign.
+    # 17083.4064815 is the proof the old 1e12 bound was unsound: inside
+    # that bound, yet ulp(1.7e10) = 1.9e-6 > the band, so it silently
+    # rounded half-even (…481) where Spark HALF_UP gives …482.
     import pytest as _pytest
 
-    for bad in (2e6, -2e6, 1e9):
+    for bad in (2e3, -2e3, 17083.4064815, 2e6, -2e6, 1e9):
         with _pytest.raises(ValueError, match="validity domain"):
             V.round_half_up6(np.array([0.5, bad]))
-    # the guard's edge sits past any similarity-score magnitude
-    assert V.round_half_up6(np.array([1e5 + 0.1234565]))[0] == 100000.123457
+    # the guard's edge sits past any similarity-score magnitude; the
+    # boundary list above pins a true half-boundary at 999.x against
+    # Spark, so the edge of the admitted domain is value-proven too

@@ -30,21 +30,60 @@ except Exception:  # pragma: no cover - defensive: never block imports
     pass
 
 
-def as_double(v: Column) -> Column:
+# ---------------------------------------------------------------------------
+# Column | str dispatch (round 12).  Every public constructor below accepts
+# either a Column or a Spark-SQL expression STRING (typically a column name).
+# A str argument routes through the *_sql builders and ONE F.expr call; the
+# Column path builds the same tree through the HOF API.  Both yield the
+# IDENTICAL Catalyst expression (same functions, literals and lambda
+# structure — A/B pinned in tests/test_functions.py), so values never
+# change.  Why it exists: each Column/HOF constructor pays one py4j round
+# trip per operator (~0.3 ms on the bench box), so ONE dot() costs ~9-23 ms
+# of driver time before any job runs, and the ANN/vector builders construct
+# dozens per TIMED bench run — profiled at ~2.4 s/run of pure plan
+# construction in ext_ann_recall.  The SQL string parses in the JVM in ~1 ms.
+# ---------------------------------------------------------------------------
+
+
+def dot_sql(a: str, b: str) -> str:
+    """Spark-SQL form of :func:`dot` — same zip_with/aggregate structure."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        " (acc, x) -> acc + x)"
+    )
+
+
+def l2_norm_sql(v: str) -> str:
+    return f"sqrt({dot_sql(v, v)})"
+
+
+def cosine_sim_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)}))"
+
+
+def as_double(v: Column | str) -> Column:
+    if isinstance(v, str):
+        return F.expr(f"transform({v}, x -> cast(x as double))")
     return F.transform(v, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def l2_norm(v: Column) -> Column:
+def l2_norm(v: Column | str) -> Column:
+    if isinstance(v, str):
+        return F.expr(l2_norm_sql(v))
     return F.sqrt(dot(v, v))
 
 
-def cosine_sim(a: Column, b: Column) -> Column:
+def cosine_sim(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(cosine_sim_sql(a, b))
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
@@ -78,7 +117,15 @@ def _planes_sql(salts: tuple, dim: int) -> str:
     return "array(" + ",".join(_coef_sql(s, dim) for s in salts) + ")"
 
 
-def srp_bucket(v: Column, num_planes: int = 8, dim: int = 64) -> Column:
+def srp_bucket_sql(v: str, num_planes: int = 8, dim: int = 64) -> str:
+    """Spark-SQL form of :func:`srp_bucket` (same tree, one expr parse)."""
+    planes = _planes_sql(tuple(f"srp{p}" for p in range(num_planes)), dim)
+    pv = f"CASE WHEN size({v}) >= {dim} THEN p ELSE slice(p, 1, size({v})) END"
+    bit = f"CASE WHEN {dot_sql(v, pv)} >= 0 THEN '1' ELSE '0' END"
+    return f"array_join(transform({planes}, p -> {bit}), '')"
+
+
+def srp_bucket(v: Column | str, num_planes: int = 8, dim: int = 64) -> Column:
     """Sign-random-projection LSH bucket: the sign pattern of ``v`` against
     ``num_planes`` deterministic hyperplanes. Vectors with high cosine
     similarity collide with high probability. ``dim`` must be >= the vector
@@ -86,6 +133,8 @@ def srp_bucket(v: Column, num_planes: int = 8, dim: int = 64) -> Column:
     null-pad a length mismatch, poisoning the sum). The plane loop is a
     ``transform`` over one nested literal — constant-size expression tree
     regardless of plane count."""
+    if isinstance(v, str):
+        return F.expr(srp_bucket_sql(v, num_planes, dim))
     planes = F.expr(_planes_sql(tuple(f"srp{p}" for p in range(num_planes)), dim))
 
     def bit(p):
@@ -102,8 +151,32 @@ def srp_bucket(v: Column, num_planes: int = 8, dim: int = 64) -> Column:
     return F.array_join(F.transform(planes, bit), "")
 
 
+def srp_bucket_tables_sql(
+    v: str, num_tables: int = 4, num_planes: int = 5, dim: int = 64
+) -> str:
+    """Spark-SQL form of :func:`srp_bucket_tables` (same tree)."""
+    tables = (
+        "array("
+        + ",".join(
+            _planes_sql(
+                tuple(f"srp{t * num_planes + p}" for p in range(num_planes)), dim
+            )
+            for t in range(num_tables)
+        )
+        + ")"
+    )
+    bit = (
+        f"CASE WHEN {dot_sql(v, f'slice(p, 1, size({v}))')} >= 0"
+        " THEN '1' ELSE '0' END"
+    )
+    return (
+        f"transform({tables}, (tp, ti) -> concat_ws(':', cast(ti as string),"
+        f" array_join(transform(tp, p -> {bit}), '')))"
+    )
+
+
 def srp_bucket_tables(
-    v: Column, num_tables: int = 4, num_planes: int = 5, dim: int = 64
+    v: Column | str, num_tables: int = 4, num_planes: int = 5, dim: int = 64
 ) -> Column:
     """Multi-TABLE SRP-LSH: ``num_tables`` independent bucket ids per
     vector (array<string> "t:bits"). Union-of-tables candidate generation
@@ -112,6 +185,8 @@ def srp_bucket_tables(
     collision probability, more candidates per bucket); cost is the probed
     corpus fraction. The defaults (4 tables x 5 planes = 32 buckets each)
     probe ~4/32 of the corpus."""
+    if isinstance(v, str):
+        return F.expr(srp_bucket_tables_sql(v, num_tables, num_planes, dim))
     tables = F.expr(
         "array("
         + ",".join(
@@ -144,14 +219,36 @@ def _centroids(num_centroids: int, dim: int) -> Column:
     return F.expr(_planes_sql(tuple(f"ivf{c}" for c in range(num_centroids)), dim))
 
 
+def _ivf_scores_sql(v: str, num_centroids: int, dim: int) -> str:
+    """Spark-SQL array of ``v``'s dot products against the IVF family."""
+    cents = _planes_sql(tuple(f"ivf{c}" for c in range(num_centroids)), dim)
+    return f"transform({cents}, p -> {dot_sql(v, f'slice(p, 1, size({v}))')})"
+
+
+def ivf_centroid_topk_sql(
+    v: str, probes: int = 4, num_centroids: int = 16, dim: int = 64
+) -> str:
+    """Spark-SQL form of :func:`ivf_centroid_topk` (same tree)."""
+    cents = _planes_sql(tuple(f"ivf{c}" for c in range(num_centroids)), dim)
+    scored = (
+        f"transform({cents}, (p, i) -> struct("
+        f"{dot_sql(v, f'slice(p, 1, size({v}))')} AS s, cast(i as int) AS c))"
+    )
+    return (
+        f"transform(slice(sort_array({scored}, false), 1, {probes}), x -> x.c)"
+    )
+
+
 def ivf_centroid_topk(
-    v: Column, probes: int = 4, num_centroids: int = 16, dim: int = 64
+    v: Column | str, probes: int = 4, num_centroids: int = 16, dim: int = 64
 ) -> Column:
     """Multi-PROBE IVF: the ``probes`` closest pseudo-centroids for a query
     vector (array<int>), by dot-product score. Probing P cells raises the
     candidate fraction to P/num_centroids — the IVF nprobe knob (FAISS
     semantics): recall scales with the probed fraction, cost stays one
     broadcast join on cell id."""
+    if isinstance(v, str):
+        return F.expr(ivf_centroid_topk_sql(v, probes, num_centroids, dim))
     scored = F.transform(
         _centroids(num_centroids, dim),
         lambda p, i: F.struct(
@@ -176,7 +273,29 @@ def _pq_sq_norm(sub: int, c: int, sub_dim: int) -> float:
     return sum(_hash_coef(f"pq{sub}x{c}", i) ** 2 for i in range(sub_dim))
 
 
-def pq_codes(v: Column, m: int = 8, k: int = 16, dim: int = 64) -> Column:
+def pq_codes_sql(v: str, m: int = 8, k: int = 16, dim: int = 64) -> str:
+    """Spark-SQL form of :func:`pq_codes` (same tree)."""
+    sub_dim = dim // m
+    parts = []
+    for s in range(m):
+        cents = _pq_centroids_sql(s, k, sub_dim)
+        subv = f"slice({v}, {s * sub_dim + 1}, {sub_dim})"
+        half = (
+            "array("
+            + ",".join(f"{_pq_sq_norm(s, c, sub_dim) / 2.0!r}D" for c in range(k))
+            + ")"
+        )
+        scores = (
+            f"zip_with(transform({cents}, p -> {dot_sql(subv, 'p')}),"
+            f" {half}, (d, h) -> d - h)"
+        )
+        parts.append(
+            f"cast((array_position({scores}, array_max({scores})) - 1) as int)"
+        )
+    return "array(" + ",".join(parts) + ")"
+
+
+def pq_codes(v: Column | str, m: int = 8, k: int = 16, dim: int = 64) -> Column:
     """Product-quantization encode: split ``v`` into ``m`` subvectors of
     ``dim/m`` dims and assign each to its nearest (L2) of ``k``
     deterministic pseudo-centroids. Returns ``array<int>`` of ``m`` codes —
@@ -187,6 +306,8 @@ def pq_codes(v: Column, m: int = 8, k: int = 16, dim: int = 64) -> Column:
     is m*k short dot products over literal arrays (no RNG, no training —
     the same no-training tradeoff as ``ivf_centroid_id``, recall measured
     by ``ext_ann_recall``)."""
+    if isinstance(v, str):
+        return F.expr(pq_codes_sql(v, m, k, dim))
     sub_dim = dim // m
     parts = []
     for s in range(m):
@@ -340,13 +461,32 @@ def pq_centroids_np(m: int = 8, k: int = 16, dim: int = 64):
     )
 
 
-def pq_adc_score(qv: Column, codes: Column, m: int = 8, k: int = 16, dim: int = 64) -> Column:
+def pq_adc_score_sql(
+    qv: str, codes: str, m: int = 8, k: int = 16, dim: int = 64
+) -> str:
+    """Spark-SQL form of :func:`pq_adc_score` (same tree)."""
+    sub_dim = dim // m
+    terms = []
+    for s in range(m):
+        cents = _pq_centroids_sql(s, k, sub_dim)
+        subq = f"slice({qv}, {s * sub_dim + 1}, {sub_dim})"
+        terms.append(
+            dot_sql(subq, f"element_at({cents}, element_at({codes}, {s + 1}) + 1)")
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def pq_adc_score(
+    qv: Column | str, codes: Column | str, m: int = 8, k: int = 16, dim: int = 64
+) -> Column:
     """Asymmetric-distance (ADC) inner-product score of a QUERY vector
     against a corpus vector's PQ ``codes``: sum over subspaces of
     dot(query_subvector, centroid[code]). The query side computes its m x k
     lookup table once per row from literal centroid arrays; the corpus side
     contributes only its codes — this is how FAISS IVF-PQ scores candidates
     without touching the raw corpus vectors."""
+    if isinstance(qv, str) and isinstance(codes, str):
+        return F.expr(pq_adc_score_sql(qv, codes, m, k, dim))
     sub_dim = dim // m
     terms = []
     for s in range(m):
@@ -473,7 +613,15 @@ def duck_pq_adc_sql(
     return "(" + " + ".join(terms) + ")"
 
 
-def ivf_centroid_id(v: Column, num_centroids: int = 16, dim: int = 64) -> Column:
+def ivf_centroid_id_sql(v: str, num_centroids: int = 16, dim: int = 64) -> str:
+    """Spark-SQL form of :func:`ivf_centroid_id` (same tree)."""
+    scores = _ivf_scores_sql(v, num_centroids, dim)
+    return f"cast((array_position({scores}, array_max({scores})) - 1) as int)"
+
+
+def ivf_centroid_id(
+    v: Column | str, num_centroids: int = 16, dim: int = 64
+) -> Column:
     """IVF-style coarse quantization without training: assign each vector
     to the deterministic pseudo-centroid with the highest dot product.
 
@@ -483,6 +631,8 @@ def ivf_centroid_id(v: Column, num_centroids: int = 16, dim: int = 64) -> Column
     recall, tuned by probing more cells. Centroid coefficients are literal
     arrays (plan-time constants), so the per-row cost is ``num_centroids``
     dot products."""
+    if isinstance(v, str):
+        return F.expr(ivf_centroid_id_sql(v, num_centroids, dim))
     scores = F.transform(
         _centroids(num_centroids, dim),
         lambda p: dot(v, F.slice(p, F.lit(1), F.size(v))),

@@ -672,7 +672,7 @@ def ext_sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = pairs.select(
             "q_id",
             "vec_id",
-            F.round(V.cosine_sim(F.col("qv"), F.col("v")), 6).alias("sim"),
+            F.round(V.cosine_sim("qv", "v"), 6).alias("sim"),
         )
         w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
         return scored.withColumn("rn", F.row_number().over(w)).filter(
@@ -839,7 +839,7 @@ def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded driver scalar: the corpus count sizes the plane family
     n = emb.count()
     lplanes = min(16, max(8, math.ceil(math.log2(max(n, 2) / 50.0))))
-    base = fan_out(emb.select("vec_id", V.as_double(F.col("embedding")).alias("v")))
+    base = fan_out(emb.select("vec_id", V.as_double("embedding").alias("v")))
     # Hyperplane coefficients are plan-time literal arrays
     # (functions/vectors.py::srp_bucket) — one dot product per plane per
     # row, no per-row hashing.
@@ -854,7 +854,7 @@ def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig = base.select(
             "vec_id",
             "v",
-            V.srp_bucket(F.col("v"), num_planes=lplanes).alias("bucket"),
+            V.srp_bucket("v", num_planes=lplanes).alias("bucket"),
         )
         a, b = sig.alias("a"), sig.alias("b")
         cand = a.join(
@@ -864,7 +864,7 @@ def ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.round(V.cosine_sim(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+            F.round(V.cosine_sim("a.v", "b.v"), 6).alias("sim"),
         )
         w = W.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
         return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
@@ -967,14 +967,14 @@ def ext_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_cdc_connectors_spark.functions import vectors as V
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = fan_out(emb.select("vec_id", V.as_double(F.col("embedding")).alias("v")))
-    cells = base.withColumn("cell", V.ivf_centroid_id(F.col("v")))
+    base = fan_out(emb.select("vec_id", V.as_double("embedding").alias("v")))
+    cells = base.withColumn("cell", V.ivf_centroid_id("v"))
     queries = (
         base.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP))
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("qv"),
-            F.explode(V.ivf_centroid_topk(F.col("v"), probes=2)).alias("cell"),
+            F.explode(V.ivf_centroid_topk("v", probes=2)).alias("cell"),
         )
     )
     pairs = cells.join(F.broadcast(queries), "cell").filter(
@@ -983,7 +983,7 @@ def ext_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         "q_id",
         "vec_id",
-        F.round(V.cosine_sim(F.col("qv"), F.col("v")), 6).alias("sim"),
+        F.round(V.cosine_sim("qv", "v"), 6).alias("sim"),
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
@@ -1530,8 +1530,8 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig = base.select(
             "vec_id",
             "e",
-            V.l2_norm(F.col("e")).alias("nrm"),
-            V.srp_bucket(F.col("e"), num_planes=planes).alias("bucket"),
+            V.l2_norm("e").alias("nrm"),
+            V.srp_bucket("e", num_planes=planes).alias("bucket"),
         )
         a, b = sig.alias("a"), sig.alias("b")
         cand = a.join(
@@ -1542,7 +1542,7 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             F.round(
-                V.dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")),
+                V.dot("a.e", "b.e") / (F.col("a.nrm") * F.col("b.nrm")),
                 6,
             ).alias("cos_sim"),
         )
@@ -1698,32 +1698,50 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recoverable by construction — a recall floor of 1/k per query."""
     from flink_cdc_connectors_spark.functions import vectors as V
 
-    # The corpus feeds all six ANN pipelines below — local-checkpointed
-    # (tiny: 2x table rows of 64-double arrays, the same partitions a
-    # cache() would pin) so the scan+union+repartition runs once AND its
-    # lineage analyzes once: this DataFrame is embedded ~10x in the final
-    # union's tree, and each unionByName/join schema resolution re-walks
-    # the whole subtree when it is a plain cache (measured: several
-    # seconds of driver-side analysis for the full recall plan).
-    base = (
-        # per-row L2 norm precomputed once: every pipeline's candidate
-        # cosine becomes one dot + a multiply instead of three array folds
-        # (per-pair cost dominates; same win as ext_dedup_embedding_lsh)
-        # local-mode note (r3 ADVICE): checkpoint blocks are NOT
-        # rebuildable on executor loss and localCheckpoint is documented
-        # unsafe with dynamic allocation — the right trade in this
-        # single-JVM harness; a cluster deployment with dynamic allocation
-        # should swap these for reliable checkpoint/cache.
+    # ONE feature pass over corpus+copies (round 12): every pruning
+    # structure the six pipelines probe — SRP bucket, the 4 LSH table
+    # buckets, IVF cell, the ordered top-4 probe cells, PQ codes — is
+    # computed in a single projection and EAGERLY local-checkpointed
+    # together with the vector and its norm.  Round 11 checkpointed only
+    # (vec_id, e, nrm) and re-embedded the centroid/plane/codebook
+    # literal trees in every branch; each embedding re-analyzed ~1k
+    # literals per Dataset step, profiled at ~2.4 s of driver-side
+    # py4j/analysis per TIMED run (3.6 s of a 4.7 s builder blocked on
+    # the JVM with zero jobs running).  One projection = one analysis;
+    # every branch below reads literal-free columns off a LogicalRDD
+    # leaf.  Values are unchanged by construction: the identical
+    # deterministic expressions compute the identical columns, once.
+    # local-mode note (r3 ADVICE): checkpoint blocks are NOT rebuildable
+    # on executor loss and localCheckpoint is documented unsafe with
+    # dynamic allocation — the right trade in this single-JVM harness; a
+    # cluster deployment with dynamic allocation should swap these for
+    # reliable checkpoint/cache.
+    feat = (
         _emb_corpus_with_copies(spark, sf_dir)
-        .withColumn("nrm", V.l2_norm(F.col("e")))
+        .select(
+            "vec_id",
+            "e",
+            V.l2_norm("e").alias("nrm"),
+            V.srp_bucket("e").alias("bucket"),
+            V.srp_bucket_tables("e", num_tables=4).alias("tbuckets"),
+            V.ivf_centroid_id("e").alias("cell"),
+            # ordered top-4 probe cells: ivf_centroid_topk slices a
+            # sort_array, so probes=1/2 are exact PREFIXES of this array
+            V.ivf_centroid_topk("e", probes=4).alias("cells4"),
+            V.pq_codes("e").alias("codes"),
+        )
         .localCheckpoint(eager=True)
     )
-    queries = base.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP)
-    ).select(
+    is_query = (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP)
+    vecs = feat.select("vec_id", "e", "nrm")
+    queries = feat.filter(is_query).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qv"),
         F.col("nrm").alias("qnrm"),
     )
+    # the candidate cosine, constructed ONCE (Columns are immutable name-
+    # resolved trees — the same object is reusable across every branch;
+    # round 11 re-built this ~25-HOF expression six times per run)
+    sim = F.expr(f"round({V.dot_sql('qv', 'e')} / (qnrm * nrm), 6)").alias("sim")
 
     def topk(scored: DataFrame, k: int = 10) -> DataFrame:
         w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -1743,20 +1761,18 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall branches analyze against a 2-column leaf.
     exact = (
         topk(
-            base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id")).select(
+            vecs.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id")).select(
                 "q_id",
                 "vec_id",
-                F.round(V.dot(F.col("qv"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 6).alias("sim"),
+                sim,
             )
         )
         .select("q_id", "vec_id")
         .localCheckpoint(eager=True)
     )
     # SRP-LSH: candidates restricted to the query's bucket
-    sig = base.withColumn("bucket", V.srp_bucket(F.col("e")))
-    q_sig = sig.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP)
-    ).select(
+    sig = feat.select("vec_id", "e", "nrm", "bucket")
+    q_sig = feat.filter(is_query).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qv"),
         F.col("nrm").alias("qnrm"), "bucket",
     )
@@ -1766,19 +1782,17 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            F.round(V.dot(F.col("qv"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 6).alias("sim"),
+            sim,
         )
     ).select("q_id", "vec_id")
     # multi-TABLE SRP-LSH: union of candidates over 4 independent coarser
     # tables (5 planes each) — the standard LSH recall/cost lever
-    tsig = base.withColumn(
-        "tbucket", F.explode(V.srp_bucket_tables(F.col("e"), num_tables=4))
+    tsig = feat.select(
+        "vec_id", "e", "nrm", F.explode("tbuckets").alias("tbucket")
     )
-    q_tsig = tsig.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP)
-    ).select(
+    q_tsig = feat.filter(is_query).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qv"),
-        F.col("nrm").alias("qnrm"), "tbucket",
+        F.col("nrm").alias("qnrm"), F.explode("tbuckets").alias("tbucket"),
     )
     lsh4 = topk(
         tsig.join(F.broadcast(q_tsig), "tbucket")
@@ -1786,26 +1800,23 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            F.round(V.dot(F.col("qv"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 6).alias("sim"),
+            sim,
         )
         # a pair may collide in several tables — count once; dedup AFTER
         # scoring so the distinct shuffles 3 scalars, not 64-double arrays
         .distinct()
     ).select("q_id", "vec_id")
     # IVF: corpus in its own cell; queries probe their top-P cells
-    cells = base.withColumn("cell", V.ivf_centroid_id(F.col("e")))
+    cells = feat.select("vec_id", "e", "nrm", "cell")
 
     def ivf_at(probes: int) -> DataFrame:
-        q_cell = (
-            base.filter(
-                (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP)
-            )
-            .select(
-                F.col("vec_id").alias("q_id"),
-                F.col("e").alias("qv"),
-                F.col("nrm").alias("qnrm"),
-                F.explode(V.ivf_centroid_topk(F.col("e"), probes=probes)).alias("cell"),
-            )
+        q_cell = feat.filter(is_query).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            # prefix of the stored ordered top-4 — identical to
+            # ivf_centroid_topk(e, probes=probes) by construction
+            F.explode(F.slice("cells4", 1, probes)).alias("cell"),
         )
         return topk(
             cells.join(F.broadcast(q_cell), "cell")
@@ -1813,20 +1824,18 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "q_id",
                 "vec_id",
-                F.round(V.dot(F.col("qv"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 6).alias("sim"),
+                sim,
             )
         ).select("q_id", "vec_id")
 
     # IVF-PQ: same cell pruning as ivf_at(2), but candidates are ADC-scored
     # from 8 PQ codes alone (no raw vectors in the candidate join), top-32
     # ADC survivors exact-re-ranked — the ext_sim_search_pq operating point
-    compact = cells.select("vec_id", "cell", V.pq_codes(F.col("e")).alias("codes"))
-    q_pq = base.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _QUERY_ID_CAP)
-    ).select(
+    compact = feat.select("vec_id", "cell", "codes")
+    q_pq = feat.filter(is_query).select(
         F.col("vec_id").alias("q_id"),
         F.col("e").alias("qv"),
-        F.explode(V.ivf_centroid_topk(F.col("e"), probes=2)).alias("cell"),
+        F.explode(F.slice("cells4", 1, 2)).alias("cell"),
     )
     adc = (
         compact.join(F.broadcast(q_pq), "cell")
@@ -1834,7 +1843,7 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            F.round(V.pq_adc_score(F.col("qv"), F.col("codes")), 6).alias("adc"),
+            F.expr(f"round({V.pq_adc_score_sql('qv', 'codes')}, 6)").alias("adc"),
         )
     )
     w_adc = W.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("vec_id"))
@@ -1843,34 +1852,52 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivf_pq = topk(
         shortlist.select("q_id", "vec_id")
-        .join(base, "vec_id")
+        .join(vecs, "vec_id")
         .join(F.broadcast(queries), "q_id")
         .select(
             "q_id",
             "vec_id",
-            F.round(V.dot(F.col("qv"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 6).alias("sim"),
+            sim,
         )
     ).select("q_id", "vec_id")
 
-    n_truth = F.count(F.lit(1)).alias("n_truth")
-
-    def method(name: str, approx: DataFrame) -> DataFrame:
-        hits = exact.join(approx, ["q_id", "vec_id"], "left_semi")
-        return (
-            exact.agg(n_truth)
-            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
-            .select(
-                F.lit(name).alias("method"),
-                "n_truth",
-                "n_hits",
-                F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall_at_10"),
-            )
+    # recall summary as ONE aggregate over the union of tagged hit sets
+    # (round 12): the per-method (agg x 2 + crossJoin) form ran ~15 tiny
+    # single-partition stages; this runs the same five semi-joins, one
+    # groupBy, one 5-row left join (zero-hit methods keep their 0 via the
+    # literal method frame) and one 1-row crossJoin.  Same rows, same
+    # types: n_hits stays the BIGINT count, recall the same round(/, 4).
+    methods = [
+        ("srp_lsh", lsh),
+        ("srp_lsh_4tables", lsh4),
+        ("ivf", ivf_at(1)),
+        ("ivf_p4", ivf_at(4)),
+        ("ivf_pq", ivf_pq),
+    ]
+    tagged = [
+        exact.join(approx, ["q_id", "vec_id"], "left_semi").select(
+            F.lit(name).alias("method")
         )
-
+        for name, approx in methods
+    ]
+    hit_rows = tagged[0]
+    for t in tagged[1:]:
+        hit_rows = hit_rows.unionByName(t)
+    hit_counts = hit_rows.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    names = spark.createDataFrame([(n,) for n, _ in methods], "method string")
+    truth = exact.agg(F.count(F.lit(1)).alias("n_truth"))
     return (
-        method("srp_lsh", lsh)
-        .unionByName(method("srp_lsh_4tables", lsh4))
-        .unionByName(method("ivf", ivf_at(1)))
-        .unionByName(method("ivf_p4", ivf_at(4)))
-        .unionByName(method("ivf_pq", ivf_pq))
+        F.broadcast(names)
+        .join(hit_counts, "method", "left")
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "method",
+            "n_truth",
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0).cast("long")) / F.col("n_truth"), 4
+            ).alias("recall_at_10"),
+        )
     )

@@ -298,15 +298,15 @@ def ext_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # bounded driver scalar: footer-only count gates the ADC engine
     n_corpus = emb.count()
-    base = fan_out(emb.select("vec_id", V.as_double(F.col("embedding")).alias("v")))
+    base = fan_out(emb.select("vec_id", V.as_double("embedding").alias("v")))
     # compact index representation: cell + codes, no raw vector; past the
     # gate the encode moves to numpy batches too (see _pq_compact_gemm —
     # the interpreted-HOF encode was the profiled sf10 dominant term)
     if n_corpus < _PQ_GEMM_MIN_ROWS:
         compact = base.select(
             "vec_id",
-            V.ivf_centroid_id(F.col("v")).alias("cell"),
-            V.pq_codes(F.col("v")).alias("codes"),
+            V.ivf_centroid_id("v").alias("cell"),
+            V.pq_codes("v").alias("codes"),
         )
     else:
         compact = _pq_compact_gemm(base)
@@ -315,7 +315,7 @@ def ext_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
-        F.explode(V.ivf_centroid_topk(F.col("v"), probes=2)).alias("cell"),
+        F.explode(V.ivf_centroid_topk("v", probes=2)).alias("cell"),
     )
     if n_corpus < _PQ_GEMM_MIN_ROWS:
         # oracle scales: the broadcast join + expression ADC the DuckDB
@@ -326,7 +326,7 @@ def ext_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "q_id",
                 "vec_id",
-                F.round(V.pq_adc_score(F.col("qv"), F.col("codes")), 6).alias("adc"),
+                F.round(V.pq_adc_score("qv", "codes"), 6).alias("adc"),
             )
         )
         w_adc = W.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("vec_id"))
@@ -350,7 +350,7 @@ def ext_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            F.round(V.cosine_sim(F.col("qv"), F.col("v")), 6).alias("sim"),
+            F.round(V.cosine_sim("qv", "v"), 6).alias("sim"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))

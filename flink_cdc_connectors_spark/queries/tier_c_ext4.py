@@ -135,10 +135,10 @@ def ext_kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_cdc_connectors_spark.functions import vectors as V
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = fan_out(emb.select("vec_id", V.as_double(F.col("embedding")).alias("e")))
+    base = fan_out(emb.select("vec_id", V.as_double("embedding").alias("e")))
     dim = 64
 
-    a1 = base.select("vec_id", "e", V.ivf_centroid_id(F.col("e")).alias("cell"))
+    a1 = base.select("vec_id", "e", V.ivf_centroid_id("e").alias("cell"))
     # refined centroid = per-cell mean vector, as 64 scalar aggregates
     # (map-side partial combine; an array-valued avg would shuffle arrays)
     comp_means = [
@@ -151,7 +151,7 @@ def ext_kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "e",
         F.col("c_cell").alias("cell"),
-        V.dot(F.col("e"), F.col("c")).alias("s"),
+        V.dot("e", "c").alias("s"),
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
     a2 = sc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
@@ -245,7 +245,7 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows — the 16-cell static oracle does not apply at this scale",
             stacklevel=2,
         )
-    base_v = emb.select("vec_id", V.as_double(F.col("embedding")).alias("e"))
+    base_v = emb.select("vec_id", V.as_double("embedding").alias("e"))
     corpus = fan_out(
         base_v.unionByName(
             base_v.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "e")
@@ -255,7 +255,7 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # oracle scales: the SQL-expression assignment the static DuckDB
         # replay mirrors exactly (left-to-right dot sums, first-max index)
         cells = corpus.select(
-            "vec_id", "e", V.ivf_centroid_id(F.col("e"), num_centroids=k).alias("cell")
+            "vec_id", "e", V.ivf_centroid_id("e", num_centroids=k).alias("cell")
         )
     else:
         # SCALE MODE assignment: ivf_centroid_id's per-centroid `dot` is a

@@ -545,3 +545,43 @@ def test_round_half_up6_matches_spark_round(spark):
     # the guard's edge sits past any similarity-score magnitude; the
     # boundary list above pins a true half-boundary at 999.x against
     # Spark, so the edge of the admitted domain is value-proven too
+
+
+def test_vector_sql_forms_match_column_forms(spark):
+    """Round-12 driver-latency optimization: every vector constructor
+    accepts a SQL-string column reference and builds the WHOLE expression
+    as one F.expr parse (one py4j round trip) instead of dozens of HOF
+    gateway calls.  The two forms must stay BIT-IDENTICAL — same Catalyst
+    functions, same literals, same lambda structure — or the ANN keys'
+    value hashes drift.  Pin every helper's A/B on deterministic vectors,
+    including the slice-defense path (len < dim)."""
+    rows = 64
+    df = spark.range(rows).selectExpr(
+        "transform(sequence(0, 63), i -> sin(id * 17 + i) * 2.0) AS a",
+        "transform(sequence(0, 63), i -> cos(id * 29 + i * 3) * 1.5) AS b",
+        # short vector exercises the size(v) < dim defensive slice
+        "transform(sequence(0, 31), i -> sin(id * 13 + i)) AS s",
+        "transform(sequence(0, 63), i -> cast(sin(id * 7 + i) as float)) AS f",
+    )
+    pairs = [
+        (V.dot("a", "b"), V.dot(F.col("a"), F.col("b"))),
+        (V.l2_norm("a"), V.l2_norm(F.col("a"))),
+        (V.cosine_sim("a", "b"), V.cosine_sim(F.col("a"), F.col("b"))),
+        (V.as_double("f"), V.as_double(F.col("f"))),
+        (V.srp_bucket("a"), V.srp_bucket(F.col("a"))),
+        (V.srp_bucket("s"), V.srp_bucket(F.col("s"))),
+        (V.srp_bucket_tables("a"), V.srp_bucket_tables(F.col("a"))),
+        (V.ivf_centroid_id("a"), V.ivf_centroid_id(F.col("a"))),
+        (V.ivf_centroid_topk("a", probes=4), V.ivf_centroid_topk(F.col("a"), probes=4)),
+        (V.pq_codes("a"), V.pq_codes(F.col("a"))),
+        (
+            V.pq_adc_score("a", "codes"),
+            V.pq_adc_score(F.col("a"), F.col("codes")),
+        ),
+    ]
+    with_codes = df.withColumn("codes", V.pq_codes(F.col("b")))
+    sql_cols = [p[0].alias(f"x{i}") for i, p in enumerate(pairs)]
+    col_cols = [p[1].alias(f"x{i}") for i, p in enumerate(pairs)]
+    got_sql = with_codes.select(*sql_cols).collect()
+    got_col = with_codes.select(*col_cols).collect()
+    assert got_sql == got_col

@@ -12,22 +12,60 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def normalize_text(c: Column) -> Column:
+# Column | str dispatch (round 12, same pattern as functions/vectors.py):
+# a str argument is a Spark-SQL expression fragment and the WHOLE helper
+# expression is built as ONE F.expr parse instead of one py4j round trip
+# per operator (~0.3 ms each on the bench box; a 16-member minhash
+# signature costs ~240 gateway calls through the Column API).  Both forms
+# yield the identical Catalyst tree — A/B pinned in
+# tests/test_functions.py::test_text_sql_forms_match_column_forms.
+
+
+def normalize_text_sql(c: str) -> str:
+    """Spark-SQL form of :func:`normalize_text` (same tree)."""
+    return f"lower(trim(regexp_replace({c}, '\\\\s+', ' ')))"
+
+
+def words_sql(c: str) -> str:
+    """Spark-SQL form of :func:`words` (same tree)."""
+    return f"split({normalize_text_sql(c)}, '\\\\s+')"
+
+
+def shingles_sql(words_sql_frag: str, n: int = 3) -> str:
+    """Spark-SQL form of :func:`shingles` (same tree)."""
+    w = words_sql_frag
+    positions = (
+        f"CASE WHEN size({w}) >= {n} THEN sequence(1, size({w}) - {n - 1})"
+        " ELSE cast(array() as array<int>) END"
+    )
+    return (
+        f"array_distinct(transform({positions},"
+        f" i -> array_join(slice({w}, i, {n}), ' ')))"
+    )
+
+
+def normalize_text(c: Column | str) -> Column:
     """Lowercase, collapse whitespace, trim — the canonical dedup key."""
+    if isinstance(c, str):
+        return F.expr(normalize_text_sql(c))
     return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
 
 
-def words(c: Column) -> Column:
+def words(c: Column | str) -> Column:
     """Whitespace tokenization of normalized text."""
+    if isinstance(c, str):
+        return F.expr(words_sql(c))
     return F.split(normalize_text(c), r"\s+")
 
 
-def shingles(words_col: Column, n: int = 3) -> Column:
+def shingles(words_col: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams (array<string>) — MinHash/Jaccard input.
 
     slice+array_join per position, not n element_at lookups in the lambda:
     the element_at tree evaluates interpreted (~7x slower measured);
     slice+join stays vectorized. Short docs (< n words) yield no grams."""
+    if isinstance(words_col, str):
+        return F.expr(shingles_sql(words_col, n))
     positions = F.when(
         F.size(words_col) >= n,
         F.sequence(F.lit(1), F.size(words_col) - (n - 1)),
@@ -50,12 +88,30 @@ def _salted_xxhash64(i: int):
     return lambda s: F.xxhash64(F.lit(i), s)
 
 
-def minhash_signature(shingles_col: Column, num_hashes: int = 16) -> list[Column]:
+def minhash_signature_sqls(
+    shingles_sql_frag: str, num_hashes: int = 16
+) -> list[str]:
+    """Spark-SQL forms of the :func:`minhash_signature` members (same
+    trees; the salt literal is the INT ``i`` in both forms)."""
+    return [
+        f"array_min(transform({shingles_sql_frag}, s -> xxhash64({i}, s)))"
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signature(
+    shingles_col: Column | str, num_hashes: int = 16
+) -> list[Column]:
     """MinHash signature: min over shingles of hash_i(shingle) for each of
     ``num_hashes`` deterministic hash-family members (xxhash64 salted by i).
 
     xxhash64 is JVM-native and ~10x cheaper than md5 while keeping the
     collision behavior MinHash needs."""
+    if isinstance(shingles_col, str):
+        return [
+            F.expr(s).alias(f"mh{i}")
+            for i, s in enumerate(minhash_signature_sqls(shingles_col, num_hashes))
+        ]
     return [
         F.array_min(
             F.transform(shingles_col, _salted_xxhash64(i))
@@ -93,8 +149,10 @@ def minhash_signatures_md5(
     into its buffer and is immune — pinned by
     tests/test_functions.py::test_md5_minhash_stable_over_cache."""
     ids = df.select(id_col, F.explode(shingles_col).alias("_s"))
+    # one expr parse per member instead of ~8 gateway calls each (round 12;
+    # identical tree: min over md5(concat('<i>:', _s)))
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))).alias(f"mh{i}")
+        F.expr(f"min(md5(concat('{i}:', _s)))").alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return ids.groupBy(id_col).agg(*mins)
@@ -156,25 +214,27 @@ def simhash_df(df, id_col: str, words_col: Column, bits: int = 64):
     tok = df.select(id_col, F.explode(words_col).alias("_w")).select(
         id_col, F.xxhash64("_w").alias("_h")
     )
+    # The 64 per-bit one-counts and the 64-term sign fold are built as SQL
+    # strings (round 12): the Column form cost ~1.5k py4j round trips
+    # (~0.5 s of driver time) per construction.  Identical trees — the
+    # b=63 power uses shiftleft(1L, 63), which wraps to Long.MIN exactly
+    # like the F.lit(-(1 << 63)).cast('long') it replaces.
     ones = [
-        F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_o{b}")
+        F.expr(f"sum(shiftright(_h, {b}) & 1)").alias(f"_o{b}")
         for b in range(bits)
     ]
     agg = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *ones)
     # vote_b = 2*ones_b - n ; bit set iff vote > 0. Bits are disjoint, so a
     # SUM of per-bit terms equals the bitwise OR and stays one flat
     # codegen expression (1<<63 wraps to Long.MIN, matching simhash()).
-    sig = sum(
-        (
-            F.when(
-                F.col(f"_o{b}") * 2 > F.col("_n"),
-                F.lit((1 << b) if b < bits - 1 else -(1 << (bits - 1))).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            for b in range(1, bits)
-        ),
-        start=F.when(
-            F.col("_o0") * 2 > F.col("_n"), F.lit(1).cast("long")
-        ).otherwise(F.lit(0).cast("long")),
+    sig = F.expr(
+        "("
+        + " + ".join(
+            f"CASE WHEN _o{b} * 2 > _n THEN shiftleft(cast(1 as bigint), {b})"
+            " ELSE cast(0 as bigint) END"
+            for b in range(bits)
+        )
+        + ")"
     )
     return agg.select(id_col, sig.alias("sig"))
 

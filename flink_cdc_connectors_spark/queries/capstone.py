@@ -208,7 +208,7 @@ def build_corpus_index(corpus: DataFrame) -> DataFrame:
     return (
         corpus.select(
             "doc_id",
-            F.explode_outer(TX.shingles(TX.words(F.col("text")))).alias("shingle"),
+            F.explode_outer(TX.shingles(TX.words_sql("text"))).alias("shingle"),
         )
         .groupBy("doc_id")
         .agg(
@@ -264,7 +264,7 @@ def make_fold(spark: SparkSession, corpus: DataFrame, k: int, state: dict, scrat
         .otherwise(uniq)
         .alias("txt")
     )
-    shingle_col = F.explode_outer(TX.shingles(TX.words(F.col("txt")))).alias(
+    shingle_col = F.explode_outer(TX.shingles(TX.words_sql("txt"))).alias(
         "shingle"
     )
     sig_aggs = [

@@ -380,12 +380,12 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()  # bounded driver scalar: picks the family
     if n_docs <= _MINHASH_SCALE_DOCS:
         shingled = corpus.select(
-            "doc_id", T.shingles(T.words(F.col("text"))).alias("sh")
+            "doc_id", T.shingles(T.words_sql("text")).alias("sh")
         )
         sh_arr = shingled.select(
             "doc_id",
             F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hsh"),
-            *T.minhash_signature(F.col("sh"), 16),
+            *T.minhash_signature("sh", 16),
         ).localCheckpoint(eager=True)
     else:
         import warnings
@@ -559,7 +559,7 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprints from both sides in concurrent stages — with cache() the
     # tokenize+explode+64-bit vote runs twice before any block publishes
     # (same double-compute as ext_dedup_minhash's shingle frame).
-    fp = T.simhash_df(corpus, "doc_id", T.words(F.col("text"))).localCheckpoint(eager=True)
+    fp = T.simhash_df(corpus, "doc_id", T.words("text")).localCheckpoint(eager=True)
     # 4 bands of 16 bits each: band_value = bits [16b, 16b+16)
     bands = fp.select(
         "doc_id",

@@ -653,10 +653,27 @@ def ext_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(near)
-    sh = corpus.select("doc_id", T.shingles(T.words(F.col("text"))).alias("sh")).cache()
+    # sh carries BOTH the string shingles (the minhash family hashes the
+    # strings — the signature stage must stay bit-identical) and a 64-bit
+    # hashed form for the exact-Jaccard passes (round 12): array_intersect
+    # over ~100-element STRING arrays was the profiled dominant term of
+    # this key's single job (~80k brute-force pairs x string hashing);
+    # intersecting xxhash64 longs is the same set algebra at integer
+    # cost.  A hash collision perturbs a Jaccard count with P ~ 2^-64 per
+    # shingle pair — the same unobservable-collision argument the banded
+    # signature fold already documents.
+    sh = corpus.select(
+        "doc_id",
+        T.shingles(T.words_sql("text")).alias("sh"),
+        F.expr(
+            "array_distinct(transform("
+            + T.shingles_sql(T.words_sql("text"))
+            + ", s -> xxhash64(s)))"
+        ).alias("shh"),
+    ).cache()
 
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shh").alias("sh_b"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
     truth = (
@@ -672,25 +689,20 @@ def ext_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle; the xxhash64 members are array_min over longs, which is
     # cache-safe by value, so the signature stage is now shuffle-free,
     # exactly like production ext_dedup_minhash)
-    sig = sh.select("doc_id", *T.minhash_signature(F.col("sh"), 16)).cache()
+    sig = sh.select("doc_id", *T.minhash_signature("sh", 16)).cache()
 
     def config(n_bands: int, rows_per: int) -> DataFrame:
+        band_arr = "array(" + ",".join(
+            "concat_ws('|',"
+            + ",".join(
+                f"cast(mh{bd * rows_per + r} as string)" for r in range(rows_per)
+            )
+            + ")"
+            for bd in range(n_bands)
+        ) + ")"
         bands = sig.select(
             "doc_id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"mh{bd * rows_per + r}").cast("string")
-                                for r in range(rows_per)
-                            ],
-                        )
-                        for bd in range(n_bands)
-                    ]
-                )
-            ).alias("band_id", "band_sig"),
+            F.posexplode(F.expr(band_arr)).alias("band_id", "band_sig"),
         )
         cand = (
             bands.alias("x")
@@ -911,7 +923,7 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one shingle frame for both sides (eager checkpoint: consumed by the
     # band join's concurrent stages AND the verify joins)
     sh = all_docs.select(
-        "doc_id", T.shingles(T.words(F.col("text"))).alias("sh"), batch_pred.alias("b")
+        "doc_id", T.shingles(T.words_sql("text")).alias("sh"), batch_pred.alias("b")
     ).localCheckpoint(eager=True)
     sig = T.minhash_signatures_md5(sh, "doc_id", "sh", 16)
     sig = sig.join(sh.select("doc_id", "b"), "doc_id")

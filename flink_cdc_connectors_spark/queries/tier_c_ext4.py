@@ -58,7 +58,7 @@ def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = fan_out(docs).select(
-        "doc_id", F.explode(T.words(F.col("text"))).alias("term")
+        "doc_id", F.explode(T.words("text")).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))

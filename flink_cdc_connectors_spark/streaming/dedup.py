@@ -65,7 +65,7 @@ def minhash_band_keys(docs: DataFrame, text_col: str = "text", num_bands: int = 
     `ext_dedup_minhash`."""
     sig = docs.withColumns(
         {f"mh{i}": c for i, c in enumerate(
-            T.minhash_signature(T.shingles(T.words(F.col(text_col))), 16)
+            T.minhash_signature(T.shingles_sql(T.words_sql(text_col)), 16)
         )}
     )
     bands = F.array(

@@ -585,3 +585,40 @@ def test_vector_sql_forms_match_column_forms(spark):
     got_sql = with_codes.select(*sql_cols).collect()
     got_col = with_codes.select(*col_cols).collect()
     assert got_sql == got_col
+
+
+def test_text_sql_forms_match_column_forms(spark):
+    """Round-12: text helpers gained the same Column|str dispatch as the
+    vector helpers (one F.expr parse instead of per-operator py4j calls).
+    Pin SQL form == Column form bit-for-bit, including short docs (< n
+    words -> empty shingle array) and the md5/simhash_df internals."""
+    df = spark.createDataFrame(
+        [
+            (1, "  The quick   Brown fox JUMPS over the lazy dog  "),
+            (2, "a b"),
+            (3, "x y z x y z x y z w"),
+            (4, "Unicode åäö ÅÄÖ émigré 文字 文字 emoji 🙂 test here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = [
+        (T.normalize_text("text"), T.normalize_text(F.col("text"))),
+        (T.words("text"), T.words(F.col("text"))),
+        (T.shingles(T.words_sql("text")), T.shingles(T.words(F.col("text")))),
+    ]
+    sql_cols = [p[0].alias(f"x{i}") for i, p in enumerate(pairs)]
+    col_cols = [p[1].alias(f"x{i}") for i, p in enumerate(pairs)]
+    assert df.select(*sql_cols).collect() == df.select(*col_cols).collect()
+    # minhash members over the shingle array
+    sh = df.select("doc_id", T.shingles(T.words(F.col("text"))).alias("sh"))
+    got_sql = sh.select(*T.minhash_signature("sh", 16)).collect()
+    got_col = sh.select(*T.minhash_signature(F.col("sh"), 16)).collect()
+    assert got_sql == got_col
+    # simhash_df's expr-built internals against the HOF simhash()
+    fp = T.simhash_df(df, "doc_id", T.words(F.col("text"))).collect()
+    hof = df.select(
+        F.col("doc_id"), T.simhash(T.words(F.col("text"))).alias("sig")
+    ).collect()
+    assert sorted((r.doc_id, r.sig) for r in fp) == sorted(
+        (r.doc_id, r.sig) for r in hof
+    )

@@ -280,6 +280,14 @@ def make_fold(spark: SparkSession, corpus: DataFrame, k: int, state: dict, scrat
     )
     corpus_as_src = F.broadcast(corpus.withColumnRenamed("doc_id", "src"))
 
+    # Checkpoint width for the projected batch (round 12): the raw batch
+    # scan arrives 32-way partitioned, so the eager checkpoint below ran
+    # 32 tasks even for the trigger's EMPTY lead/tail batches — profiled
+    # 0.23 s per empty batch and the same fixed cost on every real one.
+    # Width scales with the key space exactly like _write_state, so the
+    # sf10 ladder's ~70k-row batches keep parallel checkpoints.
+    fold_width = max(1, k // 25_000)
+
     def fold_batch(bdf: DataFrame, batch_id: int) -> None:
         # One evaluation of the batch scan per increment: the projected
         # batch feeds THREE actions (the row-count watchdog, the touched-
@@ -287,7 +295,7 @@ def make_fold(spark: SparkSession, corpus: DataFrame, k: int, state: dict, scrat
         # DataFrame re-runs its DSv2 range scan per action — profiled as
         # the largest share of the ~3 s/batch fold at sf0.1.  The batch is
         # bounded by debezium.max.batch.size, so the checkpoint is small.
-        t = bdf.select(*proj_cols).localCheckpoint(eager=True)
+        t = bdf.select(*proj_cols).coalesce(fold_width).localCheckpoint(eager=True)
         n, mx = t.agg(F.count("*"), F.max("event_id")).first()
         if n == 0:
             return

@@ -1313,28 +1313,25 @@ def cdc_changelog_mode_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def envelope(default_identity: bool) -> F.Column:
-        before_full = F.when(
-            F.col("op").isin("update", "delete"),
-            F.struct(F.col("user_id"), F.col("prev_cents").alias("cents")),
+        # ONE expr parse per wire (round 12) — the Column form cost ~60
+        # py4j round trips per envelope; trees are identical (CASE WHEN ==
+        # when/otherwise, cast(null as bigint) == lit(None).cast('long')).
+        before_full = (
+            "CASE WHEN op IN ('update', 'delete')"
+            " THEN struct(user_id, prev_cents AS cents) END"
         )
         # DEFAULT identity: update.before omitted entirely, delete.before
         # carries the PK columns only
-        before_def = F.when(
-            F.col("op") == "delete",
-            F.struct(F.col("user_id"), F.lit(None).cast("long").alias("cents")),
+        before_def = (
+            "CASE WHEN op = 'delete'"
+            " THEN struct(user_id, cast(null as bigint) AS cents) END"
         )
-        return F.to_json(
-            F.struct(
-                F.col("op"),
-                F.col("ms"),
-                F.col("event_id").alias("eid"),
-                F.struct(F.col("user_id")).alias("key"),
-                (before_def if default_identity else before_full).alias("before"),
-                F.when(
-                    F.col("op").isin("insert", "update"),
-                    F.struct(F.col("user_id"), F.col("cents")),
-                ).alias("after"),
-            )
+        return F.expr(
+            "to_json(struct(op, ms, event_id AS eid,"
+            " struct(user_id) AS key,"
+            f" {before_def if default_identity else before_full} AS before,"
+            " CASE WHEN op IN ('insert', 'update')"
+            " THEN struct(user_id, cents) END AS after))"
         )
 
     wire = base.select(

@@ -31,6 +31,15 @@ window (the same staging as ``events_to_debezium_json``) so before-images
 are true prior rows, and deletes of missing keys are dropped — what a
 database binlog would actually contain. One hash shuffle on the primary
 key; every decode is a single ``from_json`` projection (no UDF).
+
+Round 12: every envelope/decode expression is built as ONE Spark-SQL
+string handed to a single ``F.expr``/``selectExpr`` parse instead of
+dozens of Column-API py4j round trips (~0.3 ms each on the bench box —
+the four-format round-trip key paid ~1 s of driver time per TIMED run in
+pure gateway chatter).  The SQL strings parse to the IDENTICAL Catalyst
+trees the Column forms built (CASE WHEN == when/otherwise, ``<=>`` ==
+eqNullSafe, DDL-string from_json == StructType from_json); wire bytes
+and decoded rows are unchanged — pinned by tests/test_formats.py.
 """
 
 from __future__ import annotations
@@ -65,6 +74,16 @@ def _staged(events: DataFrame) -> DataFrame:
     )
 
 
+def _payload_ddl(payload_schema: T.StructType) -> str:
+    """The payload struct as a DDL fragment for from_json SQL strings —
+    parses to the same StructType object the Column form passed."""
+    return (
+        "struct<"
+        + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in payload_schema.fields)
+        + ">"
+    )
+
+
 def events_to_changelog_json(events: DataFrame, staged: DataFrame | None = None) -> DataFrame:
     """Fixture events -> changelog-json wire records (one JSON per
     changelog ROW; UPDATE emits the -U/+U pair as two records).
@@ -74,30 +93,16 @@ def events_to_changelog_json(events: DataFrame, staged: DataFrame | None = None)
     replay ONCE instead of once per format."""
     s = _staged(events) if staged is None else staged
     rows = (
-        F.when(
-            F.col("__app_op") == "delete",
-            F.array(
-                F.struct(F.lit("-D").alias("op"), F.col("__prev_payload").alias("data"))
-            ),
-        )
-        .when(
-            F.col("__live"),
-            F.array(
-                F.struct(F.lit("-U").alias("op"), F.col("__prev_payload").alias("data")),
-                F.struct(F.lit("+U").alias("op"), F.col("__payload").alias("data")),
-            ),
-        )
-        .otherwise(
-            F.array(
-                F.struct(F.lit("+I").alias("op"), F.col("__payload").alias("data"))
-            )
-        )
+        "CASE WHEN __app_op = 'delete'"
+        " THEN array(struct('-D' AS op, __prev_payload AS data))"
+        " WHEN __live"
+        " THEN array(struct('-U' AS op, __prev_payload AS data),"
+        " struct('+U' AS op, __payload AS data))"
+        " ELSE array(struct('+I' AS op, __payload AS data)) END"
     )
-    ex = s.withColumn("__r", F.explode(rows))
+    ex = s.withColumn("__r", F.explode(F.expr(rows)))
     return ex.select(
-        F.to_json(
-            F.struct(F.col("__r.data").alias("data"), F.col("__r.op").alias("op"))
-        ).alias("value")
+        F.expr("to_json(struct(__r.data AS data, __r.op AS op))").alias("value")
     )
 
 
@@ -108,16 +113,13 @@ def parse_changelog_json(
 ) -> DataFrame:
     """changelog-json -> typed rows with ``row_kind`` — one ``from_json``
     projection, schema parameterized per table."""
-    schema = T.StructType(
-        [
-            T.StructField("data", payload_schema, True),
-            T.StructField("op", T.StringType(), True),
-        ]
+    ddl = f"data {_payload_ddl(payload_schema)}, op string"
+    parsed = raw.select(
+        F.expr(f"from_json({value_col}, '{ddl}')").alias("e")
     )
-    parsed = raw.select(F.from_json(F.col(value_col), schema).alias("e"))
-    return parsed.select(
-        *[F.col(f"e.data.{f.name}").alias(f.name) for f in payload_schema.fields],
-        F.col("e.op").alias("row_kind"),
+    return parsed.selectExpr(
+        *[f"e.data.{f.name} AS {f.name}" for f in payload_schema.fields],
+        "e.op AS row_kind",
     )
 
 
@@ -129,29 +131,19 @@ def events_to_canal_json(
     ``data``/``old`` are single-element arrays of the full row images).
     ``staged``: see events_to_changelog_json."""
     s = _staged(events) if staged is None else staged
-    ctype = (
-        F.when(F.col("__app_op") == "delete", F.lit("DELETE"))
-        .when(F.col("__live"), F.lit("UPDATE"))
-        .otherwise(F.lit("INSERT"))
+    envelope = (
+        "to_json(struct("
+        "CASE WHEN __app_op = 'delete' THEN array(__prev_payload)"
+        " ELSE array(__payload) END AS data,"
+        " CASE WHEN (NOT (__app_op = 'delete')) AND __live"
+        " THEN array(__prev_payload) END AS old,"
+        " CASE WHEN __app_op = 'delete' THEN 'DELETE'"
+        " WHEN __live THEN 'UPDATE' ELSE 'INSERT' END AS type,"
+        f" '{db}' AS database, '{table}' AS table,"
+        " unix_millis(ts) AS es, unix_millis(ts) AS ts,"
+        " array('user_id') AS pkNames))"
     )
-    data = F.when(
-        F.col("__app_op") == "delete", F.array(F.col("__prev_payload"))
-    ).otherwise(F.array(F.col("__payload")))
-    old = F.when(
-        (F.col("__app_op") != "delete") & F.col("__live"),
-        F.array(F.col("__prev_payload")),
-    )
-    envelope = F.struct(
-        data.alias("data"),
-        old.alias("old"),
-        ctype.alias("type"),
-        F.lit(db).alias("database"),
-        F.lit(table).alias("table"),
-        F.unix_millis(F.col("ts")).alias("es"),
-        F.unix_millis(F.col("ts")).alias("ts"),
-        F.array(F.lit("user_id")).alias("pkNames"),
-    )
-    return s.select(F.to_json(envelope).alias("value"))
+    return s.select(F.expr(envelope).alias("value"))
 
 
 def parse_canal_json(
@@ -162,56 +154,25 @@ def parse_canal_json(
     """Canal JSON -> typed changelog rows with ``row_kind``: INSERT -> +I,
     DELETE -> -D, UPDATE -> the (-U from ``old``, +U from ``data``) pair —
     the same expansion Flink's canal-json format performs."""
-    schema = T.StructType(
-        [
-            T.StructField("data", T.ArrayType(payload_schema), True),
-            T.StructField("old", T.ArrayType(payload_schema), True),
-            T.StructField("type", T.StringType(), True),
-            T.StructField("database", T.StringType(), True),
-            T.StructField("table", T.StringType(), True),
-            T.StructField("es", T.LongType(), True),
-            T.StructField("ts", T.LongType(), True),
-            T.StructField("pkNames", T.ArrayType(T.StringType()), True),
-        ]
+    p = _payload_ddl(payload_schema)
+    ddl = (
+        f"data array<{p}>, old array<{p}>, type string, database string,"
+        " table string, es bigint, ts bigint, pkNames array<string>"
     )
-    parsed = raw.select(F.from_json(F.col(value_col), schema).alias("e"))
-    first = lambda c: F.element_at(c, 1)  # noqa: E731
+    parsed = raw.select(F.expr(f"from_json({value_col}, '{ddl}')").alias("e"))
     rows = (
-        F.when(
-            F.col("e.type") == "DELETE",
-            F.array(
-                F.struct(
-                    F.lit("-D").alias("row_kind"),
-                    first(F.col("e.data")).alias("payload"),
-                )
-            ),
-        )
-        .when(
-            F.col("e.type") == "UPDATE",
-            F.array(
-                F.struct(
-                    F.lit("-U").alias("row_kind"),
-                    first(F.col("e.old")).alias("payload"),
-                ),
-                F.struct(
-                    F.lit("+U").alias("row_kind"),
-                    first(F.col("e.data")).alias("payload"),
-                ),
-            ),
-        )
-        .otherwise(
-            F.array(
-                F.struct(
-                    F.lit("+I").alias("row_kind"),
-                    first(F.col("e.data")).alias("payload"),
-                )
-            )
-        )
+        "CASE WHEN e.type = 'DELETE'"
+        " THEN array(struct('-D' AS row_kind, element_at(e.data, 1) AS payload))"
+        " WHEN e.type = 'UPDATE'"
+        " THEN array(struct('-U' AS row_kind, element_at(e.old, 1) AS payload),"
+        " struct('+U' AS row_kind, element_at(e.data, 1) AS payload))"
+        " ELSE array(struct('+I' AS row_kind, element_at(e.data, 1) AS payload))"
+        " END"
     )
-    ex = parsed.withColumn("__r", F.explode(rows))
-    return ex.select(
-        *[F.col(f"__r.payload.{f.name}").alias(f.name) for f in payload_schema.fields],
-        F.col("__r.row_kind").alias("row_kind"),
+    ex = parsed.withColumn("__r", F.explode(F.expr(rows)))
+    return ex.selectExpr(
+        *[f"__r.payload.{f.name} AS {f.name}" for f in payload_schema.fields],
+        "__r.row_kind AS row_kind",
     )
 
 
@@ -227,36 +188,28 @@ def events_to_maxwell_json(
     unchanged fields are null.
     ``staged``: see events_to_changelog_json."""
     s = _staged(events) if staged is None else staged
-    mtype = (
-        F.when(F.col("__app_op") == "delete", F.lit("delete"))
-        .when(F.col("__live"), F.lit("update"))
-        .otherwise(F.lit("insert"))
+
+    def changed(f: str) -> str:
+        return (
+            f"CASE WHEN NOT (__prev_payload.{f} <=> __payload.{f})"
+            f" THEN __prev_payload.{f} END"
+        )
+
+    envelope = (
+        "to_json(struct("
+        f"'{db}' AS database, '{table}' AS table,"
+        " CASE WHEN __app_op = 'delete' THEN 'delete'"
+        " WHEN __live THEN 'update' ELSE 'insert' END AS type,"
+        " cast(unix_millis(ts) / 1000 as bigint) AS ts,"
+        " event_id AS xid,"
+        " CASE WHEN __app_op = 'delete' THEN __prev_payload"
+        " ELSE __payload END AS data,"
+        " CASE WHEN (NOT (__app_op = 'delete')) AND __live THEN struct("
+        f"{changed('user_id')} AS user_id,"
+        f" {changed('value')} AS value,"
+        f" {changed('props')} AS props) END AS old))"
     )
-    data = F.when(
-        F.col("__app_op") == "delete", F.col("__prev_payload")
-    ).otherwise(F.col("__payload"))
-    changed = lambda f: F.when(  # noqa: E731
-        ~F.col(f"__prev_payload.{f}").eqNullSafe(F.col(f"__payload.{f}")),
-        F.col(f"__prev_payload.{f}"),
-    )
-    old = F.when(
-        (F.col("__app_op") != "delete") & F.col("__live"),
-        F.struct(
-            changed("user_id").alias("user_id"),
-            changed("value").alias("value"),
-            changed("props").alias("props"),
-        ),
-    )
-    envelope = F.struct(
-        F.lit(db).alias("database"),
-        F.lit(table).alias("table"),
-        mtype.alias("type"),
-        (F.unix_millis(F.col("ts")) / 1000).cast("long").alias("ts"),
-        F.col("event_id").alias("xid"),
-        data.alias("data"),
-        old.alias("old"),
-    )
-    return s.select(F.to_json(envelope).alias("value"))
+    return s.select(F.expr(envelope).alias("value"))
 
 
 def events_to_ogg_json(
@@ -270,27 +223,21 @@ def events_to_ogg_json(
     a binlog offset).
     ``staged``: see events_to_changelog_json."""
     s = _staged(events) if staged is None else staged
-    otype = (
-        F.when(F.col("__app_op") == "delete", F.lit("D"))
-        .when(F.col("__live"), F.lit("U"))
-        .otherwise(F.lit("I"))
+    ts_str = "date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+    envelope = (
+        "to_json(struct("
+        f"'{db}.{table}' AS table,"
+        " CASE WHEN __app_op = 'delete' THEN 'D'"
+        " WHEN __live THEN 'U' ELSE 'I' END AS op_type,"
+        f" {ts_str} AS op_ts, {ts_str} AS current_ts,"
+        " lpad(cast(event_id as string), 20, '0') AS pos,"
+        " array('user_id') AS primary_keys,"
+        " CASE WHEN (__app_op = 'delete') OR __live"
+        " THEN __prev_payload END AS before,"
+        " CASE WHEN NOT (__app_op = 'delete')"
+        " THEN __payload END AS after))"
     )
-    before = F.when(
-        (F.col("__app_op") == "delete") | F.col("__live"), F.col("__prev_payload")
-    )
-    after = F.when(F.col("__app_op") != "delete", F.col("__payload"))
-    ts_str = F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-    envelope = F.struct(
-        F.lit(f"{db}.{table}").alias("table"),
-        otype.alias("op_type"),
-        ts_str.alias("op_ts"),
-        ts_str.alias("current_ts"),
-        F.lpad(F.col("event_id").cast("string"), 20, "0").alias("pos"),
-        F.array(F.lit("user_id")).alias("primary_keys"),
-        before.alias("before"),
-        after.alias("after"),
-    )
-    return s.select(F.to_json(envelope).alias("value"))
+    return s.select(F.expr(envelope).alias("value"))
 
 
 def parse_ogg_json(
@@ -301,51 +248,24 @@ def parse_ogg_json(
     """Ogg JSON -> typed changelog rows with ``row_kind``: I -> +I from
     ``after``, D -> -D from ``before``, U -> (-U from ``before``, +U from
     ``after``) — the same expansion Flink's ogg-json format performs."""
-    schema = T.StructType(
-        [
-            T.StructField("table", T.StringType(), True),
-            T.StructField("op_type", T.StringType(), True),
-            T.StructField("op_ts", T.StringType(), True),
-            T.StructField("current_ts", T.StringType(), True),
-            T.StructField("pos", T.StringType(), True),
-            T.StructField("primary_keys", T.ArrayType(T.StringType()), True),
-            T.StructField("before", payload_schema, True),
-            T.StructField("after", payload_schema, True),
-        ]
+    p = _payload_ddl(payload_schema)
+    ddl = (
+        "table string, op_type string, op_ts string, current_ts string,"
+        f" pos string, primary_keys array<string>, before {p}, after {p}"
     )
-    parsed = raw.select(F.from_json(F.col(value_col), schema).alias("e"))
+    parsed = raw.select(F.expr(f"from_json({value_col}, '{ddl}')").alias("e"))
     rows = (
-        F.when(
-            F.col("e.op_type") == "D",
-            F.array(
-                F.struct(
-                    F.lit("-D").alias("row_kind"), F.col("e.before").alias("payload")
-                )
-            ),
-        )
-        .when(
-            F.col("e.op_type") == "U",
-            F.array(
-                F.struct(
-                    F.lit("-U").alias("row_kind"), F.col("e.before").alias("payload")
-                ),
-                F.struct(
-                    F.lit("+U").alias("row_kind"), F.col("e.after").alias("payload")
-                ),
-            ),
-        )
-        .otherwise(
-            F.array(
-                F.struct(
-                    F.lit("+I").alias("row_kind"), F.col("e.after").alias("payload")
-                )
-            )
-        )
+        "CASE WHEN e.op_type = 'D'"
+        " THEN array(struct('-D' AS row_kind, e.before AS payload))"
+        " WHEN e.op_type = 'U'"
+        " THEN array(struct('-U' AS row_kind, e.before AS payload),"
+        " struct('+U' AS row_kind, e.after AS payload))"
+        " ELSE array(struct('+I' AS row_kind, e.after AS payload)) END"
     )
-    ex = parsed.withColumn("__r", F.explode(rows))
-    return ex.select(
-        *[F.col(f"__r.payload.{f.name}").alias(f.name) for f in payload_schema.fields],
-        F.col("__r.row_kind").alias("row_kind"),
+    ex = parsed.withColumn("__r", F.explode(F.expr(rows)))
+    return ex.selectExpr(
+        *[f"__r.payload.{f.name} AS {f.name}" for f in payload_schema.fields],
+        "__r.row_kind AS row_kind",
     )
 
 
@@ -359,48 +279,30 @@ def parse_maxwell_json(
     coalesce) — the standard Maxwell reconstruction, with its standard
     caveat that a column changed TO null is indistinguishable from an
     unchanged one (the fixture has no null payloads)."""
-    schema = T.StructType(
-        [
-            T.StructField("database", T.StringType(), True),
-            T.StructField("table", T.StringType(), True),
-            T.StructField("type", T.StringType(), True),
-            T.StructField("ts", T.LongType(), True),
-            T.StructField("xid", T.LongType(), True),
-            T.StructField("data", payload_schema, True),
-            T.StructField("old", payload_schema, True),
-        ]
+    p = _payload_ddl(payload_schema)
+    ddl = (
+        "database string, table string, type string, ts bigint, xid bigint,"
+        f" data {p}, old {p}"
     )
-    parsed = raw.select(F.from_json(F.col(value_col), schema).alias("e"))
-    before = F.struct(
-        *[
-            F.coalesce(F.col(f"e.old.{f.name}"), F.col(f"e.data.{f.name}")).alias(
-                f.name
-            )
+    parsed = raw.select(F.expr(f"from_json({value_col}, '{ddl}')").alias("e"))
+    before = (
+        "struct("
+        + ",".join(
+            f"coalesce(e.old.{f.name}, e.data.{f.name}) AS {f.name}"
             for f in payload_schema.fields
-        ]
+        )
+        + ")"
     )
     rows = (
-        F.when(
-            F.col("e.type") == "delete",
-            F.array(
-                F.struct(F.lit("-D").alias("row_kind"), F.col("e.data").alias("payload"))
-            ),
-        )
-        .when(
-            F.col("e.type") == "update",
-            F.array(
-                F.struct(F.lit("-U").alias("row_kind"), before.alias("payload")),
-                F.struct(F.lit("+U").alias("row_kind"), F.col("e.data").alias("payload")),
-            ),
-        )
-        .otherwise(
-            F.array(
-                F.struct(F.lit("+I").alias("row_kind"), F.col("e.data").alias("payload"))
-            )
-        )
+        "CASE WHEN e.type = 'delete'"
+        " THEN array(struct('-D' AS row_kind, e.data AS payload))"
+        " WHEN e.type = 'update'"
+        f" THEN array(struct('-U' AS row_kind, {before} AS payload),"
+        " struct('+U' AS row_kind, e.data AS payload))"
+        " ELSE array(struct('+I' AS row_kind, e.data AS payload)) END"
     )
-    ex = parsed.withColumn("__r", F.explode(rows))
-    return ex.select(
-        *[F.col(f"__r.payload.{f.name}").alias(f.name) for f in payload_schema.fields],
-        F.col("__r.row_kind").alias("row_kind"),
+    ex = parsed.withColumn("__r", F.explode(F.expr(rows)))
+    return ex.selectExpr(
+        *[f"__r.payload.{f.name} AS {f.name}" for f in payload_schema.fields],
+        "__r.row_kind AS row_kind",
     )

@@ -190,9 +190,9 @@ def cdc_tikv_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_TIKV_SINGLE).alias("single"),
         F.expr(_TIKV_PENDING).alias("pend"),
     )
-    val = F.struct(
-        F.col("cents").alias("cents"), F.col("op").alias("op"), F.col("event_id").alias("e")
-    )
+    # phase-event envelopes as ONE expr parse each (round 12 — the Column
+    # forms cost ~30 py4j round trips per envelope; identical trees)
+    val = "struct(cents AS cents, op AS op, event_id AS e)"
     # ---- generate the wire stream (one JSON event per 2PC phase) --------
     # every txn except a single-event COMMITTED emits a PREWRITE first
     # (rollback txns included — their prewrite is what the rollback
@@ -202,50 +202,24 @@ def cdc_tikv_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BRANCH inside the checkpoint job (measured 8.3x per decade at the
     # 100x events scale; single-pass generation keeps the decode
     # codec-bound and linear).
-    prewrite_j = F.when(
-        F.col("rb") | ~F.col("single"),
-        F.to_json(
-            F.struct(
-                F.lit("PREWRITE").alias("t"),
-                F.col("user_id").alias("k"),
-                F.col("start_ts").alias("s"),
-                F.lit(None).cast("long").alias("c"),
-                val.alias("v"),
-            )
-        ),
+    prewrite_j = F.expr(
+        "CASE WHEN rb OR (NOT single) THEN to_json(struct("
+        "'PREWRITE' AS t, user_id AS k, start_ts AS s,"
+        f" cast(null as bigint) AS c, {val} AS v)) END"
     )
-    commit_j = F.when(
-        ~F.col("rb") & ~F.col("single") & ~F.col("pend"),
-        F.to_json(
-            F.struct(
-                F.lit("COMMIT").alias("t"),
-                F.col("user_id").alias("k"),
-                F.col("start_ts").alias("s"),
-                F.col("commit_ts").alias("c"),
-            )
-        ),
+    commit_j = F.expr(
+        "CASE WHEN (NOT rb) AND (NOT single) AND (NOT pend)"
+        " THEN to_json(struct('COMMIT' AS t, user_id AS k,"
+        " start_ts AS s, commit_ts AS c)) END"
     )
-    committed_j = F.when(
-        ~F.col("rb") & F.col("single"),
-        F.to_json(
-            F.struct(
-                F.lit("COMMITTED").alias("t"),
-                F.col("user_id").alias("k"),
-                F.col("start_ts").alias("s"),
-                F.col("commit_ts").alias("c"),
-                val.alias("v"),
-            )
-        ),
+    committed_j = F.expr(
+        "CASE WHEN (NOT rb) AND single THEN to_json(struct("
+        "'COMMITTED' AS t, user_id AS k, start_ts AS s,"
+        f" commit_ts AS c, {val} AS v)) END"
     )
-    rollback_j = F.when(
-        F.col("rb"),
-        F.to_json(
-            F.struct(
-                F.lit("ROLLBACK").alias("t"),
-                F.col("user_id").alias("k"),
-                F.col("start_ts").alias("s"),
-            )
-        ),
+    rollback_j = F.expr(
+        "CASE WHEN rb THEN to_json(struct("
+        "'ROLLBACK' AS t, user_id AS k, start_ts AS s)) END"
     )
     raw = ev.select(
         F.explode(

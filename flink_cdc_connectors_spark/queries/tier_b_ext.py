@@ -996,12 +996,45 @@ def join_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = e.select("user_id", F.col("ts").alias("d_ts"), F.col("event_id").alias("d_eid"), "value")
     hours = ev.select("user_id", "hour_start").distinct()
-    cand = hours.join(dim, "user_id").filter(F.col("d_ts") < F.col("hour_start"))
-    w = W.partitionBy("user_id", "hour_start").orderBy(F.desc("d_ts"), F.desc("d_eid"))
+    # Cache fills via the union-as-of form (round 12): the previous
+    # hours-JOIN-dim equi-join exploded to (active hours x dim history)
+    # rows PER KEY (~5M at sf0.1 — every probe re-paired with the full
+    # key history) before a window picked rn=1.  Interleaving probes and
+    # dim rows in ONE per-key ordered pass computes the same last-state-
+    # strictly-before-each-hour with linear work — the standard
+    # distributed as-of shape (same trick as join_temporal_asof).  At
+    # equal timestamps the probe sorts FIRST (is_probe desc), so a dim
+    # row AT the hour top is excluded — exactly the previous strict
+    # d_ts < hour_start predicate; the running max(struct(d_ts, d_eid,
+    # value)) reproduces the (d_ts DESC, d_eid DESC) rank-1 pick.
+    dimu = dim.select(
+        "user_id",
+        F.col("d_ts").alias("t"),
+        F.lit(0).alias("is_probe"),
+        F.struct("d_ts", "d_eid", "value").alias("st"),
+    )
+    probeu = hours.select(
+        "user_id",
+        F.col("hour_start").alias("t"),
+        F.lit(1).alias("is_probe"),
+        F.lit(None)
+        .cast("struct<d_ts:timestamp,d_eid:bigint,value:double>")
+        .alias("st"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.desc("is_probe"), F.asc(F.col("st.d_eid")))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     cache = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "hour_start", F.round("value", 2).alias("stale_value_r"))
+        dimu.unionByName(probeu)
+        .withColumn("last_st", F.max("st").over(w))
+        .filter(F.col("is_probe") == 1)
+        .select(
+            "user_id",
+            F.col("t").alias("hour_start"),
+            F.round(F.col("last_st.value"), 2).alias("stale_value_r"),
+        )
     )
     return ev.join(cache, ["user_id", "hour_start"], "left").select(
         "event_id",

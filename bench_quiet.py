@@ -105,15 +105,26 @@ def head_commit(repo: str = REPO) -> str:
         if p.returncode != 0:
             return "unknown"
         commit = p.stdout.strip() or "unknown"
+        # Measurement OUTPUT files are excluded from the fingerprint
+        # (round 12): invocation N rewrites BENCH_QUIET_r*.json /
+        # BENCH_DETAIL.json, so fingerprinting them made invocation N+1
+        # read a "different tree" and start a fresh min-of-record — the
+        # merge could never fire twice on one tree (observed: two
+        # back-to-back invocations at the same HEAD, zero merges).  The
+        # artifacts are what the run WRITES, not what it measures.
+        exclude = (
+            ":(exclude)BENCH_QUIET_r*.json",
+            ":(exclude)BENCH_DETAIL.json",
+        )
         st = subprocess.run(
-            ["git", "status", "--porcelain"],
+            ["git", "status", "--porcelain", "--", ".", *exclude],
             capture_output=True, text=True, cwd=repo, timeout=10,
         )
         if st.returncode == 0 and st.stdout.strip():
             import hashlib
 
             diff = subprocess.run(
-                ["git", "diff", "HEAD"],
+                ["git", "diff", "HEAD", "--", ".", *exclude],
                 capture_output=True, text=True, cwd=repo, timeout=30,
             ).stdout
             h = hashlib.sha1((st.stdout + diff).encode()).hexdigest()[:8]

@@ -256,3 +256,32 @@ def test_fold_retry_results_bookkeeping():
         own_ceil=5.0,
     )
     assert still3 == ["e"] and failures3 == {"e": "OOM"}
+
+
+def test_head_commit_ignores_measurement_artifacts(tmp_path):
+    """Invocation N rewrites the quiet artifact; if that rewrite changed
+    the tree fingerprint, invocation N+1 could never merge its
+    min-of-record (round-12 regression: two back-to-back runs at one
+    HEAD, zero merges).  Artifact files are excluded from the dirty
+    hash; real source edits still change it."""
+    import subprocess
+    from bench_quiet import head_commit
+
+    repo = str(tmp_path)
+    subprocess.run(["git", "init", "-q", repo], check=True)
+    subprocess.run(["git", "-C", repo, "config", "user.email", "t@t"], check=True)
+    subprocess.run(["git", "-C", repo, "config", "user.name", "t"], check=True)
+    (tmp_path / "code.py").write_text("x = 1\n")
+    (tmp_path / "BENCH_QUIET_r12.json").write_text("{}")
+    subprocess.run(["git", "-C", repo, "add", "-A"], check=True)
+    subprocess.run(["git", "-C", repo, "commit", "-qm", "init"], check=True)
+    clean = head_commit(repo)
+    assert "-dirty-" not in clean
+    # rewriting the artifact (tracked) or dropping a new detail file
+    # (untracked) must NOT change the fingerprint
+    (tmp_path / "BENCH_QUIET_r12.json").write_text('{"value": 1}')
+    (tmp_path / "BENCH_DETAIL.json").write_text("{}")
+    assert head_commit(repo) == clean
+    # a source edit must still flip it
+    (tmp_path / "code.py").write_text("x = 2\n")
+    assert head_commit(repo).startswith(clean + "-dirty-")

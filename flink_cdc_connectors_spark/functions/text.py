@@ -19,6 +19,14 @@ from pyspark.sql import functions as F
 # signature costs ~240 gateway calls through the Column API).  Both forms
 # yield the identical Catalyst tree — A/B pinned in
 # tests/test_functions.py::test_text_sql_forms_match_column_forms.
+#
+# Conf dependency (ADVICE r12 #4): the SQL forms write regexes as '\\s+'
+# inside single-quoted SQL literals, which lexes to the same \s+ pattern as
+# the Column forms' r"\s+" only under the DEFAULT
+# spark.sql.parser.escapedStringLiterals=false.  session.get_spark pins
+# that default explicitly; a session built elsewhere with the conf flipped
+# would make the SQL twins emit the literal backslash-backslash-s and
+# silently drift the dedup keys.
 
 
 def normalize_text_sql(c: str) -> str:

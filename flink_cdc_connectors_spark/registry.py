@@ -123,68 +123,50 @@ def oracle_valid_at(
 # instead, the ordering is a no-op.  Everything not listed follows in
 # sorted order.
 #
-# Round-12 set (VERDICT r11 "Next round" #1): (1) the 24 keys whose newest
-# driver row is round 8 — the oldest surviving evidence after the r11
-# rotation — ordered by BENCH_QUIET_r11 per-key weight, heaviest first;
-# (2) cdc_stream_dedup_index, the heaviest suite key, whose r11 quiet pair
-# sat above its r10 band without an era-verdict row (VERDICT r11 "What's
-# wrong" #3) — a fresh driver row lands alongside this round's ABAB
-# adjudication; (3) r9-evidence keys, heaviest quiet weight first, to ~50.
+# Round-13 set (VERDICT r12 "Next round" #1): the r12 correctness sample
+# was frozen BEFORE the r12 optimization edits, so 18 of the 23 keys that
+# round rewrote have driver-level hash evidence only from r11 or older.
+# (1) the r12-touched keys, semantics-riskiest first (join_lookup's
+# union-as-of rewrite, ext_minhash_recall's hashed exact-Jaccard, the
+# wire-format single-parse family), then the rewritten ext_dedup/* and
+# ext_sim_search/* families; (2) the keys round 13 touches (this round's
+# single-parse conversions + the dedup-cluster loop), so CORRECTNESS_r13
+# hash-verifies BOTH optimization rounds' rewrites in one sample.
 _CHECK_FIRST = (
-    # -- 1: the 24 keys whose newest driver row is round 8, heaviest first ----
-    "cdc_txn_metadata",
-    "agg_grouping_sets",
-    "join_range",
-    "scalar_json",
-    "join_full_outer",
-    "scalar_typecast",
-    "agg_skew_salted",
-    "cdc_sql_ddl_source",
-    "ext_multimodal_image",
-    "join_temporal_asof",
-    "join_broadcast",
-    "cdc_sql_ddl_join",
-    "pattern_funnel",
-    "agg_filter_where",
-    "ext_multimodal_video",
-    "cdc_heartbeat",
-    "join_interval",
-    "join_inner",
-    "join_semi",
-    "set_distinct_union",
-    "scalar_date",
-    "scalar_string",
-    "scan_project",
-    "scalar_conditional",
-    # -- 2: this round's adjudication target (r11 What's-wrong #3) ------------
+    # -- 1: round-12 rewrites, riskiest first ---------------------------------
+    "join_lookup",
+    "ext_minhash_recall",
+    "cdc_format_roundtrip",
+    "cdc_changelog_mode_upsert",
+    "cdc_tikv_two_phase",
     "cdc_stream_dedup_index",
-    # -- 3: r9-evidence keys, heaviest quiet weight first, to ~50 -------------
     "ext_ann_recall",
-    "ext_dedup_keeper_quality",
-    "ext_bloom_decontaminate",
-    "ext_kmeans_spherical",
-    "cdc_type_change_resnapshot",
-    "ext_dedup_lines",
-    "ext_sequence_pack",
-    "cdc_jdbc_incremental",
-    "cdc_mongo_changestream",
+    "ext_dedup_minhash",
+    "ext_dedup_simhash",
+    "ext_dedup_incremental",
+    "ext_dedup_ngram_jaccard",
     "ext_dedup_cluster",
-    "ext_filter_ensemble",
-    "ext_decontaminate",
-    "agg_approx_distinct",
-    "ext_dedup_substring",
-    "cdc_capture_sqlserver",
-    "cdc_capture_db2",
-    "cdc_upsert_sink",
-    "ext_unigram_logprob",
-    "agg_percentiles",
-    "cdc_postgres_wal2json",
-    "cdc_oceanbase_commit_order",
-    "agg_continuous_rollup",
-    "cdc_logminer_redo",
-    "cdc_gtid_failover",
-    "ext_domain_mix",
-    # -- r9+ greens follow in sorted order; rows-only keys at the tail --
+    "ext_dedup_keeper_quality",
+    "ext_dedup_embedding",
+    "ext_dedup_embedding_lsh",
+    "ext_sim_search_cosine",
+    "ext_sim_search_ivf",
+    "ext_sim_search_lsh",
+    "ext_sim_search_pq",
+    "ext_semdedup",
+    "ext_kmeans_spherical",
+    "ext_curation_pipeline",
+    "ext_tfidf",
+    # -- 2: round-13 touched keys ----------------------------------------------
+    "cdc_jdbc_incremental",
+    "cdc_mongo_copy_existing",
+    "cdc_mongo_update_lookup",
+    "cdc_pgoutput_relation",
+    "cdc_newly_added_tables",
+    "cdc_multi_table_route",
+    "cdc_type_change_resnapshot",
+    "cdc_chunk_split_sampled",
+    # -- r12-sampled greens and the rest follow in sorted order ---------------
 )
 
 

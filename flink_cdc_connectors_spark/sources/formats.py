@@ -44,6 +44,8 @@ and decoded rows are unchanged — pinned by tests/test_formats.py.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -54,6 +56,24 @@ from flink_cdc_connectors_spark.sources.envelope import (
 )
 
 ROW_KINDS = ("+I", "-U", "+U", "-D")
+
+# Names interpolated into the single-parse SQL strings (db/table literals,
+# the value column, payload field names) must be inert under the SQL lexer:
+# a quote or backslash in one would break the parse — or worse, silently
+# alter the envelope (ADVICE r12 #2).  The Column forms these SQL strings
+# replaced passed them through F.lit()/F.col(), which needed no such guard,
+# so the single-parse forms assert it explicitly instead of trusting
+# call sites.
+_SAFE_SQL_NAME = re.compile(r"^[A-Za-z0-9_.$-]+$")
+
+
+def _safe(name: str, what: str) -> str:
+    if not _SAFE_SQL_NAME.match(name):
+        raise ValueError(
+            f"{what} {name!r} is interpolated into a SQL string and must "
+            "match [A-Za-z0-9_.$-]+"
+        )
+    return name
 
 
 def _staged(events: DataFrame) -> DataFrame:
@@ -76,10 +96,18 @@ def _staged(events: DataFrame) -> DataFrame:
 
 def _payload_ddl(payload_schema: T.StructType) -> str:
     """The payload struct as a DDL fragment for from_json SQL strings —
-    parses to the same StructType object the Column form passed."""
+    parses to the same StructType object the Column form passed.  Field
+    names are backtick-quoted (and asserted backtick-free — a name
+    containing one cannot be quoted into this fragment) so a name that is
+    a SQL keyword or carries odd characters still parses as a name."""
+    for f in payload_schema.fields:
+        if "`" in f.name:
+            raise ValueError(f"payload field {f.name!r} cannot carry a backtick")
     return (
         "struct<"
-        + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in payload_schema.fields)
+        + ",".join(
+            f"`{f.name}`:{f.dataType.simpleString()}" for f in payload_schema.fields
+        )
         + ">"
     )
 
@@ -113,12 +141,13 @@ def parse_changelog_json(
 ) -> DataFrame:
     """changelog-json -> typed rows with ``row_kind`` — one ``from_json``
     projection, schema parameterized per table."""
+    value_col = _safe(value_col, "value_col")
     ddl = f"data {_payload_ddl(payload_schema)}, op string"
     parsed = raw.select(
         F.expr(f"from_json({value_col}, '{ddl}')").alias("e")
     )
     return parsed.selectExpr(
-        *[f"e.data.{f.name} AS {f.name}" for f in payload_schema.fields],
+        *[f"e.data.`{f.name}` AS `{f.name}`" for f in payload_schema.fields],
         "e.op AS row_kind",
     )
 
@@ -130,6 +159,7 @@ def events_to_canal_json(
     """Fixture events -> Canal JSON (one envelope per binlog EVENT;
     ``data``/``old`` are single-element arrays of the full row images).
     ``staged``: see events_to_changelog_json."""
+    db, table = _safe(db, "db"), _safe(table, "table")
     s = _staged(events) if staged is None else staged
     envelope = (
         "to_json(struct("
@@ -154,6 +184,7 @@ def parse_canal_json(
     """Canal JSON -> typed changelog rows with ``row_kind``: INSERT -> +I,
     DELETE -> -D, UPDATE -> the (-U from ``old``, +U from ``data``) pair —
     the same expansion Flink's canal-json format performs."""
+    value_col = _safe(value_col, "value_col")
     p = _payload_ddl(payload_schema)
     ddl = (
         f"data array<{p}>, old array<{p}>, type string, database string,"
@@ -171,7 +202,7 @@ def parse_canal_json(
     )
     ex = parsed.withColumn("__r", F.explode(F.expr(rows)))
     return ex.selectExpr(
-        *[f"__r.payload.{f.name} AS {f.name}" for f in payload_schema.fields],
+        *[f"__r.payload.`{f.name}` AS `{f.name}`" for f in payload_schema.fields],
         "__r.row_kind AS row_kind",
     )
 
@@ -187,6 +218,7 @@ def events_to_maxwell_json(
     ``to_json``'s null-dropping produces naturally from a struct whose
     unchanged fields are null.
     ``staged``: see events_to_changelog_json."""
+    db, table = _safe(db, "db"), _safe(table, "table")
     s = _staged(events) if staged is None else staged
 
     def changed(f: str) -> str:
@@ -222,6 +254,7 @@ def events_to_ogg_json(
     zero-padded, lexically ordered trail position (the GoldenGate analog of
     a binlog offset).
     ``staged``: see events_to_changelog_json."""
+    db, table = _safe(db, "db"), _safe(table, "table")
     s = _staged(events) if staged is None else staged
     ts_str = "date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
     envelope = (
@@ -248,6 +281,7 @@ def parse_ogg_json(
     """Ogg JSON -> typed changelog rows with ``row_kind``: I -> +I from
     ``after``, D -> -D from ``before``, U -> (-U from ``before``, +U from
     ``after``) — the same expansion Flink's ogg-json format performs."""
+    value_col = _safe(value_col, "value_col")
     p = _payload_ddl(payload_schema)
     ddl = (
         "table string, op_type string, op_ts string, current_ts string,"
@@ -264,7 +298,7 @@ def parse_ogg_json(
     )
     ex = parsed.withColumn("__r", F.explode(F.expr(rows)))
     return ex.selectExpr(
-        *[f"__r.payload.{f.name} AS {f.name}" for f in payload_schema.fields],
+        *[f"__r.payload.`{f.name}` AS `{f.name}`" for f in payload_schema.fields],
         "__r.row_kind AS row_kind",
     )
 
@@ -279,6 +313,7 @@ def parse_maxwell_json(
     coalesce) — the standard Maxwell reconstruction, with its standard
     caveat that a column changed TO null is indistinguishable from an
     unchanged one (the fixture has no null payloads)."""
+    value_col = _safe(value_col, "value_col")
     p = _payload_ddl(payload_schema)
     ddl = (
         "database string, table string, type string, ts bigint, xid bigint,"
@@ -288,7 +323,7 @@ def parse_maxwell_json(
     before = (
         "struct("
         + ",".join(
-            f"coalesce(e.old.{f.name}, e.data.{f.name}) AS {f.name}"
+            f"coalesce(e.old.`{f.name}`, e.data.`{f.name}`) AS `{f.name}`"
             for f in payload_schema.fields
         )
         + ")"
@@ -303,6 +338,6 @@ def parse_maxwell_json(
     )
     ex = parsed.withColumn("__r", F.explode(F.expr(rows)))
     return ex.selectExpr(
-        *[f"__r.payload.{f.name} AS {f.name}" for f in payload_schema.fields],
+        *[f"__r.payload.`{f.name}` AS `{f.name}`" for f in payload_schema.fields],
         "__r.row_kind AS row_kind",
     )

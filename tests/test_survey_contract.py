@@ -100,23 +100,35 @@ def test_check_first_keys_are_registered_and_unique():
     unknown = [k for k in _CHECK_FIRST if k not in registry]
     assert unknown == [], f"_CHECK_FIRST names not in the registry: {unknown}"
     assert len(set(_CHECK_FIRST)) == len(_CHECK_FIRST), "duplicate _CHECK_FIRST keys"
-    # the round-12 rotation contract: every key whose newest driver
-    # evidence is round 8 (VERDICT r11 What's-wrong #1) is in the rotation,
-    # so CORRECTNESS_r12 leaves no key's evidence older than round 9
-    r8_stale = {
-        "agg_filter_where", "agg_grouping_sets", "agg_skew_salted",
-        "cdc_heartbeat", "cdc_sql_ddl_join", "cdc_sql_ddl_source",
-        "cdc_txn_metadata", "ext_multimodal_image", "ext_multimodal_video",
-        "join_broadcast", "join_full_outer", "join_inner", "join_interval",
-        "join_range", "join_semi", "join_temporal_asof", "pattern_funnel",
-        "scalar_conditional", "scalar_date", "scalar_json", "scalar_string",
-        "scalar_typecast", "scan_project", "set_distinct_union",
+    # the round-13 rotation contract (VERDICT r12 "Next round" #1): the
+    # r12 correctness sample was frozen BEFORE the r12 optimization edits,
+    # so every key that round rewrote must lead the r13 sample — the
+    # driver's bounded hash budget then covers both optimization rounds'
+    # rewrites.  (The previous r8-stale set got its fresh driver rows in
+    # CORRECTNESS_r12 — all 50 green — so that older contract is closed.)
+    r12_touched = {
+        "join_lookup", "ext_minhash_recall", "cdc_format_roundtrip",
+        "cdc_changelog_mode_upsert", "cdc_tikv_two_phase",
+        "cdc_stream_dedup_index", "ext_ann_recall", "ext_dedup_minhash",
+        "ext_dedup_simhash", "ext_dedup_incremental",
+        "ext_dedup_ngram_jaccard", "ext_dedup_cluster",
+        "ext_dedup_keeper_quality", "ext_dedup_embedding",
+        "ext_dedup_embedding_lsh", "ext_sim_search_cosine",
+        "ext_sim_search_ivf", "ext_sim_search_lsh", "ext_sim_search_pq",
+        "ext_semdedup", "ext_kmeans_spherical", "ext_curation_pipeline",
+        "ext_tfidf",
     }
-    missing = r8_stale - set(_CHECK_FIRST[:24])
-    assert missing == set(), f"r8-stale keys not in the first 24 slots: {missing}"
-    # ... and the heaviest unadjudicated key (r11 What's-wrong #3) rides
-    # along so the ABAB era verdict gets a same-round driver row
-    assert "cdc_stream_dedup_index" in _CHECK_FIRST[:26]
+    missing = r12_touched - set(_CHECK_FIRST[:23])
+    assert missing == set(), f"r12-touched keys not in the first 23 slots: {missing}"
+    # ... and the keys round 13 touches ride along right behind, so the
+    # same CORRECTNESS_r13 sample hash-verifies this round's edits too
+    r13_touched = {
+        "cdc_jdbc_incremental", "cdc_mongo_copy_existing",
+        "cdc_mongo_update_lookup", "cdc_pgoutput_relation",
+        "cdc_newly_added_tables", "cdc_multi_table_route",
+        "cdc_type_change_resnapshot", "cdc_chunk_split_sampled",
+    }
+    assert r13_touched - set(_CHECK_FIRST[:31]) == set()
 
 
 def test_every_corpus_gate_is_flagged_or_pinned():

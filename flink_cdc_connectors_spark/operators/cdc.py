@@ -56,13 +56,23 @@ def changelog_normalize(
     change already emitted under the OLD decode, and the higher epoch (the
     newest decode, with the re-read precision) must win deterministically.
     """
-    order = _offset_order(desc=True)
+    # Single-parse form (round 13): this helper fronts a dozen tier-A
+    # keys and some builders call it several times per run — the window
+    # rank builds as one selectExpr parse instead of ~45 gateway calls.
+    order = "ts DESC, event_id DESC"
     if "schema_epoch" in changelog.columns:
-        order.append(F.col("schema_epoch").desc())
-    w = Window.partitionBy(*key_cols).orderBy(*order)
-    out = changelog.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+        order += ", schema_epoch DESC"
+    keys = ", ".join(f"`{k}`" for k in key_cols)
+    out = (
+        changelog.selectExpr(
+            "*",
+            f"row_number() OVER (PARTITION BY {keys} ORDER BY {order}) AS __rn",
+        )
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
     if drop_deletes:
-        out = out.filter(F.col("op") != "delete")
+        out = out.filter("op <> 'delete'")
     return out
 
 
@@ -455,13 +465,13 @@ def chunk_reconcile(
     case for a backfill window.
     """
     latest_changes = changelog_normalize(changes, key_cols=key_cols).select(*snapshot.columns)
-    keys = [F.col(k) for k in key_cols]
-    changed_keys = latest_changes.select(*key_cols).union(
-        # keys whose *last* change is a delete must also leave the snapshot
-        changelog_normalize(changes, key_cols=key_cols, drop_deletes=False)
-        .filter(F.col("op") == "delete")
-        .select(*key_cols)
-    ).distinct()
+    # Keys that must leave the snapshot = keys whose last change survives
+    # (replaced) PLUS keys whose last change is a delete (removed) — i.e.
+    # EVERY key the change window touched.  Round 13: computed as one
+    # distinct over the raw change set instead of a second full window
+    # pass (the previous union ran changelog_normalize twice, so the
+    # physical plan executed the per-key rank window twice).
+    changed_keys = changes.select(*key_cols).distinct()
     untouched = snapshot.join(changed_keys, on=list(key_cols), how="left_anti")
     return untouched.unionByName(latest_changes)
 

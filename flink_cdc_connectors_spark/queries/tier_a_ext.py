@@ -42,7 +42,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from flink_cdc_connectors_spark.registry import query
-from flink_cdc_connectors_spark.sources.envelope import op_col
 from flink_cdc_connectors_spark.sources.loaders import load_table
 
 # Cents conversion used everywhere a float would otherwise ride a string
@@ -100,28 +99,45 @@ def _logged(spark: SparkSession, sf_dir: str) -> DataFrame:
     with op in insert/update/delete and before-images for update/delete.
     One hash shuffle on the PK (the lag window); everything else is
     projection.
+
+    Round 13: built as three single-parse selectExpr/filter calls instead
+    of the withColumn chain (~25 gateway round trips + one eager
+    re-analysis per withColumn) — this helper fronts eight tier-A keys,
+    so its construction cost is paid ~8x per bench pass.  The lag
+    expressions carry the identical window spec, so they land in ONE
+    Window operator exactly as the `.over(w)` chain did; values are
+    unchanged (the 160-key oracle sweep covers every consumer).
     """
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .withColumn("app_op", op_col())
-        .withColumn("prev_value", F.lag("value").over(w))
-        .withColumn("prev_props", F.lag("props").over(w))
-        .withColumn("prev_op", F.lag(op_col()).over(w))
+    app_op = (
+        "CASE WHEN event_type = 'error' THEN 'delete' "
+        "WHEN event_type = 'signup' THEN 'insert' ELSE 'update' END"
     )
-    live = F.col("prev_op").isNotNull() & (F.col("prev_op") != "delete")
-    return ev.filter(~((F.col("app_op") == "delete") & ~live)).select(
+    over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    staged = load_table(spark, sf_dir, "events").selectExpr(
         "event_id",
         "ts",
         "user_id",
-        _cents("value").alias("cents"),
-        _cents("prev_value").alias("prev_cents"),
-        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
-        F.get_json_object("prev_props", "$.k").cast("long").alias("prev_k"),
-        F.when(F.col("app_op") == "delete", F.lit("delete"))
-        .when(live, F.lit("update"))
-        .otherwise(F.lit("insert"))
-        .alias("op"),
+        "value",
+        "props",
+        f"{app_op} AS app_op",
+        f"lag(value) {over} AS prev_value",
+        f"lag(props) {over} AS prev_props",
+        f"lag({app_op}) {over} AS prev_op",
+    )
+    return staged.filter(
+        "NOT (app_op = 'delete'"
+        " AND NOT (prev_op IS NOT NULL AND prev_op <> 'delete'))"
+    ).selectExpr(
+        "event_id",
+        "ts",
+        "user_id",
+        f"{_CENTS} AS cents",
+        f"{_CENTS.replace('value', 'prev_value')} AS prev_cents",
+        "CAST(get_json_object(props, '$.k') AS BIGINT) AS k_val",
+        "CAST(get_json_object(prev_props, '$.k') AS BIGINT) AS prev_k",
+        "CASE WHEN app_op = 'delete' THEN 'delete'"
+        " WHEN prev_op IS NOT NULL AND prev_op <> 'delete' THEN 'update'"
+        " ELSE 'insert' END AS op",
     )
 
 

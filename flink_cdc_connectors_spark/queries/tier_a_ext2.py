@@ -361,50 +361,56 @@ def cdc_mongo_copy_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash on the PK (one exchange reused); bounds are a one-row broadcast.
     The logged frame feeds four consumers (bounds, copy, tail, stats), so
     it is eagerly checkpointed to run the lag window once."""
+    # Single-parse selectExpr forms throughout (round 13): this builder
+    # paid ~780 gateway round trips of Column construction per bench run;
+    # each block below is one parse.  Values unchanged (oracle-pinned).
     logged = _logged(spark, sf_dir).localCheckpoint(eager=True)
-    bounds = logged.agg(
-        F.floor(F.max("event_id") * 9 / 10).cast("long").alias("p"),
-        F.floor(F.max("event_id") * 49 / 50).cast("long").alias("c"),
+    bounds = logged.selectExpr(
+        "CAST(floor(max(event_id) * 9 / 10) AS BIGINT) AS p",
+        "CAST(floor(max(event_id) * 49 / 50) AS BIGINT) AS c",
     )
     withb = logged.crossJoin(F.broadcast(bounds))
     # copy phase: collection state at C, emitted as images at position C
-    wdesc = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    # (project the window's inputs early — same values, narrower exchange)
     copy_rows = (
-        withb.filter(F.col("event_id") <= F.col("c"))
-        .withColumn("rn", F.row_number().over(wdesc))
-        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
-        .select(
+        withb.filter("event_id <= c")
+        .selectExpr(
             "user_id",
             "cents",
-            F.lit("copy").alias("op"),
-            F.col("c").alias("pos"),
-            F.lit(1).alias("is_copy"),
+            "op",
+            "c",
+            "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC)"
+            " AS rn",
+        )
+        .filter("rn = 1 AND op <> 'delete'")
+        .selectExpr(
+            "user_id", "cents", "'copy' AS op", "c AS pos", "1 AS is_copy"
         )
     )
     # tail phase: every event after the token position P
-    tail_rows = withb.filter(F.col("event_id") > F.col("p")).select(
-        "user_id",
-        "cents",
-        "op",
-        F.col("event_id").alias("pos"),
-        F.lit(0).alias("is_copy"),
-        F.col("c"),
+    tail_rows = withb.filter("event_id > p").selectExpr(
+        "user_id", "cents", "op", "event_id AS pos", "0 AS is_copy", "c"
     )
     merged = copy_rows.unionByName(tail_rows.drop("c"))
-    wlww = W.partitionBy("user_id").orderBy(F.col("pos").desc(), F.col("is_copy").desc())
-    final = merged.withColumn("rn", F.row_number().over(wlww)).filter(
-        (F.col("rn") == 1) & (F.col("op") != "delete")
-    )
+    final = merged.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY user_id"
+        " ORDER BY pos DESC, is_copy DESC) AS rn",
+    ).filter("rn = 1 AND op <> 'delete'")
     stats = tail_rows.groupBy("user_id").agg(
-        F.count(F.when(F.col("pos") <= F.col("c"), 1)).cast("long").alias("n_overlap"),
-        F.count(F.when(F.col("pos") > F.col("c"), 1)).cast("long").alias("n_tail"),
+        F.expr("CAST(count(CASE WHEN pos <= c THEN 1 END) AS BIGINT)").alias(
+            "n_overlap"
+        ),
+        F.expr("CAST(count(CASE WHEN pos > c THEN 1 END) AS BIGINT)").alias(
+            "n_tail"
+        ),
     )
-    return final.join(stats, "user_id", "left").select(
+    return final.join(stats, "user_id", "left").selectExpr(
         "user_id",
-        F.col("cents").alias("final_cents"),
-        F.when(F.col("is_copy") == 1, F.lit("copy")).otherwise(F.lit("stream")).alias("final_from"),
-        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-        F.coalesce("n_tail", F.lit(0)).alias("n_tail"),
+        "cents AS final_cents",
+        "CASE WHEN is_copy = 1 THEN 'copy' ELSE 'stream' END AS final_from",
+        "coalesce(n_overlap, 0) AS n_overlap",
+        "coalesce(n_tail, 0) AS n_tail",
     )
 
 
@@ -428,20 +434,8 @@ _PGO_OID = 16384  # first user-table oid in a fresh PostgreSQL cluster
 _PGO_COLS_V1 = ("user_id", "value_cents")
 _PGO_COLS_V2 = ("value_cents", "k_val", "user_id")  # reordered AND widened
 
-_PGO_REL_SCHEMA = T.StructType(
-    [
-        T.StructField("oid", T.LongType()),
-        T.StructField("cols", T.ArrayType(T.StringType())),
-    ]
-)
-_PGO_DATA_SCHEMA = T.StructType(
-    [
-        T.StructField("oid", T.LongType()),
-        T.StructField("op", T.StringType()),
-        T.StructField("new", T.ArrayType(T.LongType())),
-        T.StructField("old", T.ArrayType(T.LongType())),
-    ]
-)
+# (The RELATION/data message schemas now ride inline DDL strings in the
+# decoder's single-parse from_json calls — same StructTypes after parse.)
 
 
 @query(
@@ -507,111 +501,85 @@ def cdc_pgoutput_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from flink_cdc_connectors_spark.sources.loaders import load_table
 
+    # Single-parse selectExpr forms throughout (round 13) — the envelope
+    # generation and the decode each build as a handful of parses instead
+    # of ~600 Column-API gateway calls.  Values unchanged (oracle-pinned).
     logged = _logged(spark, sf_dir)
-    mx = load_table(spark, sf_dir, "events").agg(
-        (F.max("event_id") / 2).cast("long").alias("mid")
+    mx = load_table(spark, sf_dir, "events").selectExpr(
+        "CAST(max(event_id) / 2 AS BIGINT) AS mid"
     )
     lg = logged.crossJoin(F.broadcast(mx))
-    epoch2 = F.col("event_id") > F.col("mid")
 
-    new_arr = F.when(
-        F.col("op") != "delete",
-        F.when(
-            epoch2, F.array(F.col("cents"), F.col("k_val"), F.col("user_id"))
-        ).otherwise(F.array(F.col("user_id"), F.col("cents"))),
-    )
-    old_arr = F.when(
-        F.col("op") != "insert",
-        F.when(
-            epoch2, F.array(F.col("prev_cents"), F.col("prev_k"), F.col("user_id"))
-        ).otherwise(F.array(F.col("user_id"), F.col("prev_cents"))),
-    )
-    op_wire = (
-        F.when(F.col("op") == "insert", F.lit("I"))
-        .when(F.col("op") == "update", F.lit("U"))
-        .otherwise(F.lit("D"))
-    )
     # data messages at even LSNs (2 * event_id); relation messages take the
     # odd slots so the wire has a unique total order with the DDL's
     # RELATION message strictly between the last old-schema row (2*mid)
     # and the first new-schema row (2*mid + 2) — exactly where the server
     # emits it.
-    data_msgs = lg.select(
-        (F.col("event_id") * 2).alias("lsn"),
-        F.lit("D").alias("mt"),
-        F.to_json(
-            F.struct(
-                F.lit(_PGO_OID).alias("oid"),
-                op_wire.alias("op"),
-                new_arr.alias("new"),
-                old_arr.alias("old"),
-            )
-        ).alias("msg"),
+    data_msgs = lg.selectExpr(
+        "event_id * 2 AS lsn",
+        "'D' AS mt",
+        f"""to_json(struct(
+          {_PGO_OID} AS oid,
+          CASE WHEN op = 'insert' THEN 'I'
+               WHEN op = 'update' THEN 'U' ELSE 'D' END AS op,
+          CASE WHEN op <> 'delete' THEN
+            CASE WHEN event_id > mid THEN array(cents, k_val, user_id)
+                 ELSE array(user_id, cents) END END AS new,
+          CASE WHEN op <> 'insert' THEN
+            CASE WHEN event_id > mid THEN array(prev_cents, prev_k, user_id)
+                 ELSE array(user_id, prev_cents) END END AS old)) AS msg""",
     )
 
-    def _rel_msg(cols: tuple) -> F.Column:
-        return F.to_json(
-            F.struct(
-                F.lit(_PGO_OID).alias("oid"),
-                F.array(*[F.lit(c) for c in cols]).alias("cols"),
-            )
-        )
+    def _rel_msg_sql(cols: tuple) -> str:
+        arr = ",".join(f"'{c}'" for c in cols)
+        return f"to_json(struct({_PGO_OID} AS oid, array({arr}) AS cols))"
 
-    rel_msgs = mx.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(-1).cast("long").alias("lsn"),
-                    F.lit("R").alias("mt"),
-                    _rel_msg(_PGO_COLS_V1).alias("msg"),
-                ),
-                F.struct(
-                    (F.col("mid") * 2 + 1).alias("lsn"),
-                    F.lit("R").alias("mt"),
-                    _rel_msg(_PGO_COLS_V2).alias("msg"),
-                ),
-            )
-        ).alias("r")
-    ).select("r.lsn", "r.mt", "r.msg")
+    rel_msgs = mx.selectExpr(
+        "explode(array("
+        " struct(CAST(-1 AS BIGINT) AS lsn, 'R' AS mt,"
+        f" {_rel_msg_sql(_PGO_COLS_V1)} AS msg),"
+        " struct(mid * 2 + 1 AS lsn, 'R' AS mt,"
+        f" {_rel_msg_sql(_PGO_COLS_V2)} AS msg)"
+        ")) AS r"
+    ).selectExpr("r.lsn AS lsn", "r.mt AS mt", "r.msg AS msg")
     wire = data_msgs.unionByName(rel_msgs)
 
     # ---- decode: wire-only from here ------------------------------------
-    rels = (
-        wire.filter(F.col("mt") == "R")
-        .select(F.col("lsn").alias("lsn_rel"), F.from_json("msg", _PGO_REL_SCHEMA).alias("r"))
-        .select("lsn_rel", F.col("r.oid").alias("oid"), F.col("r.cols").alias("cols"))
-    )
-    datas = (
-        wire.filter(F.col("mt") == "D")
-        .select("lsn", F.from_json("msg", _PGO_DATA_SCHEMA).alias("d"))
-        .select("lsn", "d.oid", "d.op", "d.new", "d.old")
-    )
+    rels = wire.filter("mt = 'R'").selectExpr(
+        "lsn AS lsn_rel",
+        "from_json(msg, 'oid bigint, cols array<string>') AS r",
+    ).selectExpr("lsn_rel", "r.oid AS oid", "r.cols AS cols")
+    datas = wire.filter("mt = 'D'").selectExpr(
+        "lsn",
+        "from_json(msg, 'oid bigint, op string,"
+        " new array<bigint>, old array<bigint>') AS d",
+    ).selectExpr("lsn", "d.oid AS oid", "d.op AS op", "d.new AS new", "d.old AS old")
     # validity intervals over the registry (tiny — the window runs on the
     # broadcast side): relation at lsn_rel is as-of current for data LSNs
     # in (lsn_rel, next_lsn_rel]; data LSNs are even and relation LSNs
     # odd, so the boundary can never tie and each data message lands in
     # exactly one interval — the join IS the newest-wins resolution
-    rels_iv = rels.withColumn(
-        "lsn_rel_end",
-        F.lead("lsn_rel").over(W.partitionBy("oid").orderBy("lsn_rel")),
+    rels_iv = rels.selectExpr(
+        "*",
+        "lead(lsn_rel) OVER (PARTITION BY oid ORDER BY lsn_rel) AS lsn_rel_end",
     )
     asof = datas.join(
         F.broadcast(rels_iv.withColumnRenamed("oid", "r_oid")),
-        (F.col("oid") == F.col("r_oid"))
-        & (F.col("lsn_rel") < F.col("lsn"))
-        & (F.col("lsn_rel_end").isNull() | (F.col("lsn") <= F.col("lsn_rel_end"))),
+        F.expr(
+            "oid = r_oid AND lsn_rel < lsn"
+            " AND (lsn_rel_end IS NULL OR lsn <= lsn_rel_end)"
+        ),
     ).select("lsn", "op", "new", "old", "cols")
-    new_img = F.map_from_entries(F.arrays_zip(F.col("cols"), F.col("new")))
-    old_img = F.map_from_entries(F.arrays_zip(F.col("cols"), F.col("old")))
-    return asof.select(
+    new_img = "map_from_entries(arrays_zip(cols, new))"
+    old_img = "map_from_entries(arrays_zip(cols, old))"
+    return asof.selectExpr(
         "lsn",
         "op",
-        F.coalesce(
-            F.element_at(new_img, "user_id"), F.element_at(old_img, "user_id")
-        ).alias("user_id"),
-        F.element_at(new_img, "value_cents").alias("after_cents"),
-        F.element_at(old_img, "value_cents").alias("before_cents"),
-        F.element_at(new_img, "k_val").alias("k_val"),
+        f"coalesce(element_at({new_img}, 'user_id'),"
+        f" element_at({old_img}, 'user_id')) AS user_id",
+        f"element_at({new_img}, 'value_cents') AS after_cents",
+        f"element_at({old_img}, 'value_cents') AS before_cents",
+        f"element_at({new_img}, 'k_val') AS k_val",
     )
 
 
@@ -997,157 +965,100 @@ def cdc_mongo_update_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch arithmetic uses a broadcast one-row min/max aggregate. No
     joins, no driver collects.
     """
+    # Single-parse selectExpr forms throughout (round 13): generation and
+    # decode each build as a handful of parses instead of ~500 Column-API
+    # gateway calls.  Values unchanged (oracle-pinned).
     logged = _logged(spark, sf_dir)
-    stream = logged.select(
+    stream = logged.selectExpr(
         "event_id",
-        F.unix_millis("ts").alias("ms"),
+        "unix_millis(ts) AS ms",
         "user_id",
         "cents",
-        F.when(F.col("op") == "delete", "delete")
-        .when(F.col("op") == "insert", "insert")
-        .when((F.col("op") == "update") & (F.col("event_id") % 97 == 0), "replace")
-        .otherwise("update")
-        .alias("mongo_op"),
+        "CASE WHEN op = 'delete' THEN 'delete'"
+        " WHEN op = 'insert' THEN 'insert'"
+        " WHEN op = 'update' AND event_id % 97 = 0 THEN 'replace'"
+        " ELSE 'update' END AS mongo_op",
     )
     # batch grid over the RAW fixture span: a windowless column-pruned
     # scan, so the one-row broadcast does not re-run the _logged subtree
-    raw_ms = load_table(spark, sf_dir, "events").select(
-        F.unix_millis("ts").alias("ms")
+    span = load_table(spark, sf_dir, "events").selectExpr(
+        "min(unix_millis(ts)) AS mn",
+        "max(unix_millis(ts)) - min(unix_millis(ts)) + 1 AS span",
     )
-    span = raw_ms.agg(
-        F.min("ms").alias("mn"),
-        (F.max("ms") - F.min("ms") + 1).alias("span"),
-    )
-    b = stream.crossJoin(F.broadcast(span)).withColumn(
-        "batch", F.expr(f"((ms - mn) * {_ULK_BATCHES}) div span")
+    b = stream.crossJoin(F.broadcast(span)).selectExpr(
+        "*", f"((ms - mn) * {_ULK_BATCHES}) div span AS batch"
     )
     # ---- mongod side: compute what the server-side lookup would attach
-    wlk = (
-        W.partitionBy("user_id")
-        .orderBy("batch")
-        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    with_lk = b.selectExpr(
+        "*",
+        "max(struct(ms, event_id AS eid, (mongo_op = 'delete') AS del, cents))"
+        " OVER (PARTITION BY user_id ORDER BY batch"
+        " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lkst",
     )
-    lkst = F.max(
-        F.struct(
-            F.col("ms"),
-            F.col("event_id").alias("eid"),
-            (F.col("mongo_op") == "delete").alias("del"),
-            F.col("cents"),
-        )
-    ).over(wlk)
-    with_lk = b.withColumn("lkst", lkst)
-    fd = (
-        F.when(
-            F.col("mongo_op").isin("insert", "replace"),
-            F.struct(F.col("user_id"), F.col("cents").alias("value_cents")),
-        )
-        .when(
-            (F.col("mongo_op") == "update") & ~F.col("lkst.del"),
-            F.struct(F.col("user_id"), F.col("lkst.cents").alias("value_cents")),
-        )
-    )
-    docs = with_lk.select(
-        F.to_json(
-            F.struct(
-                F.col("mongo_op").alias("operationType"),
-                F.struct(F.col("user_id")).alias("documentKey"),
-                F.struct(
-                    F.col("ms").alias("t"), F.col("event_id").alias("i")
-                ).alias("clusterTime"),
-                fd.alias("fullDocument"),
-                # A null-valued update is a $unset: JSON omits null fields,
-                # so the post-image rides the removedFields channel (the
-                # same inexpressibility the changestream key documents).
-                F.when(
-                    F.col("mongo_op") == "update",
-                    F.struct(
-                        F.to_json(
-                            F.struct(F.col("cents").alias("value_cents"))
-                        ).alias("updatedFields"),
-                        F.when(
-                            F.col("cents").isNull(), F.array(F.lit("value_cents"))
-                        ).otherwise(F.array().cast("array<string>"))
-                        .alias("removedFields"),
-                    ),
-                ).alias("updateDescription"),
-            )
-        ).alias("doc")
+    # A null-valued update is a $unset: JSON omits null fields, so the
+    # post-image rides the removedFields channel (the same
+    # inexpressibility the changestream key documents).
+    docs = with_lk.selectExpr(
+        """to_json(struct(
+          mongo_op AS operationType,
+          struct(user_id) AS documentKey,
+          struct(ms AS t, event_id AS i) AS clusterTime,
+          CASE WHEN mongo_op IN ('insert', 'replace')
+                 THEN struct(user_id, cents AS value_cents)
+               WHEN mongo_op = 'update' AND NOT lkst.del
+                 THEN struct(user_id, lkst.cents AS value_cents)
+          END AS fullDocument,
+          CASE WHEN mongo_op = 'update' THEN struct(
+            to_json(struct(cents AS value_cents)) AS updatedFields,
+            CASE WHEN cents IS NULL THEN array('value_cents')
+                 ELSE CAST(array() AS array<string>) END AS removedFields)
+          END AS updateDescription)) AS doc"""
     )
     # ---- the operator under test: parse + reference dispatch + folds
     # ONE from_json parse per document (six get_json_object calls would
     # re-parse the whole envelope six times — measured ~1.7x the key at
     # 100x); only the small nested updatedFields string gets a second pass
-    ulk_schema = T.StructType(
-        [
-            T.StructField("operationType", T.StringType()),
-            T.StructField(
-                "documentKey",
-                T.StructType([T.StructField("user_id", T.LongType())]),
-            ),
-            T.StructField(
-                "clusterTime",
-                T.StructType(
-                    [T.StructField("t", T.LongType()), T.StructField("i", T.LongType())]
-                ),
-            ),
-            T.StructField(
-                "fullDocument",
-                T.StructType(
-                    [
-                        T.StructField("user_id", T.LongType()),
-                        T.StructField("value_cents", T.LongType()),
-                    ]
-                ),
-            ),
-            T.StructField(
-                "updateDescription",
-                T.StructType(
-                    [
-                        T.StructField("updatedFields", T.StringType()),
-                        T.StructField("removedFields", T.ArrayType(T.StringType())),
-                    ]
-                ),
-            ),
-        ]
+    ulk_ddl = (
+        "operationType string, documentKey struct<user_id:bigint>,"
+        " clusterTime struct<t:bigint,i:bigint>,"
+        " fullDocument struct<user_id:bigint,value_cents:bigint>,"
+        " updateDescription"
+        " struct<updatedFields:string,removedFields:array<string>>"
     )
-    parsed = docs.select(F.from_json("doc", ulk_schema).alias("r")).select(
-        F.col("r.operationType").alias("mongo_op"),
-        F.col("r.documentKey.user_id").alias("user_id"),
-        F.col("r.clusterTime.t").alias("ms"),
-        F.col("r.clusterTime.i").alias("event_id"),
-        F.col("r.fullDocument.value_cents").alias("fd_cents"),
+    parsed = docs.selectExpr(f"from_json(doc, '{ulk_ddl}') AS r").selectExpr(
+        "r.operationType AS mongo_op",
+        "r.documentKey.user_id AS user_id",
+        "r.clusterTime.t AS ms",
+        "r.clusterTime.i AS event_id",
+        "r.fullDocument.value_cents AS fd_cents",
         # presence of the looked-up document != presence of its value field
         # (a doc whose value was $unset still EXISTS): a present image is a
         # non-null struct — JSON omits the whole field when mongod found
         # the document deleted
-        F.col("r.fullDocument").isNotNull().alias("fd_present"),
-        F.get_json_object(F.col("r.updateDescription.updatedFields"), "$.value_cents")
-        .cast("long")
-        .alias("uf_cents"),
+        "r.fullDocument IS NOT NULL AS fd_present",
+        "CAST(get_json_object(r.updateDescription.updatedFields,"
+        " '$.value_cents') AS BIGINT) AS uf_cents",
     )
-    is_update = F.col("mongo_op") == "update"
-    dropped = is_update & ~F.col("fd_present")           # :145-149 drop rule
-    lookahead = is_update & F.col("fd_present") & ~F.col("fd_cents").eqNullSafe(
-        F.col("uf_cents")
+    folded = parsed.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY user_id"
+        " ORDER BY ms DESC, event_id DESC) AS rn",
+        # :145-149 drop rule (dropped) / batch-boundary image (lookahead)
+        "sum(CAST(mongo_op = 'update' AND fd_present"
+        " AND NOT (fd_cents <=> uf_cents) AS BIGINT))"
+        " OVER (PARTITION BY user_id) AS n_lookahead",
+        "sum(CAST(mongo_op = 'update' AND NOT fd_present AS BIGINT))"
+        " OVER (PARTITION BY user_id) AS n_dropped",
     )
-    wu = W.partitionBy("user_id")
-    wdesc = wu.orderBy(F.col("ms").desc(), F.col("event_id").desc())
-    folded = (
-        parsed.withColumn("rn", F.row_number().over(wdesc))
-        .withColumn("n_lookahead", F.sum(lookahead.cast("long")).over(wu))
-        .withColumn("n_dropped", F.sum(dropped.cast("long")).over(wu))
-    )
-    alive = F.col("mongo_op") != "delete"
-    return folded.filter(F.col("rn") == 1).select(
+    return folded.filter("rn = 1").selectExpr(
         "user_id",
-        F.col("event_id").alias("last_eid"),
-        alive.alias("alive"),
-        F.when(alive, F.col("fd_cents")).alias("cents_lookup"),
+        "event_id AS last_eid",
+        "mongo_op <> 'delete' AS alive",
+        "CASE WHEN mongo_op <> 'delete' THEN fd_cents END AS cents_lookup",
         # exact post-image: the update's own delta (null = the $unset),
         # never the looked-up value — insert/replace images are their own
-        F.when(alive & is_update, F.col("uf_cents"))
-        .when(alive, F.col("fd_cents"))
-        .alias("cents_exact"),
+        "CASE WHEN mongo_op <> 'delete' AND mongo_op = 'update' THEN uf_cents"
+        " WHEN mongo_op <> 'delete' THEN fd_cents END AS cents_exact",
         "n_lookahead",
         "n_dropped",
     )

@@ -32,9 +32,42 @@ just the fixture events table's instance of that parameter.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Names interpolated into the single-parse SQL strings (db/table literals,
+# the value column, payload field names) must be inert under the SQL lexer
+# (ADVICE r12 #2 — shared with sources/formats.py, which imports these).
+_SAFE_SQL_NAME = re.compile(r"^[A-Za-z0-9_.$-]+$")
+
+
+def _safe(name: str, what: str) -> str:
+    if not _SAFE_SQL_NAME.match(name):
+        raise ValueError(
+            f"{what} {name!r} is interpolated into a SQL string and must "
+            "match [A-Za-z0-9_.$-]+"
+        )
+    return name
+
+
+def _payload_ddl(payload_schema: T.StructType) -> str:
+    """A struct schema as a DDL fragment for from_json SQL strings —
+    parses to the same StructType object the StructType form passed.
+    Field names are backtick-quoted (and asserted backtick-free) so a
+    name that is a SQL keyword still parses as a name."""
+    for f in payload_schema.fields:
+        if "`" in f.name:
+            raise ValueError(f"payload field {f.name!r} cannot carry a backtick")
+    return (
+        "struct<"
+        + ",".join(
+            f"`{f.name}`:{f.dataType.simpleString()}" for f in payload_schema.fields
+        )
+        + ">"
+    )
 
 # Maps the fixture's event_type to a changelog op. Kept as a plain dict so
 # both the Column expression and oracle SQL are generated from one place.
@@ -166,39 +199,40 @@ def events_to_debezium_json(
     where a consumer starting at a Kafka offset never sees (or parses)
     the bytes before it. This is the envelope family's dominant cost at
     scale: the codec is linear in serialized rows, not in log rows.
+
+    Round 13: built as single-parse selectExpr calls (this helper fronts
+    a dozen tier-A keys, ~45 Column-API gateway calls each before).
+    Values and wire bytes unchanged (oracle- and test-pinned).
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    payload = F.struct(F.col("user_id"), F.col("value"), F.col("props"))
+    db, table = _safe(db, "db"), _safe(table, "table")
+    app_op = (
+        "CASE WHEN event_type = 'error' THEN 'delete' "
+        "WHEN event_type = 'signup' THEN 'insert' ELSE 'update' END"
+    )
+    over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
     # Materialize lag columns before building the to_json struct (window
     # expressions cannot nest inside generators/struct literals).
-    staged = (
-        events.withColumn("__app_op", op_col())
-        .withColumn("__prev_payload", F.lag(payload).over(w))
-        .withColumn("__prev_op", F.lag(op_col()).over(w))
+    staged = events.selectExpr(
+        "*",
+        f"{app_op} AS __app_op",
+        f"lag(struct(user_id, value, props)) {over} AS __prev_payload",
+        f"lag({app_op}) {over} AS __prev_op",
     )
-    live = F.col("__prev_op").isNotNull() & (F.col("__prev_op") != "delete")
-    dbz_op = (
-        F.when(F.col("__app_op") == "delete", F.lit("d"))
-        .when(live, F.lit("u"))
-        .otherwise(F.lit("c"))
-    )
-    valid = (F.col("__app_op") != "delete") | live
+    live = "(__prev_op IS NOT NULL AND __prev_op <> 'delete')"
+    valid = f"(__app_op <> 'delete' OR {live})"
     if min_pos is not None:
-        valid = valid & (F.col("event_id") > F.lit(min_pos))
-    envelope = F.struct(
-        F.when(live, F.col("__prev_payload")).alias("before"),
-        F.when(F.col("__app_op") != "delete", payload).alias("after"),
-        F.struct(
-            F.lit(db).alias("db"),
-            F.lit(table).alias("table"),
-            (F.unix_millis(F.col("ts"))).alias("ts_ms"),
-            F.lit("binlog.000001").alias("file"),
-            F.col("event_id").alias("pos"),
-        ).alias("source"),
-        dbz_op.alias("op"),
-        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        valid = f"({valid} AND event_id > {int(min_pos)})"
+    return staged.filter(valid).selectExpr(
+        f"""to_json(struct(
+          CASE WHEN {live} THEN __prev_payload END AS before,
+          CASE WHEN __app_op <> 'delete'
+               THEN struct(user_id, value, props) END AS after,
+          struct('{db}' AS db, '{table}' AS table, unix_millis(ts) AS ts_ms,
+                 'binlog.000001' AS file, event_id AS pos) AS source,
+          CASE WHEN __app_op = 'delete' THEN 'd'
+               WHEN {live} THEN 'u' ELSE 'c' END AS op,
+          unix_millis(ts) AS ts_ms)) AS value"""
     )
-    return staged.filter(valid).select(F.to_json(envelope).alias("value"))
 
 
 def snapshot_to_debezium_json(
@@ -444,15 +478,6 @@ def parse_debezium_json(
             "use engine='auto' to fall back to from_json"
         )
     use_variant = engine == "variant"
-    if use_variant:
-        # the parse lives in its OWN projection (see _variant_envelope:
-        # CollapseProject keeps it separate, so the record parses once
-        # and the typed gets traverse the materialized variant binary)
-        staged = raw.select(F.try_parse_json(F.col(value_col)).alias("__v"))
-        e = _variant_envelope(F.col("__v"), payload_schema)
-    else:
-        staged = raw
-        e = F.from_json(F.col(value_col), make_envelope_schema(payload_schema))
     # ONE full-schema parse materialized as a struct column, shared by
     # every downstream field access (whole-stage codegen evaluates it
     # once per row — the BASELINE round-6 CSE measurement). Deliberately
@@ -464,55 +489,60 @@ def parse_debezium_json(
     # saves only materialization). Narrow consumers that want a narrow
     # parse pass a payload_schema restricted to the fields they read —
     # call-site pruning, the cdc_changelog_mode_upsert pattern.
-    parsed = staged.select(
-        e.alias("e")
-        # Heartbeats advance offsets but are never emitted as data rows
-        # (RecordUtils.isHeartbeatEvent -> update split state, no emit);
-        # track them via committed_offset() on the RAW stream.
-    ).filter(F.col("e.op") != HEARTBEAT_OP)
-    op = (
-        F.when(F.col("e.op").isin("c", "r"), F.lit("insert"))
-        .when(F.col("e.op") == "d", F.lit("delete"))
-        .otherwise(F.lit("update"))
-    )
+    #
+    # Heartbeats advance offsets but are never emitted as data rows
+    # (RecordUtils.isHeartbeatEvent -> update split state, no emit);
+    # track them via committed_offset() on the RAW stream.
+    #
+    # Round 13: the Jackson path builds as single-parse selectExpr calls
+    # (the envelope DDL string parses to the same StructType the
+    # make_envelope_schema object carried) — this decoder fronts a dozen
+    # tier-A keys at ~60 Column-API gateway calls each before.
+    if use_variant:
+        # the parse lives in its OWN projection (see _variant_envelope:
+        # CollapseProject keeps it separate, so the record parses once
+        # and the typed gets traverse the materialized variant binary)
+        staged = raw.select(F.try_parse_json(F.col(value_col)).alias("__v"))
+        parsed = staged.select(
+            _variant_envelope(F.col("__v"), payload_schema).alias("e")
+        ).filter(F.col("e.op") != HEARTBEAT_OP)
+    else:
+        p = _payload_ddl(payload_schema)
+        env_ddl = (
+            f"before {p}, after {p},"
+            " source struct<db:string,table:string,ts_ms:bigint,"
+            "file:string,pos:bigint>, op string, ts_ms bigint"
+        )
+        parsed = raw.selectExpr(
+            f"from_json({_safe(value_col, 'value_col')}, '{env_ddl}') AS e"
+        ).filter(f"e.op <> '{HEARTBEAT_OP}'")
     if mode == "upsert":
-        row = F.when(F.col("e.op") == "d", F.col("e.before")).otherwise(F.col("e.after"))
-        kind_rows = F.array(
-            F.struct(
-                F.when(F.col("e.op").isin("c", "r"), "+I")
-                .when(F.col("e.op") == "d", "-D")
-                .otherwise("+U")
-                .alias("row_kind"),
-                row.alias("payload"),
-            )
+        kind_rows = (
+            "array(struct("
+            "CASE WHEN e.op IN ('c', 'r') THEN '+I'"
+            " WHEN e.op = 'd' THEN '-D' ELSE '+U' END AS row_kind,"
+            " CASE WHEN e.op = 'd' THEN e.before ELSE e.after END AS payload))"
         )
     else:
         kind_rows = (
-            F.when(
-                F.col("e.op").isin("c", "r"),
-                F.array(F.struct(F.lit("+I").alias("row_kind"), F.col("e.after").alias("payload"))),
-            )
-            .when(
-                F.col("e.op") == "d",
-                F.array(F.struct(F.lit("-D").alias("row_kind"), F.col("e.before").alias("payload"))),
-            )
-            .otherwise(
-                F.array(
-                    F.struct(F.lit("-U").alias("row_kind"), F.col("e.before").alias("payload")),
-                    F.struct(F.lit("+U").alias("row_kind"), F.col("e.after").alias("payload")),
-                )
-            )
+            "CASE WHEN e.op IN ('c', 'r')"
+            " THEN array(struct('+I' AS row_kind, e.after AS payload))"
+            " WHEN e.op = 'd'"
+            " THEN array(struct('-D' AS row_kind, e.before AS payload))"
+            " ELSE array(struct('-U' AS row_kind, e.before AS payload),"
+            " struct('+U' AS row_kind, e.after AS payload)) END"
         )
-    exploded = parsed.withColumn("__k", F.explode(kind_rows))
-    out = exploded.select(
-        op.alias("op"),
-        *[F.col(f"__k.payload.{f.name}").alias(f.name) for f in payload_schema.fields],
-        F.timestamp_millis(F.col("e.ts_ms")).alias("ts"),
-        F.col("e.source.pos").alias("event_id"),
-        F.col("e.source.db").alias("database_name"),
-        F.col("e.source.table").alias("table_name"),
-        F.timestamp_millis(F.col("e.source.ts_ms")).alias("op_ts"),
-        F.col("__k.row_kind").alias("row_kind"),
+    exploded = parsed.selectExpr("*", f"explode({kind_rows}) AS __k")
+    out = exploded.selectExpr(
+        "CASE WHEN e.op IN ('c', 'r') THEN 'insert'"
+        " WHEN e.op = 'd' THEN 'delete' ELSE 'update' END AS op",
+        *[f"__k.payload.`{f.name}` AS `{f.name}`" for f in payload_schema.fields],
+        "timestamp_millis(e.ts_ms) AS ts",
+        "e.source.pos AS event_id",
+        "e.source.db AS database_name",
+        "e.source.table AS table_name",
+        "timestamp_millis(e.source.ts_ms) AS op_ts",
+        "__k.row_kind AS row_kind",
     )
     return out.drop("row_kind") if mode == "upsert" else out
 
@@ -549,26 +579,15 @@ def parse_debezium_json_multi(
     fan-out pattern; in production the changelog is already materialized in
     the log/topic, making this a no-op.
     """
-    route_schema = T.StructType(
-        [
-            T.StructField(
-                "source",
-                T.StructType(
-                    [
-                        T.StructField("db", T.StringType()),
-                        T.StructField("table", T.StringType()),
-                    ]
-                ),
-            )
-        ]
-    )
-    routed = raw.select(
-        F.col(value_col),
-        F.from_json(F.col(value_col), route_schema).alias("__route"),
-    ).select(
-        F.col(value_col),
-        F.col("__route.source.db").alias("__route_db"),
-        F.col("__route.source.table").alias("__route_tb"),
+    value_col = _safe(value_col, "value_col")
+    routed = raw.selectExpr(
+        value_col,
+        f"from_json({value_col},"
+        " 'source struct<db:string,table:string>') AS __route",
+    ).selectExpr(
+        value_col,
+        "__route.source.db AS __route_db",
+        "__route.source.table AS __route_tb",
     )
     if cache:
         # cache() vs localCheckpoint(eager): A/B'd on the 25M-record route

@@ -44,36 +44,21 @@ and decoded rows are unchanged — pinned by tests/test_formats.py.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# _safe / _payload_ddl: the interpolation guards for single-parse SQL
+# strings (ADVICE r12 #2) — shared with the Debezium envelope module,
+# which round 13 converted to the same single-parse style.
 from flink_cdc_connectors_spark.sources.envelope import (
     EVENT_PAYLOAD_SCHEMA,
+    _payload_ddl,
+    _safe,
     op_col,
 )
 
 ROW_KINDS = ("+I", "-U", "+U", "-D")
-
-# Names interpolated into the single-parse SQL strings (db/table literals,
-# the value column, payload field names) must be inert under the SQL lexer:
-# a quote or backslash in one would break the parse — or worse, silently
-# alter the envelope (ADVICE r12 #2).  The Column forms these SQL strings
-# replaced passed them through F.lit()/F.col(), which needed no such guard,
-# so the single-parse forms assert it explicitly instead of trusting
-# call sites.
-_SAFE_SQL_NAME = re.compile(r"^[A-Za-z0-9_.$-]+$")
-
-
-def _safe(name: str, what: str) -> str:
-    if not _SAFE_SQL_NAME.match(name):
-        raise ValueError(
-            f"{what} {name!r} is interpolated into a SQL string and must "
-            "match [A-Za-z0-9_.$-]+"
-        )
-    return name
 
 
 def _staged(events: DataFrame) -> DataFrame:
@@ -91,24 +76,6 @@ def _staged(events: DataFrame) -> DataFrame:
             F.col("__prev_op").isNotNull() & (F.col("__prev_op") != "delete"),
         )
         .filter((F.col("__app_op") != "delete") | F.col("__live"))
-    )
-
-
-def _payload_ddl(payload_schema: T.StructType) -> str:
-    """The payload struct as a DDL fragment for from_json SQL strings —
-    parses to the same StructType object the Column form passed.  Field
-    names are backtick-quoted (and asserted backtick-free — a name
-    containing one cannot be quoted into this fragment) so a name that is
-    a SQL keyword or carries odd characters still parses as a name."""
-    for f in payload_schema.fields:
-        if "`" in f.name:
-            raise ValueError(f"payload field {f.name!r} cannot carry a backtick")
-    return (
-        "struct<"
-        + ",".join(
-            f"`{f.name}`:{f.dataType.simpleString()}" for f in payload_schema.fields
-        )
-        + ">"
     )
 
 

@@ -62,6 +62,11 @@ DERBY_ROOT = os.environ.get(
 
 DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
 
+# Seed-write properties: one JDBC batch per partition instead of the
+# 1000-row default — embedded Derby has no network round trip to hide,
+# so smaller batches only add executeBatch overhead (round 13).
+_SEED_PROPS = {**DERBY_PROPS, "batchsize": "20000"}
+
 
 def derby_url(db_path: str, create: bool = False) -> str:
     return f"jdbc:derby:{db_path}" + (";create=true" if create else "")
@@ -112,15 +117,21 @@ def derby_update(spark: SparkSession, url: str):
     server (CREATE TRIGGER, UPDATE/DELETE/INSERT mutation scripts) — the
     side of JDBC the reference's test harness drives between snapshot and
     binlog phases (every connector IT mutates the source database mid-test,
-    e.g. MySqlConnectorITCase's UPDATE/DELETE batches)."""
+    e.g. MySqlConnectorITCase's UPDATE/DELETE batches).
+
+    One connection per callable, opened lazily and reused across calls
+    (round 13): the mutation scripts issue half a dozen statements
+    back-to-back, and re-opening an embedded connection per statement paid
+    connection setup + py4j round trips for nothing.  ``derby_shutdown``
+    (shutdown=true) closes every open connection, so the reuse does not
+    block the same-JVM rebuild path."""
     jvm = spark._jvm  # noqa: SLF001
+    holder: list = []
 
     def run(sql: str) -> int:
-        conn = jvm.java.sql.DriverManager.getConnection(url)
-        try:
-            return conn.createStatement().executeUpdate(sql)
-        finally:
-            conn.close()
+        if not holder:
+            holder.append(jvm.java.sql.DriverManager.getConnection(url))
+        return holder[0].createStatement().executeUpdate(sql)
 
     return run
 
@@ -152,7 +163,7 @@ def mirror_to_derby(
         except Exception:
             pass  # missing table / unbootable db -> fall through to reseed
     try:
-        df.write.jdbc(url, f'"{table}"', mode="overwrite", properties=DERBY_PROPS)
+        df.write.jdbc(url, f'"{table}"', mode="overwrite", properties=_SEED_PROPS)
     except Exception:
         # unboot BEFORE deleting: a failure after boot leaves the database
         # registered in this JVM, and rmtree alone would hand the retry a
@@ -160,13 +171,13 @@ def mirror_to_derby(
         derby_shutdown(spark, db_path)
         shutil.rmtree(db_path, ignore_errors=True)
         try:
-            df.write.jdbc(url, f'"{table}"', mode="overwrite", properties=DERBY_PROPS)
+            df.write.jdbc(url, f'"{table}"', mode="overwrite", properties=_SEED_PROPS)
         except Exception:
             db_path = f"{db_path}.pid{os.getpid()}"
             url = derby_url(db_path, create=True)
             derby_shutdown(spark, db_path)
             shutil.rmtree(db_path, ignore_errors=True)
-            df.write.jdbc(url, f'"{table}"', mode="overwrite", properties=DERBY_PROPS)
+            df.write.jdbc(url, f'"{table}"', mode="overwrite", properties=_SEED_PROPS)
     return derby_url(db_path)
 
 

@@ -140,31 +140,35 @@ def ext_kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a1 = base.select("vec_id", "e", V.ivf_centroid_id("e").alias("cell"))
     # refined centroid = per-cell mean vector, as 64 scalar aggregates
-    # (map-side partial combine; an array-valued avg would shuffle arrays)
-    comp_means = [
-        F.avg(F.element_at("e", i + 1)).alias(f"c{i}") for i in range(dim)
-    ]
-    c1 = a1.groupBy("cell").agg(*comp_means).select(
-        "cell", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("c")
+    # (map-side partial combine; an array-valued avg would shuffle arrays).
+    # Round 13: the 64 avg aggregates build as ONE expr parse (array of
+    # scalar avgs — the HashAggregate still computes 64 independent avg
+    # buffers with partial combine, the array wraps them only in the
+    # result projection); the old per-component Column loop cost ~800
+    # gateway round trips per build, profiled as half this key's builder.
+    mean_arr = (
+        "array(" + ",".join(f"avg(element_at(e, {i + 1}))" for i in range(dim)) + ")"
     )
+    c1 = a1.groupBy("cell").agg(F.expr(mean_arr).alias("c"))
     sc = a1.crossJoin(F.broadcast(c1.select(F.col("cell").alias("c_cell"), "c"))).select(
         "vec_id",
         "e",
         F.col("c_cell").alias("cell"),
         V.dot("e", "c").alias("s"),
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
-    a2 = sc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    a2 = sc.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn",
+    ).filter("rn = 1")
     final = a2.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        *[F.avg(F.element_at("e", i + 1)).alias(f"m{i}") for i in range(dim)],
+        F.expr("count(1)").alias("n_members"), F.expr(mean_arr).alias("m")
     )
-    norm = F.sqrt(
-        sum((F.col(f"m{i}") * F.col(f"m{i}") for i in range(1, dim)),
-            start=F.col("m0") * F.col("m0"))
-    )
-    return final.select(
-        "cell", "n_members", F.round(norm, 4).alias("centroid_norm_r")
+    # same left-to-right summation order as the unrolled m0*m0 + m1*m1 + ...
+    norm = "sqrt(" + " + ".join(
+        f"element_at(m, {i + 1}) * element_at(m, {i + 1})" for i in range(dim)
+    ) + ")"
+    return final.selectExpr(
+        "cell", "n_members", f"round({norm}, 4) AS centroid_norm_r"
     )
 
 

@@ -73,6 +73,36 @@ def test_chunk_reconcile_equals_full_normalize(changelog, spark):
         assert got == full, f"split={split}"
 
 
+def test_chunk_reconcile_eviction_set_is_every_changed_key(spark):
+    """Round-13 internals pin: the anti-join's eviction set is the
+    DISTINCT keys of the change window (one pass), which must evict BOTH
+    kinds of changed key — replaced (last op survives) and removed (last
+    op is a delete, including a delete-only history) — while leaving
+    untouched snapshot keys exactly as they were."""
+    snapshot = spark.createDataFrame(
+        [
+            (1, 10.0, "{}", _ts(0), 1),   # will be replaced
+            (2, 20.0, "{}", _ts(1), 2),   # delete-only change window
+            (4, 40.0, "{}", _ts(2), 3),   # untouched
+        ],
+        "user_id long, value double, props string, ts timestamp, event_id long",
+    )
+    changes = spark.createDataFrame(
+        [
+            ("update", 1, 11.0, "{}", _ts(3), 4),
+            ("delete", 2, 20.0, "{}", _ts(4), 5),
+            ("insert", 5, 50.0, "{}", _ts(5), 6),  # new key via changes
+            ("delete", 5, 50.0, "{}", _ts(6), 7),  # ... then deleted again
+        ],
+        SCHEMA,
+    )
+    got = {
+        r["user_id"]: (r["value"], r["event_id"])
+        for r in chunk_reconcile(snapshot, changes).collect()
+    }
+    assert got == {1: (11.0, 4), 4: (40.0, 3)}
+
+
 def test_even_chunks_covers_all_rows(spark):
     df = spark.range(0, 1000).withColumnRenamed("id", "k")
     out = even_chunks(df, "k", chunk_size=100)

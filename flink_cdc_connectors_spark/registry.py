@@ -166,6 +166,25 @@ _CHECK_FIRST = (
     "cdc_multi_table_route",
     "cdc_type_change_resnapshot",
     "cdc_chunk_split_sampled",
+    # -- 3: consumers of the helpers round 13 converted to single-parse
+    # forms (sources/envelope.py codec, tier_a_ext._logged,
+    # operators/cdc.changelog_normalize + chunk_reconcile) — every one is
+    # oracle-pinned in pytest; listing them here puts driver-level hash
+    # rows behind the shared-helper rewrites too.
+    "cdc_deserialize_envelope",
+    "cdc_envelope_retract_agg",
+    "cdc_metadata_columns",
+    "cdc_schema_evolution",
+    "cdc_chunk_reconcile",
+    "cdc_upsert_sink",
+    "cdc_heartbeat",
+    "cdc_capture_sqlserver",
+    "cdc_capture_db2",
+    "cdc_logminer_redo",
+    "cdc_postgres_wal2json",
+    "cdc_oceanbase_commit_order",
+    "cdc_gtid_failover",
+    "cdc_mongo_changestream",
     # -- r12-sampled greens and the rest follow in sorted order ---------------
 )
 
